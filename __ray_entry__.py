@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself before importing this module:
+nothing here (or in cerberus_ray library code) calls ray.init/shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship validation pipeline over a deterministic
+  interleaved-document table (BASELINE.json input_hint shape) derived at
+  sf0.001 scale, plus the sf0.001 relational tables for grounding.
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query key (same column
+  names), omitted for non-SQL-expressible ops.
 """
 
 from __future__ import annotations
@@ -18,27 +16,28 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: generate the interleaved doc table (seed=42,
+    deterministic, same scale as sf0.001 documents) and run the full
+    validation rule-set. Returns the violations table (stable schema:
+    doc_id, rule, path, detail)."""
+    from cerberus_ray.datagen import GenConfig, docs_dataset, media_dataset
+    from cerberus_ray.pipelines.flagship import run_flagship
+
+    cfg = GenConfig(n_docs=2000, n_media=500)
+    res = run_flagship(docs_dataset(cfg, fragment_size=500), media_dataset(cfg),
+                       text_max_len=cfg.text_max_len)
+    return res.violations
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
     return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
+    """DuckDB oracle SQL per queries() key."""
     return {}

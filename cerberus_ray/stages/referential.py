@@ -1,0 +1,228 @@
+"""Referential-integrity rules (the engine's FK checker).
+
+Reference semantics: PROTECT FKs — "child key must exist in parent"
+(cerberus/models/pet.py:68-72, booking.py:250-255; missing nested id →
+ValidationError in serializers.fix_nested_object, serializers.py:52-72).
+A missing parent key becomes a violation row ``rule='fk-missing'`` (or a
+caller-supplied rule id), ``path=<fk column>``.
+
+Two execution modes:
+
+- ``broadcast``  (default): the parent key set is collected distributed
+  (per-block distinct → driver set), put in the object store ONCE
+  (``ray.put``) and read by every validator task — never re-shipped per
+  batch. Right for dimension-sized parents (media catalog, customer dim).
+
+- ``bloom``  (scale path, north_rule ST5): a Bloom filter of parent keys is
+  built by per-block sketch tasks and OR-merged (tiny), then broadcast.
+  Bloom "absent" answers are certain violations; "present" answers are
+  exact-checked with a shuffle semi-join of only the candidate keys —
+  at a 1% false-positive rate the shuffle carries ~1% of the distinct
+  child keys instead of every child row.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..rules import details as D
+from ..schema import VIOLATIONS, empty_violations
+from ..state.bloom import BloomFilter
+
+
+# ---------------------------------------------------------------------------
+# key extractors: batch -> (keys: object ndarray, row_keys: object ndarray,
+#                           paths: object ndarray)   [aligned, nulls dropped]
+# ---------------------------------------------------------------------------
+
+def column_keys(key_col: str, fk_col: str) -> Callable:
+    def extract(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        fk = batch[fk_col]
+        valid = pc.is_valid(fk).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(valid)
+        keys = pc.cast(fk, pa.string()).to_numpy(zero_copy_only=False).astype(object)[idx]
+        rk = pc.cast(batch[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(object)[idx]
+        paths = np.full(len(idx), fk_col, dtype=object)
+        return keys, rk, paths
+
+    return extract
+
+
+def span_media_keys(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract non-null spans[*].media_ref with doc_id + span path."""
+    from ..rules.row_rules import _flatten_spans
+
+    doc_ids, flat, parent, pos = _flatten_spans(batch)
+    if len(flat) == 0:
+        z = np.empty(0, dtype=object)
+        return z, z, z
+    ref = flat.field("media_ref")
+    valid = pc.is_valid(ref).to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(valid)
+    keys = ref.to_numpy(zero_copy_only=False).astype(object)[idx]
+    rk = doc_ids[parent[idx]]
+    paths = np.char.mod("spans[%d].media_ref", pos[idx]).astype(object)
+    return keys, rk, paths
+
+
+# ---------------------------------------------------------------------------
+# parent-side structures
+# ---------------------------------------------------------------------------
+
+def collect_parent_keys(parent_ds, parent_key: str) -> np.ndarray:
+    """Distributed per-block distinct → sorted unique key array on driver.
+
+    Shuffle-free: each block contributes its distinct keys only; suitable
+    when the DISTINCT parent key set fits the driver (dimension tables).
+    """
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[parent_key], pa.string())
+        return pa.Table.from_arrays([pc.unique(k)], names=["k"])
+
+    pdf = parent_ds.map_batches(distinct, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    if len(pdf) == 0:
+        return np.empty(0, dtype=str)
+    return np.unique(pdf["k"].to_numpy().astype(str))  # sorted — fast searchsorted
+
+
+def build_parent_bloom(parent_ds, parent_key: str, *, n_keys_hint: int,
+                       fpp: float = 0.01) -> BloomFilter:
+    """Distributed Bloom build: one filter per block, OR-merged on driver."""
+    n_bits = BloomFilter.size_for(n_keys_hint, fpp)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits=n_bits)
+        bf.add(pc.cast(batch[parent_key], pa.string()))
+        return pa.Table.from_pydict({"sketch": [bf.to_bytes()]})
+
+    acc = BloomFilter(n_bits=n_bits)
+    for row in parent_ds.map_batches(sketch, batch_format="pyarrow",
+                                     zero_copy_batch=True).take_all():
+        acc.merge(BloomFilter.from_bytes(row["sketch"]))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# violation emission
+# ---------------------------------------------------------------------------
+
+def _emit_missing(keys, rk, paths, missing_mask, rule, parent_name) -> pa.Table:
+    idx = np.flatnonzero(missing_mask)
+    if len(idx) == 0:
+        return empty_violations()
+    det = np.array([D.d_fk_missing(keys[i], parent_name) for i in idx], dtype=object)
+    return pa.Table.from_arrays(
+        [
+            pa.array(rk[idx], type=pa.string()),
+            pa.array(np.full(len(idx), rule, dtype=object), type=pa.string()),
+            pa.array(paths[idx], type=pa.string()),
+            pa.array(det, type=pa.string()),
+        ],
+        schema=VIOLATIONS,
+    )
+
+
+def referential_violations(child_ds, parent_ds, *, extract: Callable,
+                           parent_key: str, rule: str = "fk-missing",
+                           parent_name: str = "parent",
+                           mode: str = "broadcast",
+                           n_keys_hint: Optional[int] = None):
+    """→ Dataset of violation rows for child keys absent from the parent."""
+    if mode == "broadcast":
+        keys_sorted = collect_parent_keys(parent_ds, parent_key)
+        ref = ray.put(keys_sorted)  # once; every task reads from object store
+
+        def check(batch: pa.Table) -> pa.Table:
+            parent_keys = ray.get(ref)
+            keys, rk, paths = extract(batch)
+            if len(keys) == 0:
+                return empty_violations()
+            if len(parent_keys) == 0:
+                hit = np.zeros(len(keys), dtype=bool)
+            else:
+                ks = keys.astype(str)
+                pos = np.clip(np.searchsorted(parent_keys, ks), 0,
+                              len(parent_keys) - 1)
+                hit = parent_keys[pos] == ks
+            return _emit_missing(keys, rk, paths, ~hit, rule, parent_name)
+
+        return child_ds.map_batches(check, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    if mode == "bloom":
+        bloom = build_parent_bloom(parent_ds, parent_key,
+                                   n_keys_hint=n_keys_hint or 1_000_000)
+        bref = ray.put(bloom.to_bytes())
+
+        # phase 1: certain misses (bloom-absent) are violations; bloom-present
+        # keys become candidate rows for the exact semi-join.
+        def split(batch: pa.Table) -> pa.Table:
+            bf = BloomFilter.from_bytes(ray.get(bref))
+            keys, rk, paths = extract(batch)
+            if len(keys) == 0:
+                return pa.Table.from_pydict(
+                    {"k": [], "row_key": [], "path": [], "certain_miss": []},
+                    schema=pa.schema([("k", pa.string()), ("row_key", pa.string()),
+                                      ("path", pa.string()),
+                                      ("certain_miss", pa.bool_())]))
+            maybe = bf.contains(keys)
+            return pa.Table.from_pydict({
+                "k": pa.array(keys, type=pa.string()),
+                "row_key": pa.array(rk, type=pa.string()),
+                "path": pa.array(paths, type=pa.string()),
+                "certain_miss": pa.array(~maybe),
+            })
+
+        cand = child_ds.map_batches(split, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        certain = cand.filter(expr="certain_miss == True")
+
+        # phase 2: exact semi-join of the maybes against the parent keys —
+        # union(tagged child candidates, tagged parent keys) → groupby(k):
+        # a group without a parent row is a miss the bloom false-positived on.
+        maybes = cand.filter(expr="certain_miss == False")
+        def tag_parent(b: pa.Table) -> pa.Table:
+            u = pc.unique(pc.cast(b[parent_key], pa.string()))
+            n = len(u)
+            return pa.Table.from_arrays(
+                [u, pa.nulls(n, pa.string()), pa.nulls(n, pa.string()),
+                 pa.nulls(n, pa.bool_())],
+                names=["k", "row_key", "path", "certain_miss"])
+
+        parent_tag = parent_ds.map_batches(tag_parent, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+
+        import pandas as pd
+
+        def resolve(g: pd.DataFrame) -> pd.DataFrame:
+            has_parent = g["row_key"].isna().any()
+            if has_parent:
+                return pd.DataFrame({"k": [], "row_key": [], "path": []})
+            gg = g[["k", "row_key", "path"]]
+            return gg
+
+        missed = maybes.union(parent_tag).groupby("k").map_groups(
+            resolve, batch_format="pandas")
+
+        def to_viol(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0:
+                return empty_violations()
+            keys = batch["k"].to_numpy(zero_copy_only=False).astype(object)
+            rk = batch["row_key"].to_numpy(zero_copy_only=False).astype(object)
+            paths = batch["path"].to_numpy(zero_copy_only=False).astype(object)
+            return _emit_missing(keys, rk, paths, np.ones(n, bool), rule, parent_name)
+
+        certain_v = certain.map_batches(to_viol, batch_format="pyarrow")
+        missed_v = missed.map_batches(to_viol, batch_format="pyarrow")
+        return certain_v.union(missed_v)
+
+    raise ValueError(f"unknown mode {mode!r}")

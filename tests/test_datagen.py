@@ -1,0 +1,67 @@
+"""Generator determinism + golden self-consistency (FIXTURES.md)."""
+
+import numpy as np
+import pyarrow as pa
+
+from cerberus_ray.datagen import (
+    DEFAULT_FRACTIONS,
+    GenConfig,
+    expected_violations,
+    gen_docs_batch,
+    gen_media_catalog,
+)
+
+
+def test_batch_split_independence():
+    cfg = GenConfig(n_docs=3000)
+    full = gen_docs_batch(np.arange(3000), cfg)
+    parts = pa.concat_tables([
+        gen_docs_batch(np.arange(0, 700), cfg),
+        gen_docs_batch(np.arange(700, 701), cfg),
+        gen_docs_batch(np.arange(701, 3000), cfg),
+    ])
+    assert parts.equals(full)
+
+
+def test_schema_matches_input_hint():
+    cfg = GenConfig(n_docs=10)
+    t = gen_docs_batch(np.arange(10), cfg)
+    assert t.schema.names == ["doc_id", "spans"]
+    span_t = t.schema.field("spans").type.value_type
+    assert [span_t.field(i).name for i in range(span_t.num_fields)] == [
+        "kind", "text", "media_ref", "offset"]
+
+
+def test_clean_config_has_no_violations():
+    cfg = GenConfig(n_docs=500, fractions={})
+    assert expected_violations(cfg).num_rows == 0
+
+
+def test_duplicate_groups_are_pairs():
+    cfg = GenConfig(n_docs=4000)
+    t = gen_docs_batch(np.arange(4000), cfg)
+    ids = np.array(t["doc_id"].to_pylist())
+    uniq, counts = np.unique(ids, return_counts=True)
+    dup = uniq[counts > 1]
+    golden = expected_violations(cfg)
+    g_dup = sorted(
+        golden.filter(
+            pa.compute.equal(golden["rule"], "unique-doc-id"))["doc_id"].to_pylist())
+    assert sorted(dup.tolist()) == g_dup
+    assert (counts[counts > 1] == 2).all()
+
+
+def test_media_catalog_unique_and_typed():
+    cfg = GenConfig(n_docs=10, n_media=500)
+    m = gen_media_catalog(cfg)
+    refs = m["media_ref"].to_pylist()
+    assert len(set(refs)) == len(refs) == 500
+    assert set(m["kind"].to_pylist()) <= {"image", "audio", "table"}
+    assert min(m["bytes"].to_pylist()) >= 0
+
+
+def test_all_rules_injected_at_default_fractions():
+    cfg = GenConfig(n_docs=20_000)
+    golden = expected_violations(cfg)
+    rules = set(golden["rule"].to_pylist())
+    assert rules == set(DEFAULT_FRACTIONS)

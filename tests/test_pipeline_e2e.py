@@ -1,0 +1,87 @@
+"""End-to-end flagship pipeline over Ray Data: violations (row-local +
+uniqueness + referential) must equal the generator's golden table exactly,
+and verdicts must partition correctly (north_rule per-partition pass/fail)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from cerberus_ray.datagen import (
+    GenConfig,
+    docs_dataset,
+    expected_violations,
+    media_dataset,
+)
+from cerberus_ray.pipelines.flagship import run_flagship
+from cerberus_ray.stages.referential import referential_violations, span_media_keys
+from cerberus_ray.stages.uniqueness import approx_distinct, unique_violations
+
+
+def rows(t: pa.Table):
+    return sorted(
+        zip(t["doc_id"].to_pylist(), t["rule"].to_pylist(),
+            t["path"].to_pylist(), t["detail"].to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return GenConfig(n_docs=4000, n_media=500)
+
+
+def test_flagship_matches_golden(ray_session, cfg):
+    res = run_flagship(docs_dataset(cfg, fragment_size=1000),
+                       media_dataset(cfg), text_max_len=cfg.text_max_len)
+    golden = expected_violations(cfg)
+    assert rows(res.violations) == rows(golden)
+    assert res.n_docs == cfg.n_docs
+
+
+def test_flagship_verdicts(ray_session, cfg):
+    res = run_flagship(docs_dataset(cfg, fragment_size=1000),
+                       media_dataset(cfg), text_max_len=cfg.text_max_len)
+    v = res.verdicts.to_pandas()
+    assert len(v) == 4  # 4000 docs / 1000 per fragment
+    assert v["n_rows"].sum() == cfg.n_docs
+    assert (v["pass"] == (v["n_violations"] == 0)).all()
+    # with default violation fractions every fragment of 1000 docs fails
+    assert (~v["pass"]).all()
+
+
+def test_clean_data_all_pass(ray_session):
+    clean = GenConfig(n_docs=1000, fractions={})
+    res = run_flagship(docs_dataset(clean, fragment_size=250),
+                       media_dataset(clean), text_max_len=clean.text_max_len)
+    assert res.violations.num_rows == 0
+    v = res.verdicts.to_pandas()
+    assert v["pass"].all()
+
+
+def test_unique_stage_alone(ray_session, cfg):
+    v = unique_violations(docs_dataset(cfg), ["doc_id"], rule="unique-doc-id")
+    golden = expected_violations(cfg)
+    g = golden.filter(pc.equal(golden["rule"], "unique-doc-id"))
+    assert rows(v) == rows(g)
+
+
+def test_referential_broadcast_vs_bloom_agree(ray_session, cfg):
+    golden = expected_violations(cfg)
+    g = golden.filter(pc.equal(golden["rule"], "fk-missing"))
+    for mode in ("broadcast", "bloom"):
+        v = referential_violations(
+            docs_dataset(cfg), media_dataset(cfg), extract=span_media_keys,
+            parent_key="media_ref", rule="fk-missing",
+            parent_name="media_catalog", mode=mode,
+            n_keys_hint=cfg.n_media).to_pandas()
+        got = sorted(zip(v["doc_id"], v["rule"], v["path"], v["detail"]))
+        assert got == rows(g), mode
+
+
+def test_hll_distinct_close_to_exact(ray_session, cfg):
+    ds = docs_dataset(cfg)
+    est = approx_distinct(ds, "doc_id", p=14)
+    ids = np.array([f"d{i:010d}" for i in range(cfg.n_docs)])
+    # duplicates reduce the distinct count below n_docs
+    exact = cfg.n_docs - expected_violations(cfg).filter(
+        pc.equal(expected_violations(cfg)["rule"], "unique-doc-id")).num_rows
+    assert abs(est - exact) / exact < 0.05
