@@ -35,9 +35,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    return {}
+    from cerberus_ray.pipelines.relational import QUERIES
+
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per queries() key."""
-    return {}
+    from cerberus_ray.pipelines.relational import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

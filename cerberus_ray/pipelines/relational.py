@@ -1,0 +1,537 @@
+"""Relational rule-pack + query suite over the driver's TPC-H-ish tables.
+
+Every public ``q_*`` function takes ``sf_dir`` and returns a Dataset /
+pyarrow Table whose column names match the DuckDB oracle SQL in
+``ORACLE_SQL`` exactly (driver contract). Reads always prune columns at
+the scan. Reference-parity notes per query:
+
+- rule_counts_*        ≙ schema/enum/range constraint surface
+                         (cerberus/models/pet.py:50-63, booking.py:267-275)
+- unique_custkey       ≙ unique_together duplicate detection
+                         (cerberus/models/booking.py:50; tests
+                         cerberus/tests/test_bookings.py:108-117)
+- ref_*                ≙ PROTECT FK integrity (cerberus/models/pet.py:68-72;
+                         serializers.fix_nested_object, serializers.py:52-72)
+- order_totalprice_check ≙ Invoice.total dual-path consistency
+                         (cerberus/models/invoice.py:37-47 vs :283-297;
+                         tests test_invoices.py:107-131)
+- events_weekly        ≙ weekly invoice report (cerberus/reports.py:19-35)
+- orders_per_month     ≙ bookings per month (cerberus/views/booking.py:62-68)
+- events_daily_minmax  ≙ per-day Min/Max aggregate
+                         (cerberus/models/booking.py:305-314)
+- events_users_per_type ≙ distinct-count aggregates
+                         (cerberus/models/customer.py:40-56 Count(distinct),
+                         booking.py:165-176 customer_count)
+- events_close_pairs   ≙ interval-overlap detection per key
+                         (cerberus/models/booking.py:72-83)
+- doc_nchars_check     ≙ GeneratedField parity (cerberus/models/customer.py:76-80;
+                         test cerberus/tests/test_customer.py:19-21)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..rules.core import RuleSet, enum_domain, range_rule
+from ..sources.io import read_table
+
+_R2 = dict(ndigits=2, round_mode="half_towards_infinity")
+_R4 = dict(ndigits=4, round_mode="half_towards_infinity")
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# rule packs (row-local) + violation counting
+# ---------------------------------------------------------------------------
+
+def lineitem_ruleset() -> RuleSet:
+    k = "l_orderkey"
+    return RuleSet(
+        [
+            range_rule(k, "l_quantity", lo=0, lo_strict=True),
+            range_rule(k, "l_discount", lo=0, hi=1),
+            range_rule(k, "l_tax", lo=0),
+            enum_domain(k, "l_returnflag", ["A", "N", "R"]),
+            enum_domain(k, "l_linestatus", ["F", "O"]),
+        ],
+        name="lineitem",
+    )
+
+
+def orders_ruleset() -> RuleSet:
+    k = "o_orderkey"
+    return RuleSet(
+        [
+            range_rule(k, "o_totalprice", lo=0, lo_strict=True),
+            enum_domain(k, "o_orderstatus", ["F", "O", "P"]),
+            enum_domain(k, "o_orderpriority",
+                        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                         "5-LOW"]),
+        ],
+        name="orders",
+    )
+
+
+def rule_violation_counts(ds, ruleset: RuleSet) -> pa.Table:
+    """(rule, n_violations) — one row per rule, zeros included.
+
+    Partial rule-hit counts per batch → groupby(rule).sum: the shuffle
+    carries at most (#rules × #blocks) tiny rows.
+    """
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        v = ruleset.evaluate(batch)
+        if v.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"rule": pa.array([], type=pa.string()),
+                 "c": pa.array([], type=pa.int64())})
+        g = v.select(["rule"]).group_by("rule").aggregate([([], "count_all")])
+        return pa.Table.from_arrays([g["rule"], g["count_all"]], names=["rule", "c"])
+
+    partial = ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+    pdf = partial.groupby("rule").aggregate(Sum("c", alias_name="n_violations")).to_pandas()
+    if "rule" not in pdf.columns:
+        pdf = pd.DataFrame({"rule": [], "n_violations": []})
+    names = sorted(r.name for r in ruleset.row_rules())
+    pdf = (pdf.set_index("rule").reindex(names).fillna(0).reset_index())
+    pdf["n_violations"] = pdf["n_violations"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_rule_counts_lineitem(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount",
+                                 "l_tax", "l_returnflag", "l_linestatus"])
+    return rule_violation_counts(ds, lineitem_ruleset())
+
+
+def q_rule_counts_orders(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus",
+                               "o_orderpriority"])
+    return rule_violation_counts(ds, orders_ruleset())
+
+
+# ---------------------------------------------------------------------------
+# uniqueness / referential
+# ---------------------------------------------------------------------------
+
+def q_unique_custkey(sf_dir: str) -> pa.Table:
+    """Duplicate c_custkey values with multiplicities (usually empty)."""
+    from ..stages.uniqueness import duplicate_key_counts
+
+    ds = _t(sf_dir, "customer", ["c_custkey"])
+    out = duplicate_key_counts(ds, ["c_custkey"])
+    return pa.Table.from_arrays(
+        [pc.cast(out["c_custkey"], pa.int64()), pc.cast(out["n"], pa.int64())],
+        names=["c_custkey", "n"])
+
+
+def _orphans(child_ds, parent_ds, child_cols, fk_col, parent_key) -> pa.Table:
+    """Rows of child whose fk has no parent — broadcast parent key set.
+
+    Returns an explicitly-schema'd Arrow table (an all-empty Ray Dataset
+    loses its schema through to_pandas, which would break the driver's
+    column comparison)."""
+    from ..stages.referential import collect_parent_keys
+
+    keys = collect_parent_keys(parent_ds, parent_key)
+    ref = ray.put(keys)
+    child_schema = child_ds.schema()
+    out_schema = pa.schema(
+        [pa.field(c, child_schema.base_schema.field(c).type) for c in child_cols])
+
+    def check(batch: pa.Table) -> pa.Table:
+        pk = ray.get(ref)
+        fk = pc.cast(batch[fk_col], pa.string()).to_numpy(zero_copy_only=False)
+        fk = fk.astype(str)
+        if len(pk):
+            pos = np.clip(np.searchsorted(pk, fk), 0, len(pk) - 1)
+            miss = pk[pos] != fk
+        else:
+            miss = np.ones(len(fk), dtype=bool)
+        return batch.select(child_cols).filter(pa.array(miss))
+
+    out = child_ds.map_batches(check, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    if not set(child_cols) <= set(out.columns):
+        return out_schema.empty_table()
+    return pa.Table.from_pandas(out[child_cols], preserve_index=False,
+                                schema=out_schema)
+
+
+def q_ref_orders_custkey(sf_dir: str):
+    child = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    parent = _t(sf_dir, "customer", ["c_custkey"])
+    return _orphans(child, parent, ["o_orderkey", "o_custkey"], "o_custkey",
+                    "c_custkey")
+
+
+def q_ref_lineitem_orderkey(sf_dir: str):
+    child = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    parent = _t(sf_dir, "orders", ["o_orderkey"])
+    return _orphans(child, parent, ["l_orderkey", "l_linenumber"], "l_orderkey",
+                    "o_orderkey")
+
+
+def q_ref_supplier_nation(sf_dir: str):
+    child = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    parent = _t(sf_dir, "nation", ["n_nationkey"])
+    return _orphans(child, parent, ["s_suppkey", "s_nationkey"], "s_nationkey",
+                    "n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# aggregate consistency (dual-path totals)
+# ---------------------------------------------------------------------------
+
+def q_order_totalprice_check(sf_dir: str):
+    """(o_orderkey, n_items, consistent) for every order.
+
+    Union(tagged child partials, tagged parent) → groupby(key) →
+    map_groups — a Ray-native hash join; nothing materializes on the
+    driver."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount",
+                                 "l_tax"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def child_partial(b: pa.Table) -> pa.Table:
+        v = pc.multiply(
+            pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])),
+            pc.add(1.0, b["l_tax"]))
+        t = pa.Table.from_arrays(
+            [pc.cast(b["l_orderkey"], pa.int64()), pc.cast(v, pa.float64())],
+            names=["k", "v"])
+        g = t.group_by("k").aggregate([("v", "sum"), ([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["k"], g["v_sum"], pc.cast(g["count_all"], pa.float64()),
+             pa.array(["c"] * g.num_rows)],
+            names=["k", "v", "n", "src"])
+
+    def parent_side(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(b["o_orderkey"], pa.int64()),
+             pc.cast(b["o_totalprice"], pa.float64()),
+             pa.array(np.zeros(b.num_rows)), pa.array(["p"] * b.num_rows)],
+            names=["k", "v", "n", "src"])
+
+    c = li.map_batches(child_partial, batch_format="pyarrow", zero_copy_batch=True)
+    p = orders.map_batches(parent_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def compare(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g["src"] == "p"]
+        if len(pr) == 0:  # child rows with no parent → handled by ref_ query
+            return pd.DataFrame({"o_orderkey": [], "n_items": [], "consistent": []})
+        ch = g[g["src"] == "c"]
+        total = ch["v"].sum()
+        return pd.DataFrame({
+            "o_orderkey": [int(g["k"].iloc[0])],
+            "n_items": [int(ch["n"].sum())],
+            "consistent": [bool(abs(total - float(pr["v"].iloc[0])) <= 0.01)],
+        })
+
+    out = c.union(p).groupby("k").map_groups(compare, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b["o_orderkey"], pa.int64()),
+             pc.cast(b["n_items"], pa.int64()), pc.cast(b["consistent"], pa.bool_())],
+            names=["o_orderkey", "n_items", "consistent"]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# aggregations / reports
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1 shape (grouped sums/averages over lineitem)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                 "l_extendedprice", "l_discount", "l_tax"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        chg = pc.multiply(disc, pc.add(1.0, b["l_tax"]))
+        return (b.append_column("disc_price", disc).append_column("charge", chg))
+
+    g = (ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Sum("charge", alias_name="sum_charge"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Mean("l_extendedprice", alias_name="avg_price"),
+                      Mean("l_discount", alias_name="avg_disc"),
+                      Count(alias_name="count_order")))
+    t = pa.Table.from_pandas(g.to_pandas(), preserve_index=False)
+    for col in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+                "avg_qty", "avg_price", "avg_disc"]:
+        t = t.set_column(t.schema.get_field_index(col), col,
+                         pc.round(t[col], **_R2))
+    return t
+
+
+def q_events_weekly(sf_dir: str) -> pa.Table:
+    """(week, n, total_value) — the weekly-report aggregate shape."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def wk(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"week": b["ts"].dt.strftime("%Y-%W"),
+                             "value": b["value"]})
+
+    g = (ds.map_batches(wk, batch_format="pandas")
+           .groupby("week")
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value")))
+    t = pa.Table.from_pandas(g.to_pandas().sort_values("week"),
+                             preserve_index=False)
+    return t.set_column(t.schema.get_field_index("total_value"), "total_value",
+                        pc.round(t["total_value"], **_R2))
+
+
+def q_events_by_type(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    g = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"),
+                      Mean("value", alias_name="avg_value")))
+    t = pa.Table.from_pandas(g.to_pandas(), preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("total_value"), "total_value",
+                     pc.round(t["total_value"], **_R2))
+    return t.set_column(t.schema.get_field_index("avg_value"), "avg_value",
+                        pc.round(t["avg_value"], **_R2))
+
+
+def q_events_users_per_type(sf_dir: str) -> pa.Table:
+    """Distinct-count per group via two-level grouped reduction (no driver
+    materialization of the distinct pairs)."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "user_id"]).aggregate([])
+
+    distinct = (ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+                  .groupby(["event_type", "user_id"]).count())
+    g = distinct.groupby("event_type").count()
+    pdf = g.to_pandas().rename(columns={"count()": "n_users"})
+    pdf = pdf[["event_type", "n_users"]].sort_values("event_type")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_events_daily_minmax(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": b["ts"].dt.strftime("%Y-%m-%d"),
+                             "value": b["value"]})
+
+    g = (ds.map_batches(day, batch_format="pandas")
+           .groupby("day")
+           .aggregate(Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value"),
+                      Count(alias_name="n")))
+    pdf = g.to_pandas().sort_values("day")
+    return pa.Table.from_pandas(pdf[["day", "min_value", "max_value", "n"]],
+                                preserve_index=False)
+
+
+def q_orders_per_month(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "orders", ["o_orderdate"])
+
+    def mo(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"month": b["o_orderdate"].dt.strftime("%Y-%m")})
+
+    g = ds.map_batches(mo, batch_format="pandas").groupby("month").count()
+    pdf = g.to_pandas().rename(columns={"count()": "n"}).sort_values("month")
+    return pa.Table.from_pandas(pdf[["month", "n"]], preserve_index=False)
+
+
+def q_events_close_pairs(sf_dir: str) -> pa.Table:
+    """Per user: # of consecutive events closer than 300 s — the
+    interval-overlap rule shape (groupby key → sort in group → sweep)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds()
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_close": [int((gaps < 300).sum())],
+                             "n_events": [len(g)]})
+
+    out = ds.groupby("user_id").map_groups(sweep, batch_format="pandas")
+    pdf = out.to_pandas().sort_values("user_id")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# documents: generated-column parity + per-group stats
+# ---------------------------------------------------------------------------
+
+def q_doc_nchars_check(sf_dir: str) -> pa.Table:
+    """(source, n_docs, n_mismatch): stored n_chars vs recomputed length —
+    the GeneratedField dual-path parity rule."""
+    ds = _t(sf_dir, "documents", ["source", "text", "n_chars"])
+
+    def chk(b: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(b["text"])
+        bad = pc.cast(pc.not_equal(ln, b["n_chars"]), pa.int64())
+        t = pa.Table.from_arrays([b["source"], bad], names=["source", "bad"])
+        g = t.group_by("source").aggregate([("bad", "sum"), ([], "count_all")])
+        return pa.Table.from_arrays([g["source"], g["count_all"], g["bad_sum"]],
+                                    names=["source", "c", "m"])
+
+    g = (ds.map_batches(chk, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("c", alias_name="n_docs"),
+                      Sum("m", alias_name="n_mismatch")))
+    pdf = g.to_pandas().sort_values("source")
+    return pa.Table.from_pandas(pdf[["source", "n_docs", "n_mismatch"]],
+                                preserve_index=False)
+
+
+def q_doc_stats(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+    g = (ds.groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Mean("n_chars", alias_name="avg_chars"),
+                      Max("n_chars", alias_name="max_chars")))
+    t = pa.Table.from_pandas(g.to_pandas().sort_values("lang"),
+                             preserve_index=False)
+    return t.set_column(t.schema.get_field_index("avg_chars"), "avg_chars",
+                        pc.round(t["avg_chars"], **_R2))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "rule_counts_lineitem": q_rule_counts_lineitem,
+    "rule_counts_orders": q_rule_counts_orders,
+    "unique_custkey": q_unique_custkey,
+    "ref_orders_custkey": q_ref_orders_custkey,
+    "ref_lineitem_orderkey": q_ref_lineitem_orderkey,
+    "ref_supplier_nation": q_ref_supplier_nation,
+    "order_totalprice_check": q_order_totalprice_check,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "events_weekly": q_events_weekly,
+    "events_by_type": q_events_by_type,
+    "events_users_per_type": q_events_users_per_type,
+    "events_daily_minmax": q_events_daily_minmax,
+    "orders_per_month": q_orders_per_month,
+    "events_close_pairs": q_events_close_pairs,
+    "doc_nchars_check": q_doc_nchars_check,
+    "doc_stats": q_doc_stats,
+}
+
+ORACLE_SQL = {
+    "rule_counts_lineitem": """
+        WITH rules(rule) AS (VALUES ('enum-l_linestatus'), ('enum-l_returnflag'),
+            ('range-l_discount'), ('range-l_quantity'), ('range-l_tax')),
+        v AS (
+            SELECT 'range-l_quantity' AS rule, COUNT(*) FILTER (l_quantity IS NOT NULL AND l_quantity <= 0) AS n FROM lineitem
+            UNION ALL SELECT 'range-l_discount', COUNT(*) FILTER (l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 1)) FROM lineitem
+            UNION ALL SELECT 'range-l_tax', COUNT(*) FILTER (l_tax IS NOT NULL AND l_tax < 0) FROM lineitem
+            UNION ALL SELECT 'enum-l_returnflag', COUNT(*) FILTER (l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')) FROM lineitem
+            UNION ALL SELECT 'enum-l_linestatus', COUNT(*) FILTER (l_linestatus IS NOT NULL AND l_linestatus NOT IN ('F','O')) FROM lineitem)
+        SELECT rules.rule, COALESCE(v.n, 0) AS n_violations
+        FROM rules LEFT JOIN v ON rules.rule = v.rule ORDER BY rules.rule
+    """,
+    "rule_counts_orders": """
+        WITH rules(rule) AS (VALUES ('enum-o_orderpriority'), ('enum-o_orderstatus'),
+            ('range-o_totalprice')),
+        v AS (
+            SELECT 'range-o_totalprice' AS rule, COUNT(*) FILTER (o_totalprice IS NOT NULL AND o_totalprice <= 0) AS n FROM orders
+            UNION ALL SELECT 'enum-o_orderstatus', COUNT(*) FILTER (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P')) FROM orders
+            UNION ALL SELECT 'enum-o_orderpriority', COUNT(*) FILTER (o_orderpriority IS NOT NULL AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) FROM orders)
+        SELECT rules.rule, COALESCE(v.n, 0) AS n_violations
+        FROM rules LEFT JOIN v ON rules.rule = v.rule ORDER BY rules.rule
+    """,
+    "unique_custkey": """
+        SELECT c_custkey, COUNT(*) AS n FROM customer
+        GROUP BY c_custkey HAVING COUNT(*) > 1 ORDER BY c_custkey
+    """,
+    "ref_orders_custkey": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        ORDER BY o_orderkey
+    """,
+    "ref_lineitem_orderkey": """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "ref_supplier_nation": """
+        SELECT s_suppkey, s_nationkey FROM supplier
+        WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        ORDER BY s_suppkey
+    """,
+    "order_totalprice_check": """
+        SELECT o.o_orderkey,
+               COUNT(l.l_orderkey) AS n_items,
+               (ABS(COALESCE(SUM(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)), 0)
+                    - ANY_VALUE(o.o_totalprice)) <= 0.01) AS consistent
+        FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 2) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               ROUND(AVG(l_discount), 2) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "events_weekly": """
+        SELECT strftime(ts, '%Y-%W') AS week, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "events_by_type": """
+        SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value,
+               ROUND(AVG(value), 2) AS avg_value
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "events_users_per_type": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "events_daily_minmax": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, MIN(value) AS min_value,
+               MAX(value) AS max_value, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "orders_per_month": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "events_close_pairs": """
+        SELECT user_id,
+               COUNT(*) FILTER (gap < 300) AS n_close,
+               COUNT(*) AS n_events
+        FROM (SELECT user_id,
+                     EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+              FROM events)
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "doc_nchars_check": """
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(*) FILTER (LENGTH(text) <> n_chars) AS n_mismatch
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "doc_stats": """
+        SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+}

@@ -33,14 +33,13 @@ def _partial_counts(batch: pa.Table, keys: Sequence[str]) -> pa.Table:
     return t.group_by(list(keys)).aggregate([([], "count_all")])
 
 
-def unique_violations(ds, keys: Sequence[str], *, rule: str | None = None) -> pa.Table:
-    """Exact duplicate detection → violations table (one row per dup key).
+def duplicate_key_counts(ds, keys: Sequence[str]) -> pa.Table:
+    """(key cols..., n) for every key tuple appearing more than once.
 
-    Result is small (only duplicated keys); returned as an Arrow table
-    sorted by key for determinism.
+    Shuffle payload = unique keys per block (map-side combined), never full
+    rows. Output is small by construction (only duplicated keys), sorted.
     """
     keys = list(keys)
-    rule = rule or f"unique-{'-'.join(keys)}"
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(
@@ -48,11 +47,22 @@ def unique_violations(ds, keys: Sequence[str], *, rule: str | None = None) -> pa
         zero_copy_batch=True,
     )
     total = partials.groupby(keys).aggregate(Sum("count_all", alias_name="n"))
-    dups = total.filter(expr="n > 1")
-    pdf = dups.to_pandas()  # only duplicated keys — small by construction
+    pdf = total.filter(expr="n > 1").to_pandas()
+    if "n" not in pdf.columns:
+        import pandas as pd
+
+        pdf = pd.DataFrame({k: [] for k in keys} | {"n": []})
+    pdf = pdf.sort_values(keys).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+
+
+def unique_violations(ds, keys: Sequence[str], *, rule: str | None = None) -> pa.Table:
+    """Exact duplicate detection → violations table (one row per dup key)."""
+    keys = list(keys)
+    rule = rule or f"unique-{'-'.join(keys)}"
+    pdf = duplicate_key_counts(ds, keys).to_pandas()
     if len(pdf) == 0:
         return VIOLATIONS.empty_table()
-    pdf = pdf.sort_values(keys).reset_index(drop=True)
     key_str = pdf[keys[0]].astype(str)
     for k in keys[1:]:
         key_str = key_str + "|" + pdf[k].astype(str)
