@@ -36,12 +36,14 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from cerberus_ray.pipelines.relational import QUERIES
+    from cerberus_ray.pipelines.training_queries import QUERIES as TQ
 
-    return dict(QUERIES)
+    return dict(QUERIES) | dict(TQ)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per queries() key."""
     from cerberus_ray.pipelines.relational import ORACLE_SQL
+    from cerberus_ray.pipelines.training_queries import ORACLE_SQL as TO
 
-    return dict(ORACLE_SQL)
+    return dict(ORACLE_SQL) | dict(TO)

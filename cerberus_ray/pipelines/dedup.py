@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has only exact dedup (unique BookingSlot get-or-create,
+cerberus/models/booking.py:50,57-64); the near-dup family is the standard
+public corpus-dedup stack (Broder 1997 MinHash/shingling; Charikar 2002
+SimHash; Leskovec/Rajaraman/Ullman MMDS ch.3 LSH banding):
+
+- exact: content hash → hash-partitioned groupby → keep first
+- MinHash + LSH: word shingles → k permutations → banded buckets →
+  candidate pairs → signature-estimated Jaccard verify
+- SimHash: 64-bit sign fingerprint → 4×16-bit chunk buckets (pigeonhole:
+  hamming ≤ 3 ⇒ ≥ 1 chunk equal) → hamming verify
+- n-gram Jaccard: exact set similarity for candidate verification
+
+Scale design: every discovery step shuffles only (bucket key, doc_id)
+rows — never text. Signature lookup for the verify step ships only the
+candidate ids' signatures (broadcast of a small set).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..determinism import hash_strings, splitmix64
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content hash column (md5 hex — matches DuckDB's md5() for oracles)."""
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    h = np.array([hashlib.md5((t or "").encode()).hexdigest() for t in texts],
+                 dtype=object)
+    return batch.append_column("text_md5", pa.array(h, type=pa.string()))
+
+
+def exact_dedup_keep_first(ds, *, text_col: str = "text",
+                           key_col: str = "doc_id"):
+    """Keep the min-key row per distinct content hash (deterministic winner,
+    independent of block order). groupby(hash) shuffles (hash, key) pairs."""
+    hashed = ds.map_batches(lambda b: add_md5(b, text_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(key_col).head(1)
+
+    return hashed.groupby("text_md5").map_groups(first, batch_format="pandas")
+
+
+def exact_dup_stats(ds, *, text_col: str = "text") -> pa.Table:
+    """(n_docs, n_unique) — distinct by a distributed grouped count; the
+    count of grouped rows IS the distinct count (no driver key list)."""
+    n_docs = ds.count()
+    hashed = ds.map_batches(
+        lambda b: pa.Table.from_arrays([add_md5(b, text_col)["text_md5"]],
+                                       names=["text_md5"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n_unique = hashed.groupby("text_md5").count().count()
+    return pa.Table.from_pydict({"n_docs": [n_docs], "n_unique": [n_unique]})
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def _tokenize(texts: np.ndarray) -> List[List[str]]:
+    return [(t or "").lower().split() for t in texts]
+
+
+def _word_shingles(tokens: Sequence[str], w: int) -> List[str]:
+    if len(tokens) < w:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i:i + w]) for i in range(len(tokens) - w + 1)]
+
+
+def _perm_params(k: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
+    idx = np.arange(k, dtype=np.uint64)
+    a = (splitmix64(idx + np.uint64(seed)) % np.uint64(_MERSENNE - 1)) + np.uint64(1)
+    b = splitmix64(idx + np.uint64(seed + 7919)) % np.uint64(_MERSENNE)
+    return a, b
+
+
+def minhash_signatures(texts: np.ndarray, *, k: int = 128, w: int = 3,
+                       seed: int = 42) -> np.ndarray:
+    """(n_docs, k) uint64 MinHash signatures, fully vectorized via reduceat."""
+    shingle_lists = [_word_shingles(t, w) for t in _tokenize(texts)]
+    counts = np.array([max(len(s), 1) for s in shingle_lists], dtype=np.int64)
+    flat = [s for lst in shingle_lists for s in (lst or [""])]
+    h = hash_strings(np.array(flat, dtype=object)) % np.uint64(_MERSENNE)
+    a, b = _perm_params(k, seed)
+    # (k, total) permuted hashes; python-int modmul to avoid uint64 overflow
+    ph = (h[None, :].astype(object) * a[:, None].astype(object)
+          + b[:, None].astype(object)) % _MERSENNE
+    ph = ph.astype(np.uint64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    sigs = np.stack([np.minimum.reduceat(ph[i], starts) for i in range(k)], axis=1)
+    return sigs
+
+
+def band_hashes(sigs: np.ndarray, *, bands: int = 16) -> np.ndarray:
+    """(n_docs, bands) uint64 — hash of each band's signature rows."""
+    n, k = sigs.shape
+    r = k // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = sigs[:, b * r:(b + 1) * r]
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(r):
+            acc = splitmix64(acc ^ chunk[:, j])
+        out[:, b] = acc
+    return out
+
+
+def minhash_near_dup_pairs(ds, *, text_col: str = "text",
+                           key_col: str = "doc_id", k: int = 128,
+                           w: int = 3, bands: int = 16,
+                           threshold: float = 0.8, seed: int = 42) -> pa.Table:
+    """→ (doc_id_a, doc_id_b, jaccard_est) pairs with est. Jaccard ≥ threshold.
+
+    shingle→minhash per batch → explode (band, band_hash, key) rows →
+    groupby(band, band_hash) → candidate pairs → signature verify.
+    """
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        sigs = minhash_signatures(texts, k=k, w=w, seed=seed)
+        bh = band_hashes(sigs, bands=bands)
+        n = len(texts)
+        return pa.Table.from_pydict({
+            "key": pa.array(np.repeat(keys, bands), type=pa.string()),
+            "band": pa.array(np.tile(np.arange(bands), n), type=pa.int32()),
+            "bh": pa.array(np.ascontiguousarray(bh.reshape(-1)).view(np.int64)),
+            "sig": pa.array([sigs[i].tobytes() for i in range(n)
+                             for _ in range(bands)], type=pa.binary()),
+        })
+
+    rows = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "sig_a": [], "sig_b": []})
+        g = g.sort_values("key").drop_duplicates("key")
+        ks, sg = g["key"].tolist(), g["sig"].tolist()
+        A, B, SA, SB = [], [], [], []
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                A.append(ks[i]); B.append(ks[j])
+                SA.append(sg[i]); SB.append(sg[j])
+        return pd.DataFrame({"a": A, "b": B, "sig_a": SA, "sig_b": SB})
+
+    cand = rows.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
+    pdf = cand.to_pandas()
+    if len(pdf) == 0:
+        return pa.Table.from_pydict(
+            {"doc_id_a": pa.array([], pa.string()),
+             "doc_id_b": pa.array([], pa.string()),
+             "jaccard_est": pa.array([], pa.float64())})
+    pdf = pdf.drop_duplicates(["a", "b"])
+    sa = np.stack([np.frombuffer(x, dtype=np.uint64) for x in pdf["sig_a"]])
+    sb = np.stack([np.frombuffer(x, dtype=np.uint64) for x in pdf["sig_b"]])
+    jac = (sa == sb).mean(axis=1)
+    keep = jac >= threshold
+    out = pd.DataFrame({"doc_id_a": pdf["a"].to_numpy()[keep],
+                        "doc_id_b": pdf["b"].to_numpy()[keep],
+                        "jaccard_est": jac[keep].round(4)})
+    out = out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(texts: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per text (token sign accumulation), vectorized."""
+    token_lists = _tokenize(texts)
+    counts = np.array([max(len(t), 1) for t in token_lists], dtype=np.int64)
+    flat = [t for lst in token_lists for t in (lst or [""])]
+    h = hash_strings(np.array(flat, dtype=object))
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int32) * 2 - 1
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    acc = np.add.reduceat(bits, starts, axis=0)
+    out_bits = (acc > 0).astype(np.uint8)
+    return np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64).ravel()
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def simhash_near_dup_pairs(ds, *, text_col: str = "text",
+                           key_col: str = "doc_id",
+                           max_hamming: int = 3) -> pa.Table:
+    """→ (doc_id_a, doc_id_b, hamming) pairs with distance ≤ max_hamming.
+
+    4 chunk tables of (chunk16, key, simhash) → groupby chunk value →
+    pair + verify. max_hamming ≤ 3 guarantees recall (pigeonhole over
+    4 chunks)."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        sh = simhash64(texts)
+        n = len(texts)
+        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
+        chunks = np.empty(4 * n, dtype=np.int64)
+        for c in range(4):
+            chunks[c::4] = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.Table.from_pydict({
+            "key": pa.array(np.repeat(keys, 4), type=pa.string()),
+            "chunk_id": pa.array(chunk_id),
+            "chunk": pa.array(chunks),
+            "sim": pa.array(np.repeat(sh.view(np.int64), 4)),
+        })
+
+    r = ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("key").drop_duplicates("key")
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "ha": []})
+        ks = g["key"].tolist()
+        sh = g["sim"].to_numpy().view(np.uint64)
+        A, B, H = [], [], []
+        for i in range(len(ks)):
+            d = hamming64(sh[i + 1:], np.repeat(sh[i], len(ks) - i - 1)) \
+                if i + 1 < len(ks) else np.array([], dtype=np.int64)
+            for jj, dist in enumerate(d):
+                if dist <= max_hamming:
+                    A.append(ks[i]); B.append(ks[i + 1 + jj]); H.append(int(dist))
+        return pd.DataFrame({"a": A, "b": B, "ha": H})
+
+    cand = r.groupby(["chunk_id", "chunk"]).map_groups(pairs, batch_format="pandas")
+    pdf = cand.to_pandas()
+    if len(pdf) == 0:
+        return pa.Table.from_pydict(
+            {"doc_id_a": pa.array([], pa.string()),
+             "doc_id_b": pa.array([], pa.string()),
+             "hamming": pa.array([], pa.int64())})
+    pdf = (pdf.drop_duplicates(["a", "b"])
+              .rename(columns={"a": "doc_id_a", "b": "doc_id_b", "ha": "hamming"})
+              .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+    pdf["hamming"] = pdf["hamming"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification kernel)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(text_a: str, text_b: str, *, w: int = 3) -> float:
+    sa = set(_word_shingles((text_a or "").lower().split(), w))
+    sb = set(_word_shingles((text_b or "").lower().split(), w))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def verify_pairs_exact(pairs_table: pa.Table, ds, *, text_col: str = "text",
+                       key_col: str = "doc_id", w: int = 3,
+                       threshold: float = 0.8) -> pa.Table:
+    """Exact-Jaccard verification of candidate pairs: ships only the
+    candidate ids' texts (semi-join via broadcast id set)."""
+    import ray
+
+    a = pairs_table["doc_id_a"].to_pylist()
+    b = pairs_table["doc_id_b"].to_pylist()
+    wanted = sorted(set(a) | set(b))
+    ref = ray.put(np.array(wanted, dtype=object))
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        mask = np.isin(keys.astype(str), ids.astype(str))
+        return pa.Table.from_arrays(
+            [pa.array(keys[mask], type=pa.string()),
+             batch[text_col].filter(pa.array(mask))],
+            names=["key", "text"])
+
+    texts = ds.map_batches(grab, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    lookup = dict(zip(texts.get("key", []), texts.get("text", [])))
+    jac = np.array([ngram_jaccard(lookup.get(x, ""), lookup.get(y, ""), w=w)
+                    for x, y in zip(a, b)])
+    keep = jac >= threshold
+    out = pd.DataFrame({"doc_id_a": np.array(a, dtype=object)[keep],
+                        "doc_id_b": np.array(b, dtype=object)[keep],
+                        "jaccard": jac[keep].round(4)})
+    out = out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

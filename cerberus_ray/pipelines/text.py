@@ -1,0 +1,187 @@
+"""Text-analysis operators for training-data pipelines.
+
+- token counting: whitespace split + a BPE-ish regex subword count
+- language ID: stopword-hit heuristic over small built-in wordlists
+  (n-gram/function-word language identification, Cavnar & Trenkle 1994
+  style — deterministic, no external models)
+- quality scoring: length / punctuation / stopword / digit / repetition
+  ratios (the heuristic-filter family of public corpus pipelines, e.g.
+  Gopher/C4 rules)
+- fingerprinting: rolling-hash winnowing (Schleimer et al. 2003)
+
+All stages are map_batches-vectorized where the kernel allows; the regex
+is compiled once per actor via a callable class (actor-pool pattern).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..determinism import hash_strings
+
+# tiny built-in function-word lists (public common words)
+_STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset("the of and to in a is that it for on with as are was be "
+                    "this have from or by not at an they which you had".split()),
+    "de": frozenset("der die das und ist in den von zu mit sich des auf für "
+                    "nicht eine als auch es an werden aus er".split()),
+    "fr": frozenset("le la les de des et en un une du est que pour dans ce "
+                    "il qui ne sur se pas plus par avec".split()),
+    "es": frozenset("el la los las de y en un una del es que por para con no "
+                    "se su al lo como más pero sus le".split()),
+}
+
+_BPE_RE = re.compile(r"\w+|[^\w\s]")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+class TextScorer:
+    """Actor-pool stage: regexes compiled once per actor (__init__), scoring
+    per batch (__call__) — the ST2 lru_cache pattern lifted to actors
+    (reference: cerberus/utils.py:27-31)."""
+
+    def __init__(self):
+        self.bpe = re.compile(r"\w+|[^\w\s]")
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop = _STOPWORDS
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        low = texts.str.lower()
+        tokens = low.str.split()
+        n_tokens = tokens.str.len().fillna(0).astype("int64")
+        n_chars = texts.str.len().astype("int64")
+        n_subwords = low.str.findall(self.bpe).str.len().fillna(0).astype("int64")
+        n_punct = texts.str.count(r"[^\w\s]").astype("int64")
+        n_digit = texts.str.count(r"\d").astype("int64")
+        en = self.stop["en"]
+        stop_ratio = tokens.map(
+            lambda ws: sum(w in en for w in ws) / len(ws) if ws else 0.0)
+        uniq_ratio = tokens.map(
+            lambda ws: len(set(ws)) / len(ws) if ws else 0.0)
+        mean_word_len = tokens.map(
+            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        out = batch[[c for c in batch.columns if c != "text"]].copy()
+        out["n_chars"] = n_chars
+        out["n_tokens"] = n_tokens
+        out["n_subwords"] = n_subwords
+        out["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(4)
+        out["digit_ratio"] = (n_digit / n_chars.clip(lower=1)).round(4)
+        out["stopword_ratio"] = stop_ratio.astype(float).round(4)
+        out["unique_token_ratio"] = uniq_ratio.astype(float).round(4)
+        out["mean_word_len"] = mean_word_len.round(4)
+        # composite quality gate (Gopher-style heuristics)
+        out["quality_pass"] = (
+            (n_tokens >= 5) & (n_tokens <= 100_000)
+            & (out["mean_word_len"].between(2, 12))
+            & (out["punct_ratio"] < 0.3)
+            & (out["unique_token_ratio"] > 0.1))
+        return out
+
+
+def score_text(ds, *, concurrency: int = 4, batch_size: int = 2048):
+    """Quality/stat scoring as an actor-pool stage."""
+    return ds.map_batches(TextScorer, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+class LangId:
+    """Stopword-hit language classifier (actor-pool stage)."""
+
+    def __init__(self):
+        self.stop = _STOPWORDS
+
+    def classify_tokens(self, tokens: List[str]) -> str:
+        if not tokens:
+            return "unknown"
+        # CJK heuristic: any han characters
+        joined = "".join(tokens)
+        if any("一" <= c <= "鿿" for c in joined):
+            return "zh"
+        best, best_hits = "unknown", 0
+        for lang, words in self.stop.items():
+            hits = sum(t in words for t in tokens)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        tokens = batch["text"].fillna("").str.lower().str.split()
+        batch = batch.copy()
+        batch["lang_pred"] = tokens.map(self.classify_tokens)
+        return batch
+
+
+def lang_id(ds, *, concurrency: int = 4, batch_size: int = 2048):
+    return ds.map_batches(LangId, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# token counts (oracle-expressible subset)
+# ---------------------------------------------------------------------------
+
+def token_stats_by_lang(ds) -> pa.Table:
+    """(lang, n_docs, total_tokens, avg_tokens) — whitespace tokens, which
+    DuckDB can reproduce with string_split_regex (oracle parity)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.strip().str.split().str.len()
+        return pd.DataFrame({"lang": b["lang"], "n_tokens": toks.astype("int64")})
+
+    g = (ds.map_batches(cnt, batch_format="pandas")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="total_tokens"),
+                      Mean("n_tokens", alias_name="avg_tokens")))
+    t = pa.Table.from_pandas(g.to_pandas().sort_values("lang"),
+                             preserve_index=False)
+    return t.set_column(
+        t.schema.get_field_index("avg_tokens"), "avg_tokens",
+        pc.round(t["avg_tokens"], ndigits=2, round_mode="half_towards_infinity"))
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting (winnowing)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprint(text: str, *, k: int = 5, window: int = 4) -> np.ndarray:
+    """Winnowing fingerprint: k-gram rolling hashes → min per sliding window
+    (unique, sorted). Deterministic; used for copy detection / fuzzy dedup."""
+    t = (text or "").lower()
+    if len(t) < k:
+        return np.array([], dtype=np.uint64)
+    grams = np.array([t[i:i + k] for i in range(len(t) - k + 1)], dtype=object)
+    h = hash_strings(grams)
+    if len(h) <= window:
+        return np.unique(h)
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(sw.min(axis=1))
+
+
+def fingerprint_docs(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                     k: int = 5, window: int = 4):
+    """→ Dataset (doc_id, n_grams, fingerprint: list<uint64 as int64>)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        fps = [winnow_fingerprint(t, k=k, window=window).view(np.int64)
+               for t in texts]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(keys, type=pa.string()),
+            "n_grams": pa.array([len(f) for f in fps], type=pa.int64()),
+            "fingerprint": pa.array([f.tolist() for f in fps],
+                                    type=pa.list_(pa.int64())),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)

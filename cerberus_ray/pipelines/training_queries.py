@@ -1,0 +1,182 @@
+"""queries()/oracle_sql() entries for the training-data operators
+(dedup, similarity search, text analysis, multimodal plumbing).
+
+Oracle-checked where DuckDB can express the computation (md5 dedup, token
+counts, cosine top-k via list_cosine_similarity); the rest are rows-only
+driver checks, with their real behavior covered by tests/test_dedup.py,
+tests/test_similarity.py, tests/test_text.py on synthetic corpora with
+known duplicates/clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.io import read_table
+from . import dedup as DD
+from . import multimodal as MM
+from . import similarity as SIM
+from . import text as TX
+
+
+def _docs(sf_dir, columns):
+    return read_table(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir):
+    return read_table(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact_stats(sf_dir: str) -> pa.Table:
+    return DD.exact_dup_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_exact_keep(sf_dir: str) -> pa.Table:
+    kept = DD.exact_dedup_keep_first(_docs(sf_dir, ["doc_id", "text"]))
+    pdf = kept.to_pandas()
+    if "doc_id" not in pdf.columns:
+        return pa.Table.from_pydict({"doc_id": pa.array([], pa.int64())})
+    out = pdf[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_dedup_minhash(sf_dir: str) -> pa.Table:
+    return DD.minhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                     threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir: str) -> pa.Table:
+    return DD.simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                     max_hamming=3)
+
+
+def q_emb_near_dup(sf_dir: str) -> pa.Table:
+    return SIM.embedding_near_dup_pairs(_emb(sf_dir), threshold=0.45,
+                                        n_bits=8)
+
+
+def _query_vectors(sf_dir, vec_ids):
+    t = _emb(sf_dir).filter(expr=f"vec_id < {max(vec_ids) + 1}").to_pandas()
+    t = t[t["vec_id"].isin(vec_ids)].sort_values("vec_id")
+    return np.stack(t["embedding"].to_numpy()), t["vec_id"].to_numpy()
+
+
+def q_ann_topk_cosine(sf_dir: str) -> pa.Table:
+    """Top-10 cosine neighbours of vec_id 0 (excluding itself)."""
+    qv, _ = _query_vectors(sf_dir, [0])
+    out = SIM.brute_force_topk(_emb(sf_dir), qv, k=10,
+                               exclude_ids=np.array([0])).to_pandas()
+    out = out[["vec_id", "sim"]].reset_index(drop=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_knn_join_top3(sf_dir: str) -> pa.Table:
+    """(query_id, vec_id, sim): top-3 neighbours for vec_ids 0..9."""
+    qv, qids = _query_vectors(sf_dir, list(range(10)))
+    out = SIM.brute_force_topk(_emb(sf_dir), qv, k=4).to_pandas()
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out = out[out["query_id"] != out["vec_id"]]
+    out = (out.sort_values(["query_id", "sim", "vec_id"],
+                           ascending=[True, False, True])
+              .groupby("query_id", as_index=False).head(3).reset_index(drop=True))
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return pa.Table.from_pandas(out[["query_id", "vec_id", "sim"]],
+                                preserve_index=False)
+
+
+def q_doc_token_stats(sf_dir: str) -> pa.Table:
+    return TX.token_stats_by_lang(_docs(sf_dir, ["lang", "text"]))
+
+
+def q_doc_quality(sf_dir: str) -> pa.Table:
+    out = TX.score_text(_docs(sf_dir, ["doc_id", "text"]),
+                        concurrency=2).to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def q_doc_langid(sf_dir: str) -> pa.Table:
+    """Confusion summary (lang, lang_pred, n) of the heuristic classifier."""
+    scored = TX.lang_id(_docs(sf_dir, ["lang", "text"]), concurrency=2)
+    g = scored.groupby(["lang", "lang_pred"]).count()
+    pdf = g.to_pandas().rename(columns={"count()": "n"})
+    pdf = pdf.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf[["lang", "lang_pred", "n"]],
+                                preserve_index=False)
+
+
+def q_doc_fingerprint(sf_dir: str) -> pa.Table:
+    out = TX.fingerprint_docs(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    out = out[["doc_id", "n_grams"]].sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_media_features(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: synthetic payloads → actor-pool decode stub."""
+    from ..datagen import GenConfig, media_dataset
+
+    n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 500)
+    media = media_dataset(GenConfig(n_docs=1, n_media=n))
+    feats = MM.decode_media(MM.synthesize_payloads(media), concurrency=2)
+    pdf = feats.to_pandas().drop(columns=["feature"])
+    return pa.Table.from_pandas(pdf.sort_values("media_ref").reset_index(drop=True),
+                                preserve_index=False)
+
+
+QUERIES = {
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "emb_near_dup": q_emb_near_dup,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "knn_join_top3": q_knn_join_top3,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "media_features": q_media_features,
+}
+
+ORACLE_SQL = {
+    "dedup_exact_stats": """
+        SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+        FROM documents
+    """,
+    "dedup_exact_keep": """
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ORDER BY 1
+    """,
+    "ann_topk_cosine": """
+        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(embedding, (SELECT e FROM q)), 4) AS sim
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    "knn_join_top3": """
+        SELECT query_id, vec_id, sim FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   ROUND(list_cosine_similarity(b.embedding, a.embedding), 4) AS sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(b.embedding, a.embedding), 4) DESC,
+                                b.vec_id) AS rn
+            FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 10)
+        WHERE rn <= 3 ORDER BY query_id, sim DESC, vec_id
+    """,
+    "doc_token_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(LENGTH(string_split_regex(TRIM(text), '\\s+'))) AS total_tokens,
+               ROUND(AVG(LENGTH(string_split_regex(TRIM(text), '\\s+'))), 2) AS avg_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+}

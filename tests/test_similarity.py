@@ -1,0 +1,92 @@
+"""Similarity search on synthetic clustered embeddings: brute force is the
+exact baseline; LSH variants are measured for recall against it."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from cerberus_ray.pipelines import similarity as SIM
+
+
+def clustered_embeddings(n_clusters=10, per_cluster=50, dim=32, noise=0.15):
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + rng.normal(scale=noise, size=dim)
+            rows.append({"vec_id": vid, "embedding": v.astype(np.float32).tolist(),
+                         "label": c})
+            vid += 1
+    return pd.DataFrame(rows), centers
+
+
+@pytest.fixture(scope="module")
+def data(ray_session):
+    df, centers = clustered_embeddings()
+    return rd.from_pandas(df), df, centers
+
+
+def test_brute_force_topk_exact(data):
+    ds, df, centers = data
+    out = SIM.brute_force_topk(ds, centers[0], k=10).to_pandas()
+    assert len(out) == 10
+    # all neighbours of center 0 must belong to cluster 0
+    labels = df.set_index("vec_id")["label"]
+    assert (labels.loc[out["vec_id"]] == 0).all()
+    # matches a numpy reference computation
+    E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    q = centers[0] / np.linalg.norm(centers[0])
+    sims = np.round(En @ q, 4)
+    order = np.lexsort((df["vec_id"].to_numpy(), -sims))
+    expect = set(df["vec_id"].to_numpy()[order[:10]])
+    assert set(out["vec_id"]) == expect
+
+
+def test_brute_force_multi_query(data):
+    ds, df, centers = data
+    out = SIM.brute_force_topk(ds, centers[:3], k=5).to_pandas()
+    assert len(out) == 15
+    labels = df.set_index("vec_id")["label"]
+    for qi in range(3):
+        sub = out[out["query_id"] == qi]
+        assert (labels.loc[sub["vec_id"]] == qi).all()
+
+
+def test_lsh_topk_recall(data):
+    ds, df, centers = data
+    exact = SIM.brute_force_topk(ds, centers[:5], k=10).to_pandas()
+    approx = SIM.lsh_topk(ds, centers[:5], k=10, n_bits=8, probes=2).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_embedding_near_dup_finds_injected_dups(ray_session):
+    """Inject 20 true near-dup pairs (cos ≈ 0.997); LSH multi-table must
+    recover ≥ 90% of them with zero false positives."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [{"vec_id": i, "embedding": base[i].astype(np.float32).tolist()}
+            for i in range(200)]
+    true_pairs = set()
+    for j in range(20):  # vec 1000+j duplicates vec j with tiny noise
+        v = base[j] + rng.normal(scale=0.01, size=32)
+        rows.append({"vec_id": 1000 + j,
+                     "embedding": v.astype(np.float32).tolist()})
+        true_pairs.add((j, 1000 + j))
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = SIM.embedding_near_dup_pairs(ds, threshold=0.95, n_bits=8,
+                                         dim=32, n_tables=3).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert len(got & true_pairs) >= 18          # >= 90% recall
+    assert got <= true_pairs                    # no false positives
+    assert (pairs["sim"] >= 0.95).all()
