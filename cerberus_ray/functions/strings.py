@@ -1,0 +1,134 @@
+"""Vectorized string / temporal scalar kernels.
+
+Each function re-expresses a reference scalar helper as an Arrow-native
+vectorized kernel with IDENTICAL semantics, verified by the ported
+reference test vectors in tests/test_strings.py:
+
+- classify_contact   ≙ Contact.type regex cascade
+                       (cerberus/models/contact.py:24-26,48-61)
+- is_valid_email     ≙ mailto validate_email gate
+                       (cerberus/templatetags/string_utils.py:10-17)
+- linebreakto        ≙ string_utils.linebreakto (splitlines→join, :19-22)
+- unslug             ≙ string_utils.unslug (:24-26)
+- minimize_whitespace≙ utils.minimize_whitespace (regex strip, utils.py:27-31)
+- make_aware_utc     ≙ utils.make_aware (date→aware datetime, idempotent,
+                       utils.py:17-24)
+- round_time_10min   ≙ BookingSlot.round_date_time (floor minute%10,
+                       cerberus/models/booking.py:66-70)
+- strip_title        ≙ anonymise title regex (anonymise.py:23-30)
+- name_concat        ≙ Customer.name GeneratedField Concat
+                       (cerberus/models/customer.py:76-80)
+- truncate           ≙ name[:255] (cerberus/models/booking.py:340,349,358)
+
+All operate on pa.Array/ChunkedArray and return Arrow arrays; regexes are
+RE2 (pyarrow.compute), applied columnwise — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# anchored like Python re.match (prefix) in the reference
+EMAIL_RE = r"^[^@]+@[^@]+\.[^@]+"
+MOBILE_RE = r"^(\+447|\(?07)[0-9\(\)\s]+$"
+PHONE_RE = r"^\+?[0-9\(\)\s]+$"
+# pragmatic full-string email validity (mailto gate)
+VALID_EMAIL_RE = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
+TITLE_RE = r"(?i)^(Sir|Madam|Mr|Mrs|Ms|Miss|Dr|Professor)\s+"
+
+
+def _arr(x) -> pa.ChunkedArray | pa.Array:
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return x
+    return pa.array(list(x), type=pa.string())
+
+
+def classify_contact(details) -> pa.Array:
+    """'email' | 'mobile' | 'phone' | 'unknown' per value (cascade order
+    matters: email, then mobile, then phone)."""
+    a = _arr(details)
+    a_filled = pc.fill_null(a, "")
+    is_email = pc.match_substring_regex(a_filled, EMAIL_RE)
+    is_mobile = pc.match_substring_regex(a_filled, MOBILE_RE)
+    is_phone = pc.match_substring_regex(a_filled, PHONE_RE)
+    out = pc.if_else(
+        is_email, pa.scalar("email"),
+        pc.if_else(is_mobile, pa.scalar("mobile"),
+                   pc.if_else(is_phone, pa.scalar("phone"),
+                              pa.scalar("unknown"))))
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def is_valid_email(values) -> pa.Array:
+    a = pc.fill_null(_arr(values), "")
+    return pc.match_substring_regex(a, VALID_EMAIL_RE)
+
+
+def linebreakto(values, to: str) -> pa.Array:
+    """splitlines→join semantics: one trailing line break is dropped, the
+    remaining breaks become ``to``."""
+    a = _arr(values)
+    a = pc.replace_substring_regex(a, pattern=r"(\r\n|\r|\n)$", replacement="",
+                                   max_replacements=1)
+    return pc.replace_substring_regex(a, pattern=r"(\r\n|\r|\n)",
+                                      replacement=to)
+
+
+def unslug(values) -> pa.Array:
+    return pc.replace_substring(_arr(values), pattern="_", replacement=" ")
+
+
+def minimize_whitespace(values) -> pa.Array:
+    """Strip leading per-line whitespace and all \\n/\\r, then trim."""
+    a = _arr(values)
+    a = pc.replace_substring_regex(a, pattern=r"(?m)(^[ \t\f\v]+|[\n\r]+)",
+                                   replacement="")
+    return pc.utf8_trim_whitespace(a)
+
+
+def make_aware_utc(values) -> pa.Array:
+    """date32 / naive timestamp → UTC-aware timestamp; idempotent on
+    tz-aware input (the reference catches the double-aware ValueError)."""
+    a = _arr(values)
+    t = a.type
+    if pa.types.is_date(t):
+        a = pc.cast(a, pa.timestamp("us"))
+        t = a.type
+    if pa.types.is_timestamp(t) and t.tz is None:
+        return pc.assume_timezone(a, "UTC")
+    return a
+
+
+def round_time_10min(values) -> pa.Array:
+    """Floor to the 10-minute grid, dropping seconds/µs."""
+    return pc.floor_temporal(_arr(values), multiple=10, unit="minute")
+
+
+def strip_title(values) -> pa.Array:
+    return pc.replace_substring_regex(_arr(values), pattern=TITLE_RE,
+                                      replacement="", max_replacements=1)
+
+
+def split_name(values):
+    """title-stripped full name → (first, other, last) arrays
+    (anonymise.py:26-30 name_parts split: first, middle-joined, last).
+
+    Not a hot-path kernel (normalization of small dimension tables);
+    per-row split mirrors the reference's ``split(" ")`` exactly."""
+    stripped = strip_title(values)
+    py = [p.split(" ") if p is not None else [""]
+          for p in stripped.to_pylist()]
+    first = pa.array([p[0] for p in py], type=pa.string())
+    other = pa.array([" ".join(p[1:-1]) if len(p) > 2 else "" for p in py],
+                     type=pa.string())
+    last = pa.array([p[-1] for p in py], type=pa.string())
+    return first, other, last
+
+
+def name_concat(first, last) -> pa.Array:
+    return pc.binary_join_element_wise(_arr(first), _arr(last), " ")
+
+
+def truncate(values, n: int = 255) -> pa.Array:
+    return pc.utf8_slice_codeunits(_arr(values), 0, n)

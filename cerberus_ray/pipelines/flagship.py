@@ -80,3 +80,107 @@ def run_flagship(docs_ds, media_ds, *, text_max_len: int = SPAN_TEXT_MAX_LEN,
 
     return FlagshipResult(violations=viol_table, verdicts=verdicts,
                           n_docs=docs_ds.count())
+
+
+def run_flagship_checkpointed(cfg, ckpt_dir: str, *, fragment_size: int = 1000,
+                              run_id: str = "run-0",
+                              ref_mode: str = "broadcast") -> dict:
+    """Resumable flagship run over the generated interleaved table.
+
+    Row-local rules are fragment-local: completed fragments (manifest with
+    matching rule-set hash) are SKIPPED — the source is filtered to the
+    incomplete fragment set before any validation work runs, so a resumed
+    run streams only the missing partitions. Global rules (uniqueness,
+    referential) are cross-fragment by nature and checkpoint under a
+    single global key each.
+
+    Returns {"violations": pa.Table, "verdicts": pa.Table,
+             "processed_fragments": [...], "skipped_fragments": [...],
+             "run_manifest": {...}}.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..datagen import docs_dataset, media_dataset
+    from ..state.checkpoint import CheckpointManager
+
+    rs = interleaved_ruleset(text_max_len=cfg.text_max_len)
+    mgr = CheckpointManager(ckpt_dir, rs.hash, run_id=run_id)
+
+    n_frags = math.ceil(cfg.n_docs / fragment_size)
+    all_frags = [f"frag-{i:06d}" for i in range(n_frags)]
+    done = mgr.completed_fragments()
+    todo = [f for f in all_frags if f not in done]
+
+    if todo:
+        ds = docs_dataset(cfg, fragment_size=fragment_size)
+        todo_arr = pa.array(todo, type=pa.string())
+
+        def keep_todo(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch[FRAGMENT_COL], value_set=todo_arr))
+
+        sub = ds.map_batches(keep_todo, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        viol = validate(sub, rs).to_pandas()
+        rows_per_frag = sub.groupby(FRAGMENT_COL).count().to_pandas()
+        rows_per_frag = dict(zip(rows_per_frag.get(FRAGMENT_COL, []),
+                                 rows_per_frag.get("count()", [])))
+        from ..schema import VIOLATIONS
+
+        for frag in todo:
+            if FRAGMENT_COL in viol.columns and len(viol):
+                fv = viol[viol[FRAGMENT_COL] == frag][
+                    ["doc_id", "rule", "path", "detail"]]
+                ft = pa.Table.from_pandas(fv.reset_index(drop=True),
+                                          preserve_index=False,
+                                          schema=VIOLATIONS)
+            else:
+                ft = VIOLATIONS.empty_table()
+            mgr.record_fragment(frag, ft, int(rows_per_frag.get(frag, 0)))
+
+    # global rules — skipped entirely when their checkpoint is current
+    if not mgr.global_completed("unique-doc-id"):
+        uniq = unique_violations(docs_dataset(cfg), ["doc_id"],
+                                 rule="unique-doc-id")
+        mgr.record_global("unique-doc-id", uniq)
+    if not mgr.global_completed("fk-missing"):
+        ref = referential_violations(
+            docs_dataset(cfg), media_dataset(cfg), extract=span_media_keys,
+            parent_key="media_ref", rule="fk-missing",
+            parent_name="media_catalog", mode=ref_mode,
+            n_keys_hint=cfg.n_media)
+        pdf = ref.to_pandas()
+        from ..schema import VIOLATIONS
+
+        ft = (pa.Table.from_pandas(pdf, preserve_index=False, schema=VIOLATIONS)
+              if len(pdf) else VIOLATIONS.empty_table())
+        mgr.record_global("fk-missing", ft)
+
+    # assemble full result from durable state only (proves resumability)
+    import pandas as pd
+
+    parts = [mgr.read_fragment_violations(f).to_pandas() for f in all_frags]
+    parts += [mgr.read_global("unique-doc-id").to_pandas(),
+              mgr.read_global("fk-missing").to_pandas()]
+    allv = pd.concat(parts, ignore_index=True)
+    allv = allv.sort_values(["doc_id", "rule", "path"]).reset_index(drop=True)
+
+    manifests = {m["fragment_id"]: m for m in mgr.fragment_manifests()}
+    verdicts = pa.Table.from_pydict({
+        "fragment_id": all_frags,
+        "pass": [manifests[f]["pass"] for f in all_frags],
+        "n_rows": [manifests[f]["n_rows"] for f in all_frags],
+        "n_violations": [manifests[f]["n_violations"] for f in all_frags],
+    })
+    from ..schema import VIOLATIONS
+
+    return {
+        "violations": pa.Table.from_pandas(allv, preserve_index=False,
+                                           schema=VIOLATIONS),
+        "verdicts": verdicts,
+        "processed_fragments": todo,
+        "skipped_fragments": sorted(done),
+        "run_manifest": mgr.run_manifest(),
+    }

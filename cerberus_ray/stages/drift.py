@@ -1,0 +1,231 @@
+"""Distribution-drift checks (north_rule ST6).
+
+Per-column profiles are mergeable sketches built per block and reduced in
+a tiny merge (sketch rows, not data rows, cross the wire):
+
+- numeric columns → t-digest (+ exact count/mean moments)
+- categorical columns → capped frequency tables
+
+Profiles compare run-vs-baseline (or partition-vs-global) via:
+- KS distance: max |CDF_a - CDF_b| on a merged quantile grid
+- PSI (population stability index) over baseline-decile buckets /
+  category frequencies, with standard 0.1/0.2 thresholds
+- new-category detection (a value unseen in the baseline)
+
+Reference grounding: the weekly report count/total deltas the CRM owner
+eyeballs week-over-week (cerberus/reports.py:19-35) — generalized to
+whole-distribution comparison. Drift findings are emitted as violation
+rows (rule='drift-*', path=column) like every other rule.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import VIOLATIONS
+from ..state.tdigest import TDigest
+
+_MAX_CATEGORIES = 1000
+
+
+@dataclass
+class NumericProfile:
+    digest: TDigest
+    count: int = 0
+    total: float = 0.0
+    total_sq: float = 0.0
+
+    def merge(self, other: "NumericProfile") -> "NumericProfile":
+        self.digest.merge(other.digest)
+        self.count += other.count
+        self.total += other.total
+        self.total_sq += other.total_sq
+        return self
+
+    @property
+    def mean(self) -> float:
+        return self.total / self.count if self.count else float("nan")
+
+    def to_dict(self) -> dict:
+        return {"kind": "numeric", "count": self.count, "total": self.total,
+                "total_sq": self.total_sq,
+                "digest": self.digest.to_bytes().hex()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "NumericProfile":
+        return cls(digest=TDigest.from_bytes(bytes.fromhex(d["digest"])),
+                   count=d["count"], total=d["total"], total_sq=d["total_sq"])
+
+
+@dataclass
+class CategoricalProfile:
+    counts: Dict[str, int] = field(default_factory=dict)
+    other: int = 0
+
+    def merge(self, o: "CategoricalProfile") -> "CategoricalProfile":
+        for k, v in o.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        self.other += o.other
+        if len(self.counts) > _MAX_CATEGORIES:
+            keep = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for k, v in keep[_MAX_CATEGORIES:]:
+                self.other += v
+                del self.counts[k]
+        return self
+
+    @property
+    def total(self) -> int:
+        return sum(self.counts.values()) + self.other
+
+    def to_dict(self) -> dict:
+        return {"kind": "categorical", "counts": self.counts, "other": self.other}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CategoricalProfile":
+        return cls(counts=dict(d["counts"]), other=d["other"])
+
+
+@dataclass
+class TableProfile:
+    columns: Dict[str, object] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps({k: v.to_dict() for k, v in self.columns.items()},
+                          sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TableProfile":
+        d = json.loads(s)
+        cols = {}
+        for k, v in d.items():
+            cols[k] = (NumericProfile.from_dict(v) if v["kind"] == "numeric"
+                       else CategoricalProfile.from_dict(v))
+        return cls(columns=cols)
+
+
+def _batch_profile(batch: pa.Table, numeric: Sequence[str],
+                   categorical: Sequence[str], compression: float) -> pa.Table:
+    rows = []
+    for c in numeric:
+        v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        td = TDigest(compression=compression)
+        td.update(v)
+        np_ = NumericProfile(digest=td, count=int(len(v)),
+                             total=float(v.sum()),
+                             total_sq=float((v ** 2).sum()))
+        rows.append({"col": c, "payload": json.dumps(np_.to_dict())})
+    for c in categorical:
+        import pyarrow.compute as pc
+
+        vc = batch.select([c]).group_by(c).aggregate([([], "count_all")])
+        keys = vc[c].to_pylist()
+        cnts = vc["count_all"].to_pylist()
+        cp = CategoricalProfile(
+            counts={str(k): int(n) for k, n in zip(keys, cnts) if k is not None})
+        rows.append({"col": c, "payload": json.dumps(cp.to_dict())})
+    return pa.Table.from_pylist(rows)
+
+
+def profile_dataset(ds, *, numeric: Sequence[str] = (),
+                    categorical: Sequence[str] = (),
+                    compression: float = 200.0) -> TableProfile:
+    """Distributed per-block sketching → driver merge of the tiny sketch
+    rows ((#blocks × #cols) rows; each ≤ a few KB)."""
+    parts = ds.map_batches(
+        lambda b: _batch_profile(b, numeric, categorical, compression),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    prof = TableProfile()
+    for _, row in parts.iterrows():
+        d = json.loads(row["payload"])
+        p = (NumericProfile.from_dict(d) if d["kind"] == "numeric"
+             else CategoricalProfile.from_dict(d))
+        if row["col"] in prof.columns:
+            prof.columns[row["col"]].merge(p)
+        else:
+            prof.columns[row["col"]] = p
+    return prof
+
+
+# ---------------------------------------------------------------------------
+# comparisons
+# ---------------------------------------------------------------------------
+
+def ks_distance(a: NumericProfile, b: NumericProfile, *, grid: int = 201) -> float:
+    """Max CDF gap on the union quantile grid of both digests."""
+    if a.count == 0 or b.count == 0:
+        return float("nan")
+    qs = np.linspace(0.0, 1.0, grid)
+    xs = np.unique(np.concatenate([a.digest.quantile(qs), b.digest.quantile(qs)]))
+    return float(np.max(np.abs(a.digest.cdf(xs) - b.digest.cdf(xs))))
+
+
+def psi_numeric(baseline: NumericProfile, current: NumericProfile,
+                *, buckets: int = 10, eps: float = 1e-4) -> float:
+    """PSI over baseline-decile buckets (bucket edges from the baseline
+    digest; frequencies from CDF differences)."""
+    if baseline.count == 0 or current.count == 0:
+        return float("nan")
+    edges = baseline.digest.quantile(np.linspace(0, 1, buckets + 1))
+    edges = np.unique(edges)
+    if len(edges) < 2:
+        return 0.0
+    pb = np.diff(baseline.digest.cdf(edges))
+    pc_ = np.diff(current.digest.cdf(edges))
+    # spread residual mass (outside baseline range) into end buckets
+    pb = np.clip(pb, eps, None)
+    pc_ = np.clip(pc_, eps, None)
+    pb, pc_ = pb / pb.sum(), pc_ / pc_.sum()
+    return float(np.sum((pc_ - pb) * np.log(pc_ / pb)))
+
+
+def psi_categorical(baseline: CategoricalProfile, current: CategoricalProfile,
+                    *, eps: float = 1e-4) -> float:
+    keys = sorted(set(baseline.counts) | set(current.counts))
+    tb, tc = max(baseline.total, 1), max(current.total, 1)
+    pb = np.clip(np.array([baseline.counts.get(k, 0) / tb for k in keys]), eps, None)
+    pc_ = np.clip(np.array([current.counts.get(k, 0) / tc for k in keys]), eps, None)
+    pb, pc_ = pb / pb.sum(), pc_ / pc_.sum()
+    return float(np.sum((pc_ - pb) * np.log(pc_ / pb)))
+
+
+def new_categories(baseline: CategoricalProfile,
+                   current: CategoricalProfile) -> List[str]:
+    return sorted(set(current.counts) - set(baseline.counts))
+
+
+def drift_violations(baseline: TableProfile, current: TableProfile, *,
+                     ks_threshold: float = 0.1, psi_threshold: float = 0.2,
+                     table: str = "") -> pa.Table:
+    """→ violation rows for drifted columns (rule ∈ drift-ks / drift-psi /
+    drift-new-category), byte-compatible with the engine violation schema."""
+    rows = {"doc_id": [], "rule": [], "path": [], "detail": []}
+
+    def add(rule, col, detail):
+        rows["doc_id"].append(table or col)
+        rows["rule"].append(rule)
+        rows["path"].append(col)
+        rows["detail"].append(detail)
+
+    for col in sorted(set(baseline.columns) & set(current.columns)):
+        b, c = baseline.columns[col], current.columns[col]
+        if isinstance(b, NumericProfile) and isinstance(c, NumericProfile):
+            ks = ks_distance(b, c)
+            if np.isfinite(ks) and ks > ks_threshold:
+                add("drift-ks", col, f"ks={ks:.4f} > {ks_threshold}")
+            psi = psi_numeric(b, c)
+            if np.isfinite(psi) and psi > psi_threshold:
+                add("drift-psi", col, f"psi={psi:.4f} > {psi_threshold}")
+        elif isinstance(b, CategoricalProfile) and isinstance(c, CategoricalProfile):
+            psi = psi_categorical(b, c)
+            if np.isfinite(psi) and psi > psi_threshold:
+                add("drift-psi", col, f"psi={psi:.4f} > {psi_threshold}")
+            for nc in new_categories(b, c):
+                add("drift-new-category", col,
+                    f"category {nc!r} absent from baseline")
+    return pa.Table.from_pydict(rows, schema=VIOLATIONS)
