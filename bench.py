@@ -1,0 +1,265 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline flagship validation pipeline (interleaved docs,
+full rule-set: row-local + uniqueness + referential + drift profile) plus
+the relational/training query suite over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), then prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "n_docs": ..., "violations": ...}
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR, GRAFT_BENCH_DOCS
+(default 400000 interleaved docs for the headline).
+
+--scaling: runs the headline pipeline in two FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same pre-generated input and reports
+both throughputs + scaling efficiency (the sandbox proxy for the
+north_rule's N vs 4N cluster sizes; see BASELINE.md).
+
+This script OWNS its Ray session (ray.init/shutdown) — library code never
+does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "3200000"))
+N_MEDIA = max(1000, N_DOCS // 10)
+DOCS_CACHE = f"/tmp/cerberus_bench/docs_{N_DOCS}"
+
+# representative operator set timed individually (small outputs each)
+QUERY_NAMES = [
+    "rule_counts_lineitem", "unique_custkey", "ref_lineitem_orderkey",
+    "order_totalprice_check", "q1_pricing_summary", "events_weekly",
+    "events_users_per_type", "events_close_pairs", "doc_nchars_check",
+    "dedup_exact_stats", "dedup_minhash", "dedup_simhash",
+    "ann_topk_cosine", "doc_quality", "doc_token_stats",
+]
+
+
+def ensure_docs_cache(cfg):
+    """Pre-generate the interleaved table once (generation is input
+    production, not pipeline work); reruns read the same parquet."""
+    from cerberus_ray.datagen import docs_dataset
+
+    marker = os.path.join(DOCS_CACHE, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    os.makedirs(DOCS_CACHE, exist_ok=True)
+    docs_dataset(cfg, parallelism=64,
+                 fragment_size=max(N_DOCS // 64, 1)).write_parquet(DOCS_CACHE)
+    open(marker, "w").write("ok")
+
+
+def run_flagship_bench() -> dict:
+    """Full rule-set over the interleaved table. The four rule families
+    (row-local, uniqueness, referential, drift profile) are INDEPENDENT
+    scans, so they execute on concurrent threads — Ray schedules their
+    tasks into one CPU pool and each stage's small driver-side merge
+    overlaps the others' parallel work instead of serializing the run."""
+    import threading
+
+    import ray.data as rd
+
+    from cerberus_ray.datagen import GenConfig, gen_media_catalog
+    from cerberus_ray.rules.row_rules import interleaved_ruleset
+    from cerberus_ray.stages.drift import profile_dataset
+    from cerberus_ray.stages.referential import (
+        referential_violations,
+        span_media_keys,
+    )
+    from cerberus_ray.stages.uniqueness import unique_violations
+    from cerberus_ray.stages.validate import validate
+
+    cfg = GenConfig(n_docs=N_DOCS, n_media=N_MEDIA)
+    ensure_docs_cache(cfg)
+    # warm-up: a real map over every block forces Ray worker-process
+    # startup AND the OS page cache, so the timed section measures
+    # compute + shuffle, not process spawn or first disk read
+    rd.read_parquet(DOCS_CACHE).map_batches(
+        lambda b: b.slice(0, 1), batch_format="pyarrow").count()
+
+    results = {}
+    # fixed block count for BOTH cpu levels: per-block overhead is real
+    # (scheduling + driver collection), so blocks ∝ data, not cpus
+    NB = 64
+
+    def _read(columns=None):
+        return rd.read_parquet(DOCS_CACHE, columns=columns,
+                               override_num_blocks=NB)
+
+    media = rd.from_arrow(gen_media_catalog(cfg))
+
+    def make_stage_fns():
+        """Dataset plans are built HERE, on the main thread — read_parquet's
+        lazy fsspec imports race when first issued from concurrent
+        threads; threads below only execute prebuilt plans."""
+        ds_full = _read()
+        ds_ids = _read(["doc_id"])
+        ds_idspans = _read(["doc_id", "spans"])
+        ds_spans = _read(["spans"])
+
+        def t_rows():
+            rs = interleaved_ruleset(text_max_len=cfg.text_max_len)
+            results["row"] = validate(ds_full, rs).count()
+
+        def t_uniq():
+            u = unique_violations(ds_ids, ["doc_id"],
+                                  rule="unique-doc-id", n_rows_hint=N_DOCS)
+            results["uniq"] = u.num_rows
+
+        def t_ref():
+            results["ref"] = referential_violations(
+                ds_idspans, media, extract=span_media_keys,
+                parent_key="media_ref", mode="broadcast").count()
+
+        def t_drift():
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            def span_cols(b: pa.Table) -> pa.Table:
+                flat = pc.list_flatten(b["spans"])
+                if isinstance(flat, pa.ChunkedArray):
+                    flat = flat.combine_chunks()
+                return pa.Table.from_arrays(
+                    [pc.cast(flat.field("offset"), pa.float64()),
+                     flat.field("kind")],
+                    names=["offset", "kind"])
+
+            spans_ds = ds_spans.map_batches(
+                span_cols, batch_format="pyarrow", zero_copy_batch=True)
+            profile_dataset(spans_ds, numeric=["offset"],
+                            categorical=["kind"])
+            results["drift"] = True
+
+        return (t_rows, t_uniq, t_ref, t_drift)
+
+    # warm pass (untimed, sequential): first execution of each stage pays
+    # one-time per-worker import/codegen costs that are independent of the
+    # CPU budget; the timed pass measures compute + shuffle
+    for f in make_stage_fns():
+        f()
+
+    errors = []
+
+    def guard(f):
+        def run():
+            try:
+                f()
+            except BaseException as e:  # propagate thread failures
+                errors.append(e)
+        return run
+
+    # best-of-N to damp shared-host CPU-quota noise
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    sec = float("inf")
+    for _ in range(max(repeats, 1)):
+        stage_fns = make_stage_fns()
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=guard(f)) for f in stage_fns]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        if errors:
+            raise errors[0]
+        sec = min(sec, time.perf_counter() - t0)
+    return {
+        "sec": sec,
+        "n_docs": N_DOCS,
+        "docs_per_sec": round(N_DOCS / sec, 1),
+        "violations": int(results["row"] + results["uniq"] + results["ref"]),
+    }
+
+
+def run_queries() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        r = q[name](SF_DIR)
+        # force execution for lazy Datasets
+        if hasattr(r, "to_pandas") and not hasattr(r, "num_rows"):
+            r.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_single():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    flag = run_flagship_bench()
+    queries = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else run_queries()
+    result = {
+        "metric": "flagship interleaved validation wall-clock "
+                  "(row rules + uniqueness + referential + drift profile)",
+        "value": round(flag["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "n_docs": flag["n_docs"],
+        "docs_per_sec": flag["docs_per_sec"],
+        "violations": flag["violations"],
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def main_scaling():
+    """N vs 4N scaling evidence in fresh processes on the same input.
+
+    Default pair is 2 vs 8 CPUs: this sandbox enforces a CPU quota of
+    ~8 effective cores (measured: constant-work-per-process wall time is
+    flat up to ~8 processes, then grows linearly — see BASELINE.md), so
+    the advertised 32 "CPUs" cannot exercise real 4x parallelism above 8.
+    Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI (e.g. 8 / 32).
+    """
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_HEADLINE_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["docs_per_sec"]
+    tput_hi = r_hi["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(json.dumps({
+        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": tput_lo, f"docs_per_sec_{hi}": tput_hi,
+        "n_docs": r_lo["n_docs"],
+        "cpus": [lo, hi],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_single()

@@ -1,0 +1,455 @@
+"""CRM constraint rule pack — rule-for-rule parity with the reference's
+constraint surface (SURVEY.md §2 tables are the contract).
+
+Every function takes Ray Datasets (or Arrow tables via ray.data.from_arrow)
+and returns violation rows (schema.VIOLATIONS). Dimension-sized side
+tables are broadcast (ray.put once); keyed aggregates use map-side partial
+combine; the interval overlap uses day-bucket grouping with boundary
+duplication (SURVEY.md §4 partitioning notes).
+
+Reference citations per rule:
+- booking-start-before-end   CheckConstraint start<end (booking.py:268)
+- has-booking-slot           conditional CheckConstraint (booking.py:269-273)
+- enum-state                 valid_state constraint (booking.py:274)
+- unique-customer-slot       unique_together (booking.py:266)
+- pets-belong-to-customer    Booking.check_valid (booking.py:298-300)
+- slot-max-pets/-customers   MaxPetsError/MaxCustomersError
+                             (booking.py:85-96,165-176; service.py:23-24)
+- slot-overlap               BookingSlot.get_overlapping (booking.py:72-83)
+- slot-start-before-end      slot CheckConstraint (booking.py:51)
+- maxlen-name                name[:255] truncation contract (booking.py:340)
+- paid-on-consistency        MonitorField paid_on (charge.py:47)
+- refund-exceeds-charge      Charge.refund guard (charge.py:95-110)
+- invoice-total-consistency  Invoice total dual-path (invoice.py:37-47,283-297)
+- paid-le-total / paid-total-mismatch  (invoice.py:211-217)
+- range-amount               Payment amount>=0 (invoice.py:360-363)
+- overdue-parity             overdue annotation vs property (invoice.py:45,130-132)
+- frozen-*                   can_edit frozen fields (invoice.py:92-108)
+- no-invoice-email / suspicious-last-name  Customer.issues (customer.py:130-140)
+- no-email-contact           fixcustomers census (fixcustomers.py:18-27)
+- fsm-illegal-edge / fsm-broken-chain  transition edges + StateLog order
+                             (booking.py:429-457, invoice.py:138-151)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Set, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..rules.core import RuleSet, enum_domain, expr_rule, max_len, range_rule
+from ..schema import VIOLATIONS
+from ..stages.uniqueness import duplicate_key_counts
+from .fixtures import BOOKING_EDGES, BOOKING_STATES, CHARGE_EDGES, INVOICE_EDGES
+
+
+def _v(rows: List[Tuple[str, str, str, str]]) -> pa.Table:
+    if not rows:
+        return VIOLATIONS.empty_table()
+    cols = list(zip(*rows))
+    return pa.Table.from_arrays([pa.array(list(c), type=pa.string())
+                                 for c in cols], schema=VIOLATIONS)
+
+
+# ---------------------------------------------------------------------------
+# row-local rule sets
+# ---------------------------------------------------------------------------
+
+def booking_row_ruleset() -> RuleSet:
+    k = "booking_id"
+    rs = RuleSet(name="booking-row")
+    rs.add(expr_rule(k, "booking-start-before-end", "start",
+                     "start must be before end",
+                     lambda b: pc.greater_equal(b["start"], b["end"])))
+    rs.add(expr_rule(
+        k, "has-booking-slot", "slot_id",
+        "canceled bookings must have no slot; active bookings must have one",
+        lambda b: pc.xor(pc.equal(b["state"], "canceled"),
+                         pc.is_null(b["slot_id"]))))
+    st = enum_domain(k, "state", BOOKING_STATES)
+    # reference rule id is 'valid_state'; keep engine-wide 'enum-state' name
+    st.name = "enum-state"
+    orig_fn = st.fn
+
+    def renamed(batch):
+        t = orig_fn(batch)
+        if t.num_rows:
+            t = t.set_column(1, "rule", pa.array(["enum-state"] * t.num_rows))
+        return t
+
+    st.fn = renamed
+    rs.add(st)
+    return rs
+
+
+def charge_row_ruleset() -> RuleSet:
+    k = "charge_id"
+    rs = RuleSet(name="charge-row")
+    rs.add(max_len(k, "name", 255))
+
+    def paid_on_bad(b: pa.Table):
+        paid_wo = pc.and_(pc.equal(b["state"], "paid"), pc.is_null(b["paid_on"]))
+        unpaid_w = pc.and_(pc.equal(b["state"], "unpaid"),
+                           pc.is_valid(b["paid_on"]))
+        return pc.or_(paid_wo, unpaid_w)
+
+    rs.add(expr_rule(k, "paid-on-consistency", "paid_on",
+                     "paid_on must be set iff the charge has been paid",
+                     paid_on_bad))
+    return rs
+
+
+def payment_row_ruleset() -> RuleSet:
+    return RuleSet([range_rule("payment_id", "amount", lo=0)], name="payment-row")
+
+
+def customer_issue_ruleset() -> RuleSet:
+    k = "customer_id"
+    rs = RuleSet(name="customer-issues")
+    rs.add(expr_rule(k, "no-invoice-email", "invoice_email",
+                     "no invoice email set",
+                     lambda b: pc.equal(pc.fill_null(b["invoice_email"], ""), "")))
+    rs.add(expr_rule(k, "suspicious-last-name", "last_name",
+                     "last name doesn't look right",
+                     lambda b: pc.match_substring(
+                         pc.fill_null(b["last_name"], ""), "&")))
+    return rs
+
+
+def slot_row_ruleset() -> RuleSet:
+    return RuleSet([
+        expr_rule("slot_id", "slot-start-before-end", "start",
+                  "slot start must be before end",
+                  lambda b: pc.greater_equal(b["start"], b["end"]))],
+        name="slot-row")
+
+
+def run_rowpack(ds, ruleset: RuleSet) -> pa.Table:
+    out = ds.map_batches(ruleset.evaluate, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
+
+
+# ---------------------------------------------------------------------------
+# keyed / grouped / cross-table rules
+# ---------------------------------------------------------------------------
+
+def booking_unique_customer_slot(bookings_ds) -> pa.Table:
+    """unique_together (customer, _booking_slot), slot NULLs excluded."""
+    nn = bookings_ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b["slot_id"])), batch_format="pyarrow")
+    dup = duplicate_key_counts(nn, ["customer_id", "slot_id"], mode="driver")
+    rows = []
+    for r in dup.to_pylist():
+        key = f"{int(r['customer_id'])}|{int(r['slot_id'])}"
+        rows.append((key, "unique-customer-slot", "customer_id,slot_id",
+                     f"count={int(r['n'])}"))
+    return _v(rows)
+
+
+def booking_pets_belong(bookings_ds, pets_ds) -> pa.Table:
+    """All pets on a booking must belong to the booking's customer
+    (flatten the pets M2M list; broadcast the pet→customer dim)."""
+    pet_owner = {r["pet_id"]: r["customer_id"] for r in pets_ds.take_all()}
+    ref = ray.put(pet_owner)
+
+    def check(b: pa.Table) -> pa.Table:
+        owners = ray.get(ref)
+        rows = []
+        bids = b["booking_id"].to_pylist()
+        custs = b["customer_id"].to_pylist()
+        for bid, cust, pets in zip(bids, custs, b["pet_ids"].to_pylist()):
+            for p in pets or []:
+                if owners.get(p) != cust:
+                    rows.append((str(bid), "pets-belong-to-customer",
+                                 "pet_ids",
+                                 f"pet {p} belongs to customer "
+                                 f"{owners.get(p)}, booking is for {cust}"))
+        return _v(rows)
+
+    out = bookings_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
+
+
+def slot_capacity(bookings_ds, services_ds) -> pa.Table:
+    """Per-slot capacity: Σ pets ≤ service.max_pet, distinct customers ≤
+    service.max_customer; canceled bookings excluded (ActiveBookingManager
+    baseline filter, booking.py:212-214)."""
+    limits = {r["service_id"]: (r["max_pet"], r["max_customer"])
+              for r in services_ds.take_all()}
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.invert(pc.equal(b["state"], "canceled")),
+                             pc.is_valid(b["slot_id"])))
+        n_pets = pc.list_value_length(t["pet_ids"])
+        return pa.Table.from_arrays(
+            [t["slot_id"], t["service_id"], pc.cast(n_pets, pa.int64()),
+             t["customer_id"]],
+            names=["slot_id", "service_id", "n_pets", "customer_id"])
+
+    pdf = bookings_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for slot_id, g in pdf.groupby("slot_id"):
+        svc = g["service_id"].iloc[0]
+        max_pet, max_cust = limits.get(svc, (10**9, 10**9))
+        tot = int(g["n_pets"].sum())
+        ncust = g["customer_id"].nunique()
+        if tot > max_pet:
+            rows.append((str(int(slot_id)), "slot-max-pets", "pet_ids",
+                         f"{tot} pets > max {max_pet} for service {svc}"))
+        if ncust > max_cust:
+            rows.append((str(int(slot_id)), "slot-max-customers", "customer_id",
+                         f"{ncust} customers > max {max_cust}"))
+    return _v(rows)
+
+
+def slot_overlap(slots_ds) -> pa.Table:
+    """Interval self-overlap (strict intersection or exact equality),
+    excluding self — J5. Day-bucket grouping with boundary duplication:
+    each slot lands in every day it touches, pairs are checked within a
+    bucket, and duplicate pair findings are deduped (SURVEY.md §4)."""
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in b.iterrows():
+            d0 = r["start"].normalize()
+            d1 = r["end"].normalize()
+            d = d0
+            while d <= d1:
+                rows.append({"day": d, "slot_id": r["slot_id"],
+                             "start": r["start"], "end": r["end"]})
+                d += pd.Timedelta(days=1)
+        return pd.DataFrame(rows)
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["start", "slot_id"]).reset_index(drop=True)
+        out = []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if g.loc[j, "start"] >= g.loc[i, "end"] and not (
+                        g.loc[i, "start"] == g.loc[j, "start"]
+                        and g.loc[i, "end"] == g.loc[j, "end"]):
+                    break
+                a, b_ = sorted([int(g.loc[i, "slot_id"]),
+                                int(g.loc[j, "slot_id"])])
+                if a == b_:
+                    continue
+                overlap = (g.loc[i, "start"] < g.loc[j, "end"]
+                           and g.loc[j, "start"] < g.loc[i, "end"])
+                equal = (g.loc[i, "start"] == g.loc[j, "start"]
+                         and g.loc[i, "end"] == g.loc[j, "end"])
+                if overlap or equal:
+                    out.append({"doc_id": f"{a}|{b_}", "rule": "slot-overlap",
+                                "path": "start,end",
+                                "detail": f"slots {a} and {b_} overlap"})
+        return pd.DataFrame(out, columns=["doc_id", "rule", "path", "detail"])
+
+    pdf = (slots_ds.map_batches(
+                lambda b: b.filter(pc.less(b["start"], b["end"])),
+                batch_format="pyarrow")
+           .map_batches(bucket, batch_format="pandas")
+           .groupby("day").map_groups(sweep, batch_format="pandas")
+           .to_pandas())
+    if not len(pdf):
+        return VIOLATIONS.empty_table()
+    pdf = pdf.drop_duplicates(["doc_id"]).sort_values("doc_id")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                preserve_index=False, schema=VIOLATIONS)
+
+
+def refund_exceeds(charges_ds) -> pa.Table:
+    """Σ refund amounts must not exceed the parent charge amount (A9)."""
+    pdf = charges_ds.to_pandas()
+    amount = pdf["line"] * pdf["quantity"]
+    parents = pdf.set_index("charge_id")
+    refunds = pdf[(pdf["state"] == "refund") & pdf["parent_charge_id"].notna()]
+    rows = []
+    for pid, g in refunds.groupby("parent_charge_id"):
+        refunded = -(g["line"] * g["quantity"]).sum()
+        parent_amount = float(
+            parents.loc[int(pid), "line"] * parents.loc[int(pid), "quantity"])
+        if refunded > parent_amount + 1e-9:
+            rows.append((str(int(pid)), "refund-exceeds-charge", "line",
+                         f"refunded {refunded:.2f} > charge {parent_amount:.2f}"))
+    return _v(rows)
+
+
+def invoice_total_consistency(invoices_ds, charges_ds, *, tol=0.01) -> pa.Table:
+    """total == adjustment + Σ(line×qty) of the invoice's non-void charges
+    (A3 dual-path parity)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["invoice_id"]),
+                             pc.invert(pc.equal(b["state"], "void"))))
+        v = pc.multiply(t["line"], pc.cast(t["quantity"], pa.float64()))
+        g = pa.Table.from_arrays([t["invoice_id"], v], names=["k", "v"]) \
+            .group_by("k").aggregate([("v", "sum")])
+        return g
+
+    sums = charges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sums = sums.groupby("k")["v_sum"].sum() if len(sums) else pd.Series(dtype=float)
+    rows = []
+    for r in invoices_ds.take_all():
+        recomputed = float(sums.get(r["invoice_id"], 0.0)) + float(r["adjustment"])
+        if abs(recomputed - float(r["total"])) > tol:
+            rows.append((str(int(r["invoice_id"])), "invoice-total-consistency",
+                         "total",
+                         f"stored {r['total']:.2f} != recomputed {recomputed:.2f}"))
+    return _v(rows)
+
+
+def invoice_paid_consistency(invoices_ds, payments_ds, *, tol=0.01) -> pa.Table:
+    """Σ payments ≤ total always; == total when state is paid (A4)."""
+    pdf = payments_ds.to_pandas()
+    sums = pdf.groupby("invoice_id")["amount"].sum() if len(pdf) else pd.Series(dtype=float)
+    rows = []
+    for r in invoices_ds.take_all():
+        paid = float(sums.get(r["invoice_id"], 0.0))
+        total = float(r["total"])
+        if paid > total + tol:
+            rows.append((str(int(r["invoice_id"])), "paid-le-total", "total",
+                         f"payments {paid:.2f} > total {total:.2f}"))
+        if r["state"] == "paid" and abs(paid - total) > tol:
+            rows.append((str(int(r["invoice_id"])), "paid-total-mismatch",
+                         "total",
+                         f"paid state but payments {paid:.2f} != total {total:.2f}"))
+    return _v(rows)
+
+
+def overdue_parity(invoices_ds, *, today) -> pa.Table:
+    """Stored overdue flag vs recomputed (state==unpaid ∧ due < today) —
+    the M22 dual-path conformance pattern."""
+
+    def check(b: pa.Table) -> pa.Table:
+        due = b["due"]
+        computed = pc.and_(pc.equal(b["state"], "unpaid"),
+                           pc.and_(pc.is_valid(due),
+                                   pc.less(due, pa.scalar(today))))
+        bad = pc.xor(pc.fill_null(computed, False),
+                     pc.fill_null(b["overdue"], False))
+        rows = []
+        for iid, isbad, stored in zip(b["invoice_id"].to_pylist(),
+                                      bad.to_pylist(),
+                                      b["overdue"].to_pylist()):
+            if isbad:
+                rows.append((str(int(iid)), "overdue-parity", "overdue",
+                             f"stored overdue={stored} disagrees with recomputation"))
+        return _v(rows)
+
+    out = invoices_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
+
+
+def frozen_fields(current_ds, snapshot_ds, *, frozen=("adjustment",),
+                  key="invoice_id", state_col="state",
+                  editable_states=("draft",)) -> pa.Table:
+    """Non-draft invoices must not drift from their snapshot on frozen
+    columns (M23). Snapshot is broadcast (dimension-sized)."""
+    snap = {r[key]: r for r in snapshot_ds.take_all()}
+    rows = []
+    for r in current_ds.take_all():
+        if r[state_col] in editable_states:
+            continue
+        s = snap.get(r[key])
+        if s is None:
+            continue
+        for col in frozen:
+            if r[col] != s[col]:
+                rows.append((str(int(r[key])), f"frozen-{col}", col,
+                             f"frozen field changed from {s[col]} to {r[col]}"))
+    return _v(rows)
+
+
+def fsm_log_validity(state_log_ds,
+                     edges: Dict[str, Set[Tuple[str, str]]] = None) -> pa.Table:
+    """Every logged transition must be a legal FSM edge; consecutive log
+    rows per entity must chain (prev.target == next.source)."""
+    edges = edges or {"booking": BOOKING_EDGES, "charge": CHARGE_EDGES,
+                      "invoice": INVOICE_EDGES}
+
+    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        ent = g["entity"].iloc[0]
+        key = f"{ent}|{int(g['entity_id'].iloc[0])}"
+        eset = edges.get(ent, set())
+        out = []
+        for i, r in g.iterrows():
+            if (r["source"], r["target"]) not in eset:
+                out.append({"doc_id": key, "rule": "fsm-illegal-edge",
+                            "path": "state",
+                            "detail": f"{r['source']}→{r['target']} not allowed"})
+            if i > 0 and g.loc[i - 1, "target"] != r["source"]:
+                out.append({"doc_id": key, "rule": "fsm-broken-chain",
+                            "path": "state",
+                            "detail": f"log jumps from {g.loc[i-1,'target']} "
+                                      f"to {r['source']}"})
+        return pd.DataFrame(out, columns=["doc_id", "rule", "path", "detail"])
+
+    pdf = (state_log_ds.groupby(["entity", "entity_id"])
+           .map_groups(per_entity, batch_format="pandas").to_pandas())
+    if not len(pdf):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(
+        pdf.sort_values(["doc_id", "rule"]).reset_index(drop=True),
+        preserve_index=False, schema=VIOLATIONS)
+
+
+def contact_email_census(contacts_ds, customers_ds) -> pa.Table:
+    """Every active customer should have ≥1 email-classified contact
+    (fixcustomers census, A10 + M5 classifier)."""
+    from ..functions.strings import classify_contact
+
+    def classified(b: pa.Table) -> pa.Table:
+        kinds = classify_contact(b["details"])
+        return pa.Table.from_arrays([b["customer_id"], kinds],
+                                    names=["customer_id", "kind"])
+
+    pdf = contacts_ds.map_batches(classified, batch_format="pyarrow").to_pandas()
+    with_email = set(pdf[pdf["kind"] == "email"]["customer_id"])
+    rows = []
+    for r in customers_ds.take_all():
+        if r["customer_id"] not in with_email:
+            rows.append((str(int(r["customer_id"])), "no-email-contact",
+                         "contacts", "customer has no email contact"))
+    return _v(rows)
+
+
+# ---------------------------------------------------------------------------
+# full pack
+# ---------------------------------------------------------------------------
+
+def run_crm_pack(tables: Dict[str, pa.Table], *, today) -> pa.Table:
+    """Run every CRM rule over the given tables → one violations table."""
+    import ray.data as rd
+
+    ds = {k: rd.from_arrow(v) for k, v in tables.items()}
+    parts: Iterable[pa.Table] = [
+        run_rowpack(ds["bookings"], booking_row_ruleset()),
+        run_rowpack(ds["charges"], charge_row_ruleset()),
+        run_rowpack(ds["payments"], payment_row_ruleset()),
+        run_rowpack(ds["customers"], customer_issue_ruleset()),
+        run_rowpack(ds["slots"], slot_row_ruleset()),
+        booking_unique_customer_slot(ds["bookings"]),
+        booking_pets_belong(ds["bookings"], ds["pets"]),
+        slot_capacity(ds["bookings"], ds["services"]),
+        slot_overlap(ds["slots"]),
+        refund_exceeds(ds["charges"]),
+        invoice_total_consistency(ds["invoices"], ds["charges"]),
+        invoice_paid_consistency(ds["invoices"], ds["payments"]),
+        overdue_parity(ds["invoices"], today=today),
+        frozen_fields(ds["invoices"], ds["invoices_snapshot"]),
+        fsm_log_validity(ds["state_log"]),
+        contact_email_census(ds["contacts"], ds["customers"]),
+    ]
+    out = pa.concat_tables([p for p in parts if p.num_rows]) \
+        if any(p.num_rows for p in parts) else VIOLATIONS.empty_table()
+    return out.sort_by([("doc_id", "ascending"), ("rule", "ascending")])

@@ -56,6 +56,10 @@ def hash_strings(arr) -> np.ndarray:
     polars' vectorized 64-bit hash (fixed seeds → run-to-run stable for a
     given polars version); fallback is a pure-Python crc mix.
     """
+    import pyarrow as pa
+
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_numpy(zero_copy_only=False)
     try:
         import polars as pl
 

@@ -85,26 +85,29 @@ def _word_shingles(tokens: Sequence[str], w: int) -> List[str]:
 
 def _perm_params(k: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     idx = np.arange(k, dtype=np.uint64)
-    a = (splitmix64(idx + np.uint64(seed)) % np.uint64(_MERSENNE - 1)) + np.uint64(1)
-    b = splitmix64(idx + np.uint64(seed + 7919)) % np.uint64(_MERSENNE)
+    a = splitmix64(idx + np.uint64(seed)) | np.uint64(1)  # odd multiplier
+    b = splitmix64(idx + np.uint64(seed + 7919))
     return a, b
 
 
 def minhash_signatures(texts: np.ndarray, *, k: int = 128, w: int = 3,
                        seed: int = 42) -> np.ndarray:
-    """(n_docs, k) uint64 MinHash signatures, fully vectorized via reduceat."""
+    """(n_docs, k) uint64 MinHash signatures, fully vectorized via reduceat.
+
+    Permutations are multiply-shift hashes a*h+b over Z/2^64 (odd a) —
+    wrapping uint64 arithmetic, no Python-int modmul in the hot path."""
     shingle_lists = [_word_shingles(t, w) for t in _tokenize(texts)]
     counts = np.array([max(len(s), 1) for s in shingle_lists], dtype=np.int64)
     flat = [s for lst in shingle_lists for s in (lst or [""])]
-    h = hash_strings(np.array(flat, dtype=object)) % np.uint64(_MERSENNE)
+    h = hash_strings(np.array(flat, dtype=object))
     a, b = _perm_params(k, seed)
-    # (k, total) permuted hashes; python-int modmul to avoid uint64 overflow
-    ph = (h[None, :].astype(object) * a[:, None].astype(object)
-          + b[:, None].astype(object)) % _MERSENNE
-    ph = ph.astype(np.uint64)
     starts = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    sigs = np.stack([np.minimum.reduceat(ph[i], starts) for i in range(k)], axis=1)
+    sigs = np.empty((len(counts), k), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            ph = h * a[i] + b[i]  # wraps mod 2^64
+            sigs[:, i] = np.minimum.reduceat(ph, starts)
     return sigs
 
 
@@ -128,9 +131,17 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
                            threshold: float = 0.8, seed: int = 42) -> pa.Table:
     """→ (doc_id_a, doc_id_b, jaccard_est) pairs with est. Jaccard ≥ threshold.
 
-    shingle→minhash per batch → explode (band, band_hash, key) rows →
-    groupby(band, band_hash) → candidate pairs → signature verify.
+    shingle→minhash per batch → (band, band_hash, key, sig) rows →
+    duplicate LSH buckets found via the candidate-filtered exact-count
+    machinery (no per-bucket map_groups: ~bands×n buckets are nearly all
+    singletons, so per-group Python would dominate) → in-bucket pairs →
+    signature-estimated Jaccard.
+
+    Scale note: bucket-member collection touches only duplicated buckets
+    (rare); at 10^9+ docs the bucket-count merge switches to the shuffle
+    path exactly like duplicate_key_counts.
     """
+    import ray
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
@@ -138,35 +149,58 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
         sigs = minhash_signatures(texts, k=k, w=w, seed=seed)
         bh = band_hashes(sigs, bands=bands)
         n = len(texts)
+        bucket = (np.ascontiguousarray(bh.reshape(-1)).view(np.int64)
+                  ^ (np.tile(np.arange(bands, dtype=np.int64), n) << np.int64(56)))
         return pa.Table.from_pydict({
             "key": pa.array(np.repeat(keys, bands), type=pa.string()),
-            "band": pa.array(np.tile(np.arange(bands), n), type=pa.int32()),
-            "bh": pa.array(np.ascontiguousarray(bh.reshape(-1)).view(np.int64)),
+            "bucket": pa.array(bucket),
             "sig": pa.array([sigs[i].tobytes() for i in range(n)
                              for _ in range(bands)], type=pa.binary()),
         })
 
-    rows = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+    rows = ds.map_batches(sig_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "sig_a": [], "sig_b": []})
-        g = g.sort_values("key").drop_duplicates("key")
-        ks, sg = g["key"].tolist(), g["sig"].tolist()
-        A, B, SA, SB = [], [], [], []
+    # 1. duplicated buckets (distinct per-block bucket counts → driver merge)
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        return batch.select(["bucket"]).group_by("bucket").aggregate(
+            [([], "count_all")])
+
+    bc = rows.map_batches(bucket_counts, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    g = bc.groupby("bucket")["count_all"].sum()
+    dup_buckets = np.asarray(g[g > 1].index.to_numpy(), dtype=np.int64)
+    empty = pa.Table.from_pydict(
+        {"doc_id_a": pa.array([], pa.string()),
+         "doc_id_b": pa.array([], pa.string()),
+         "jaccard_est": pa.array([], pa.float64())})
+    if len(dup_buckets) == 0:
+        return empty
+    bref = ray.put(np.sort(dup_buckets))
+
+    # 2. members of duplicated buckets only (tiny)
+    def members(batch: pa.Table) -> pa.Table:
+        db = ray.get(bref)
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(db, b), 0, len(db) - 1)
+        return batch.filter(pa.array(db[pos] == b))
+
+    mem = rows.map_batches(members, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+
+    # 3. in-bucket pairs (vectorized per bucket group on the driver)
+    A, B, SA, SB = [], [], [], []
+    for _, grp in mem.groupby("bucket"):
+        grp = grp.sort_values("key").drop_duplicates("key")
+        if len(grp) < 2:
+            continue
+        ks, sg = grp["key"].tolist(), grp["sig"].tolist()
         for i in range(len(ks)):
             for j in range(i + 1, len(ks)):
-                A.append(ks[i]); B.append(ks[j])
-                SA.append(sg[i]); SB.append(sg[j])
-        return pd.DataFrame({"a": A, "b": B, "sig_a": SA, "sig_b": SB})
-
-    cand = rows.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
-    pdf = cand.to_pandas()
-    if len(pdf) == 0:
-        return pa.Table.from_pydict(
-            {"doc_id_a": pa.array([], pa.string()),
-             "doc_id_b": pa.array([], pa.string()),
-             "jaccard_est": pa.array([], pa.float64())})
+                A.append(ks[i]); B.append(ks[j]); SA.append(sg[i]); SB.append(sg[j])
+    if not A:
+        return empty
+    pdf = pd.DataFrame({"a": A, "b": B, "sig_a": SA, "sig_b": SB})
     pdf = pdf.drop_duplicates(["a", "b"])
     sa = np.stack([np.frombuffer(x, dtype=np.uint64) for x in pdf["sig_a"]])
     sb = np.stack([np.frombuffer(x, dtype=np.uint64) for x in pdf["sig_b"]])

@@ -39,7 +39,7 @@ class FlagshipResult:
 def run_flagship(docs_ds, media_ds, *, text_max_len: int = SPAN_TEXT_MAX_LEN,
                  ref_mode: str = "broadcast", out_dir: Optional[str] = None,
                  with_verdicts: bool = True,
-                 batch_size: int = 16384) -> FlagshipResult:
+                 batch_size: int = 65536) -> FlagshipResult:
     rs = interleaved_ruleset(text_max_len=text_max_len)
     has_frag = FRAGMENT_COL in docs_ds.schema().names
 

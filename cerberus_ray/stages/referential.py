@@ -137,21 +137,38 @@ def referential_violations(child_ds, parent_ds, *, extract: Callable,
                            n_keys_hint: Optional[int] = None):
     """→ Dataset of violation rows for child keys absent from the parent."""
     if mode == "broadcast":
-        keys_sorted = collect_parent_keys(parent_ds, parent_key)
-        ref = ray.put(keys_sorted)  # once; every task reads from object store
+        from ..determinism import hash_strings
+
+        parent_keys = collect_parent_keys(parent_ds, parent_key)
+        # membership probe on sorted int64 hashes (fast numpy searchsorted);
+        # a hash hit is confirmed by ONE vectorized string comparison at the
+        # matched slot, so collisions can't produce a false pass. Parent
+        # keys with colliding hashes (≈ n²/2^64) fall back to exact string
+        # search for correctness.
+        ph = hash_strings(parent_keys.astype(object))
+        order = np.argsort(ph)
+        ph_sorted = ph[order]
+        pk_by_hash = parent_keys[order]
+        has_collisions = bool((ph_sorted[1:] == ph_sorted[:-1]).any()) \
+            if len(ph_sorted) > 1 else False
+        ref = ray.put((ph_sorted, pk_by_hash, parent_keys, has_collisions))
 
         def check(batch: pa.Table) -> pa.Table:
-            parent_keys = ray.get(ref)
+            phs, pkh, pk_str, collide = ray.get(ref)
             keys, rk, paths = extract(batch)
             if len(keys) == 0:
                 return empty_violations()
-            if len(parent_keys) == 0:
+            if len(phs) == 0:
                 hit = np.zeros(len(keys), dtype=bool)
             else:
-                ks = keys.astype(str)
-                pos = np.clip(np.searchsorted(parent_keys, ks), 0,
-                              len(parent_keys) - 1)
-                hit = parent_keys[pos] == ks
+                ch = hash_strings(keys)
+                pos = np.clip(np.searchsorted(phs, ch), 0, len(phs) - 1)
+                hit = (phs[pos] == ch) & (pkh[pos] == keys.astype(str))
+                if collide:  # rare: verify against the full sorted key set
+                    ks = keys.astype(str)
+                    p2 = np.clip(np.searchsorted(pk_str, ks), 0,
+                                 len(pk_str) - 1)
+                    hit |= pk_str[p2] == ks
             return _emit_missing(keys, rk, paths, ~hit, rule, parent_name)
 
         return child_ds.map_batches(check, batch_format="pyarrow",

@@ -33,34 +33,184 @@ def _partial_counts(batch: pa.Table, keys: Sequence[str]) -> pa.Table:
     return t.group_by(list(keys)).aggregate([([], "count_all")])
 
 
-def duplicate_key_counts(ds, keys: Sequence[str]) -> pa.Table:
+def _key_strings_col(batch: pa.Table, keys: Sequence[str]):
+    import pyarrow.compute as pc
+
+    cols = [pc.cast(batch[k], pa.string()) for k in keys]
+    if len(cols) == 1:
+        return cols[0]
+    return pc.binary_join_element_wise(*cols, "\x1f")
+
+
+def duplicate_key_counts(ds, keys: Sequence[str], *, mode: str = "auto",
+                         cms_width: int = 0,
+                         n_rows_hint: int = 0) -> pa.Table:
     """(key cols..., n) for every key tuple appearing more than once.
 
-    Shuffle payload = unique keys per block (map-side combined), never full
-    rows. Output is small by construction (only duplicated keys), sorted.
+    Execution mode selection (mode='auto'), mirroring a broadcast-vs-
+    shuffle join planner:
+
+    - 'driver' (≤ ~5M rows): per-block exact partial counts (pyarrow
+      hash-aggregate) stream to the driver and merge there. No shuffle,
+      no sketch; the driver holds one row per distinct key.
+    - 'cms' (> 5M rows): two passes, NO keyed shuffle —
+      1. a Count-Min sketch per block (width sized to the input, so
+         sketch traffic ∝ data, not a fixed 32 MB per block), merged on
+         the driver;
+      2. per-block exact partial counts filtered to keys whose CMS
+         estimate is ≥ 2 (a superset of true duplicates — CMS never
+         undercounts); only candidates reach the driver merge, which
+         drops false candidates by their true global count. Exact.
+    - 'shuffle': map-side combined partial counts → groupby(keys) — the
+      10^12-key path (CMS saturates, candidates stop being rare); high
+      fixed cost that amortizes on genuinely big inputs.
     """
     keys = list(keys)
-    from ray.data.aggregate import Sum
+    import pandas as pd
 
-    partials = ds.map_batches(
-        lambda b: _partial_counts(b, keys), batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    total = partials.groupby(keys).aggregate(Sum("count_all", alias_name="n"))
-    pdf = total.filter(expr="n > 1").to_pandas()
-    if "n" not in pdf.columns:
-        import pandas as pd
+    if mode == "auto":
+        n = n_rows_hint or ds.count()
+        # planner: tiny inputs merge raw partials on the driver; mid-scale
+        # merges fixed-width int64 HASH counts on the driver (numpy C
+        # speed, ~8 bytes/key) and verifies only hash-duplicate
+        # candidates; beyond driver memory (~200M distinct) shuffle.
+        mode = ("driver" if n <= 200_000
+                else "hash" if n <= 200_000_000 else "shuffle")
+    if not cms_width:
+        cms_width = 1 << 20
 
-        pdf = pd.DataFrame({k: [] for k in keys} | {"n": []})
-    pdf = pdf.sort_values(keys).reset_index(drop=True)
-    return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+    if mode == "driver":
+        partials = ds.map_batches(
+            lambda b: _partial_counts(b, keys), batch_format="pyarrow",
+            zero_copy_batch=True).to_pandas()
+        if "count_all" not in partials.columns or len(partials) == 0:
+            pdf = pd.DataFrame({k: pd.Series(dtype=object) for k in keys}
+                               | {"n": pd.Series(dtype="int64")})
+            return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+        g = partials.groupby(keys, as_index=False)["count_all"].sum()
+        g = g[g["count_all"] > 1].rename(columns={"count_all": "n"})
+        g = g.sort_values(keys).reset_index(drop=True)
+        return pa.Table.from_pandas(g[keys + ["n"]], preserve_index=False)
+
+    if mode == "hash":
+        # Single pass: per-block pyarrow hash-aggregate → (h=hash(key),
+        # key cols..., c) partial rows. The driver merges on the int64
+        # hashes with numpy sort+reduceat (C speed, GIL-friendly) and
+        # touches key strings ONLY inside duplicate hash groups (rare).
+        # Hash collisions between distinct keys are resolved exactly by a
+        # per-group key comparison on the (tiny) duplicate subset.
+        import ray  # noqa: F401
+
+        from ..determinism import hash_strings
+
+        def hash_partials(batch: pa.Table) -> pa.Table:
+            part = _partial_counts(batch, keys)
+            h = hash_strings(_key_strings_col(part, keys)).view(np.int64)
+            return part.append_column("h", pa.array(h))
+
+        import ray as _ray
+
+        blocks = [t for t in _ray.get(ds.map_batches(
+            hash_partials, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            pdf = pd.DataFrame({k: pd.Series(dtype=object) for k in keys}
+                               | {"n": pd.Series(dtype="int64")})
+            return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+        part = pa.concat_tables(blocks)
+        all_h = part["h"].to_numpy()
+        all_c = part["count_all"].to_numpy(zero_copy_only=False)
+        order = np.argsort(all_h)
+        h_s, c_s = all_h[order], all_c[order]
+        # a hash belongs to a duplicate group iff it equals a neighbour in
+        # sorted order (cross-block dup) or its partial count is >= 2
+        # (in-block dup) — no per-group reduction over the ~all-singleton
+        # group array needed
+        n = len(h_s)
+        in_dup = c_s >= 2
+        if n > 1:
+            eq = h_s[1:] == h_s[:-1]
+            in_dup[:-1] |= eq
+            in_dup[1:] |= eq
+        if not in_dup.any():
+            pdf = pd.DataFrame({k: pd.Series(dtype=object) for k in keys}
+                               | {"n": pd.Series(dtype="int64")})
+            return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+        sub = part.take(pa.array(order[np.flatnonzero(in_dup)]))
+        g = sub.to_pandas().groupby(keys, as_index=False)["count_all"].sum()
+        g = g[g["count_all"] > 1].rename(columns={"count_all": "n"})
+        g = g.sort_values(keys).reset_index(drop=True)
+        return pa.Table.from_pandas(g[keys + ["n"]], preserve_index=False)
+
+    if mode == "shuffle":
+        from ray.data.aggregate import Sum
+
+        partials = ds.map_batches(
+            lambda b: _partial_counts(b, keys), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        total = partials.groupby(keys).aggregate(Sum("count_all", alias_name="n"))
+        pdf = total.filter(expr="n > 1").to_pandas()
+        if "n" not in pdf.columns:
+            pdf = pd.DataFrame({k: [] for k in keys} | {"n": []})
+        pdf = pdf.sort_values(keys).reset_index(drop=True)
+        return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+
+    if mode != "cms":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    import ray
+
+    from ..state.countmin import CountMinSketch
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        cm = CountMinSketch(width=cms_width, depth=4)
+        cm.add(_key_strings_col(batch, keys))
+        return pa.Table.from_pydict({"sketch": [cm.to_bytes()]})
+
+    acc = CountMinSketch(width=cms_width, depth=4)
+    for row in ds.map_batches(sketch, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        acc.merge(CountMinSketch.from_bytes(row["sketch"]))
+    ref = ray.put(acc.to_bytes())
+
+    class CandidateFilter:
+        """Actor pool: the merged CMS is deserialized ONCE per actor
+        (__init__), not per batch."""
+
+        def __init__(self, sketch_ref, key_cols):
+            self.cm = CountMinSketch.from_bytes(ray.get(sketch_ref))
+            self.keys = key_cols
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            part = _partial_counts(batch, self.keys)
+            est = self.cm.query(_key_strings_col(part, self.keys))
+            return part.filter(pa.array(est >= 2))
+
+    # num_cpus=0.5 so the pool never reserves every core — upstream read /
+    # generate tasks must keep scheduling (actor-starvation pitfall)
+    pdf = ds.map_batches(CandidateFilter,
+                         fn_constructor_kwargs={"sketch_ref": ref,
+                                                "key_cols": keys},
+                         batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=2, num_cpus=0.5).to_pandas()
+    if "count_all" not in pdf.columns or len(pdf) == 0:
+        pdf = pd.DataFrame({k: pd.Series(dtype=object) for k in keys}
+                           | {"n": pd.Series(dtype="int64")})
+        return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+    g = pdf.groupby(keys, as_index=False)["count_all"].sum()
+    g = g[g["count_all"] > 1].rename(columns={"count_all": "n"})
+    g = g.sort_values(keys).reset_index(drop=True)
+    return pa.Table.from_pandas(g[keys + ["n"]], preserve_index=False)
 
 
-def unique_violations(ds, keys: Sequence[str], *, rule: str | None = None) -> pa.Table:
+def unique_violations(ds, keys: Sequence[str], *, rule: str | None = None,
+                      mode: str = "auto", n_rows_hint: int = 0) -> pa.Table:
     """Exact duplicate detection → violations table (one row per dup key)."""
     keys = list(keys)
     rule = rule or f"unique-{'-'.join(keys)}"
-    pdf = duplicate_key_counts(ds, keys).to_pandas()
+    pdf = duplicate_key_counts(ds, keys, mode=mode,
+                               n_rows_hint=n_rows_hint).to_pandas()
     if len(pdf) == 0:
         return VIOLATIONS.empty_table()
     key_str = pdf[keys[0]].astype(str)

@@ -37,7 +37,7 @@ def assign_fragments(ds, key_col: str, n_fragments: int):
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def validate(ds, ruleset: RuleSet, *, batch_size: int = 16384):
+def validate(ds, ruleset: RuleSet, *, batch_size: int = 65536):
     """ds -> Dataset of violation rows (+ fragment_id when input has it)."""
     has_frag = FRAGMENT_COL in ds.schema().names
 
