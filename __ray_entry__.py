@@ -36,14 +36,16 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from cerberus_ray.pipelines.relational import QUERIES
+    from cerberus_ray.pipelines.relational2 import QUERIES as Q2
     from cerberus_ray.pipelines.training_queries import QUERIES as TQ
 
-    return dict(QUERIES) | dict(TQ)
+    return dict(QUERIES) | dict(Q2) | dict(TQ)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per queries() key."""
     from cerberus_ray.pipelines.relational import ORACLE_SQL
+    from cerberus_ray.pipelines.relational2 import ORACLE_SQL as O2
     from cerberus_ray.pipelines.training_queries import ORACLE_SQL as TO
 
-    return dict(ORACLE_SQL) | dict(TO)
+    return dict(ORACLE_SQL) | dict(O2) | dict(TO)

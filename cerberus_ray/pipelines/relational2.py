@@ -1,0 +1,280 @@
+"""Second query tranche: joins, anti-joins, top-k, pagination, filters,
+window aggregates — SURVEY.md §2.5 (J1-J9), §2.7 (O1-O5), §2.2 (M14-M17).
+
+Join strategy notes (SURVEY.md §4): every join here has a dimension-sized
+side (customer/nation at the scale the key cardinality allows), so the
+engine broadcasts it (ray.put once, numpy/dict lookup per batch) — the
+"broadcast small sides" rule. The aggregate sides use map-side partial
+combine before any driver merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..sources.io import read_table
+
+_R2 = dict(ndigits=2, round_mode="half_towards_infinity")
+
+
+def _t(sf_dir, name, columns=None):
+    return read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def q_revenue_per_nation(sf_dir: str) -> pa.Table:
+    """Multi-hop broadcast join (orders→customer→nation) + grouped sum
+    (J1-shape: join through a chain of keys)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = cust.set_index("c_custkey")["c_nationkey"]
+    nation_name = nation.set_index("n_nationkey")["n_name"]
+    ref = ray.put((cust_to_nation, nation_name))
+
+    def partial(b: pa.Table) -> pa.Table:
+        c2n, n2name = ray.get(ref)
+        keys = pd.Series(b["o_custkey"].to_numpy(zero_copy_only=False))
+        nk = keys.map(c2n)
+        names = nk.map(n2name).fillna("UNKNOWN")
+        t = pa.Table.from_arrays(
+            [pa.array(names.to_numpy(), type=pa.string()),
+             pc.cast(b["o_totalprice"], pa.float64())],
+            names=["n_name", "v"])
+        return t.group_by("n_name").aggregate([("v", "sum"), ([], "count_all")])
+
+    parts = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    g = parts.groupby("n_name", as_index=False).agg(
+        revenue=("v_sum", "sum"), n_orders=("count_all", "sum"))
+    g["revenue"] = g["revenue"].round(2)
+    g["n_orders"] = g["n_orders"].astype("int64")
+    g = g.sort_values("n_name").reset_index(drop=True)
+    return pa.Table.from_pandas(g[["n_name", "n_orders", "revenue"]],
+                                preserve_index=False)
+
+
+def q_customers_without_orders(sf_dir: str) -> pa.Table:
+    """Anti-join (J2 uninvoiced-lookup shape): customers with no orders —
+    broadcast the distinct order custkey set, filter the customer stream."""
+    from ..stages.referential import collect_parent_keys
+
+    have = collect_parent_keys(_t(sf_dir, "orders", ["o_custkey"]), "o_custkey")
+    ref = ray.put(have)
+
+    def anti(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ck = pc.cast(b["c_custkey"], pa.string()).to_numpy(zero_copy_only=False)
+        ck = ck.astype(str)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+            miss = keys[pos] != ck
+        else:
+            miss = np.ones(len(ck), dtype=bool)
+        return b.select(["c_custkey"]).filter(pa.array(miss))
+
+    pdf = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        anti, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if "c_custkey" not in pdf.columns:
+        return pa.Table.from_pydict({"c_custkey": pa.array([], pa.int64())})
+    pdf = pdf.sort_values("c_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_top_customers_by_revenue(sf_dir: str) -> pa.Table:
+    """Grouped sum → top-10 with deterministic tie-break (O3: ordering on
+    a computed aggregate)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [b["o_custkey"], pc.cast(b["o_totalprice"], pa.float64())],
+            names=["k", "v"])
+        return t.group_by("k").aggregate([("v", "sum")])
+
+    parts = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    g = parts.groupby("k", as_index=False)["v_sum"].sum()
+    g["revenue"] = g["v_sum"].round(2)
+    g = g.sort_values(["revenue", "k"], ascending=[False, True]).head(10)
+    out = g.rename(columns={"k": "c_custkey"})[["c_custkey", "revenue"]]
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def q_orders_page(sf_dir: str) -> pa.Table:
+    """Pagination (O4: LIMIT/OFFSET over a deterministic order)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    page = (ds.sort("o_orderkey")
+              .limit(75))  # rows 0..74; page 3 = 50..74
+    pdf = page.to_pandas().iloc[50:75].reset_index(drop=True)
+    pdf["o_totalprice"] = pdf["o_totalprice"].round(2)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_filter_combo(sf_dir: str) -> pa.Table:
+    """Combined predicates (M14 state filter + M16 date range + M17 numeric
+    range) → deterministic top-25."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate",
+                               "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.equal(b["o_orderstatus"], "O"),
+                    pc.greater_equal(b["o_orderdate"],
+                                     pa.scalar(pd.Timestamp("1995-01-01")))),
+            pc.and_(pc.greater_equal(b["o_totalprice"], 100.0),
+                    pc.less_equal(b["o_totalprice"], 50000.0)))
+        return b.filter(keep).select(["o_orderkey", "o_totalprice"])
+
+    top = (ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+             .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+             .limit(25).to_pandas())
+    top["o_totalprice"] = top["o_totalprice"].round(2)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+def q_name_contains(sf_dir: str) -> pa.Table:
+    """Case-insensitive substring filter (M14 icontains)."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.match_substring(pc.utf8_lower(b["p_name"]), "blue")
+        return b.filter(keep)
+
+    pdf = ds.map_batches(f, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if "p_partkey" not in pdf.columns:
+        return pa.Table.from_pydict({"p_partkey": pa.array([], pa.int64()),
+                                     "p_name": pa.array([], pa.string())})
+    pdf = pdf.sort_values("p_partkey").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_events_hourly_windows(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window aggregate (streaming-shaped workload over an
+    event-time column: window = floor(ts to hour))."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def win(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": b["ts"].dt.strftime("%Y-%m-%d %H:00"),
+                             "value": b["value"]})
+
+    g = (ds.map_batches(win, batch_format="pandas")
+           .groupby("hour")
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value")))
+    t = pa.Table.from_pandas(g.to_pandas().sort_values("hour"),
+                             preserve_index=False)
+    return t.set_column(t.schema.get_field_index("total_value"), "total_value",
+                        pc.round(t["total_value"], **_R2))
+
+
+def q_events_sessions(sf_dir: str) -> pa.Table:
+    """Session windows per user (gap > 1800 s starts a new session) —
+    groupby(user) → sorted sweep in-group; the ordered-log pattern for
+    stream-shaped references (partition by key, sort by ts within)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().reset_index(drop=True)
+        gaps = ts.diff().dt.total_seconds().fillna(0)
+        n_sessions = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_events": [len(g)],
+                             "n_sessions": [n_sessions]})
+
+    pdf = (ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_nation_region_rollup(sf_dir: str) -> pa.Table:
+    """Dimension-only join + distinct count (J9 shape: filter via join then
+    distinct)."""
+    n = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    r = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    merged = (sup.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+                 .merge(r, left_on="n_regionkey", right_on="r_regionkey"))
+    g = merged.groupby("r_name", as_index=False).agg(
+        n_suppliers=("s_suppkey", "nunique"),
+        n_nations=("s_nationkey", "nunique"))
+    g["n_suppliers"] = g["n_suppliers"].astype("int64")
+    g["n_nations"] = g["n_nations"].astype("int64")
+    g = g.sort_values("r_name").reset_index(drop=True)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+QUERIES = {
+    "revenue_per_nation": q_revenue_per_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "top_customers_by_revenue": q_top_customers_by_revenue,
+    "orders_page": q_orders_page,
+    "filter_combo": q_filter_combo,
+    "name_contains": q_name_contains,
+    "events_hourly_windows": q_events_hourly_windows,
+    "events_sessions": q_events_sessions,
+    "nation_region_rollup": q_nation_region_rollup,
+}
+
+ORACLE_SQL = {
+    "revenue_per_nation": """
+        SELECT COALESCE(n.n_name, 'UNKNOWN') AS n_name,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY 1
+    """,
+    "top_customers_by_revenue": """
+        SELECT o_custkey AS c_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+        ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+    "orders_page": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_orderkey LIMIT 25 OFFSET 50
+    """,
+    "filter_combo": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_totalprice BETWEEN 100.0 AND 50000.0
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "name_contains": """
+        SELECT p_partkey, p_name FROM part
+        WHERE lower(p_name) LIKE '%blue%' ORDER BY p_partkey
+    """,
+    "events_hourly_windows": """
+        SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "events_sessions": """
+        SELECT user_id, COUNT(*) AS n_events,
+               1 + COUNT(*) FILTER (gap > 1800) AS n_sessions
+        FROM (SELECT user_id,
+                     EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+              FROM events)
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "nation_region_rollup": """
+        SELECT r.r_name AS r_name,
+               COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+               COUNT(DISTINCT s.s_nationkey) AS n_nations
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1 ORDER BY 1
+    """,
+}
