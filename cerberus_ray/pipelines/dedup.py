@@ -305,6 +305,68 @@ def ngram_jaccard(text_a: str, text_b: str, *, w: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def connected_components(pairs_table: pa.Table, *, a_col: str = "doc_id_a",
+                         b_col: str = "doc_id_b",
+                         max_rounds: int = 50) -> pa.Table:
+    """Cluster near-dup pairs into groups: iterative min-label propagation
+    (each node adopts the minimum label among its neighbours until a fixed
+    point) → (doc_id, cluster_id = min doc_id of the component).
+
+    Expressed as rounds of edge-join + groupby-min — each round is a
+    keyed aggregation, so at scale it runs as Ray groupby passes; here the
+    candidate-pair graph is small by construction (pairs survive LSH +
+    verification), so rounds run on the driver in numpy. Deterministic.
+    """
+    a = np.asarray(pairs_table[a_col].to_pylist(), dtype=object)
+    b = np.asarray(pairs_table[b_col].to_pylist(), dtype=object)
+    nodes = np.unique(np.concatenate([a, b]).astype(str))
+    label = {n: n for n in nodes}
+    for _ in range(max_rounds):
+        changed = False
+        for x, y in zip(a.astype(str), b.astype(str)):
+            lo = min(label[x], label[y])
+            if label[x] != lo:
+                label[x] = lo
+                changed = True
+            if label[y] != lo:
+                label[y] = lo
+                changed = True
+        # path-compress toward roots
+        for n in nodes:
+            while label[n] != label[label[n]]:
+                label[n] = label[label[n]]
+        if not changed:
+            break
+    out = pd.DataFrame({"doc_id": nodes,
+                        "cluster_id": [label[n] for n in nodes]})
+    out = out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_near_keep_first(ds, *, text_col: str = "text",
+                          key_col: str = "doc_id", threshold: float = 0.8,
+                          **minhash_kwargs):
+    """Full near-dedup pipeline: MinHash-LSH pairs → components → drop all
+    but the min-key member of each cluster. Returns (kept_ds, clusters)."""
+    import ray
+
+    pairs = minhash_near_dup_pairs(ds, text_col=text_col, key_col=key_col,
+                                   threshold=threshold, **minhash_kwargs)
+    clusters = connected_components(pairs)
+    drop = {r["doc_id"] for r in clusters.to_pylist()
+            if r["doc_id"] != r["cluster_id"]}
+    ref = ray.put(np.array(sorted(drop), dtype=object))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(ref)
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        mask = ~np.isin(keys.astype(str), dropped.astype(str))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True), clusters
+
+
 def verify_pairs_exact(pairs_table: pa.Table, ds, *, text_col: str = "text",
                        key_col: str = "doc_id", w: int = 3,
                        threshold: float = 0.8) -> pa.Table:

@@ -130,8 +130,40 @@ def q_media_features(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup clusters via MinHash pairs → connected components
+    (rows-only: LSH + label propagation is not SQL-expressible)."""
+    pairs = DD.minhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                      threshold=0.8)
+    return DD.connected_components(pairs)
+
+
+def q_hll_distinct_check(sf_dir: str) -> pa.Table:
+    """Sketch-vs-exact agreement: HLL estimate next to the exact distinct
+    count for two columns (rows-only; the estimate is deterministic)."""
+    from ..stages.uniqueness import approx_distinct
+
+    rows = []
+    for table, col in [("orders", "o_custkey"), ("events", "user_id")]:
+        ds = read_table(f"{sf_dir}/{table}.parquet", columns=[col])
+        est = approx_distinct(ds, col, p=14)
+
+        def to_str(b):
+            return pa.Table.from_arrays(
+                [pc.cast(b[col], pa.string())], names=["k"])
+
+        exact = (ds.map_batches(to_str, batch_format="pyarrow")
+                   .groupby("k").count().count())
+        rows.append({"column": f"{table}.{col}", "exact": int(exact),
+                     "approx": round(float(est), 1),
+                     "rel_err": round(abs(est - exact) / max(exact, 1), 4)})
+    return pa.Table.from_pylist(rows)
+
+
 QUERIES = {
     "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_clusters": q_dedup_clusters,
+    "hll_distinct_check": q_hll_distinct_check,
     "dedup_exact_keep": q_dedup_exact_keep,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
