@@ -208,7 +208,46 @@ def q_nation_region_rollup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def q_asof_click_before_purchase(sf_dir: str) -> pa.Table:
+    """As-of join: for each purchase event, the most recent click by the
+    same user at-or-before it (inner — purchases with no prior click drop).
+
+    Ray shape: key-partitioned merge_asof — groupby(user_id) →
+    pd.merge_asof inside each sorted group (the guide's prescribed as-of
+    pattern: sort both sides by (key, ts) within buckets)."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts",
+                               "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values("ts")
+        c = g[g["event_type"] == "click"].sort_values("ts")
+        if len(p) == 0 or len(c) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "click_id": pd.Series(dtype="int64"),
+                 "click_value": pd.Series(dtype="float64")})
+        m = pd.merge_asof(p[["ts", "event_id"]],
+                          c[["ts", "event_id", "value"]],
+                          on="ts", suffixes=("", "_c"), direction="backward")
+        m = m.dropna(subset=["event_id_c"])
+        return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
+                             "click_id": m["event_id_c"].astype("int64"),
+                             "click_value": m["value"].round(2)})
+
+    pdf = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    if "event_id" not in pdf.columns or not len(pdf):
+        return pa.Table.from_pydict({"event_id": pa.array([], pa.int64()),
+                                     "click_id": pa.array([], pa.int64()),
+                                     "click_value": pa.array([], pa.float64())})
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    pdf["click_id"] = pdf["click_id"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 QUERIES = {
+    "asof_click_before_purchase": q_asof_click_before_purchase,
     "revenue_per_nation": q_revenue_per_nation,
     "customers_without_orders": q_customers_without_orders,
     "top_customers_by_revenue": q_top_customers_by_revenue,
@@ -221,6 +260,14 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "asof_click_before_purchase": """
+        SELECT p.event_id AS event_id, c.event_id AS click_id,
+               ROUND(c.value, 2) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY event_id
+    """,
     "revenue_per_nation": """
         SELECT COALESCE(n.n_name, 'UNKNOWN') AS n_name,
                COUNT(*) AS n_orders,

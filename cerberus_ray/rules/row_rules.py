@@ -54,6 +54,8 @@ def _viol(doc_ids, parent, pos, flat_idx, rule: str, field: str, details) -> pa.
     if len(flat_idx) == 0:
         return empty_violations()
     keys = doc_ids[parent[flat_idx]]
+    # null doc_id rows surface as "" (same key the doc-id-required rule uses)
+    keys = np.array([k if k is not None else "" for k in keys], dtype=object)
     paths = np.char.mod(
         "spans[%d]." + field, pos[flat_idx].astype(np.int64)
     ).astype(object)
@@ -163,14 +165,23 @@ def span_pack(batch: pa.Table, *, text_max_len: int = SPAN_TEXT_MAX_LEN) -> pa.T
         out.append(_viol(doc_ids, parent, pos, bad, "span-offset-negative",
                          "offset", det))
 
-    # 7. offsets non-decreasing within each doc
+    # 7. offsets non-decreasing within each doc; comparisons skip null
+    # offsets (each valid offset is checked against the LAST valid one
+    # in the same doc — vectorized forward-fill of the last-valid index)
     if len(off_i) > 1:
-        dec = (off_i[1:] < off_i[:-1]) & (parent[1:] == parent[:-1]) \
-            & off_valid[1:] & off_valid[:-1]
-        bad = np.flatnonzero(dec) + 1
+        n = len(off_i)
+        arr = np.where(off_valid, np.arange(n), -1)
+        prev = np.concatenate(([-1], np.maximum.accumulate(arr)[:-1]))
+        has_prev = prev >= 0
+        safe_prev = np.where(has_prev, prev, 0)
+        dec = (off_valid & has_prev
+               & (parent[safe_prev] == parent)
+               & (off_i < off_i[safe_prev]))
+        bad = np.flatnonzero(dec)
         if len(bad):
             det = np.array(
-                [D.d_offset_order(int(off_i[i]), int(off_i[i - 1])) for i in bad],
+                [D.d_offset_order(int(off_i[i]), int(off_i[prev[i]]))
+                 for i in bad],
                 dtype=object,
             )
             out.append(_viol(doc_ids, parent, pos, bad, "span-offset-order",
