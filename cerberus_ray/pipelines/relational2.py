@@ -246,8 +246,36 @@ def q_asof_click_before_purchase(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_events_props_stats(sf_dir: str) -> pa.Table:
+    """JSON-field extraction (the reference's JSONField surface,
+    cerberus/models/user_settings.py:10) — props is a JSON blob; extract
+    $.k vectorized (RE2 extract_regex) and aggregate per event_type."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(b["props"], ""),
+                             pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.float64())
+        return pa.Table.from_arrays([b["event_type"], k],
+                                    names=["event_type", "k"])
+
+    g = (ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"), Sum("k", alias_name="total_k"),
+                      Mean("k", alias_name="avg_k")))
+    t = pa.Table.from_pandas(g.to_pandas().sort_values("event_type"),
+                             preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("total_k"), "total_k",
+                     pc.cast(t["total_k"], pa.int64()))
+    return t.set_column(t.schema.get_field_index("avg_k"), "avg_k",
+                        pc.round(t["avg_k"], **_R2))
+
+
 QUERIES = {
     "asof_click_before_purchase": q_asof_click_before_purchase,
+    "events_props_stats": q_events_props_stats,
     "revenue_per_nation": q_revenue_per_nation,
     "customers_without_orders": q_customers_without_orders,
     "top_customers_by_revenue": q_top_customers_by_revenue,
@@ -267,6 +295,12 @@ ORACLE_SQL = {
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
             ON p.user_id = c.user_id AND c.ts <= p.ts
         ORDER BY event_id
+    """,
+    "events_props_stats": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k,
+               ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     "revenue_per_nation": """
         SELECT COALESCE(n.n_name, 'UNKNOWN') AS n_name,

@@ -190,6 +190,25 @@ def span_pack(batch: pa.Table, *, text_max_len: int = SPAN_TEXT_MAX_LEN) -> pa.T
     return pa.concat_tables(out) if out else empty_violations()
 
 
+def explode_spans(ds):
+    """flat_map-style explode: interleaved docs → span-level Dataset
+    (doc_id, span_idx, kind, text, media_ref, offset). Use for span-level
+    pipelines (per-span model scoring, media decode); doc-level rules stay
+    on the nested column to avoid the blowup (SURVEY.md §7 hard part f)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, flat, parent, pos = _flatten_spans(batch)
+        keys = pa.array(doc_ids[parent], type=pa.string())
+        return pa.Table.from_arrays(
+            [keys, pa.array(pos, type=pa.int32()), flat.field("kind"),
+             flat.field("text"), flat.field("media_ref"), flat.field("offset")],
+            names=["doc_id", "span_idx", "kind", "text", "media_ref",
+                   "offset"])
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def interleaved_ruleset(text_max_len: int = SPAN_TEXT_MAX_LEN) -> RuleSet:
     """The flagship row-local RuleSet for interleaved documents."""
     rs = RuleSet(name="interleaved-row")

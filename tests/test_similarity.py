@@ -90,3 +90,35 @@ def test_embedding_near_dup_finds_injected_dups(ray_session):
     assert len(got & true_pairs) >= 18          # >= 90% recall
     assert got <= true_pairs                    # no false positives
     assert (pairs["sim"] >= 0.95).all()
+
+
+def test_ivf_topk_recall(data):
+    ds, df, centers = data
+    exact = SIM.brute_force_topk(ds, centers[:5], k=10).to_pandas()
+    approx = SIM.ivf_topk(ds, centers[:5], k=10, n_lists=12,
+                          n_probe=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    import numpy as np
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_explode_spans(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.datagen import GenConfig, gen_docs_batch
+    from cerberus_ray.rules.row_rules import explode_spans
+
+    cfg = GenConfig(n_docs=200)
+    t = gen_docs_batch(np.arange(cfg.n_docs), cfg)
+    flat = explode_spans(rd.from_arrow(t)).to_pandas()
+    import pyarrow.compute as pc
+    n_spans = int(pc.sum(pc.list_value_length(t["spans"])).as_py())
+    assert len(flat) == n_spans
+    assert list(flat.columns) == ["doc_id", "span_idx", "kind", "text",
+                                  "media_ref", "offset"]
+    # span_idx restarts at 0 per doc
+    assert (flat.groupby("doc_id")["span_idx"].min() == 0).all()
