@@ -160,7 +160,55 @@ def q_hll_distinct_check(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+_FLAGSHIP_DOCS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 20000}
+
+
+def _flagship_cfg(sf_dir: str):
+    from ..datagen import GenConfig
+
+    n = _FLAGSHIP_DOCS.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000)
+    return GenConfig(n_docs=n, n_media=max(200, n // 5))
+
+
+def q_flagship_violations(sf_dir: str) -> pa.Table:
+    """The core engine itself as a driver query: full interleaved
+    validation (row rules + uniqueness + referential) over the seed-42
+    table at a size keyed to the sf level. Deterministic rows-only check
+    (the interleaved table has no SQL-view counterpart)."""
+    from ..datagen import docs_dataset, media_dataset
+    from ..pipelines.flagship import run_flagship
+
+    cfg = _flagship_cfg(sf_dir)
+    res = run_flagship(docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1)),
+                       media_dataset(cfg), text_max_len=cfg.text_max_len)
+    return res.violations
+
+
+def q_flagship_verdicts(sf_dir: str) -> pa.Table:
+    """Per-partition pass/fail verdicts for the same run (north_rule)."""
+    from ..datagen import docs_dataset, media_dataset
+    from ..pipelines.flagship import run_flagship
+
+    cfg = _flagship_cfg(sf_dir)
+    res = run_flagship(docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1)),
+                       media_dataset(cfg), text_max_len=cfg.text_max_len)
+    return res.verdicts
+
+
+def q_crm_violations(sf_dir: str) -> pa.Table:
+    """The CRM constraint pack over its deterministic fixture corpus
+    (rule-for-rule parity surface; independent of sf level)."""
+    from ..crm.fixtures import TODAY, make_crm_tables
+    from ..crm.rules import run_crm_pack
+
+    tables, _ = make_crm_tables()
+    return run_crm_pack(tables, today=TODAY)
+
+
 QUERIES = {
+    "flagship_violations": q_flagship_violations,
+    "flagship_verdicts": q_flagship_verdicts,
+    "crm_violations": q_crm_violations,
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_clusters": q_dedup_clusters,
     "hll_distinct_check": q_hll_distinct_check,
