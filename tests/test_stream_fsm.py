@@ -1,0 +1,80 @@
+"""Streaming FSM validation: incremental actor-held state must agree with
+the batch replay, survive batch splits, and snapshot/restore."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cerberus_ray.crm.fixtures import (
+    BASE,
+    BOOKING_EDGES,
+    CHARGE_EDGES,
+    INVOICE_EDGES,
+    make_crm_tables,
+)
+from cerberus_ray.stages.stream_fsm import StreamingFSMValidator, validate_stream
+
+EDGES = {"booking": BOOKING_EDGES, "charge": CHARGE_EDGES,
+         "invoice": INVOICE_EDGES}
+
+
+def rows(t: pa.Table):
+    return sorted(zip(t["doc_id"].to_pylist(), t["rule"].to_pylist()))
+
+
+def test_stream_matches_batch_replay(ray_session):
+    tables, _ = make_crm_tables()
+    log_ds = rd.from_arrow(tables["state_log"])
+    stream_v = validate_stream(log_ds, EDGES, n_shards=3, batch_size=2)
+
+    from cerberus_ray.crm.rules import fsm_log_validity
+
+    batch_v = fsm_log_validity(rd.from_arrow(tables["state_log"]))
+    assert rows(stream_v) == rows(batch_v)
+
+
+def test_state_persists_across_batches(ray_session):
+    """The broken chain spans two separate fed batches — only held actor
+    state can catch it."""
+    v = StreamingFSMValidator(EDGES, n_shards=2)
+    try:
+        b1 = pd.DataFrame([("invoice", 7, BASE, "draft", "unpaid")],
+                          columns=["entity", "entity_id", "ts", "source",
+                                   "target"])
+        b2 = pd.DataFrame([("invoice", 7, BASE + pd.Timedelta(hours=1),
+                            "draft", "void")],
+                          columns=["entity", "entity_id", "ts", "source",
+                                   "target"])
+        v.feed(b1)
+        v.feed(b2)
+        out = v.collect()
+        assert rows(out) == [("invoice|7", "fsm-broken-chain")]
+    finally:
+        v.shutdown()
+
+
+def test_snapshot_restore(ray_session):
+    v = StreamingFSMValidator(EDGES, n_shards=2)
+    try:
+        v.feed(pd.DataFrame([("charge", 3, BASE, "unpaid", "paid")],
+                            columns=["entity", "entity_id", "ts", "source",
+                                     "target"]))
+        v.collect()
+        snaps = v.snapshot()
+        assert any(s.get("charge|3") == "paid" for s in snaps)
+    finally:
+        v.shutdown()
+
+    # a fresh validator restored from the snapshot continues the stream
+    v2 = StreamingFSMValidator(EDGES, n_shards=2)
+    try:
+        v2.restore(snaps)
+        # illegal continuation: paid → unpaid (not an edge, and chain holds)
+        v2.feed(pd.DataFrame(
+            [("charge", 3, BASE + pd.Timedelta(hours=1), "unpaid", "void")],
+            columns=["entity", "entity_id", "ts", "source", "target"]))
+        out = v2.collect()
+        assert ("charge|3", "fsm-broken-chain") in rows(out)
+    finally:
+        v2.shutdown()
