@@ -205,7 +205,74 @@ def q_crm_violations(sf_dir: str) -> pa.Table:
     return run_crm_pack(tables, today=TODAY)
 
 
+def q_events_drift_check(sf_dir: str) -> pa.Table:
+    """Drift verdicts between the first and second time-half of the events
+    table (ST6 at the driver surface; deterministic, rows-only — sketch
+    comparisons are not SQL-expressible)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.drift import drift_violations, profile_dataset
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "value", "event_type"])
+    # median ts from the t-digest of the full column (no full sort)
+    prof = profile_dataset(
+        ds.map_batches(lambda b: pa.Table.from_arrays(
+            [pc.cast(b["ts"], pa.int64())], names=["ts_us"]),
+            batch_format="pyarrow"),
+        numeric=["ts_us"])
+    mid = int(prof.columns["ts_us"].digest.quantile(0.5))
+
+    def first_half(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(pc.cast(b["ts"], pa.int64()), mid))
+
+    def second_half(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(pc.cast(b["ts"], pa.int64()), mid))
+
+    a = profile_dataset(ds.map_batches(first_half, batch_format="pyarrow"),
+                        numeric=["value"], categorical=["event_type"])
+    b_ = profile_dataset(ds.map_batches(second_half, batch_format="pyarrow"),
+                         numeric=["value"], categorical=["event_type"])
+    v = drift_violations(a, b_, table="events")
+    if v.num_rows == 0:
+        return pa.Table.from_pydict({
+            "doc_id": ["events"], "rule": ["drift-none"], "path": ["*"],
+            "detail": ["no drift between time halves"]})
+    return v
+
+
+def q_doc_normalize_stats(sf_dir: str) -> pa.Table:
+    """Normalization at the driver surface: per-source count of docs whose
+    text changes under minimize_whitespace + total chars removed."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.strings import minimize_whitespace
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def delta(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        norm = minimize_whitespace(b["text"])
+        changed = pc.cast(pc.not_equal(norm, b["text"]), pa.int64())
+        removed = pc.subtract(pc.utf8_length(b["text"]), pc.utf8_length(norm))
+        return pa.Table.from_arrays(
+            [b["source"], changed, pc.cast(removed, pa.int64())],
+            names=["source", "changed", "removed"])
+
+    g = (ds.map_batches(delta, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("changed", alias_name="n_changed"),
+                      Sum("removed", alias_name="chars_removed")))
+    pdf = g.to_pandas().sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 QUERIES = {
+    "events_drift_check": q_events_drift_check,
+    "doc_normalize_stats": q_doc_normalize_stats,
     "flagship_violations": q_flagship_violations,
     "flagship_verdicts": q_flagship_verdicts,
     "crm_violations": q_crm_violations,
