@@ -58,13 +58,19 @@ def hash_strings(arr) -> np.ndarray:
     """
     import pyarrow as pa
 
-    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
-        arr = arr.to_numpy(zero_copy_only=False)
     try:
         import polars as pl
 
-        s = pl.Series(values=list(arr) if not isinstance(arr, pl.Series) else arr,
-                      dtype=pl.Utf8)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if isinstance(arr, pa.Array):
+            s = pl.from_arrow(arr)  # zero-copy
+            if s.dtype != pl.Utf8:
+                s = s.cast(pl.Utf8)
+        elif isinstance(arr, pl.Series):
+            s = arr
+        else:
+            s = pl.Series(values=list(arr), dtype=pl.Utf8)
         return s.hash(seed=0).fill_null(0).to_numpy().astype(np.uint64)
     except Exception:
         import zlib

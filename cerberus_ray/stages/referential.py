@@ -41,11 +41,14 @@ from ..state.bloom import BloomFilter
 # ---------------------------------------------------------------------------
 
 def column_keys(key_col: str, fk_col: str) -> Callable:
-    def extract(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def extract(batch: pa.Table) -> Tuple[pa.Array, np.ndarray, np.ndarray]:
         fk = batch[fk_col]
         valid = pc.is_valid(fk).to_numpy(zero_copy_only=False)
         idx = np.flatnonzero(valid)
-        keys = pc.cast(fk, pa.string()).to_numpy(zero_copy_only=False).astype(object)[idx]
+        take = pa.array(idx)
+        keys = pc.cast(fk, pa.string()).take(take)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
         rk = pc.cast(batch[key_col], pa.string()).to_numpy(
             zero_copy_only=False).astype(object)[idx]
         paths = np.full(len(idx), fk_col, dtype=object)
@@ -54,18 +57,20 @@ def column_keys(key_col: str, fk_col: str) -> Callable:
     return extract
 
 
-def span_media_keys(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Extract non-null spans[*].media_ref with doc_id + span path."""
+def span_media_keys(batch: pa.Table) -> Tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Extract non-null spans[*].media_ref with doc_id + span path.
+
+    Keys stay an Arrow string array (zero-copy into the polars hash)."""
     from ..rules.row_rules import _flatten_spans
 
     doc_ids, flat, parent, pos = _flatten_spans(batch)
     if len(flat) == 0:
         z = np.empty(0, dtype=object)
-        return z, z, z
+        return pa.array([], type=pa.string()), z, z
     ref = flat.field("media_ref")
     valid = pc.is_valid(ref).to_numpy(zero_copy_only=False)
     idx = np.flatnonzero(valid)
-    keys = ref.to_numpy(zero_copy_only=False).astype(object)[idx]
+    keys = ref.take(pa.array(idx))
     rk = doc_ids[parent[idx]]
     paths = np.char.mod("spans[%d].media_ref", pos[idx]).astype(object)
     return keys, rk, paths
@@ -118,7 +123,11 @@ def _emit_missing(keys, rk, paths, missing_mask, rule, parent_name) -> pa.Table:
     idx = np.flatnonzero(missing_mask)
     if len(idx) == 0:
         return empty_violations()
-    det = np.array([D.d_fk_missing(keys[i], parent_name) for i in idx], dtype=object)
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        kv = keys.take(pa.array(idx)).to_pylist()
+    else:
+        kv = [keys[i] for i in idx]
+    det = np.array([D.d_fk_missing(k, parent_name) for k in kv], dtype=object)
     return pa.Table.from_arrays(
         [
             pa.array(rk[idx], type=pa.string()),
@@ -161,11 +170,16 @@ def referential_violations(child_ds, parent_ds, *, extract: Callable,
             if len(phs) == 0:
                 hit = np.zeros(len(keys), dtype=bool)
             else:
-                ch = hash_strings(keys)
+                ch = hash_strings(keys)  # zero-copy arrow → polars hash
                 pos = np.clip(np.searchsorted(phs, ch), 0, len(phs) - 1)
-                hit = (phs[pos] == ch) & (pkh[pos] == keys.astype(str))
+                confirm = pc.equal(keys, pa.array(pkh[pos].astype(object),
+                                                  type=pa.string()))
+                confirm = np.nan_to_num(
+                    confirm.to_numpy(zero_copy_only=False).astype(float)
+                ).astype(bool)
+                hit = (phs[pos] == ch) & confirm
                 if collide:  # rare: verify against the full sorted key set
-                    ks = keys.astype(str)
+                    ks = keys.to_numpy(zero_copy_only=False).astype(str)
                     p2 = np.clip(np.searchsorted(pk_str, ks), 0,
                                  len(pk_str) - 1)
                     hit |= pk_str[p2] == ks
@@ -191,8 +205,10 @@ def referential_violations(child_ds, parent_ds, *, extract: Callable,
                                       ("path", pa.string()),
                                       ("certain_miss", pa.bool_())]))
             maybe = bf.contains(keys)
+            if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+                keys = pa.array(keys, type=pa.string())
             return pa.Table.from_pydict({
-                "k": pa.array(keys, type=pa.string()),
+                "k": keys,
                 "row_key": pa.array(rk, type=pa.string()),
                 "path": pa.array(paths, type=pa.string()),
                 "certain_miss": pa.array(~maybe),
