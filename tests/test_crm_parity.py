@@ -71,3 +71,21 @@ def test_fsm_legal_chains_pass(ray_session):
         ("booking", 9, BASE + pd.Timedelta(hours=3), "canceled", "enquiry"),
     ], columns=["entity", "entity_id", "ts", "source", "target"])
     assert fsm_log_validity(rd.from_pandas(log)).num_rows == 0
+
+
+def test_slot_overlap_across_midnight(ray_session):
+    """Intervals crossing the day boundary are duplicated into both day
+    buckets, so an overlap spanning midnight is still detected exactly
+    once (SURVEY.md §7 hard part c)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.crm.rules import slot_overlap
+
+    slots = pd.DataFrame([
+        (1, 1, pd.Timestamp("2024-03-04 23:00"), pd.Timestamp("2024-03-05 01:00")),
+        (2, 1, pd.Timestamp("2024-03-05 00:30"), pd.Timestamp("2024-03-05 02:00")),
+        (3, 1, pd.Timestamp("2024-03-05 03:00"), pd.Timestamp("2024-03-05 04:00")),
+    ], columns=["slot_id", "service_id", "start", "end"])
+    out = slot_overlap(rd.from_pandas(slots)).to_pandas()
+    assert out["doc_id"].tolist() == ["1|2"]  # detected once, deduped
