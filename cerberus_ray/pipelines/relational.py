@@ -150,13 +150,15 @@ def _orphans(child_ds, parent_ds, child_cols, fk_col, parent_key) -> pa.Table:
 
     def check(batch: pa.Table) -> pa.Table:
         pk = ray.get(ref)
+        # null fks are NOT violations (SQL `NOT IN` excludes null rows)
+        valid = pc.is_valid(batch[fk_col]).to_numpy(zero_copy_only=False)
         fk = pc.cast(batch[fk_col], pa.string()).to_numpy(zero_copy_only=False)
-        fk = fk.astype(str)
+        fk = np.where(valid, fk, "").astype(str)
         if len(pk):
             pos = np.clip(np.searchsorted(pk, fk), 0, len(pk) - 1)
-            miss = pk[pos] != fk
+            miss = (pk[pos] != fk) & valid
         else:
-            miss = np.ones(len(fk), dtype=bool)
+            miss = valid.copy()
         return batch.select(child_cols).filter(pa.array(miss))
 
     out = child_ds.map_batches(check, batch_format="pyarrow",

@@ -87,7 +87,7 @@ def duplicate_key_counts(ds, keys: Sequence[str], *, mode: str = "auto",
             pdf = pd.DataFrame({k: pd.Series(dtype=object) for k in keys}
                                | {"n": pd.Series(dtype="int64")})
             return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
-        g = partials.groupby(keys, as_index=False)["count_all"].sum()
+        g = partials.groupby(keys, as_index=False, dropna=False)["count_all"].sum()
         g = g[g["count_all"] > 1].rename(columns={"count_all": "n"})
         g = g.sort_values(keys).reset_index(drop=True)
         return pa.Table.from_pandas(g[keys + ["n"]], preserve_index=False)
@@ -137,7 +137,7 @@ def duplicate_key_counts(ds, keys: Sequence[str], *, mode: str = "auto",
                                | {"n": pd.Series(dtype="int64")})
             return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
         sub = part.take(pa.array(order[np.flatnonzero(in_dup)]))
-        g = sub.to_pandas().groupby(keys, as_index=False)["count_all"].sum()
+        g = sub.to_pandas().groupby(keys, as_index=False, dropna=False)["count_all"].sum()
         g = g[g["count_all"] > 1].rename(columns={"count_all": "n"})
         g = g.sort_values(keys).reset_index(drop=True)
         return pa.Table.from_pandas(g[keys + ["n"]], preserve_index=False)
@@ -198,7 +198,7 @@ def duplicate_key_counts(ds, keys: Sequence[str], *, mode: str = "auto",
         pdf = pd.DataFrame({k: pd.Series(dtype=object) for k in keys}
                            | {"n": pd.Series(dtype="int64")})
         return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
-    g = pdf.groupby(keys, as_index=False)["count_all"].sum()
+    g = pdf.groupby(keys, as_index=False, dropna=False)["count_all"].sum()
     g = g[g["count_all"] > 1].rename(columns={"count_all": "n"})
     g = g.sort_values(keys).reset_index(drop=True)
     return pa.Table.from_pandas(g[keys + ["n"]], preserve_index=False)
