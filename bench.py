@@ -43,6 +43,8 @@ QUERY_NAMES = [
     "events_users_per_type", "events_close_pairs", "doc_nchars_check",
     "dedup_exact_stats", "dedup_minhash", "dedup_simhash",
     "ann_topk_cosine", "doc_quality", "doc_token_stats",
+    "revenue_per_nation", "asof_click_before_purchase",
+    "events_props_stats", "top_customers_by_revenue", "flagship_violations",
 ]
 
 
