@@ -1,0 +1,98 @@
+"""End-to-end training-corpus construction — the canonical large-scale
+data pipeline composed from the engine's operators:
+
+    read → quality score + gate (actor pool) → exact dedup (hash keep-
+    first) → near-dedup (MinHash-LSH → components → keep-first) →
+    seeded global shuffle → partitioned parquet write + manifest
+
+Every stage streams; the only materialized artifacts are the near-dup
+pair/cluster tables (small by construction) and the output files. The
+seeded `random_shuffle` makes the output byte-reproducible, and the
+partitioned layout + manifest make the write resumable/verifiable
+(the checkpoint story of state/checkpoint.py applied to a sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import pyarrow as pa
+
+
+@dataclass
+class CorpusReport:
+    n_input: int
+    n_quality_pass: int
+    n_after_exact_dedup: int
+    n_after_near_dedup: int
+    n_written: int
+    clusters: Optional[pa.Table] = None
+    out_dir: Optional[str] = None
+    stats: Dict = field(default_factory=dict)
+
+
+def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
+                          text_col: str = "text", key_col: str = "doc_id",
+                          near_threshold: float = 0.8, bands: int = 32,
+                          shuffle_seed: int = 42,
+                          quality_concurrency: int = 2,
+                          min_rows_per_file: int = 100_000) -> CorpusReport:
+    from ..pipelines.dedup import dedup_near_keep_first, exact_dedup_keep_first
+
+    n_input = docs_ds.count()
+
+    # 1. quality gate — the TextScorer heuristics applied inline, keeping
+    # the original columns (stage is an actor-pool class: regexes and
+    # stopword sets compiled once per actor)
+    import pandas as pd
+
+    from ..pipelines.text import TextScorer
+
+    class Gate(TextScorer):
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            stats = super().__call__(b.copy())
+            return b[stats["quality_pass"].to_numpy()]
+
+    kept_text = docs_ds.map_batches(Gate, batch_format="pandas",
+                                    concurrency=quality_concurrency,
+                                    num_cpus=0.5)
+    n_quality = kept_text.count()
+
+    # 2. exact dedup (min-key winner per content hash)
+    exact = exact_dedup_keep_first(kept_text, text_col=text_col,
+                                   key_col=key_col)
+    exact = exact.drop_columns(["text_md5"])
+    n_exact = exact.count()
+
+    # 3. near-dedup (LSH → connected components → keep cluster min)
+    deduped, clusters = dedup_near_keep_first(
+        exact, text_col=text_col, key_col=key_col,
+        threshold=near_threshold, bands=bands)
+    n_near = deduped.count()
+
+    # 4. seeded global shuffle (training-order decorrelation)
+    shuffled = deduped.random_shuffle(seed=shuffle_seed)
+
+    # 5. partitioned write + manifest
+    n_written = n_near
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        shuffled.write_parquet(os.path.join(out_dir, "data"),
+                               min_rows_per_file=min_rows_per_file)
+        manifest = {
+            "n_input": int(n_input), "n_quality_pass": int(n_quality),
+            "n_after_exact_dedup": int(n_exact),
+            "n_after_near_dedup": int(n_near),
+            "near_threshold": near_threshold, "bands": bands,
+            "shuffle_seed": shuffle_seed,
+        }
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True, indent=1)
+
+    return CorpusReport(
+        n_input=int(n_input), n_quality_pass=int(n_quality),
+        n_after_exact_dedup=int(n_exact), n_after_near_dedup=int(n_near),
+        n_written=int(n_written), clusters=clusters, out_dir=out_dir)

@@ -270,7 +270,22 @@ def q_doc_normalize_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_training_corpus_report(sf_dir: str) -> pa.Table:
+    """The full corpus-construction pipeline (gate → exact dedup → near
+    dedup → shuffle) over the documents table; returns the funnel counts
+    (rows-only; deterministic)."""
+    from .corpus import build_training_corpus
+
+    r = build_training_corpus(_docs(sf_dir, ["doc_id", "text"]),
+                              out_dir=None, near_threshold=0.8)
+    return pa.Table.from_pydict({
+        "n_input": [r.n_input], "n_quality_pass": [r.n_quality_pass],
+        "n_after_exact_dedup": [r.n_after_exact_dedup],
+        "n_after_near_dedup": [r.n_after_near_dedup]})
+
+
 QUERIES = {
+    "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
     "doc_normalize_stats": q_doc_normalize_stats,
     "flagship_violations": q_flagship_violations,

@@ -1,0 +1,69 @@
+"""End-to-end training-corpus pipeline: gate → exact dedup → near dedup →
+seeded shuffle → partitioned write + manifest; reproducible output."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from cerberus_ray.pipelines.corpus import build_training_corpus
+
+BASE = ("the quick brown fox jumps over the lazy dog while the rain falls "
+        "gently on the quiet village roofs every single evening again")
+
+
+def corpus_df():
+    rng = np.random.default_rng(42)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron").split()
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": f"g{i:03d}",
+                     "text": " ".join(rng.choice(words, size=40))})
+    rows.append({"doc_id": "dup1", "text": BASE})
+    rows.append({"doc_id": "dup2", "text": BASE})                      # exact dup
+    rows.append({"doc_id": "near1", "text": BASE.replace("quiet", "noisy")})
+    rows.append({"doc_id": "junk1", "text": "!!! ??? !!!"})            # fails gate
+    rows.append({"doc_id": "junk2", "text": "a a a a a a a a a a a a"})  # low unique ratio
+    return pd.DataFrame(rows)
+
+
+def test_corpus_pipeline(ray_session, tmp_path):
+    out = str(tmp_path / "corpus")
+    r = build_training_corpus(rd.from_pandas(corpus_df()), out_dir=out,
+                              near_threshold=0.5, bands=32,
+                              min_rows_per_file=1000)
+    assert r.n_input == 45
+    assert r.n_quality_pass == 43            # two junk docs gated out
+    assert r.n_after_exact_dedup == 42       # dup2 dropped (min key dup1)
+    assert r.n_after_near_dedup == 41        # near1 clustered with dup1
+    files = [f for f in os.listdir(os.path.join(out, "data"))
+             if f.endswith(".parquet")]
+    assert files
+    written = pq.read_table(os.path.join(out, "data"))
+    assert written.num_rows == 41
+    ids = set(written["doc_id"].to_pylist())
+    assert "dup1" in ids and "dup2" not in ids and "near1" not in ids
+    assert "junk1" not in ids
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    assert m["n_after_near_dedup"] == 41
+
+
+def test_corpus_shuffle_reproducible(ray_session, tmp_path):
+    a = build_training_corpus(rd.from_pandas(corpus_df()),
+                              out_dir=str(tmp_path / "a"),
+                              near_threshold=0.5, bands=32,
+                              min_rows_per_file=1000)
+    b = build_training_corpus(rd.from_pandas(corpus_df()),
+                              out_dir=str(tmp_path / "b"),
+                              near_threshold=0.5, bands=32,
+                              min_rows_per_file=1000)
+    ta = pq.read_table(str(tmp_path / "a" / "data")).to_pandas()
+    tb = pq.read_table(str(tmp_path / "b" / "data")).to_pandas()
+    sa = ta.sort_values("doc_id").reset_index(drop=True)
+    sb = tb.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa, sb)  # same content either way
