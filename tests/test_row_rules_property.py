@@ -53,7 +53,7 @@ def reference_impl(docs):
     return out
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 @given(st.lists(doc_st, min_size=1, max_size=8))
 def test_span_pack_matches_reference(docs):
     t = pa.Table.from_pylist(docs, schema=DOCUMENTS_INTERLEAVED)

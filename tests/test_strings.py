@@ -36,7 +36,7 @@ def test_email_type(name, domain):
     assert S.classify_contact([f"{name}@{domain}"])[0].as_py() == "email"
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 @given(st.emails())
 def test_more_email_type(email):
     assert S.classify_contact([email])[0].as_py() == "email"
