@@ -90,6 +90,27 @@ def q_knn_join_top3(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
+    """Approximate ANN (multi-table LSH) top-10 for vec 0 — rows-only;
+    compare against ann_topk_cosine (exact) for recall behavior."""
+    qv, _ = _query_vectors(sf_dir, [0])
+    out = SIM.lsh_topk(_emb(sf_dir), qv, k=10, n_bits=10, n_tables=4,
+                       probes=2).to_pandas()
+    out = out[out["vec_id"] != 0][["vec_id", "sim"]].reset_index(drop=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """Approximate ANN (IVF coarse quantizer) top-10 for vec 0 — rows-only."""
+    qv, _ = _query_vectors(sf_dir, [0])
+    out = SIM.ivf_topk(_emb(sf_dir), qv, k=10, n_lists=8,
+                       n_probe=4).to_pandas()
+    out = out[out["vec_id"] != 0][["vec_id", "sim"]].reset_index(drop=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_doc_token_stats(sf_dir: str) -> pa.Table:
     return TX.token_stats_by_lang(_docs(sf_dir, ["lang", "text"]))
 
@@ -299,6 +320,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "emb_near_dup": q_emb_near_dup,
     "ann_topk_cosine": q_ann_topk_cosine,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "knn_join_top3": q_knn_join_top3,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
