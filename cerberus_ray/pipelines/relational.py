@@ -97,9 +97,12 @@ def rule_violation_counts(ds, ruleset: RuleSet) -> pa.Table:
         g = v.select(["rule"]).group_by("rule").aggregate([([], "count_all")])
         return pa.Table.from_arrays([g["rule"], g["count_all"]], names=["rule", "c"])
 
-    partial = ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
-    pdf = partial.groupby("rule").aggregate(Sum("c", alias_name="n_violations")).to_pandas()
-    if "rule" not in pdf.columns:
+    partial = ds.map_batches(cnt, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if "rule" in partial.columns and len(partial):
+        pdf = (partial.groupby("rule", as_index=False)["c"].sum()
+               .rename(columns={"c": "n_violations"}))
+    else:
         pdf = pd.DataFrame({"rule": [], "n_violations": []})
     names = sorted(r.name for r in ruleset.row_rules())
     pdf = (pdf.set_index("rule").reindex(names).fillna(0).reset_index())
@@ -246,7 +249,10 @@ def q_order_totalprice_check(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_q1_pricing_summary(sf_dir: str) -> pa.Table:
-    """TPC-H Q1 shape (grouped sums/averages over lineitem)."""
+    """TPC-H Q1 shape: map-side combined partials → driver merge (6 groups
+    — bounded cardinality, stages/groupagg.py pattern)."""
+    from ..stages.groupagg import grouped_agg
+
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
                                  "l_extendedprice", "l_discount", "l_tax"])
 
@@ -255,17 +261,18 @@ def q_q1_pricing_summary(sf_dir: str) -> pa.Table:
         chg = pc.multiply(disc, pc.add(1.0, b["l_tax"]))
         return (b.append_column("disc_price", disc).append_column("charge", chg))
 
-    g = (ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
-                      Sum("charge", alias_name="sum_charge"),
-                      Mean("l_quantity", alias_name="avg_qty"),
-                      Mean("l_extendedprice", alias_name="avg_price"),
-                      Mean("l_discount", alias_name="avg_disc"),
-                      Count(alias_name="count_order")))
-    t = pa.Table.from_pandas(g.to_pandas(), preserve_index=False)
+    g = grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"),
+         "sum_base_price": ("l_extendedprice", "sum"),
+         "sum_disc_price": ("disc_price", "sum"),
+         "sum_charge": ("charge", "sum"),
+         "avg_qty": ("l_quantity", "mean"),
+         "avg_price": ("l_extendedprice", "mean"),
+         "avg_disc": ("l_discount", "mean"),
+         "count_order": ("", "count")})
+    t = pa.Table.from_pandas(g, preserve_index=False)
     for col in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
                 "avg_qty", "avg_price", "avg_disc"]:
         t = t.set_column(t.schema.get_field_index(col), col,
@@ -281,21 +288,23 @@ def q_events_weekly(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"week": b["ts"].dt.strftime("%Y-%W"),
                              "value": b["value"]})
 
-    g = (ds.map_batches(wk, batch_format="pandas")
-           .groupby("week")
-           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value")))
-    t = pa.Table.from_pandas(g.to_pandas().sort_values("week"),
-                             preserve_index=False)
+    from ..stages.groupagg import grouped_agg
+
+    g = grouped_agg(ds.map_batches(wk, batch_format="pandas"), ["week"],
+                    {"n": ("", "count"), "total_value": ("value", "sum")})
+    t = pa.Table.from_pandas(g, preserve_index=False)
     return t.set_column(t.schema.get_field_index("total_value"), "total_value",
                         pc.round(t["total_value"], **_R2))
 
 
 def q_events_by_type(sf_dir: str) -> pa.Table:
+    from ..stages.groupagg import grouped_agg
+
     ds = _t(sf_dir, "events", ["event_type", "value"])
-    g = (ds.groupby("event_type")
-           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"),
-                      Mean("value", alias_name="avg_value")))
-    t = pa.Table.from_pandas(g.to_pandas(), preserve_index=False)
+    g = grouped_agg(ds, ["event_type"],
+                    {"n": ("", "count"), "total_value": ("value", "sum"),
+                     "avg_value": ("value", "mean")})
+    t = pa.Table.from_pandas(g, preserve_index=False)
     t = t.set_column(t.schema.get_field_index("total_value"), "total_value",
                      pc.round(t["total_value"], **_R2))
     return t.set_column(t.schema.get_field_index("avg_value"), "avg_value",
@@ -325,12 +334,11 @@ def q_events_daily_minmax(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"day": b["ts"].dt.strftime("%Y-%m-%d"),
                              "value": b["value"]})
 
-    g = (ds.map_batches(day, batch_format="pandas")
-           .groupby("day")
-           .aggregate(Min("value", alias_name="min_value"),
-                      Max("value", alias_name="max_value"),
-                      Count(alias_name="n")))
-    pdf = g.to_pandas().sort_values("day")
+    from ..stages.groupagg import grouped_agg
+
+    pdf = grouped_agg(ds.map_batches(day, batch_format="pandas"), ["day"],
+                      {"min_value": ("value", "min"),
+                       "max_value": ("value", "max"), "n": ("", "count")})
     return pa.Table.from_pandas(pdf[["day", "min_value", "max_value", "n"]],
                                 preserve_index=False)
 
@@ -341,8 +349,10 @@ def q_orders_per_month(sf_dir: str) -> pa.Table:
     def mo(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"month": b["o_orderdate"].dt.strftime("%Y-%m")})
 
-    g = ds.map_batches(mo, batch_format="pandas").groupby("month").count()
-    pdf = g.to_pandas().rename(columns={"count()": "n"}).sort_values("month")
+    from ..stages.groupagg import grouped_agg
+
+    pdf = grouped_agg(ds.map_batches(mo, batch_format="pandas"), ["month"],
+                      {"n": ("", "count")})
     return pa.Table.from_pandas(pdf[["month", "n"]], preserve_index=False)
 
 
@@ -380,23 +390,23 @@ def q_doc_nchars_check(sf_dir: str) -> pa.Table:
         return pa.Table.from_arrays([g["source"], g["count_all"], g["bad_sum"]],
                                     names=["source", "c", "m"])
 
-    g = (ds.map_batches(chk, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("source")
-           .aggregate(Sum("c", alias_name="n_docs"),
-                      Sum("m", alias_name="n_mismatch")))
-    pdf = g.to_pandas().sort_values("source")
+    from ..stages.groupagg import grouped_agg
+
+    pdf = grouped_agg(
+        ds.map_batches(chk, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], {"n_docs": ("c", "sum"), "n_mismatch": ("m", "sum")})
     return pa.Table.from_pandas(pdf[["source", "n_docs", "n_mismatch"]],
                                 preserve_index=False)
 
 
 def q_doc_stats(sf_dir: str) -> pa.Table:
+    from ..stages.groupagg import grouped_agg
+
     ds = _t(sf_dir, "documents", ["lang", "n_chars"])
-    g = (ds.groupby("lang")
-           .aggregate(Count(alias_name="n_docs"),
-                      Mean("n_chars", alias_name="avg_chars"),
-                      Max("n_chars", alias_name="max_chars")))
-    t = pa.Table.from_pandas(g.to_pandas().sort_values("lang"),
-                             preserve_index=False)
+    g = grouped_agg(ds, ["lang"],
+                    {"n_docs": ("", "count"), "avg_chars": ("n_chars", "mean"),
+                     "max_chars": ("n_chars", "max")})
+    t = pa.Table.from_pandas(g, preserve_index=False)
     return t.set_column(t.schema.get_field_index("avg_chars"), "avg_chars",
                         pc.round(t["avg_chars"], **_R2))
 

@@ -155,7 +155,7 @@ def q_name_contains(sf_dir: str) -> pa.Table:
 def q_events_hourly_windows(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour window aggregate (streaming-shaped workload over an
     event-time column: window = floor(ts to hour))."""
-    from ray.data.aggregate import Count, Sum
+    from ..stages.groupagg import grouped_agg
 
     ds = _t(sf_dir, "events", ["ts", "value"])
 
@@ -163,11 +163,9 @@ def q_events_hourly_windows(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"hour": b["ts"].dt.strftime("%Y-%m-%d %H:00"),
                              "value": b["value"]})
 
-    g = (ds.map_batches(win, batch_format="pandas")
-           .groupby("hour")
-           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value")))
-    t = pa.Table.from_pandas(g.to_pandas().sort_values("hour"),
-                             preserve_index=False)
+    g = grouped_agg(ds.map_batches(win, batch_format="pandas"), ["hour"],
+                    {"n": ("", "count"), "total_value": ("value", "sum")})
+    t = pa.Table.from_pandas(g, preserve_index=False)
     return t.set_column(t.schema.get_field_index("total_value"), "total_value",
                         pc.round(t["total_value"], **_R2))
 
@@ -250,7 +248,7 @@ def q_events_props_stats(sf_dir: str) -> pa.Table:
     """JSON-field extraction (the reference's JSONField surface,
     cerberus/models/user_settings.py:10) — props is a JSON blob; extract
     $.k vectorized (RE2 extract_regex) and aggregate per event_type."""
-    from ray.data.aggregate import Count, Mean, Sum
+    from ..stages.groupagg import grouped_agg
 
     ds = _t(sf_dir, "events", ["event_type", "props"])
 
@@ -261,12 +259,11 @@ def q_events_props_stats(sf_dir: str) -> pa.Table:
         return pa.Table.from_arrays([b["event_type"], k],
                                     names=["event_type", "k"])
 
-    g = (ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("event_type")
-           .aggregate(Count(alias_name="n"), Sum("k", alias_name="total_k"),
-                      Mean("k", alias_name="avg_k")))
-    t = pa.Table.from_pandas(g.to_pandas().sort_values("event_type"),
-                             preserve_index=False)
+    g = grouped_agg(
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {"n": ("", "count"), "total_k": ("k", "sum"), "avg_k": ("k", "mean")})
+    t = pa.Table.from_pandas(g, preserve_index=False)
     t = t.set_column(t.schema.get_field_index("total_k"), "total_k",
                      pc.cast(t["total_k"], pa.int64()))
     return t.set_column(t.schema.get_field_index("avg_k"), "avg_k",

@@ -130,19 +130,18 @@ def token_stats_by_lang(ds) -> pa.Table:
     """(lang, n_docs, total_tokens, avg_tokens) — whitespace tokens, which
     DuckDB can reproduce with string_split_regex (oracle parity)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Mean, Sum
+
+    from ..stages.groupagg import grouped_agg
 
     def cnt(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["text"].fillna("").str.strip().str.split().str.len()
         return pd.DataFrame({"lang": b["lang"], "n_tokens": toks.astype("int64")})
 
-    g = (ds.map_batches(cnt, batch_format="pandas")
-           .groupby("lang")
-           .aggregate(Count(alias_name="n_docs"),
-                      Sum("n_tokens", alias_name="total_tokens"),
-                      Mean("n_tokens", alias_name="avg_tokens")))
-    t = pa.Table.from_pandas(g.to_pandas().sort_values("lang"),
-                             preserve_index=False)
+    g = grouped_agg(ds.map_batches(cnt, batch_format="pandas"), ["lang"],
+                    {"n_docs": ("", "count"),
+                     "total_tokens": ("n_tokens", "sum"),
+                     "avg_tokens": ("n_tokens", "mean")})
+    t = pa.Table.from_pandas(g, preserve_index=False)
     return t.set_column(
         t.schema.get_field_index("avg_tokens"), "avg_tokens",
         pc.round(t["avg_tokens"], ndigits=2, round_mode="half_towards_infinity"))
