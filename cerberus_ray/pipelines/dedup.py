@@ -168,6 +168,12 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
 
     bc = rows.map_batches(bucket_counts, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas()
+    empty = pa.Table.from_pydict(
+        {"doc_id_a": pa.array([], pa.string()),
+         "doc_id_b": pa.array([], pa.string()),
+         "jaccard_est": pa.array([], pa.float64())})
+    if "bucket" not in bc.columns or not len(bc):
+        return empty
     g = bc.groupby("bucket")["count_all"].sum()
     dup_buckets = np.asarray(g[g > 1].index.to_numpy(), dtype=np.int64)
     empty = pa.Table.from_pydict(

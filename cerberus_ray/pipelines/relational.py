@@ -35,8 +35,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..rules.core import RuleSet, enum_domain, range_rule
 from ..sources.io import read_table
@@ -312,19 +310,25 @@ def q_events_by_type(sf_dir: str) -> pa.Table:
 
 
 def q_events_users_per_type(sf_dir: str) -> pa.Table:
-    """Distinct-count per group via two-level grouped reduction (no driver
-    materialization of the distinct pairs)."""
+    """Distinct-count per group: per-block distinct (event_type, user_id)
+    pairs → driver dedup + count. The driver holds only the DISTINCT pair
+    set (bounded by #types × #users); at 10^12-event scale with huge user
+    counts, swap the driver dedup for the uniqueness shuffle machinery —
+    the map-side distinct stays identical."""
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
 
     def pairs(b: pa.Table) -> pa.Table:
         return b.group_by(["event_type", "user_id"]).aggregate([])
 
-    distinct = (ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-                  .groupby(["event_type", "user_id"]).count())
-    g = distinct.groupby("event_type").count()
-    pdf = g.to_pandas().rename(columns={"count()": "n_users"})
-    pdf = pdf[["event_type", "n_users"]].sort_values("event_type")
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    pdf = ds.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    pdf = pdf.drop_duplicates(["event_type", "user_id"])
+    g = (pdf.groupby("event_type", as_index=False)["user_id"].nunique()
+            .rename(columns={"user_id": "n_users"}))
+    g["n_users"] = g["n_users"].astype("int64")
+    g = g.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(g[["event_type", "n_users"]],
+                                preserve_index=False)
 
 
 def q_events_daily_minmax(sf_dir: str) -> pa.Table:

@@ -1,0 +1,93 @@
+"""Every core stage must handle empty inputs without error (driver edge:
+empty partitions / fully-filtered streams)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from cerberus_ray.schema import DOCUMENTS_INTERLEAVED, MEDIA_CATALOG
+
+
+def empty_docs():
+    return rd.from_arrow(DOCUMENTS_INTERLEAVED.empty_table())
+
+
+def test_validate_empty(ray_session):
+    from cerberus_ray.rules.row_rules import interleaved_ruleset
+    from cerberus_ray.stages.validate import validate
+
+    assert validate(empty_docs(), interleaved_ruleset()).count() == 0
+
+
+def test_uniqueness_empty(ray_session):
+    from cerberus_ray.stages.uniqueness import duplicate_key_counts
+
+    for mode in ["driver", "hash", "cms"]:
+        out = duplicate_key_counts(empty_docs(), ["doc_id"], mode=mode)
+        assert out.num_rows == 0, mode
+        assert out.schema.names == ["doc_id", "n"], mode
+
+
+def test_referential_empty_child(ray_session):
+    from cerberus_ray.datagen import GenConfig, media_dataset
+    from cerberus_ray.stages.referential import (
+        referential_violations,
+        span_media_keys,
+    )
+
+    media = media_dataset(GenConfig(n_docs=1, n_media=10))
+    out = referential_violations(empty_docs(), media, extract=span_media_keys,
+                                 parent_key="media_ref")
+    assert out.count() == 0
+
+
+def test_referential_empty_parent(ray_session):
+    from cerberus_ray.datagen import GenConfig, docs_dataset
+    from cerberus_ray.stages.referential import (
+        referential_violations,
+        span_media_keys,
+    )
+
+    docs = docs_dataset(GenConfig(n_docs=50, fractions={}))
+    empty_media = rd.from_arrow(MEDIA_CATALOG.empty_table())
+    out = referential_violations(docs, empty_media, extract=span_media_keys,
+                                 parent_key="media_ref").to_pandas()
+    # every media ref is missing when the parent table is empty
+    assert len(out) > 0
+    assert (out["rule"] == "fk-missing").all()
+
+
+def test_dedup_empty(ray_session):
+    from cerberus_ray.pipelines.dedup import (
+        exact_dup_stats,
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series(dtype=str),
+                                         "text": pd.Series(dtype=str)}))
+    assert exact_dup_stats(empty).to_pandas()["n_docs"][0] == 0
+    assert minhash_near_dup_pairs(empty).num_rows == 0
+    assert simhash_near_dup_pairs(empty).num_rows == 0
+
+
+def test_drift_empty_profile(ray_session):
+    from cerberus_ray.stages.drift import drift_violations, profile_dataset
+
+    empty = rd.from_pandas(pd.DataFrame({"v": pd.Series(dtype=float)}))
+    p = profile_dataset(empty, numeric=["v"])
+    full = profile_dataset(
+        rd.from_pandas(pd.DataFrame({"v": np.arange(100.0)})), numeric=["v"])
+    v = drift_violations(p, full)
+    assert v.num_rows == 0  # empty side yields nan stats → no verdict
+
+
+def test_grouped_agg_empty(ray_session):
+    from cerberus_ray.stages.groupagg import grouped_agg
+
+    empty = rd.from_pandas(pd.DataFrame({"g": pd.Series(dtype=str),
+                                         "v": pd.Series(dtype=float)}))
+    out = grouped_agg(empty, ["g"], {"n": ("", "count"), "s": ("v", "sum")})
+    assert len(out) == 0
+    assert list(out.columns) == ["g", "n", "s"]
