@@ -201,7 +201,8 @@ def q_flagship_violations(sf_dir: str) -> pa.Table:
 
     cfg = _flagship_cfg(sf_dir)
     res = run_flagship(docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1)),
-                       media_dataset(cfg), text_max_len=cfg.text_max_len)
+                       media_dataset(cfg), text_max_len=cfg.text_max_len,
+                       with_verdicts=False)
     return res.violations
 
 
