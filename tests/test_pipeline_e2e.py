@@ -85,3 +85,16 @@ def test_hll_distinct_close_to_exact(ray_session, cfg):
     exact = cfg.n_docs - expected_violations(cfg).filter(
         pc.equal(expected_violations(cfg)["rule"], "unique-doc-id")).num_rows
     assert abs(est - exact) / exact < 0.05
+
+
+def test_assign_fragments_deterministic(ray_session, cfg):
+    from cerberus_ray.stages.validate import assign_fragments
+
+    ds = docs_dataset(cfg)
+    a = assign_fragments(ds, "doc_id", 8).to_pandas()
+    b = assign_fragments(docs_dataset(cfg), "doc_id", 8).to_pandas()
+    assert (a["fragment_id"] == b["fragment_id"]).all()
+    assert a["fragment_id"].nunique() == 8
+    # same doc_id always lands in the same fragment
+    g = a.groupby("doc_id")["fragment_id"].nunique()
+    assert (g == 1).all()
