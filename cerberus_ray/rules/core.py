@@ -135,7 +135,8 @@ def not_null(key_col: str, col: str, *, empty_is_null: bool = False) -> Rule:
         a = batch[col]
         mask = pc.is_null(a).to_numpy(zero_copy_only=False)
         if empty_is_null and pa.types.is_string(a.type):
-            mask = mask | pc.equal(a, "").to_numpy(zero_copy_only=False)
+            empty = pc.fill_null(pc.equal(a, ""), False)
+            mask = mask | empty.to_numpy(zero_copy_only=False)
         return emit(_key_strings(batch, key_col), mask, f"not-null-{col}", col,
                     "value is required")
 
