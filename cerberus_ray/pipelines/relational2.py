@@ -244,6 +244,32 @@ def q_asof_click_before_purchase(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_native_join_orders_nation(sf_dir: str) -> pa.Table:
+    """The large×large path: Ray's native hash-partitioned Dataset.join
+    (orders ⋈ customer on custkey), then a bounded-cardinality rollup.
+    Complements the broadcast joins — use this shape when BOTH sides
+    exceed broadcast size (num_partitions keys the exchange)."""
+    from ..stages.groupagg import grouped_agg
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n2name = nation.set_index("n_nationkey")["n_name"]
+    ref = ray.put(n2name)
+
+    def name_col(b: pa.Table) -> pa.Table:
+        nn = ray.get(ref)
+        names = pd.Series(b["c_nationkey"].to_numpy(zero_copy_only=False)).map(nn)
+        return pa.Table.from_arrays(
+            [pa.array(names.to_numpy(), type=pa.string())], names=["n_name"])
+
+    g = grouped_agg(joined.map_batches(name_col, batch_format="pyarrow"),
+                    ["n_name"], {"n_orders": ("", "count")})
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def q_events_props_stats(sf_dir: str) -> pa.Table:
     """JSON-field extraction (the reference's JSONField surface,
     cerberus/models/user_settings.py:10) — props is a JSON blob; extract
@@ -273,6 +299,7 @@ def q_events_props_stats(sf_dir: str) -> pa.Table:
 QUERIES = {
     "asof_click_before_purchase": q_asof_click_before_purchase,
     "events_props_stats": q_events_props_stats,
+    "native_join_orders_nation": q_native_join_orders_nation,
     "revenue_per_nation": q_revenue_per_nation,
     "customers_without_orders": q_customers_without_orders,
     "top_customers_by_revenue": q_top_customers_by_revenue,
@@ -292,6 +319,13 @@ ORACLE_SQL = {
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
             ON p.user_id = c.user_id AND c.ts <= p.ts
         ORDER BY event_id
+    """,
+    "native_join_orders_nation": """
+        SELECT n.n_name AS n_name, COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
     """,
     "events_props_stats": """
         SELECT event_type, COUNT(*) AS n,
