@@ -189,6 +189,32 @@ def q_events_sessions(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_events_rolling_1h(sf_dir: str) -> pa.Table:
+    """Sliding event-time window: per event, the mean value of the same
+    user's events in the preceding hour (inclusive of the current event).
+    Ray shape: groupby(user) → time-indexed pandas rolling inside each
+    sorted group — the sliding-window counterpart of the tumbling/session
+    windows."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").set_index("ts")
+        m = g["value"].rolling("3600s", closed="both").mean()
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "rolling_avg": m.to_numpy()})
+
+    pdf = (ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    t = pa.Table.from_pandas(pdf, preserve_index=False)
+    # 2-decimal inputs make window means land EXACTLY on .005 — round
+    # half-away like SQL ROUND, not pandas/numpy banker's rounding.
+    # (Residual cross-engine float noise can still flip ~1e-4 of rows at
+    # much larger scales; the sf0.01 oracle gate is exact.)
+    return t.set_column(t.schema.get_field_index("rolling_avg"),
+                        "rolling_avg", pc.round(t["rolling_avg"], **_R2))
+
+
 def q_nation_region_rollup(sf_dir: str) -> pa.Table:
     """Dimension-only join + distinct count (J9 shape: filter via join then
     distinct)."""
@@ -309,6 +335,7 @@ QUERIES = {
     "events_hourly_windows": q_events_hourly_windows,
     "events_sessions": q_events_sessions,
     "nation_region_rollup": q_nation_region_rollup,
+    "events_rolling_1h": q_events_rolling_1h,
 }
 
 ORACLE_SQL = {
@@ -379,6 +406,14 @@ ORACLE_SQL = {
                      EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
               FROM events)
         GROUP BY user_id ORDER BY user_id
+    """,
+    "events_rolling_1h": """
+        SELECT event_id,
+               ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+                   2) AS rolling_avg
+        FROM events ORDER BY event_id
     """,
     "nation_region_rollup": """
         SELECT r.r_name AS r_name,
