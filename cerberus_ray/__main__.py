@@ -1,0 +1,129 @@
+"""CLI — the engine's management-command surface.
+
+    python -m cerberus_ray validate --docs DIR|gen:N --media gen \
+        --checkpoint-dir CKPT [--fragment-size K] [--out OUT]
+    python -m cerberus_ray corpus --input docs.parquet --out DIR \
+        [--threshold 0.8]
+    python -m cerberus_ray profile --input table.parquet \
+        --numeric col1,col2 --categorical col3 --out profile.json
+
+Owns its Ray session (library code never calls ray.init). ``gen:N`` uses
+the deterministic seed-42 interleaved generator for the docs side.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_validate(args) -> int:
+    from .datagen import GenConfig
+    from .pipelines.flagship import run_flagship_checkpointed
+
+    if not args.docs.startswith("gen:"):
+        print("only gen:N docs are wired in this sandbox (no external data)",
+              file=sys.stderr)
+        return 2
+    n = int(args.docs.split(":", 1)[1])
+    cfg = GenConfig(n_docs=n, n_media=max(200, n // 10))
+    r = run_flagship_checkpointed(cfg, args.checkpoint_dir,
+                                  fragment_size=args.fragment_size,
+                                  run_id=args.run_id)
+    summary = {
+        "n_docs": n,
+        "n_violations": int(r["violations"].num_rows),
+        "processed_fragments": r["processed_fragments"],
+        "skipped_fragments": r["skipped_fragments"],
+        "all_pass": bool(r["verdicts"].to_pandas()["pass"].all()),
+    }
+    if args.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(r["violations"], args.out)
+        summary["out"] = args.out
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_corpus(args) -> int:
+    import ray.data as rd
+
+    from .pipelines.corpus import build_training_corpus
+
+    ds = rd.read_parquet(args.input)
+    r = build_training_corpus(ds, out_dir=args.out,
+                              near_threshold=args.threshold)
+    print(json.dumps({
+        "n_input": r.n_input, "n_quality_pass": r.n_quality_pass,
+        "n_after_exact_dedup": r.n_after_exact_dedup,
+        "n_after_near_dedup": r.n_after_near_dedup, "out": args.out}))
+    return 0
+
+
+def cmd_profile(args) -> int:
+    import ray.data as rd
+
+    from .stages.drift import profile_dataset
+
+    ds = rd.read_parquet(args.input)
+    numeric = [c for c in args.numeric.split(",") if c] if args.numeric else []
+    cat = [c for c in args.categorical.split(",") if c] \
+        if args.categorical else []
+    prof = profile_dataset(ds, numeric=numeric, categorical=cat)
+    with open(args.out, "w") as f:
+        f.write(prof.to_json())
+    print(json.dumps({"columns": sorted(prof.columns), "out": args.out}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cerberus_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="checkpointed flagship validation")
+    v.add_argument("--docs", required=True, help="gen:N (seeded generator)")
+    v.add_argument("--checkpoint-dir", required=True)
+    v.add_argument("--fragment-size", type=int, default=10_000)
+    v.add_argument("--run-id", default="run-0")
+    v.add_argument("--out", default=None, help="violations parquet path")
+    v.set_defaults(fn=cmd_validate)
+
+    c = sub.add_parser("corpus", help="training-corpus construction")
+    c.add_argument("--input", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--threshold", type=float, default=0.8)
+    c.set_defaults(fn=cmd_corpus)
+
+    pr = sub.add_parser("profile", help="drift baseline profile")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--numeric", default="")
+    pr.add_argument("--categorical", default="")
+    pr.add_argument("--out", required=True)
+    pr.set_defaults(fn=cmd_profile)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
