@@ -170,19 +170,29 @@ def referential_violations(child_ds, parent_ds, *, extract: Callable,
             if len(phs) == 0:
                 hit = np.zeros(len(keys), dtype=bool)
             else:
-                ch = hash_strings(keys)  # zero-copy arrow → polars hash
-                pos = np.clip(np.searchsorted(phs, ch), 0, len(phs) - 1)
-                confirm = pc.equal(keys, pa.array(pkh[pos].astype(object),
+                # dictionary-encode: hash + probe only the UNIQUE keys of
+                # the batch (child fks repeat heavily), then fan the
+                # per-unique verdicts back out via the indices
+                k_arr = keys if isinstance(keys, pa.Array) else keys.combine_chunks()
+                d = pc.dictionary_encode(k_arr)
+                if isinstance(d, pa.ChunkedArray):
+                    d = d.combine_chunks()
+                uniq = d.dictionary
+                idx = d.indices.to_numpy(zero_copy_only=False)
+                uh = hash_strings(uniq)
+                pos = np.clip(np.searchsorted(phs, uh), 0, len(phs) - 1)
+                confirm = pc.equal(uniq, pa.array(pkh[pos].astype(object),
                                                   type=pa.string()))
                 confirm = np.nan_to_num(
                     confirm.to_numpy(zero_copy_only=False).astype(float)
                 ).astype(bool)
-                hit = (phs[pos] == ch) & confirm
+                hit_u = (phs[pos] == uh) & confirm
                 if collide:  # rare: verify against the full sorted key set
-                    ks = keys.to_numpy(zero_copy_only=False).astype(str)
+                    ks = uniq.to_numpy(zero_copy_only=False).astype(str)
                     p2 = np.clip(np.searchsorted(pk_str, ks), 0,
                                  len(pk_str) - 1)
-                    hit |= pk_str[p2] == ks
+                    hit_u |= pk_str[p2] == ks
+                hit = hit_u[idx]
             return _emit_missing(keys, rk, paths, ~hit, rule, parent_name)
 
         return child_ds.map_batches(check, batch_format="pyarrow",
