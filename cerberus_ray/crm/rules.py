@@ -283,25 +283,51 @@ def refund_exceeds(charges_ds) -> pa.Table:
 
 def invoice_total_consistency(invoices_ds, charges_ds, *, tol=0.01) -> pa.Table:
     """total == adjustment + Σ(line×qty) of the invoice's non-void charges
-    (A3 dual-path parity)."""
+    (A3 dual-path parity).
+
+    Decimal-exact path: when the money columns are decimal128 (the ORM
+    Decimal semantics, charge.py:124-126), sums use pyarrow decimal
+    kernels and the comparison is EXACT equality — no float tolerance
+    (SURVEY.md §7 hard part e). Float columns keep the ``tol`` compare.
+    """
+    from decimal import Decimal
+
+    line_type = charges_ds.schema().base_schema.field("line").type
+    is_decimal = pa.types.is_decimal(line_type)
 
     def partial(b: pa.Table) -> pa.Table:
         t = b.filter(pc.and_(pc.is_valid(b["invoice_id"]),
                              pc.invert(pc.equal(b["state"], "void"))))
-        v = pc.multiply(t["line"], pc.cast(t["quantity"], pa.float64()))
+        if is_decimal:
+            qty = pc.cast(t["quantity"], pa.decimal128(14, 0))
+            v = pc.cast(pc.multiply(t["line"], qty), pa.decimal128(28, 2))
+        else:
+            v = pc.multiply(t["line"], pc.cast(t["quantity"], pa.float64()))
         g = pa.Table.from_arrays([t["invoice_id"], v], names=["k", "v"]) \
             .group_by("k").aggregate([("v", "sum")])
         return g
 
-    sums = charges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    sums = sums.groupby("k")["v_sum"].sum() if len(sums) else pd.Series(dtype=float)
+    sums_pdf = charges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(sums_pdf):
+        sums = sums_pdf.groupby("k")["v_sum"].sum()
+    else:
+        sums = pd.Series(dtype=object if is_decimal else float)
     rows = []
     for r in invoices_ds.take_all():
-        recomputed = float(sums.get(r["invoice_id"], 0.0)) + float(r["adjustment"])
-        if abs(recomputed - float(r["total"])) > tol:
+        if is_decimal:
+            recomputed = (sums.get(r["invoice_id"], Decimal("0"))
+                          + Decimal(str(r["adjustment"])))
+            stored = Decimal(str(r["total"]))
+            bad = recomputed != stored
+        else:
+            recomputed = float(sums.get(r["invoice_id"], 0.0)) \
+                + float(r["adjustment"])
+            stored = float(r["total"])
+            bad = abs(recomputed - stored) > tol
+        if bad:
             rows.append((str(int(r["invoice_id"])), "invoice-total-consistency",
                          "total",
-                         f"stored {r['total']:.2f} != recomputed {recomputed:.2f}"))
+                         f"stored {stored:.2f} != recomputed {recomputed:.2f}"))
     return _v(rows)
 
 

@@ -57,3 +57,28 @@ def test_decimal_totals_consistency_exact():
                       t.group_by("k").aggregate([("v", "sum")]).columns]))
     assert sums[1] == dec("59.98")   # 19.99*3 + 0.01 — float64 would give 59.980000000000004
     assert sums[2] == dec("10.00")
+
+
+def test_invoice_total_consistency_decimal_exact(ray_session):
+    """The CRM A3 check goes decimal-exact when money columns are
+    decimal128: a 0.001 drift (inside the float tolerance) is caught."""
+    import ray.data as rd
+
+    from cerberus_ray.crm.rules import invoice_total_consistency
+
+    charges = pa.Table.from_arrays(
+        [pa.array([1, 2], type=pa.int64()),
+         pa.array([dec("19.99"), dec("5.00")], type=pa.decimal128(14, 2)),
+         pa.array([3, 2], type=pa.int32()),
+         pa.array(["unpaid", "unpaid"], type=pa.string())],
+        names=["invoice_id", "line", "quantity", "state"])
+    invoices = pa.Table.from_arrays(
+        [pa.array([1, 2], type=pa.int64()),
+         pa.array([dec("0.00"), dec("0.01")], type=pa.decimal128(14, 2)),
+         # invoice 1 exact (59.97); invoice 2 stored off by exactly 0.01
+         pa.array([dec("59.97"), dec("10.00")], type=pa.decimal128(14, 2))],
+        names=["invoice_id", "adjustment", "total"])
+    out = invoice_total_consistency(rd.from_arrow(invoices),
+                                    rd.from_arrow(charges)).to_pandas()
+    assert out["doc_id"].tolist() == ["2"]
+    assert "10.00" in out["detail"].iloc[0] and "10.01" in out["detail"].iloc[0]
