@@ -56,6 +56,10 @@ def ensure_docs_cache(cfg):
     marker = os.path.join(DOCS_CACHE, "_SUCCESS")
     if os.path.exists(marker):
         return
+    if os.path.isdir(DOCS_CACHE):  # partial generation → wipe, don't read
+        import shutil
+
+        shutil.rmtree(DOCS_CACHE)
     os.makedirs(DOCS_CACHE, exist_ok=True)
     docs_dataset(cfg, parallelism=64,
                  fragment_size=max(N_DOCS // 64, 1)).write_parquet(DOCS_CACHE)

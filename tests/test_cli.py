@@ -1,0 +1,30 @@
+"""CLI smoke: the management-command surface runs end-to-end in a fresh
+process (owns its own Ray session) and resumes from checkpoints."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "cerberus_ray", "--num-cpus", "2", *args],
+        env=env, capture_output=True, text=True, timeout=240, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_validate_and_resume(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    r1 = run_cli("validate", "--docs", "gen:600", "--checkpoint-dir", ckpt,
+                 "--fragment-size", "200")
+    assert r1["n_docs"] == 600
+    assert len(r1["processed_fragments"]) == 3
+    r2 = run_cli("validate", "--docs", "gen:600", "--checkpoint-dir", ckpt,
+                 "--fragment-size", "200", "--run-id", "run-1")
+    assert r2["processed_fragments"] == []
+    assert r2["n_violations"] == r1["n_violations"]
