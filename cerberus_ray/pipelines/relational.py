@@ -40,7 +40,6 @@ from ..rules.core import RuleSet, enum_domain, range_rule
 from ..sources.io import read_table
 
 _R2 = dict(ndigits=2, round_mode="half_towards_infinity")
-_R4 = dict(ndigits=4, round_mode="half_towards_infinity")
 
 
 def _t(sf_dir: str, name: str, columns=None):

@@ -36,10 +36,6 @@ _STOPWORDS: Dict[str, frozenset] = {
                     "se su al lo como más pero sus le".split()),
 }
 
-_BPE_RE = re.compile(r"\w+|[^\w\s]")
-_PUNCT_RE = re.compile(r"[^\w\s]")
-
-
 class TextScorer:
     """Actor-pool stage: regexes compiled once per actor (__init__), scoring
     per batch (__call__) — the ST2 lru_cache pattern lifted to actors
