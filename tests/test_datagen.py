@@ -65,3 +65,14 @@ def test_all_rules_injected_at_default_fractions():
     golden = expected_violations(cfg)
     rules = set(golden["rule"].to_pylist())
     assert rules == set(DEFAULT_FRACTIONS)
+
+
+def test_docs_dataset_parallelism_invariant(ray_session):
+    """Dataset content is identical regardless of block split (retry /
+    repartition safety at the Dataset level)."""
+    from cerberus_ray.datagen import docs_dataset
+
+    cfg = GenConfig(n_docs=2000)
+    a = docs_dataset(cfg, parallelism=2).to_pandas().sort_values("doc_id")
+    b = docs_dataset(cfg, parallelism=16).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
