@@ -54,6 +54,14 @@ def q_dedup_simhash(sf_dir: str) -> pa.Table:
                                      max_hamming=3)
 
 
+def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
+    """MinHash candidates re-verified with EXACT n-gram Jaccard (the
+    estimate→verify two-stage dedup): (doc_id_a, doc_id_b, jaccard)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cand = DD.minhash_near_dup_pairs(docs, threshold=0.5)
+    return DD.verify_pairs_exact(cand, docs, threshold=0.5)
+
+
 def q_emb_near_dup(sf_dir: str) -> pa.Table:
     return SIM.embedding_near_dup_pairs(_emb(sf_dir), threshold=0.45,
                                         n_bits=8)
@@ -319,6 +327,7 @@ QUERIES = {
     "dedup_exact_keep": q_dedup_exact_keep,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_verified": q_dedup_ngram_verified,
     "emb_near_dup": q_emb_near_dup,
     "ann_topk_cosine": q_ann_topk_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
