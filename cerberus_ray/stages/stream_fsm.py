@@ -40,11 +40,22 @@ class FSMShard:
     def __init__(self, edges: Dict[str, Set[Tuple[str, str]]]):
         self.edges = edges
         self.state: Dict[str, str] = {}
+        self.last_ts: Dict[str, object] = {}
 
     def process(self, batch: pd.DataFrame) -> List[dict]:
         out: List[dict] = []
         for r in batch.sort_values("ts").itertuples():
             key = f"{r.entity}|{int(r.entity_id)}"
+            # guard the stage's ordering assumption: an event older than
+            # the entity's last processed ts means the feed violated the
+            # ts-ordered contract — flag it rather than corrupt the chain
+            prev_ts = self.last_ts.get(key)
+            if prev_ts is not None and r.ts < prev_ts:
+                out.append({"doc_id": key, "rule": "fsm-out-of-order-feed",
+                            "path": "ts",
+                            "detail": f"event at {r.ts} arrived after "
+                                      f"{prev_ts} was processed"})
+            self.last_ts[key] = max(prev_ts, r.ts) if prev_ts is not None else r.ts
             eset = self.edges.get(r.entity, set())
             if (r.source, r.target) not in eset:
                 out.append({"doc_id": key, "rule": "fsm-illegal-edge",

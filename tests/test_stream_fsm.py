@@ -78,3 +78,20 @@ def test_snapshot_restore(ray_session):
         assert ("charge|3", "fsm-broken-chain") in rows(out)
     finally:
         v2.shutdown()
+
+
+def test_out_of_order_feed_flagged(ray_session):
+    v = StreamingFSMValidator(EDGES, n_shards=1)
+    try:
+        later = pd.DataFrame(
+            [("invoice", 9, BASE + pd.Timedelta(hours=2), "draft", "unpaid")],
+            columns=["entity", "entity_id", "ts", "source", "target"])
+        earlier = pd.DataFrame(
+            [("invoice", 9, BASE, "unpaid", "paid")],
+            columns=["entity", "entity_id", "ts", "source", "target"])
+        v.feed(later)
+        v.feed(earlier)  # violates the ts-ordered contract
+        out = v.collect()
+        assert ("invoice|9", "fsm-out-of-order-feed") in rows(out)
+    finally:
+        v.shutdown()
