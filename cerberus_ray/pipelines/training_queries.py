@@ -215,14 +215,16 @@ def q_flagship_violations(sf_dir: str) -> pa.Table:
 
 
 def q_flagship_verdicts(sf_dir: str) -> pa.Table:
-    """Per-partition pass/fail verdicts for the same run (north_rule)."""
-    from ..datagen import docs_dataset, media_dataset
-    from ..pipelines.flagship import run_flagship
+    """Per-partition pass/fail verdicts (north_rule) — row-local rules only
+    (uniqueness/referential are global, reported by flagship_violations)."""
+    from ..datagen import docs_dataset
+    from ..rules.row_rules import interleaved_ruleset
+    from ..stages.validate import fragment_verdicts, validate
 
     cfg = _flagship_cfg(sf_dir)
-    res = run_flagship(docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1)),
-                       media_dataset(cfg), text_max_len=cfg.text_max_len)
-    return res.verdicts
+    docs = docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1))
+    rs = interleaved_ruleset(text_max_len=cfg.text_max_len)
+    return fragment_verdicts(docs, validate(docs, rs))
 
 
 def q_crm_violations(sf_dir: str) -> pa.Table:

@@ -135,10 +135,18 @@ def validate_stream(log_ds, edges: Optional[Dict] = None, *,
         edges = {"booking": BOOKING_EDGES, "charge": CHARGE_EDGES,
                  "invoice": INVOICE_EDGES}
     v = StreamingFSMValidator(edges, n_shards=n_shards)
+    parts: List[pa.Table] = []
     try:
-        for batch in log_ds.sort("ts").iter_batches(
-                batch_size=batch_size, batch_format="pandas"):
+        for i, batch in enumerate(log_ds.sort("ts").iter_batches(
+                batch_size=batch_size, batch_format="pandas")):
             v.feed(batch)
-        return v.collect()
+            if i % 64 == 63:  # bound pending-result growth on long streams
+                parts.append(v.collect())
+        parts.append(v.collect())
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return VIOLATIONS.empty_table()
+        return (pa.concat_tables(parts)
+                .sort_by([("doc_id", "ascending"), ("rule", "ascending")]))
     finally:
         v.shutdown()
