@@ -98,3 +98,20 @@ def test_assign_fragments_deterministic(ray_session, cfg):
     # same doc_id always lands in the same fragment
     g = a.groupby("doc_id")["fragment_id"].nunique()
     assert (g == 1).all()
+
+
+def test_flagship_from_parquet_roundtrip(ray_session, cfg, tmp_path):
+    """Nested list<struct> spans must survive the parquet round-trip:
+    write generated docs, read back via the storage adapter, validate —
+    identical golden output (the bench/production input path)."""
+    from cerberus_ray.datagen import gen_docs_batch
+    from cerberus_ray.sources.io import read_table
+
+    t = gen_docs_batch(np.arange(cfg.n_docs), cfg)
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    res = run_flagship(read_table(p), media_dataset(cfg),
+                       text_max_len=cfg.text_max_len, with_verdicts=False)
+    assert rows(res.violations) == rows(expected_violations(cfg))
