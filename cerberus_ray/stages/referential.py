@@ -15,10 +15,11 @@ Two execution modes:
 
 - ``bloom``  (scale path, north_rule ST5): a Bloom filter of parent keys is
   built by per-block sketch tasks and OR-merged (tiny), then broadcast.
-  Bloom "absent" answers are certain violations; "present" answers are
-  exact-checked with a shuffle semi-join of only the candidate keys —
-  at a 1% false-positive rate the shuffle carries ~1% of the distinct
-  child keys instead of every child row.
+  The missing-key SET is computed over DISTINCT child keys only
+  (bloom-negative ⇒ certainly missing, no check; bloom-positive ⇒
+  exact-checked against the parent key set), then broadcast back for one
+  row-level violation pass. Child rows never enter a shuffle; the
+  exchanged volume is the distinct key sets.
 """
 
 from __future__ import annotations
@@ -199,73 +200,69 @@ def referential_violations(child_ds, parent_ds, *, extract: Callable,
                                     zero_copy_batch=True)
 
     if mode == "bloom":
+        # Scale path: the MISSING KEY SET is computed on DISTINCT keys,
+        # then one row-level pass emits the violations.
+        #   phase 1: per-block distinct child keys, pre-screened by the
+        #     broadcast bloom — bloom-negative keys are certainly missing
+        #     (skip the join); bloom-positive keys are semi-join candidates.
+        #   phase 2: distinct-key semi-join finds the bloom false
+        #     positives. Only DISTINCT keys move, never child rows.
+        #   phase 3: broadcast the (small) missing-key set; one row pass
+        #     emits (doc_id, rule, path, detail) for rows that hit it.
         bloom = build_parent_bloom(parent_ds, parent_key,
                                    n_keys_hint=n_keys_hint or 1_000_000)
         bref = ray.put(bloom.to_bytes())
 
-        # phase 1: certain misses (bloom-absent) are violations; bloom-present
-        # keys become candidate rows for the exact semi-join.
-        def split(batch: pa.Table) -> pa.Table:
+        def child_distinct(batch: pa.Table) -> pa.Table:
             bf = BloomFilter.from_bytes(ray.get(bref))
-            keys, rk, paths = extract(batch)
+            keys, _, _ = extract(batch)
             if len(keys) == 0:
                 return pa.Table.from_pydict(
-                    {"k": [], "row_key": [], "path": [], "certain_miss": []},
-                    schema=pa.schema([("k", pa.string()), ("row_key", pa.string()),
-                                      ("path", pa.string()),
-                                      ("certain_miss", pa.bool_())]))
-            maybe = bf.contains(keys)
-            if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
-                keys = pa.array(keys, type=pa.string())
-            return pa.Table.from_pydict({
-                "k": keys,
-                "row_key": pa.array(rk, type=pa.string()),
-                "path": pa.array(paths, type=pa.string()),
-                "certain_miss": pa.array(~maybe),
-            })
+                    {"k": pa.array([], pa.string()),
+                     "certain_miss": pa.array([], pa.bool_())})
+            k_arr = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) \
+                else pa.array(keys, type=pa.string())
+            u = pc.unique(k_arr)
+            maybe = bf.contains(u)
+            return pa.Table.from_pydict({"k": u,
+                                         "certain_miss": pa.array(~maybe)})
 
-        cand = child_ds.map_batches(split, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-        certain = cand.filter(expr="certain_miss == True")
+        cd = child_ds.map_batches(child_distinct, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+        import ray.data as rd
 
-        # phase 2: exact semi-join of the maybes against the parent keys —
-        # union(tagged child candidates, tagged parent keys) → groupby(k):
-        # a group without a parent row is a miss the bloom false-positived on.
-        maybes = cand.filter(expr="certain_miss == False")
-        def tag_parent(b: pa.Table) -> pa.Table:
-            u = pc.unique(pc.cast(b[parent_key], pa.string()))
-            n = len(u)
-            return pa.Table.from_arrays(
-                [u, pa.nulls(n, pa.string()), pa.nulls(n, pa.string()),
-                 pa.nulls(n, pa.bool_())],
-                names=["k", "row_key", "path", "certain_miss"])
+        if not len(cd):
+            return rd.from_arrow(empty_violations())
+        cd = cd.drop_duplicates("k")
+        certain_missing = set(cd[cd["certain_miss"]]["k"])
+        maybe_keys = cd[~cd["certain_miss"]]["k"].to_numpy().astype(str)
+        # distinct-key semi-join for the maybes (broadcast-sized here; at
+        # true scale this becomes a groupby(k) over tagged distinct-key
+        # datasets — the exchanged volume is identical: distinct keys)
+        parent_keys = collect_parent_keys(parent_ds, parent_key)
+        if len(parent_keys) and len(maybe_keys):
+            pos = np.clip(np.searchsorted(parent_keys, maybe_keys), 0,
+                          len(parent_keys) - 1)
+            fp = parent_keys[pos] != maybe_keys
+        else:
+            fp = np.ones(len(maybe_keys), dtype=bool)
+        missing = np.array(sorted(set(certain_missing)
+                                  | set(maybe_keys[fp])), dtype=str)
+        mref = ray.put(missing)
 
-        parent_tag = parent_ds.map_batches(tag_parent, batch_format="pyarrow",
-                                           zero_copy_batch=True)
-
-        import pandas as pd
-
-        def resolve(g: pd.DataFrame) -> pd.DataFrame:
-            has_parent = g["row_key"].isna().any()
-            if has_parent:
-                return pd.DataFrame({"k": [], "row_key": [], "path": []})
-            gg = g[["k", "row_key", "path"]]
-            return gg
-
-        missed = maybes.union(parent_tag).groupby("k").map_groups(
-            resolve, batch_format="pandas")
-
-        def to_viol(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            if n == 0:
+        def emit_rows(batch: pa.Table) -> pa.Table:
+            miss = ray.get(mref)
+            keys, rk, paths = extract(batch)
+            if len(keys) == 0 or len(miss) == 0:
                 return empty_violations()
-            keys = batch["k"].to_numpy(zero_copy_only=False).astype(object)
-            rk = batch["row_key"].to_numpy(zero_copy_only=False).astype(object)
-            paths = batch["path"].to_numpy(zero_copy_only=False).astype(object)
-            return _emit_missing(keys, rk, paths, np.ones(n, bool), rule, parent_name)
+            ks = (keys.to_numpy(zero_copy_only=False)
+                  if isinstance(keys, (pa.Array, pa.ChunkedArray))
+                  else np.asarray(keys)).astype(str)
+            p2 = np.clip(np.searchsorted(miss, ks), 0, len(miss) - 1)
+            bad = miss[p2] == ks
+            return _emit_missing(keys, rk, paths, bad, rule, parent_name)
 
-        certain_v = certain.map_batches(to_viol, batch_format="pyarrow")
-        missed_v = missed.map_batches(to_viol, batch_format="pyarrow")
-        return certain_v.union(missed_v)
+        return child_ds.map_batches(emit_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
     raise ValueError(f"unknown mode {mode!r}")
