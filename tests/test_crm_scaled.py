@@ -1,0 +1,72 @@
+"""CRM constraint pack at scale: 20k bookings with injected violation
+fractions — per-rule counts must match the generator's exact expectations,
+and clean rules must stay silent."""
+
+import time
+
+import pytest
+import ray.data as rd
+
+from cerberus_ray.crm.datagen import CrmGenConfig, make_scaled_crm
+from cerberus_ray.crm.rules import (
+    booking_pets_belong,
+    booking_row_ruleset,
+    booking_unique_customer_slot,
+    charge_row_ruleset,
+    payment_row_ruleset,
+    run_rowpack,
+    slot_capacity,
+    slot_overlap,
+    slot_row_ruleset,
+)
+
+
+@pytest.fixture(scope="module")
+def scaled(ray_session):
+    cfg = CrmGenConfig(n_bookings=20_000)
+    tables, expected = make_scaled_crm(cfg)
+    ds = {k: rd.from_arrow(v) for k, v in tables.items()}
+    return ds, expected
+
+
+def counts(t):
+    import collections
+
+    return collections.Counter(t["rule"].to_pylist())
+
+
+def test_scaled_booking_rules(scaled):
+    ds, exp = scaled
+    c = counts(run_rowpack(ds["bookings"], booking_row_ruleset()))
+    assert c["booking-start-before-end"] == exp["booking-start-before-end"]
+    assert c["has-booking-slot"] == exp["has-booking-slot"]
+    assert c["enum-state"] == exp["enum-state"]
+    for rule in exp:
+        assert exp[rule] > 0, rule  # every fraction actually injected
+
+
+def test_scaled_pets_and_unique(scaled):
+    ds, exp = scaled
+    v = booking_pets_belong(ds["bookings"], ds["pets"])
+    assert v.num_rows == exp["pets-belong-to-customer"]
+    assert booking_unique_customer_slot(ds["bookings"]).num_rows == 0
+
+
+def test_scaled_slot_overlap(scaled):
+    ds, exp = scaled
+    t0 = time.time()
+    v = slot_overlap(ds["slots"])
+    took = time.time() - t0
+    assert v.num_rows == exp["slot-overlap"]
+    assert counts(run_rowpack(ds["slots"], slot_row_ruleset())) == {}
+    assert took < 120, f"day-bucket sweep too slow: {took:.1f}s"
+
+
+def test_scaled_charges_payments_capacity(scaled):
+    ds, exp = scaled
+    c = counts(run_rowpack(ds["charges"], charge_row_ruleset()))
+    assert c["paid-on-consistency"] == exp["paid-on-consistency"]
+    assert c.get("maxlen-name", 0) == 0
+    p = counts(run_rowpack(ds["payments"], payment_row_ruleset()))
+    assert p["range-amount"] == exp["range-amount"]
+    assert slot_capacity(ds["bookings"], ds["services"]).num_rows == 0
