@@ -197,14 +197,16 @@ def q_ref_supplier_nation(sf_dir: str):
 def q_order_totalprice_check(sf_dir: str):
     """(o_orderkey, n_items, consistent) for every order.
 
-    Map-side combine: per-block pyarrow hash-aggregate of lineitem →
-    (key, partial_sum, partial_count) rows, merged ONCE on the driver
-    (one row per order — 150k at sf0.1), broadcast via ray.put, then a
-    vectorized compare streams over orders. Scale note: when the child
-    key cardinality outgrows the driver (billions of orders), swap the
-    driver merge for Dataset.join(num_partitions=N) on the same partial
-    tables — the map-side combine stays identical.
+    Fully distributed dual-path check: per-block pyarrow hash-aggregate
+    of lineitem → (key, partial_sum, partial_count) rows, merged with a
+    hash-partitioned ``groupby(key)`` shuffle (the exchange carries one
+    row per DISTINCT order, never raw lineitems), then a hash-partitioned
+    ``Dataset.join`` against orders. No driver-side structure is
+    proportional to the order count — this is the plan that survives
+    billions of orders.
     """
+    from ray.data.aggregate import Sum
+
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount",
                                  "l_tax"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -217,27 +219,30 @@ def q_order_totalprice_check(sf_dir: str):
             [pc.cast(b["l_orderkey"], pa.int64()), pc.cast(v, pa.float64())],
             names=["k", "v"])
         g = t.group_by("k").aggregate([("v", "sum"), ([], "count_all")])
-        return pa.Table.from_arrays([g["k"], g["v_sum"], g["count_all"]],
-                                    names=["k", "v", "n"])
+        return pa.Table.from_arrays(
+            [g["k"], g["v_sum"], pc.cast(g["count_all"], pa.int64())],
+            names=["k", "v", "n"])
 
     partials = li.map_batches(child_partial, batch_format="pyarrow",
-                              zero_copy_batch=True).to_pandas()
-    sums = partials.groupby("k").agg(v=("v", "sum"), n=("n", "sum"))
-    ref = ray.put((sums["v"], sums["n"]))
+                              zero_copy_batch=True)
+    sums = partials.groupby("k").aggregate(Sum("v", alias_name="v"),
+                                           Sum("n", alias_name="n"))
+    joined = orders.join(sums, join_type="left_outer", num_partitions=8,
+                         on=("o_orderkey",), right_on=("k",))
 
     def compare(b: pa.Table) -> pa.Table:
-        v_by_key, n_by_key = ray.get(ref)
-        keys = pd.Series(b["o_orderkey"].to_numpy(zero_copy_only=False))
         stored = b["o_totalprice"].to_numpy(zero_copy_only=False)
-        total = keys.map(v_by_key).fillna(0.0).to_numpy()
-        n_items = keys.map(n_by_key).fillna(0).to_numpy().astype(np.int64)
+        total = pc.fill_null(pc.cast(b["v"], pa.float64()),
+                             0.0).to_numpy(zero_copy_only=False)
+        n_items = pc.fill_null(pc.cast(b["n"], pa.int64()),
+                               0).to_numpy(zero_copy_only=False)
         ok = np.abs(total - stored) <= 0.01
         return pa.Table.from_arrays(
             [pc.cast(b["o_orderkey"], pa.int64()),
              pa.array(n_items, type=pa.int64()), pa.array(ok, type=pa.bool_())],
             names=["o_orderkey", "n_items", "consistent"])
 
-    return orders.map_batches(compare, batch_format="pyarrow",
+    return joined.map_batches(compare, batch_format="pyarrow",
                               zero_copy_batch=True)
 
 
@@ -309,22 +314,24 @@ def q_events_by_type(sf_dir: str) -> pa.Table:
 
 
 def q_events_users_per_type(sf_dir: str) -> pa.Table:
-    """Distinct-count per group: per-block distinct (event_type, user_id)
-    pairs → driver dedup + count. The driver holds only the DISTINCT pair
-    set (bounded by #types × #users); at 10^12-event scale with huge user
-    counts, swap the driver dedup for the uniqueness shuffle machinery —
-    the map-side distinct stays identical."""
+    """Distinct-count per group, fully distributed: per-block distinct
+    (event_type, user_id) pairs (map-side combine — the exchange carries
+    distinct pairs per block, never raw events) → hash-partitioned
+    ``groupby`` shuffle for the global distinct → bounded-cardinality
+    rollup (one row per event_type). The driver never holds the pair
+    set, so the plan survives unbounded user counts."""
+    from ..stages.groupagg import grouped_agg
+
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
 
     def pairs(b: pa.Table) -> pa.Table:
         return b.group_by(["event_type", "user_id"]).aggregate([])
 
-    pdf = ds.map_batches(pairs, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas()
-    pdf = pdf.drop_duplicates(["event_type", "user_id"])
-    g = (pdf.groupby("event_type", as_index=False)["user_id"].nunique()
-            .rename(columns={"user_id": "n_users"}))
-    g["n_users"] = g["n_users"].astype("int64")
+    distinct = (ds.map_batches(pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby(["event_type", "user_id"]).count())
+    g = grouped_agg(distinct.select_columns(["event_type"]), ["event_type"],
+                    {"n_users": ("", "count")})
     g = g.sort_values("event_type").reset_index(drop=True)
     return pa.Table.from_pandas(g[["event_type", "n_users"]],
                                 preserve_index=False)

@@ -216,16 +216,47 @@ def q_events_rolling_1h(sf_dir: str) -> pa.Table:
 
 
 def q_nation_region_rollup(sf_dir: str) -> pa.Table:
-    """Dimension-only join + distinct count (J9 shape: filter via join then
-    distinct)."""
+    """Distinct counts per region over a fact-sized table (J9 shape).
+
+    nation/region are true dimensions → broadcast once (ray.put). The
+    supplier FACT streams through map_batches: per-block distinct
+    (r_name, s_suppkey, nationkey) → hash-partitioned ``groupby`` shuffle
+    for the global supplier distinct → bounded partial rollup per
+    (r_name, nationkey) merged on the driver (≤ #regions × #nations
+    rows — bounded by the dimension domain, not the data)."""
     n = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     r = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    merged = (sup.merge(n, left_on="s_nationkey", right_on="n_nationkey")
-                 .merge(r, left_on="n_regionkey", right_on="r_regionkey"))
-    g = merged.groupby("r_name", as_index=False).agg(
-        n_suppliers=("s_suppkey", "nunique"),
-        n_nations=("s_nationkey", "nunique"))
+    n2r = n.set_index("n_nationkey")["n_regionkey"].map(
+        r.set_index("r_regionkey")["r_name"]).to_dict()
+    ref = ray.put(n2r)
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        names = pa.array([lut.get(k) for k in nk], type=pa.string())
+        t = pa.Table.from_arrays(
+            [names, pc.cast(b["s_suppkey"], pa.int64()),
+             pc.cast(b["s_nationkey"], pa.int64())],
+            names=["r_name", "s_suppkey", "nationkey"])
+        t = t.filter(pc.is_valid(t["r_name"]))
+        # map-side distinct: dedupe inside the block before the exchange
+        g = t.group_by(["r_name", "s_suppkey"]).aggregate([("nationkey", "min")])
+        return g.rename_columns(["r_name", "s_suppkey", "nationkey"])
+
+    distinct = (_t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+                .map_batches(to_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(["r_name", "s_suppkey"]).min("nationkey"))
+
+    def rollup_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["r_name", "min(nationkey)"]).aggregate([([], "count_all")])
+        return g.rename_columns(["r_name", "nationkey", "c"])
+
+    parts = distinct.map_batches(rollup_partial,
+                                 batch_format="pyarrow").to_pandas()
+    per_nation = parts.groupby(["r_name", "nationkey"], as_index=False)["c"].sum()
+    g = per_nation.groupby("r_name", as_index=False).agg(
+        n_suppliers=("c", "sum"), n_nations=("nationkey", "nunique"))
     g["n_suppliers"] = g["n_suppliers"].astype("int64")
     g["n_nations"] = g["n_nations"].astype("int64")
     g = g.sort_values("r_name").reset_index(drop=True)
@@ -356,7 +387,8 @@ ORACLE_SQL = {
     """,
     "events_props_stats": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS total_k,
                ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k
         FROM events GROUP BY 1 ORDER BY 1
     """,

@@ -372,7 +372,8 @@ ORACLE_SQL = {
     """,
     "doc_token_stats": """
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(LENGTH(string_split_regex(TRIM(text), '\\s+'))) AS total_tokens,
+               CAST(SUM(LENGTH(string_split_regex(TRIM(text), '\\s+')))
+                    AS BIGINT) AS total_tokens,
                ROUND(AVG(LENGTH(string_split_regex(TRIM(text), '\\s+'))), 2) AS avg_tokens
         FROM documents GROUP BY lang ORDER BY lang
     """,

@@ -25,7 +25,9 @@ def grouped_agg(ds, group_cols: Sequence[str],
 
     ``aggs`` maps output column → (input column, fn) with fn ∈
     {count, sum, mean, min, max}. ``count`` counts rows (input column
-    ignored). Means are merged exactly from (sum, count) partials.
+    ignored). Means are merged exactly from (sum, non-null count)
+    partials — SQL AVG ignores NULLs, so the divisor is the aggregated
+    column's own non-null count, not the group's row count.
     """
     group_cols = list(group_cols)
     pa_aggs: List[Tuple[str, str]] = []
@@ -35,7 +37,7 @@ def grouped_agg(ds, group_cols: Sequence[str],
             need_count = True
         elif fn == "mean":
             pa_aggs.append((col, "sum"))
-            need_count = True
+            pa_aggs.append((col, "count"))  # non-null count (AVG divisor)
         elif fn in ("sum", "min", "max"):
             pa_aggs.append((col, fn))
         else:
@@ -58,7 +60,8 @@ def grouped_agg(ds, group_cols: Sequence[str],
         if fn == "count_all":
             merge_plan["count_all"] = "sum"
         else:
-            merge_plan[f"{col}_{fn}"] = "sum" if fn == "sum" else fn
+            # partial sums AND partial counts both merge by summing
+            merge_plan[f"{col}_{fn}"] = "sum" if fn in ("sum", "count") else fn
     g = pdf.groupby(group_cols, as_index=False, dropna=False).agg(merge_plan)
 
     out = g[group_cols].copy()
@@ -66,7 +69,9 @@ def grouped_agg(ds, group_cols: Sequence[str],
         if fn == "count":
             out[out_col] = g["count_all"].astype("int64")
         elif fn == "mean":
-            out[out_col] = g[f"{col}_sum"] / g["count_all"]
+            # divide by the column's non-null count; a 0-count group
+            # yields NaN, matching SQL AVG = NULL over all-NULL input
+            out[out_col] = g[f"{col}_sum"] / g[f"{col}_count"].replace(0, pd.NA)
         elif fn == "sum":
             out[out_col] = g[f"{col}_sum"]
         else:
