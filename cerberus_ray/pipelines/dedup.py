@@ -47,14 +47,42 @@ def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def exact_dedup_keep_first(ds, *, text_col: str = "text",
                            key_col: str = "doc_id"):
     """Keep the min-key row per distinct content hash (deterministic winner,
-    independent of block order). groupby(hash) shuffles (hash, key) pairs."""
+    independent of block order).
+
+    Plan: per-block min-key partial (pyarrow hash aggregate) →
+    hash-partitioned ``groupby(hash).min(key)`` — the exchange carries one
+    (hash, key) row per distinct content per block, never rows or text —
+    → hash-partitioned inner ``Dataset.join`` back against the stream to
+    select the winners. No per-group Python callable (a ``map_groups``
+    here would pay one pandas invocation per DISTINCT document — millions
+    of calls at corpus scale) and no driver-side key structure."""
     hashed = ds.map_batches(lambda b: add_md5(b, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(key_col).head(1)
+    def partial_min(b: pa.Table) -> pa.Table:
+        g = (b.select(["text_md5", key_col]).group_by("text_md5")
+              .aggregate([(key_col, "min")]))
+        return pa.Table.from_arrays([g["text_md5"], g[f"{key_col}_min"]],
+                                    names=["text_md5", "_keep_key"])
 
-    return hashed.groupby("text_md5").map_groups(first, batch_format="pandas")
+    keepers = (hashed.map_batches(partial_min, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                     .groupby("text_md5").min("_keep_key"))
+
+    def tidy(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([b["text_md5"], b["min(_keep_key)"]],
+                                    names=["_keep_md5", "_keep_key"])
+
+    keepers = keepers.map_batches(tidy, batch_format="pyarrow")
+    joined = hashed.join(keepers, join_type="inner", num_partitions=8,
+                         on=("text_md5", key_col),
+                         right_on=("_keep_md5", "_keep_key"))
+
+    def drop_helpers(b: pa.Table) -> pa.Table:
+        return b.select([c for c in b.column_names
+                         if not c.startswith("_keep_")])
+
+    return joined.map_batches(drop_helpers, batch_format="pyarrow")
 
 
 def exact_dup_stats(ds, *, text_col: str = "text") -> pa.Table:
@@ -131,19 +159,25 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
                            threshold: float = 0.8, seed: int = 42) -> pa.Table:
     """→ (doc_id_a, doc_id_b, jaccard_est) pairs with est. Jaccard ≥ threshold.
 
-    shingle→minhash per batch → (band, band_hash, key, sig) rows →
-    duplicate LSH buckets found via the candidate-filtered exact-count
-    machinery (no per-bucket map_groups: ~bands×n buckets are nearly all
-    singletons, so per-group Python would dominate) → in-bucket pairs →
-    signature-estimated Jaccard.
+    Two streaming passes, nothing materialized in the object store:
 
-    Scale note: bucket-member collection touches only duplicated buckets
-    (rare); at 10^9+ docs the bucket-count merge switches to the shuffle
-    path exactly like duplicate_key_counts.
+    1. shingle→minhash→band-hash per batch, FUSED with a per-block
+       distinct bucket count — the pass emits only (bucket, count)
+       partial rows (16 B each, at most bands×rows-per-block); the
+       driver merges them and keeps the duplicated buckets (rare).
+    2. a second pass recomputes signatures per batch and emits
+       (bucket, key, sig) rows ONLY for members of duplicated buckets —
+       signatures for non-candidates never leave the worker.
+
+    Then in-bucket pairs + signature-estimated Jaccard on the driver
+    (candidate pairs are rare by construction). Scale note: at 10^9+
+    docs the bucket-count driver merge switches to the shuffle path
+    exactly like duplicate_key_counts; the sig compute cost is 2× one
+    pass, traded for zero pinned intermediate state.
     """
     import ray
 
-    def sig_rows(batch: pa.Table) -> pa.Table:
+    def _sig_buckets(batch: pa.Table):
         texts = batch[text_col].to_numpy(zero_copy_only=False)
         keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
         sigs = minhash_signatures(texts, k=k, w=w, seed=seed)
@@ -151,23 +185,16 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
         n = len(texts)
         bucket = (np.ascontiguousarray(bh.reshape(-1)).view(np.int64)
                   ^ (np.tile(np.arange(bands, dtype=np.int64), n) << np.int64(56)))
-        return pa.Table.from_pydict({
-            "key": pa.array(np.repeat(keys, bands), type=pa.string()),
-            "bucket": pa.array(bucket),
-            "sig": pa.array([sigs[i].tobytes() for i in range(n)
-                             for _ in range(bands)], type=pa.binary()),
-        })
+        return keys, sigs, bucket  # bucket is flat (n*bands,) row-major
 
-    rows = ds.map_batches(sig_rows, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
-
-    # 1. duplicated buckets (distinct per-block bucket counts → driver merge)
+    # pass 1: per-block distinct bucket counts (fused — no intermediate)
     def bucket_counts(batch: pa.Table) -> pa.Table:
-        return batch.select(["bucket"]).group_by("bucket").aggregate(
-            [([], "count_all")])
+        _, _, bucket = _sig_buckets(batch)
+        t = pa.Table.from_pydict({"bucket": pa.array(bucket)})
+        return t.group_by("bucket").aggregate([([], "count_all")])
 
-    bc = rows.map_batches(bucket_counts, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
+    bc = ds.map_batches(bucket_counts, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
     empty = pa.Table.from_pydict(
         {"doc_id_a": pa.array([], pa.string()),
          "doc_id_b": pa.array([], pa.string()),
@@ -175,41 +202,50 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
     if "bucket" not in bc.columns or not len(bc):
         return empty
     g = bc.groupby("bucket")["count_all"].sum()
-    dup_buckets = np.asarray(g[g > 1].index.to_numpy(), dtype=np.int64)
-    empty = pa.Table.from_pydict(
-        {"doc_id_a": pa.array([], pa.string()),
-         "doc_id_b": pa.array([], pa.string()),
-         "jaccard_est": pa.array([], pa.float64())})
+    dup_buckets = np.sort(np.asarray(g[g > 1].index.to_numpy(), dtype=np.int64))
     if len(dup_buckets) == 0:
         return empty
-    bref = ray.put(np.sort(dup_buckets))
+    bref = ray.put(dup_buckets)
 
-    # 2. members of duplicated buckets only (tiny)
+    # pass 2: (bucket, key, sig) for members of duplicated buckets only
     def members(batch: pa.Table) -> pa.Table:
         db = ray.get(bref)
-        b = batch["bucket"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(db, b), 0, len(db) - 1)
-        return batch.filter(pa.array(db[pos] == b))
+        keys, sigs, bucket = _sig_buckets(batch)
+        pos = np.clip(np.searchsorted(db, bucket), 0, len(db) - 1)
+        hit = db[pos] == bucket
+        if not hit.any():
+            return pa.Table.from_pydict(
+                {"bucket": pa.array([], pa.int64()),
+                 "key": pa.array([], pa.string()),
+                 "sig": pa.array([], pa.binary())})
+        doc_idx = np.repeat(np.arange(len(keys)), bands)[hit]
+        return pa.Table.from_pydict({
+            "bucket": pa.array(bucket[hit]),
+            "key": pa.array(keys[doc_idx], type=pa.string()),
+            "sig": pa.array([sigs[i].tobytes() for i in doc_idx],
+                            type=pa.binary())})
 
-    mem = rows.map_batches(members, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
+    mem = ds.map_batches(members, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
 
-    # 3. in-bucket pairs (vectorized per bucket group on the driver)
-    A, B, SA, SB = [], [], [], []
+    # in-bucket pairs (vectorized per bucket group on the driver)
+    sig_lookup = dict(zip(mem["key"], mem["sig"]))
+    A, B = [], []
     for _, grp in mem.groupby("bucket"):
         grp = grp.sort_values("key").drop_duplicates("key")
         if len(grp) < 2:
             continue
-        ks, sg = grp["key"].tolist(), grp["sig"].tolist()
+        ks = grp["key"].tolist()
         for i in range(len(ks)):
             for j in range(i + 1, len(ks)):
-                A.append(ks[i]); B.append(ks[j]); SA.append(sg[i]); SB.append(sg[j])
+                A.append(ks[i]); B.append(ks[j])
     if not A:
         return empty
-    pdf = pd.DataFrame({"a": A, "b": B, "sig_a": SA, "sig_b": SB})
-    pdf = pdf.drop_duplicates(["a", "b"])
-    sa = np.stack([np.frombuffer(x, dtype=np.uint64) for x in pdf["sig_a"]])
-    sb = np.stack([np.frombuffer(x, dtype=np.uint64) for x in pdf["sig_b"]])
+    pdf = pd.DataFrame({"a": A, "b": B}).drop_duplicates(["a", "b"])
+    sa = np.stack([np.frombuffer(sig_lookup[x], dtype=np.uint64)
+                   for x in pdf["a"]])
+    sb = np.stack([np.frombuffer(sig_lookup[x], dtype=np.uint64)
+                   for x in pdf["b"]])
     jac = (sa == sb).mean(axis=1)
     keep = jac >= threshold
     out = pd.DataFrame({"doc_id_a": pdf["a"].to_numpy()[keep],
