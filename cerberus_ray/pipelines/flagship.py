@@ -31,15 +31,22 @@ from ..stages.validate import FRAGMENT_COL, fragment_verdicts, validate
 
 @dataclass
 class FlagshipResult:
-    violations: "pa.Table"  # sorted, materialized (small relative to input)
+    violations: Optional[pa.Table]  # sorted table (collect=True) else None
     verdicts: Optional[pa.Table]
     n_docs: int
+    violations_ds: object = None  # streaming Dataset handle (collect=False)
 
 
 def run_flagship(docs_ds, media_ds, *, text_max_len: int = SPAN_TEXT_MAX_LEN,
                  ref_mode: str = "broadcast", out_dir: Optional[str] = None,
-                 with_verdicts: bool = True,
+                 with_verdicts: bool = True, collect: bool = True,
                  batch_size: int = 65536) -> FlagshipResult:
+    """``collect=False`` keeps the violation stream a Dataset end-to-end:
+    union → (optional) partitioned parquet sink, nothing driver-side is
+    proportional to the violation count — the path for pathological
+    inputs where most rows violate. ``collect=True`` materializes the
+    (normally small) violation table on the driver for the bench/driver
+    return surface."""
     rs = interleaved_ruleset(text_max_len=text_max_len)
     has_frag = FRAGMENT_COL in docs_ds.schema().names
 
@@ -52,13 +59,22 @@ def run_flagship(docs_ds, media_ds, *, text_max_len: int = SPAN_TEXT_MAX_LEN,
     # row_v carries fragment_id (for verdicts); strip it before the union so
     # both branches stream the same violation schema.
     row_v_plain = (row_v.drop_columns([FRAGMENT_COL]) if has_frag else row_v)
-    if out_dir is not None:
-        import ray.data as rd
+    import ray.data as rd
 
-        row_v_plain.union(ref_v).write_parquet(f"{out_dir}/violations")
+    viol = row_v_plain.union(ref_v)
+    if uniq_v.num_rows:  # one row per duplicated key — small by construction
+        viol = viol.union(rd.from_arrow(uniq_v))
+    if out_dir is not None:
+        viol.write_parquet(f"{out_dir}/violations")
         viol = rd.read_parquet(f"{out_dir}/violations")
-    else:
-        viol = row_v_plain.union(ref_v)
+
+    verdicts = None
+    if with_verdicts and has_frag:
+        verdicts = fragment_verdicts(docs_ds, row_v)
+
+    if not collect:
+        return FlagshipResult(violations=None, verdicts=verdicts,
+                              n_docs=docs_ds.count(), violations_ds=viol)
 
     import pandas as pd
 
@@ -68,15 +84,8 @@ def run_flagship(docs_ds, media_ds, *, text_max_len: int = SPAN_TEXT_MAX_LEN,
     vt = viol.to_pandas()
     if not set(cols) <= set(vt.columns):  # fully-empty union loses the schema
         vt = VIOLATIONS.empty_table().to_pandas()
-    vt = vt[cols]
-    uq = uniq_v.to_pandas()
-    allv = pd.concat([vt, uq], ignore_index=True) if len(uq) else vt
-    allv = allv.sort_values(["doc_id", "rule", "path"]).reset_index(drop=True)
+    allv = vt[cols].sort_values(["doc_id", "rule", "path"]).reset_index(drop=True)
     viol_table = pa.Table.from_pandas(allv, preserve_index=False)
-
-    verdicts = None
-    if with_verdicts and has_frag:
-        verdicts = fragment_verdicts(docs_ds, row_v)
 
     return FlagshipResult(violations=viol_table, verdicts=verdicts,
                           n_docs=docs_ds.count())
@@ -107,7 +116,8 @@ def run_flagship_checkpointed(cfg, ckpt_dir: str, *, fragment_size: int = 1000,
     from ..state.checkpoint import CheckpointManager
 
     rs = interleaved_ruleset(text_max_len=cfg.text_max_len)
-    mgr = CheckpointManager(ckpt_dir, rs.hash, run_id=run_id)
+    mgr = CheckpointManager(ckpt_dir, rs.hash, run_id=run_id,
+                            layout=f"fs-{fragment_size}")
 
     n_frags = math.ceil(cfg.n_docs / fragment_size)
     all_frags = [f"frag-{i:06d}" for i in range(n_frags)]
@@ -167,7 +177,8 @@ def run_flagship_checkpointed(cfg, ckpt_dir: str, *, fragment_size: int = 1000,
     allv = pd.concat(parts, ignore_index=True)
     allv = allv.sort_values(["doc_id", "rule", "path"]).reset_index(drop=True)
 
-    manifests = {m["fragment_id"]: m for m in mgr.fragment_manifests()}
+    manifests = {m["fragment_id"]: m
+                 for m in mgr.fragment_manifests(set(all_frags))}
     verdicts = pa.Table.from_pydict({
         "fragment_id": all_frags,
         "pass": [manifests[f]["pass"] for f in all_frags],
@@ -182,5 +193,5 @@ def run_flagship_checkpointed(cfg, ckpt_dir: str, *, fragment_size: int = 1000,
         "verdicts": verdicts,
         "processed_fragments": todo,
         "skipped_fragments": sorted(done),
-        "run_manifest": mgr.run_manifest(),
+        "run_manifest": mgr.run_manifest(set(all_frags)),
     }

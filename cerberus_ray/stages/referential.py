@@ -144,8 +144,16 @@ def referential_violations(child_ds, parent_ds, *, extract: Callable,
                            parent_key: str, rule: str = "fk-missing",
                            parent_name: str = "parent",
                            mode: str = "broadcast",
+                           semi_join: str = "auto",
                            n_keys_hint: Optional[int] = None):
-    """→ Dataset of violation rows for child keys absent from the parent."""
+    """→ Dataset of violation rows for child keys absent from the parent.
+
+    ``semi_join`` (bloom mode only) picks how bloom-positive candidates
+    are verified: 'driver' collects the distinct parent key set once
+    (fine for dimension-sized parents), 'shuffle' routes tagged distinct
+    keys through a hash-partitioned groupby so the driver NEVER holds the
+    parent key set — the 10^9+-parent path. 'auto' switches on
+    n_keys_hint (> 5M ⇒ shuffle)."""
     if mode == "broadcast":
         from ..determinism import hash_strings
 
@@ -227,27 +235,68 @@ def referential_violations(child_ds, parent_ds, *, extract: Callable,
             return pa.Table.from_pydict({"k": u,
                                          "certain_miss": pa.array(~maybe)})
 
-        cd = child_ds.map_batches(child_distinct, batch_format="pyarrow",
-                                  zero_copy_batch=True).to_pandas()
+        cd_ds = child_ds.map_batches(child_distinct, batch_format="pyarrow",
+                                     zero_copy_batch=True)
         import ray.data as rd
 
-        if not len(cd):
-            return rd.from_arrow(empty_violations())
-        cd = cd.drop_duplicates("k")
-        certain_missing = set(cd[cd["certain_miss"]]["k"])
-        maybe_keys = cd[~cd["certain_miss"]]["k"].to_numpy().astype(str)
-        # distinct-key semi-join for the maybes (broadcast-sized here; at
-        # true scale this becomes a groupby(k) over tagged distinct-key
-        # datasets — the exchanged volume is identical: distinct keys)
-        parent_keys = collect_parent_keys(parent_ds, parent_key)
-        if len(parent_keys) and len(maybe_keys):
-            pos = np.clip(np.searchsorted(parent_keys, maybe_keys), 0,
-                          len(parent_keys) - 1)
-            fp = parent_keys[pos] != maybe_keys
+        if semi_join == "auto":
+            semi_join = ("shuffle" if (n_keys_hint or 0) > 5_000_000
+                         else "driver")
+
+        if semi_join == "driver":
+            # dimension-sized parent: collect the distinct parent key set
+            # once; verify bloom-positives with a vectorized searchsorted
+            cd = cd_ds.to_pandas()
+            if not len(cd):
+                return rd.from_arrow(empty_violations())
+            cd = cd.drop_duplicates("k")
+            certain_missing = set(cd[cd["certain_miss"]]["k"])
+            maybe_keys = cd[~cd["certain_miss"]]["k"].to_numpy().astype(str)
+            parent_keys = collect_parent_keys(parent_ds, parent_key)
+            if len(parent_keys) and len(maybe_keys):
+                pos = np.clip(np.searchsorted(parent_keys, maybe_keys), 0,
+                              len(parent_keys) - 1)
+                fp = parent_keys[pos] != maybe_keys
+            else:
+                fp = np.ones(len(maybe_keys), dtype=bool)
+            missing = np.array(sorted(set(certain_missing)
+                                      | set(maybe_keys[fp])), dtype=str)
+        elif semi_join == "shuffle":
+            # distinct-key groupby semi-join: bloom-negative child keys are
+            # certainly missing (collected directly — rare); bloom-POSITIVE
+            # child keys and distinct parent keys ride a hash-partitioned
+            # groupby(k) tagged by side, and groups with no parent member
+            # are the bloom false positives. Only DISTINCT keys are
+            # exchanged; the driver holds missing keys only.
+            from ray.data.aggregate import Sum
+
+            certain = cd_ds.filter(expr="certain_miss == True").to_pandas()
+            certain_missing = (set(certain["k"]) if len(certain) else set())
+
+            def tag_child(batch: pa.Table) -> pa.Table:
+                t = batch.filter(pc.invert(batch["certain_miss"]))
+                return pa.Table.from_pydict({
+                    "k": t["k"],
+                    "is_parent": pa.array(
+                        np.zeros(t.num_rows, dtype=np.int64))})
+
+            def parent_distinct(batch: pa.Table) -> pa.Table:
+                u = pc.unique(pc.cast(batch[parent_key], pa.string()))
+                return pa.Table.from_pydict({
+                    "k": u,
+                    "is_parent": pa.array(np.ones(len(u), dtype=np.int64))})
+
+            tagged = cd_ds.map_batches(
+                tag_child, batch_format="pyarrow", zero_copy_batch=True
+            ).union(parent_ds.map_batches(
+                parent_distinct, batch_format="pyarrow", zero_copy_batch=True))
+            fp_pdf = (tagged.groupby("k")
+                      .aggregate(Sum("is_parent", alias_name="n_parent"))
+                      .filter(expr="n_parent == 0").to_pandas())
+            fp_keys = (set(fp_pdf["k"]) if "k" in fp_pdf.columns else set())
+            missing = np.array(sorted(certain_missing | fp_keys), dtype=str)
         else:
-            fp = np.ones(len(maybe_keys), dtype=bool)
-        missing = np.array(sorted(set(certain_missing)
-                                  | set(maybe_keys[fp])), dtype=str)
+            raise ValueError(f"unknown semi_join {semi_join!r}")
         mref = ray.put(missing)
 
         def emit_rows(batch: pa.Table) -> pa.Table:

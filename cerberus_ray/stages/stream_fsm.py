@@ -44,7 +44,9 @@ class FSMShard:
 
     def process(self, batch: pd.DataFrame) -> List[dict]:
         out: List[dict] = []
-        for r in batch.sort_values("ts").itertuples():
+        # stable sort: equal-ts events keep feed order, so replays are
+        # deterministic on ties (stream-vs-batch equivalence)
+        for r in batch.sort_values("ts", kind="mergesort").itertuples():
             key = f"{r.entity}|{int(r.entity_id)}"
             # guard the stage's ordering assumption: an event older than
             # the entity's last processed ts means the feed violated the
@@ -69,12 +71,18 @@ class FSMShard:
             self.state[key] = r.target
         return out
 
-    def snapshot(self) -> Dict[str, str]:
-        """Current state per entity — checkpointable actor state."""
-        return dict(self.state)
+    def snapshot(self) -> Dict[str, dict]:
+        """Current state AND last-processed ts per entity — both are needed
+        to resume: without last_ts, out-of-order detection silently resets
+        after a restore."""
+        return {"state": dict(self.state), "last_ts": dict(self.last_ts)}
 
-    def restore(self, state: Dict[str, str]) -> None:
-        self.state.update(state)
+    def restore(self, snap: Dict[str, dict]) -> None:
+        if "state" in snap or "last_ts" in snap:
+            self.state.update(snap.get("state", {}))
+            self.last_ts.update(snap.get("last_ts", {}))
+        else:  # legacy snapshot: state mapping only
+            self.state.update(snap)
 
 
 class StreamingFSMValidator:

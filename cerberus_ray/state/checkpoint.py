@@ -63,10 +63,17 @@ def _atomic_write_table(path: str, table: pa.Table) -> None:
 
 
 class CheckpointManager:
-    def __init__(self, root: str, ruleset_hash: str, run_id: str = "run-0"):
+    def __init__(self, root: str, ruleset_hash: str, run_id: str = "run-0",
+                 layout: str = ""):
+        """``layout`` identifies the fragmentation scheme (e.g. the
+        fragment size). A manifest only counts as complete under the SAME
+        layout — otherwise a resume with a different fragment_size would
+        mistake an old fragment of the same name (covering different
+        rows) for finished work."""
         self.root = root
         self.ruleset_hash = ruleset_hash
         self.run_id = run_id
+        self.layout = layout
         os.makedirs(os.path.join(root, "fragments"), exist_ok=True)
 
     # -- fragments ---------------------------------------------------------
@@ -89,7 +96,8 @@ class CheckpointManager:
                     m = json.load(f)
             except (json.JSONDecodeError, OSError):
                 continue
-            if m.get("ruleset_hash") == self.ruleset_hash:
+            if (m.get("ruleset_hash") == self.ruleset_hash
+                    and m.get("layout", "") == self.layout):
                 out.add(m["fragment_id"])
         return out
 
@@ -102,6 +110,7 @@ class CheckpointManager:
         manifest = {
             "fragment_id": fragment_id,
             "ruleset_hash": self.ruleset_hash,
+            "layout": self.layout,
             "run_id": self.run_id,
             "n_rows": int(n_rows),
             "n_violations": int(violations.num_rows),
@@ -111,13 +120,28 @@ class CheckpointManager:
         _atomic_write_bytes(self._manifest_path(fragment_id),
                             json.dumps(manifest, sort_keys=True).encode())
 
-    def fragment_manifests(self) -> List[dict]:
+    def fragment_manifests(self, expected: Optional[Set[str]] = None) -> List[dict]:
+        """Manifests produced under the CURRENT rule-set hash only — stale
+        hashes and (when ``expected`` is given) orphaned fragment ids from
+        prior runs with a different fragment layout are excluded, so run
+        summaries never double-count them. completed_fragments() applies
+        the same hash filter for resume."""
         d = os.path.join(self.root, "fragments")
         out = []
         for fn in sorted(os.listdir(d)):
-            if fn.endswith(".json"):
+            if not fn.endswith(".json"):
+                continue
+            try:
                 with open(os.path.join(d, fn)) as f:
-                    out.append(json.load(f))
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            if (m.get("ruleset_hash") != self.ruleset_hash
+                    or m.get("layout", "") != self.layout):
+                continue
+            if expected is not None and m.get("fragment_id") not in expected:
+                continue
+            out.append(m)
         return out
 
     def read_fragment_violations(self, fragment_id: str) -> pa.Table:
@@ -174,8 +198,8 @@ class CheckpointManager:
             return f.read()
 
     # -- run summary -------------------------------------------------------
-    def run_manifest(self) -> dict:
-        frags = self.fragment_manifests()
+    def run_manifest(self, expected: Optional[Set[str]] = None) -> dict:
+        frags = self.fragment_manifests(expected)
         return {
             "run_id": self.run_id,
             "ruleset_hash": self.ruleset_hash,

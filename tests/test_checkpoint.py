@@ -41,7 +41,7 @@ def test_partial_resume_recomputes_only_missing(ray_session, cfg,
     from cerberus_ray.rules.row_rules import interleaved_ruleset
 
     rs_hash = interleaved_ruleset(text_max_len=cfg.text_max_len).hash
-    mgr = CheckpointManager(d, rs_hash)
+    mgr = CheckpointManager(d, rs_hash, layout="fs-500")
     mgr.invalidate("frag-000002")
     mgr.invalidate("frag-000004")
 
@@ -71,6 +71,23 @@ def test_manifest_fields(ray_session, cfg, tmp_path_factory):
     assert m["n_fragments"] == 2
     assert m["n_rows"] == cfg.n_docs
     assert m["ruleset_hash"]
-    frag = CheckpointManager(d, m["ruleset_hash"]).fragment_manifests()[0]
+    frag = CheckpointManager(d, m["ruleset_hash"],
+                             layout="fs-1500").fragment_manifests()[0]
     assert set(frag) >= {"fragment_id", "ruleset_hash", "run_id", "n_rows",
                          "n_violations", "violations_by_rule", "pass"}
+
+
+def test_run_manifest_excludes_stale_and_orphans(ray_session, cfg,
+                                                 tmp_path_factory):
+    """A prior run with a smaller fragment_size leaves orphaned frag-*
+    manifests whose NAMES collide with the new layout's fragments but
+    cover different rows. They must count as neither complete (resume
+    revalidates everything under the new layout) nor toward the run
+    summary."""
+    d = str(tmp_path_factory.mktemp("ckpt_orphan"))
+    run_flagship_checkpointed(cfg, d, fragment_size=500)   # 6 fragments
+    r = run_flagship_checkpointed(cfg, d, fragment_size=1500, run_id="run-1")
+    m = r["run_manifest"]
+    assert m["n_fragments"] == 2
+    assert m["n_rows"] == cfg.n_docs  # orphans would double-count rows
+    assert rows(r["violations"]) == rows(expected_violations(cfg))

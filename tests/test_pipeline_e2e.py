@@ -115,3 +115,44 @@ def test_flagship_from_parquet_roundtrip(ray_session, cfg, tmp_path):
     res = run_flagship(read_table(p), media_dataset(cfg),
                        text_max_len=cfg.text_max_len, with_verdicts=False)
     assert rows(res.violations) == rows(expected_violations(cfg))
+
+
+def test_referential_bloom_shuffle_semi_join_agrees(ray_session, cfg):
+    """The 10^9-parent path: bloom-positive candidates verified via the
+    tagged distinct-key groupby — byte-identical to the driver semi-join
+    and the broadcast mode."""
+    golden = expected_violations(cfg)
+    g = golden.filter(pc.equal(golden["rule"], "fk-missing"))
+    v = referential_violations(
+        docs_dataset(cfg), media_dataset(cfg), extract=span_media_keys,
+        parent_key="media_ref", rule="fk-missing",
+        parent_name="media_catalog", mode="bloom", semi_join="shuffle",
+        n_keys_hint=cfg.n_media).to_pandas()
+    got = sorted(zip(v["doc_id"], v["rule"], v["path"], v["detail"]))
+    assert got == rows(g)
+
+
+def test_flagship_streaming_no_driver_collect(ray_session, tmp_path):
+    """A pathological input where EVERY doc violates must stream: with
+    collect=False the violation flow stays a Dataset end-to-end into a
+    partitioned parquet sink — no driver table proportional to the
+    violation count is ever built."""
+    cfg = GenConfig(n_docs=3000, n_media=300)
+    res = run_flagship(docs_dataset(cfg, fragment_size=1000),
+                       media_dataset(cfg), text_max_len=1,  # all spans violate
+                       with_verdicts=False, collect=False,
+                       out_dir=str(tmp_path))
+    assert res.violations is None
+    import ray.data as rd
+    assert isinstance(res.violations_ds, rd.Dataset)
+    # every doc has >= 1 over-length span violation; written files are
+    # partitioned (multiple fragments -> multiple files)
+    n = res.violations_ds.count()
+    assert n >= cfg.n_docs
+    n_docs_violating = (res.violations_ds
+                        .groupby("doc_id").count().count())
+    # near-universal violation (docs whose spans are all empty/media escape)
+    assert n_docs_violating >= 0.9 * cfg.n_docs
+    import os
+    files = os.listdir(str(tmp_path / "violations"))
+    assert len(files) >= 1

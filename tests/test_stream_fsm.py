@@ -62,7 +62,8 @@ def test_snapshot_restore(ray_session):
                                      "target"]))
         v.collect()
         snaps = v.snapshot()
-        assert any(s.get("charge|3") == "paid" for s in snaps)
+        assert any(s["state"].get("charge|3") == "paid" for s in snaps)
+        assert any("charge|3" in s["last_ts"] for s in snaps)
     finally:
         v.shutdown()
 
@@ -95,3 +96,44 @@ def test_out_of_order_feed_flagged(ray_session):
         assert ("invoice|9", "fsm-out-of-order-feed") in rows(out)
     finally:
         v.shutdown()
+
+
+def test_out_of_order_detection_survives_restore(ray_session):
+    """last_ts is part of the snapshot: an event older than the
+    last-processed ts BEFORE the snapshot is still flagged after a fresh
+    validator restores from it."""
+    v = StreamingFSMValidator(EDGES, n_shards=1)
+    try:
+        v.feed(pd.DataFrame(
+            [("invoice", 11, BASE + pd.Timedelta(hours=5), "draft", "unpaid")],
+            columns=["entity", "entity_id", "ts", "source", "target"]))
+        v.collect()
+        snaps = v.snapshot()
+    finally:
+        v.shutdown()
+
+    v2 = StreamingFSMValidator(EDGES, n_shards=1)
+    try:
+        v2.restore(snaps)
+        v2.feed(pd.DataFrame(
+            [("invoice", 11, BASE, "unpaid", "paid")],  # older than pre-snap ts
+            columns=["entity", "entity_id", "ts", "source", "target"]))
+        assert ("invoice|11", "fsm-out-of-order-feed") in rows(v2.collect())
+    finally:
+        v2.shutdown()
+
+
+def test_equal_ts_ties_replay_in_feed_order(ray_session):
+    """Stable in-batch sort: two transitions with the SAME ts must apply
+    in feed order every run (mergesort), keeping the chain legal."""
+    for _ in range(3):
+        v = StreamingFSMValidator(EDGES, n_shards=1)
+        try:
+            b = pd.DataFrame(
+                [("invoice", 13, BASE, "draft", "unpaid"),
+                 ("invoice", 13, BASE, "unpaid", "paid")],  # same ts
+                columns=["entity", "entity_id", "ts", "source", "target"])
+            v.feed(b)
+            assert rows(v.collect()) == []  # in-order: no broken chain
+        finally:
+            v.shutdown()
