@@ -31,10 +31,15 @@ BOOKING_FRACTIONS: Dict[str, float] = {
     "has-booking-slot": 0.004,
     "enum-state": 0.004,
     "pets-belong-to-customer": 0.004,
+    "completed-no-charge": 0.004,
+    "completed-charge-amount": 0.004,
 }
 SLOT_FRACTIONS: Dict[str, float] = {"slot-overlap": 0.004}
 CHARGE_FRACTIONS: Dict[str, float] = {"paid-on-consistency": 0.006}
 PAYMENT_FRACTIONS: Dict[str, float] = {"range-amount": 0.006}
+INVOICE_FRACTIONS: Dict[str, float] = {"paid-charges-unpaid": 0.01}
+#: fraction of bookings completed WITH a correct charge (silent control)
+COMPLETED_OK_FRACTION = 0.004
 
 
 @dataclass(frozen=True)
@@ -50,10 +55,16 @@ class CrmGenConfig:
         default_factory=lambda: dict(CHARGE_FRACTIONS))
     payment_fractions: Dict[str, float] = field(
         default_factory=lambda: dict(PAYMENT_FRACTIONS))
+    invoice_fractions: Dict[str, float] = field(
+        default_factory=lambda: dict(INVOICE_FRACTIONS))
 
     @property
     def n_slots(self) -> int:
         return self.n_bookings  # one booking per slot keeps uniqueness clean
+
+    @property
+    def n_invoices(self) -> int:
+        return max(50, self.n_bookings // 20)
 
     @property
     def n_customers(self) -> int:
@@ -143,14 +154,38 @@ def make_scaled_crm(cfg: CrmGenConfig):
         pet_ids[i] = [int((cust[i] + 1) % cfg.n_customers)]  # wrong owner
     expected["pets-belong-to-customer"] = int(m.sum())
 
+    # FSM side-effect injections: complete() must leave a booking charge
+    # with amount == cost (rules.booking_completed_charges)
+    m_nc = hit("completed-no-charge")     # completed, charge never linked
+    states[m_nc] = "completed"
+    expected["completed-no-charge"] = int(m_nc.sum())
+    m_ca = hit("completed-charge-amount")  # completed, linked charge ≠ cost
+    states[m_ca] = "completed"
+    expected["completed-charge-amount"] = int(m_ca.sum())
+    # silent control: completed bookings whose linked charge is correct
+    m_ok = (uniform01(idx, seed, 0xB9) < COMPLETED_OK_FRACTION) & (bcode == -1)
+    states[m_ok] = "completed"
+
     bookings = pd.DataFrame({
         "booking_id": idx, "customer_id": cust, "service_id": 1,
         "slot_id": slot_col, "state": states, "start": bstart, "end": bend,
         "cost": 30.0, "pet_ids": pet_ids})
 
-    # charges: one per booking; paid/unpaid split by hash
+    # invoices: ~20 charges each (charge i → invoice i % n_inv); charge
+    # state is COHERENT with its invoice (paid invoice ⇒ paid charges),
+    # so only the injection below breaks the pay() cascade invariant
+    n_inv = cfg.n_invoices
+    inv_idx = np.arange(n_inv, dtype=np.int64)
+    inv_of_charge = idx % n_inv
+    icode, irules = _pick(cfg.invoice_fractions, inv_idx, seed, 0xE1)
+    inv_paid = uniform01(inv_idx, seed, 0xE2) < 0.5
+    inv_inj = (icode == irules.index("paid-charges-unpaid")
+               if "paid-charges-unpaid" in irules else np.zeros(n_inv, bool))
+    inv_paid[inv_inj] = True  # injected invoices are forced paid
+
+    # charges: one per booking; state follows the owning invoice
     ccode, crules = _pick(cfg.charge_fractions, idx, seed, 0xC2)
-    paid = uniform01(idx, seed, 0xC3) < 0.5
+    paid = inv_paid[inv_of_charge]
     paid_on = pd.Series(pd.NaT, index=range(n), dtype="datetime64[ns]")
     paid_on[paid] = pd.Timestamp(BASE)
     state_c = np.where(paid, "paid", "unpaid").astype(object)
@@ -161,12 +196,36 @@ def make_scaled_crm(cfg: CrmGenConfig):
     paid_on[m & ~paid] = pd.Timestamp(BASE)
     expected["paid-on-consistency"] = int(m.sum())
 
+    # pay()-cascade injection: un-pay the FIRST charge (charge j) of each
+    # injected paid invoice j — skipping charges already carrying the
+    # paid-on injection keeps both counts exact
+    flip = inv_inj & (ccode[inv_idx] == -1)
+    flip_rows = inv_idx[flip]
+    state_c[flip_rows] = "unpaid"
+    paid_on.iloc[flip_rows] = pd.NaT
+    expected["paid-charges-unpaid"] = int(flip.sum())
+
+    # booking-charge links: wrong-amount and correct-control completions
+    booking_link = np.full(n, None, dtype=object)
+    booking_link[m_ca] = idx[m_ca]
+    booking_link[m_ok] = idx[m_ok]
+    line = np.full(n, 30.0)
+    line[m_ca] = 10.0  # != cost
+
+    invoices = pd.DataFrame({
+        "invoice_id": inv_idx,
+        "customer_id": inv_idx % cfg.n_customers,
+        "state": np.where(inv_paid, "paid", "unpaid").astype(object),
+        "total": np.bincount(inv_of_charge, weights=line, minlength=n_inv)})
+
     charges = pd.DataFrame({
         "charge_id": idx, "name": [f"charge {i}" for i in idx],
-        "line": 30.0, "quantity": 1, "state": state_c,
+        "line": line, "quantity": 1, "state": state_c,
         "paid_on": paid_on.to_numpy(),
         "parent_charge_id": pd.array([None] * n, dtype="Int64"),
-        "customer_id": cust, "invoice_id": pd.array([None] * n, dtype="Int64")})
+        "customer_id": cust,
+        "invoice_id": pd.array(inv_of_charge, dtype="Int64"),
+        "booking_id": pd.array(booking_link, dtype="Int64")})
 
     # payments keyed to a small invoice set; negatives injected
     npay = max(100, n // 20)
@@ -189,5 +248,6 @@ def make_scaled_crm(cfg: CrmGenConfig):
     tables = {k: pa.Table.from_pandas(v, preserve_index=False)
               for k, v in [("pets", pets), ("slots", slots),
                            ("bookings", bookings), ("charges", charges),
-                           ("payments", payments), ("services", services)]}
+                           ("payments", payments), ("services", services),
+                           ("invoices", invoices)]}
     return tables, expected

@@ -73,6 +73,10 @@ def make_crm_tables() -> tuple[dict, list]:
         (4, 1, BASE + 2.5 * h, BASE + 3.5 * h),   # overlaps slot 2
         (5, 2, BASE + 26 * h, BASE + 28 * h),     # next day — no overlap
         (6, 1, BASE + 8 * h, BASE + 7 * h),       # end < start
+        # distinct far-out days for the completed-booking fixtures
+        (7, 1, BASE + 50 * h, BASE + 51 * h),
+        (8, 1, BASE + 74 * h, BASE + 75 * h),
+        (9, 1, BASE + 98 * h, BASE + 99 * h),
     ], columns=["slot_id", "service_id", "start", "end"])
     expected += [("2|4", "slot-overlap"), ("6", "slot-start-before-end")]
 
@@ -95,6 +99,12 @@ def make_crm_tables() -> tuple[dict, list]:
         (10, 1, 1, 2, "confirmed", BASE + 2 * h, BASE + 3 * h, 30.0, [3]),
         # bogus state
         (11, 2, 1, 5, "lost", BASE + 26 * h, BASE + 28 * h, 30.0, [4]),
+        # completed WITH a matching booking charge (clean)
+        (12, 3, 1, 7, "completed", BASE + 50 * h, BASE + 51 * h, 30.0, [5]),
+        # completed with NO booking charge (complete() must create one)
+        (13, 4, 1, 8, "completed", BASE + 74 * h, BASE + 75 * h, 30.0, [6]),
+        # completed whose booking charge amount != cost
+        (14, 5, 1, 9, "completed", BASE + 98 * h, BASE + 99 * h, 30.0, [7]),
     ], columns=["booking_id", "customer_id", "service_id", "slot_id", "state",
                 "start", "end", "cost", "pet_ids"])
     expected += [
@@ -105,6 +115,8 @@ def make_crm_tables() -> tuple[dict, list]:
         ("2|5", "unique-customer-slot"),   # bookings 8 and 11
         ("10", "pets-belong-to-customer"),
         ("11", "enum-state"),
+        ("13", "completed-no-charge"),
+        ("14", "completed-charge-amount"),
     ]
     # slot 3 capacity: service 2 allows max_pet=4 — bookings 3,4,5 carry
     # 1+1+2 = 4 pets (OK) but distinct customers 3 > max_customer=3? == 3 OK.
@@ -120,8 +132,16 @@ def make_crm_tables() -> tuple[dict, list]:
         (5, "Walk - Refund", -40.0, 1, "refund", None, 1, 1, None),  # over-refund (70 > 60)
         (6, "x" * 300, 10.0, 1, "unpaid", None, None, 2, None),      # name too long
         (7, "Stray", 15.0, 1, "unpaid", BASE, None, 2, None),        # unpaid with paid_on
+        # booking charges (Booking.complete() side-effect rows)
+        (8, "Walk", 30.0, 1, "unpaid", None, None, 3, None),    # booking 12, matches cost
+        (9, "Walk", 10.0, 1, "unpaid", None, None, 5, None),    # booking 14, wrong amount
+        # a PAID invoice (5) still carrying an unpaid charge (pay() must cascade)
+        (10, "Groom", 20.0, 1, "unpaid", None, None, 5, 5),
     ], columns=["charge_id", "name", "line", "quantity", "state", "paid_on",
                 "parent_charge_id", "customer_id", "invoice_id"])
+    charges["booking_id"] = pd.array(
+        [None, None, None, None, None, None, None, 12, 14, None],
+        dtype="Int64")
     expected += [("3", "paid-on-consistency"), ("7", "paid-on-consistency"),
                  ("1", "refund-exceeds-charge"), ("6", "maxlen-name")]
 
@@ -131,16 +151,20 @@ def make_crm_tables() -> tuple[dict, list]:
         (2, 3, "unpaid", TODAY - timedelta(days=1), 5.0, 60.0, True),
         (3, 2, "unpaid", TODAY + timedelta(days=5), 0.0, 99.0, True),
         (4, 4, "draft", None, 0.0, 0.0, False),
+        # paid, payments cover total, but charge 10 is still unpaid
+        (5, 5, "paid", TODAY - timedelta(days=2), 0.0, 20.0, False),
     ], columns=["invoice_id", "customer_id", "state", "due", "adjustment",
                 "total", "overdue"])
     # invoice 3: stored total 99 != recomputed 30 (charge 3)  → A3 violation
     # invoice 3: stored overdue=True but due in future → M22 parity violation
-    expected += [("3", "invoice-total-consistency"), ("3", "overdue-parity")]
+    expected += [("3", "invoice-total-consistency"), ("3", "overdue-parity"),
+                 ("5", "paid-charges-unpaid")]
 
     payments = pd.DataFrame([
         (1, 1, 1, 60.0),
         (2, 2, 3, 30.0),
         (3, 2, 3, -5.0),    # negative amount
+        (4, 5, 5, 20.0),    # invoice 5 fully paid (isolates the cascade rule)
     ], columns=["payment_id", "invoice_id", "customer_id", "amount"])
     expected += [("3", "range-amount")]
     # invoice 1 is paid and Σ payments == 60 == total → OK

@@ -29,6 +29,11 @@ Reference citations per rule:
 - no-email-contact           fixcustomers census (fixcustomers.py:18-27)
 - fsm-illegal-edge / fsm-broken-chain  transition edges + StateLog order
                              (booking.py:429-457, invoice.py:138-151)
+- paid-charges-unpaid        pay() cascades charge.pay() (invoice.py:226-231;
+                             test_invoices.py:97-104)
+- completed-no-charge / completed-charge-amount  complete() creates a charge
+                             with amount == cost (booking.py:450-457;
+                             test_bookings.py:269-286)
 """
 
 from __future__ import annotations
@@ -349,6 +354,84 @@ def invoice_paid_consistency(invoices_ds, payments_ds, *, tol=0.01) -> pa.Table:
     return _v(rows)
 
 
+def invoice_paid_charges(invoices_ds, charges_ds) -> pa.Table:
+    """FSM side-effect consistency: Invoice.pay() cascades charge.pay()
+    (invoice.py:226-231; test_invoices.py:97-104 asserts every charge of
+    a paid invoice is paid) — so a PAID invoice with any non-void,
+    non-paid charge is an illegal post-state. Map-side partial count of
+    offending charges per invoice → driver merge (violating invoices are
+    rare); invoices stream through the paid filter."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        bad_state = pc.invert(pc.is_in(
+            b["state"], value_set=pa.array(["paid", "void"])))
+        t = b.filter(pc.and_(pc.is_valid(b["invoice_id"]), bad_state))
+        return (t.select(["invoice_id"]).group_by("invoice_id")
+                 .aggregate([([], "count_all")]))
+
+    pdf = charges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    bad = (pdf.groupby("invoice_id")["count_all"].sum()
+           if len(pdf) else pd.Series(dtype="int64"))
+
+    def check(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["state"], "paid"))
+        rows = []
+        for iid in t["invoice_id"].to_pylist():
+            n = int(bad.get(iid, 0))
+            if n:
+                rows.append((str(int(iid)), "paid-charges-unpaid", "charges",
+                             f"{n} charge(s) not paid on a paid invoice"))
+        return _v(rows)
+
+    out = invoices_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
+
+
+def booking_completed_charges(bookings_ds, charges_ds, *, tol=0.01) -> pa.Table:
+    """FSM side-effect consistency: Booking.complete() creates a charge
+    with amount == booking.cost (booking.py:450-457 create_charges;
+    test_bookings.py:269-286 asserts count+1, charge.booking == booking
+    and charge.amount == booking.cost). Post-state invariants:
+
+    - ``completed-no-charge``: a completed booking with NO booking charge
+    - ``completed-charge-amount``: charges exist but none matches cost
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["booking_id"]))
+        amount = pc.multiply(t["line"], pc.cast(t["quantity"], pa.float64()))
+        return pa.Table.from_arrays(
+            [pc.cast(t["booking_id"], pa.int64()), amount],
+            names=["k", "amount"])
+
+    pdf = charges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    amounts_by_booking = (pdf.groupby("k")["amount"].agg(list)
+                          if len(pdf) else pd.Series(dtype=object))
+
+    def check(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["state"], "completed"))
+        rows = []
+        for bid, cost in zip(t["booking_id"].to_pylist(),
+                             t["cost"].to_pylist()):
+            amts = amounts_by_booking.get(int(bid))
+            if amts is None:
+                rows.append((str(int(bid)), "completed-no-charge", "charges",
+                             "completed booking has no booking charge"))
+            elif not any(abs(a - float(cost)) <= tol for a in amts):
+                rows.append((str(int(bid)), "completed-charge-amount",
+                             "charges",
+                             f"no booking charge matches cost {cost:.2f} "
+                             f"(got {sorted(amts)})"))
+        return _v(rows)
+
+    out = bookings_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
+
+
 def overdue_parity(invoices_ds, *, today) -> pa.Table:
     """Stored overdue flag vs recomputed (state==unpaid ∧ due < today) —
     the M22 dual-path conformance pattern."""
@@ -471,6 +554,8 @@ def run_crm_pack(tables: Dict[str, pa.Table], *, today) -> pa.Table:
         refund_exceeds(ds["charges"]),
         invoice_total_consistency(ds["invoices"], ds["charges"]),
         invoice_paid_consistency(ds["invoices"], ds["payments"]),
+        invoice_paid_charges(ds["invoices"], ds["charges"]),
+        booking_completed_charges(ds["bookings"], ds["charges"]),
         overdue_parity(ds["invoices"], today=today),
         frozen_fields(ds["invoices"], ds["invoices_snapshot"]),
         fsm_log_validity(ds["state_log"]),

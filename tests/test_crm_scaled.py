@@ -70,3 +70,20 @@ def test_scaled_charges_payments_capacity(scaled):
     p = counts(run_rowpack(ds["payments"], payment_row_ruleset()))
     assert p["range-amount"] == exp["range-amount"]
     assert slot_capacity(ds["bookings"], ds["services"]).num_rows == 0
+
+
+def test_scaled_fsm_side_effects(scaled):
+    """pay()-cascade and complete()-creates-charge post-state invariants
+    at 20k bookings — exact injected counts; the correct-control
+    completions (linked charge == cost) stay silent."""
+    from cerberus_ray.crm.rules import (
+        booking_completed_charges,
+        invoice_paid_charges,
+    )
+
+    ds, exp = scaled
+    v = counts(booking_completed_charges(ds["bookings"], ds["charges"]))
+    assert v["completed-no-charge"] == exp["completed-no-charge"]
+    assert v["completed-charge-amount"] == exp["completed-charge-amount"]
+    p = counts(invoice_paid_charges(ds["invoices"], ds["charges"]))
+    assert p["paid-charges-unpaid"] == exp["paid-charges-unpaid"]
