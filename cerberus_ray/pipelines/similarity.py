@@ -173,10 +173,19 @@ def lsh_topk(ds, query_vecs: np.ndarray, *, k: int = 10, n_bits: int = 12,
 def train_ivf_centroids(ds, *, n_lists: int = 16, vec_col: str = "embedding",
                         sample_rows: int = 4096, iters: int = 10,
                         seed: int = 42) -> np.ndarray:
-    """Deterministic mini k-means on a head sample → (n_lists, dim) unit
-    centroids. At 10^12 scale the sample comes from a seeded
-    ds.random_sample; training cost is O(sample × lists × iters)."""
-    sample = ds.limit(sample_rows).to_pandas()
+    """Deterministic mini k-means on a seeded random sample → (n_lists,
+    dim) unit centroids. The sample is drawn with ``ds.random_sample``
+    (seeded — unbiased across the whole table, unlike a head ``limit``);
+    training cost is O(sample × lists × iters)."""
+    n = ds.count()
+    if n > sample_rows:
+        frac = min(1.0, (sample_rows * 1.25) / n)  # slight over-draw
+        sample = (ds.random_sample(frac, seed=seed)
+                    .limit(sample_rows).to_pandas())
+        if len(sample) < max(n_lists, sample_rows // 4):  # tiny-ds fallback
+            sample = ds.limit(sample_rows).to_pandas()
+    else:
+        sample = ds.limit(sample_rows).to_pandas()
     x = _unit(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     # deterministic init: evenly strided sample rows
     stride = max(len(x) // n_lists, 1)
@@ -253,13 +262,21 @@ def ivf_topk(ds, query_vecs: np.ndarray, *, k: int = 10, n_lists: int = 16,
 def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              seed: int = 42, dim: Optional[int] = None,
-                             n_tables: int = 3) -> pa.Table:
+                             n_tables: int = 3,
+                             max_bucket: int = 2048) -> pa.Table:
     """→ (id_a, id_b, sim) pairs with cosine ≥ threshold.
 
     n_tables independent LSH tables; each vector lands in one bucket per
     table; in-bucket pairwise verify; pairs deduped across tables. Recall
     for a pair at angle θ is 1-(1-(1-θ/π)^n_bits)^n_tables — raise
-    n_tables for higher recall (approximation documented for scale)."""
+    n_tables for higher recall (approximation documented for scale).
+
+    Hot-bucket guard: a bucket over ``max_bucket`` members (e.g. many
+    near-zero or duplicate vectors collapsing to one signature) is
+    recursively SUB-BUCKETED with fresh hyperplanes instead of paying an
+    O(n²) in-bucket matmul; pairs split across sub-buckets may be missed
+    in that table (the other tables can still catch them) — the standard
+    LSH hot-key mitigation, documented approximation."""
     if dim is None:
         first = ds.take(1)[0][vec_col]
         dim = len(first)
@@ -282,17 +299,47 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
 
     r = ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
 
+    def _verify(ids: np.ndarray, e: np.ndarray, depth: int) -> list:
+        """→ list of (id_a[], id_b[], sim[]) array triples (vectorized)."""
+        if len(ids) < 2:
+            return []
+        if len(ids) > max_bucket and depth < 4:
+            # hot bucket: split with fresh planes, recurse per sub-bucket
+            planes = _hyperplanes(e.shape[1], n_bits, seed + 7919 * (depth + 1))
+            sub = lsh_signatures(e, planes)
+            out = []
+            for sv in np.unique(sub):
+                m = sub == sv
+                if m.sum() >= 2:
+                    out.extend(_verify(ids[m], e[m], depth + 1))
+            return out
+        if len(ids) > max_bucket:  # degenerate (identical sigs at depth 4)
+            order = np.argsort(ids)
+            ids, e = ids[order], e[order]
+            return [t for i in range(0, len(ids), max_bucket)
+                    for t in _verify(ids[i:i + max_bucket],
+                                     e[i:i + max_bucket], depth + 1)]
+        s = e @ e.T
+        iu = np.triu_indices(len(ids), 1)
+        sv = s[iu]
+        m = sv >= threshold
+        if not m.any():
+            return []
+        return [(ids[iu[0][m]], ids[iu[1][m]], np.round(sv[m], 4))]
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
         g = g.sort_values("id").drop_duplicates("id")
         ids = g["id"].to_numpy()
         e = np.stack(g["vec"].to_numpy()).astype(np.float64)
-        s = e @ e.T
-        iu = np.triu_indices(len(ids), 1)
-        m = s[iu] >= threshold
-        return pd.DataFrame({"id_a": ids[iu[0][m]], "id_b": ids[iu[1][m]],
-                             "sim": np.round(s[iu][m], 4)})
+        found = _verify(ids, e, 0)
+        if not found:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        return pd.DataFrame({
+            "id_a": np.concatenate([t[0] for t in found]),
+            "id_b": np.concatenate([t[1] for t in found]),
+            "sim": np.concatenate([t[2] for t in found])})
 
     out = r.groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
     if len(out) == 0:

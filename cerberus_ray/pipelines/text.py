@@ -56,12 +56,22 @@ class TextScorer:
         n_punct = texts.str.count(r"[^\w\s]").astype("int64")
         n_digit = texts.str.count(r"\d").astype("int64")
         en = self.stop["en"]
-        stop_ratio = tokens.map(
-            lambda ws: sum(w in en for w in ws) / len(ws) if ws else 0.0)
-        uniq_ratio = tokens.map(
-            lambda ws: len(set(ws)) / len(ws) if ws else 0.0)
-        mean_word_len = tokens.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        # vectorized token stats: one explode + grouped reductions instead
+        # of a Python lambda per document (the former hot cost of this
+        # stage); empty docs reindex to 0
+        ex = tokens.explode().dropna()
+        denom = n_tokens.clip(lower=1)
+        if len(ex):
+            grp_idx = ex.index
+            stop_hits = ex.isin(en).groupby(grp_idx).sum()
+            uniq = ex.groupby(grp_idx).nunique()
+            tok_len = ex.str.len().groupby(grp_idx).mean()
+        else:
+            stop_hits = uniq = tok_len = pd.Series(dtype=float)
+        idx = batch.index
+        stop_ratio = stop_hits.reindex(idx).fillna(0) / denom
+        uniq_ratio = uniq.reindex(idx).fillna(0) / denom
+        mean_word_len = tok_len.reindex(idx).fillna(0.0)
         out = batch[[c for c in batch.columns if c != "text"]].copy()
         out["n_chars"] = n_chars
         out["n_tokens"] = n_tokens

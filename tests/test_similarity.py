@@ -122,3 +122,30 @@ def test_explode_spans(ray_session):
                                   "media_ref", "offset"]
     # span_idx restarts at 0 per doc
     assert (flat.groupby("doc_id")["span_idx"].min() == 0).all()
+
+
+def test_embedding_near_dup_hot_bucket_bounded(ray_session):
+    """Thousands of identical vectors collapse into ONE LSH bucket in
+    every table; the hot-bucket guard must sub-bucket/chunk instead of an
+    O(n²) matmul, stay fast, and still find near-dups locally."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    n = 4000
+    v = np.ones(16) / 4.0
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [v.tolist() for _ in range(n)]})
+    t0 = time.time()
+    out = embedding_near_dup_pairs(rd.from_pandas(df), threshold=0.9,
+                                   n_bits=8, n_tables=2,
+                                   max_bucket=256).to_pandas()
+    took = time.time() - t0
+    assert took < 60, f"hot bucket not bounded: {took:.1f}s"
+    # pairs inside each chunk are found at sim 1.0
+    assert len(out) > 0
+    assert (out["sim"] == 1.0).all()
