@@ -215,6 +215,22 @@ def q_events_rolling_1h(sf_dir: str) -> pa.Table:
                         "rolling_avg", pc.round(t["rolling_avg"], **_R2))
 
 
+def q_orders_sorted_view(sf_dir: str) -> pa.Table:
+    """O2 whitelisted dynamic sort at the driver surface: the caller's
+    sort key is validated against the whitelist (unknown keys raise
+    SortableFieldError — tested in tests/test_ordering.py), then applied
+    as a distributed Dataset.sort."""
+    from .ordering import sorted_view
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = (sorted_view(ds, "o_orderkey", "asc",
+                       sortable_fields=["o_orderkey", "o_totalprice"])
+           .limit(20).to_pandas())
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_nation_region_rollup(sf_dir: str) -> pa.Table:
     """Distinct counts per region over a fact-sized table (J9 shape).
 
@@ -361,6 +377,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "top_customers_by_revenue": q_top_customers_by_revenue,
     "orders_page": q_orders_page,
+    "orders_sorted_view": q_orders_sorted_view,
     "filter_combo": q_filter_combo,
     "name_contains": q_name_contains,
     "events_hourly_windows": q_events_hourly_windows,
@@ -414,6 +431,10 @@ ORACLE_SQL = {
     "orders_page": """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders ORDER BY o_orderkey LIMIT 25 OFFSET 50
+    """,
+    "orders_sorted_view": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_orderkey LIMIT 20
     """,
     "filter_combo": """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
