@@ -194,55 +194,114 @@ def q_ref_supplier_nation(sf_dir: str):
 # aggregate consistency (dual-path totals)
 # ---------------------------------------------------------------------------
 
-def q_order_totalprice_check(sf_dir: str):
+def _totalprice_child_partial(b: pa.Table) -> pa.Table:
+    """Map-side combine of lineitem → one (k, v, n) row per distinct order
+    per block — shared by both execution modes."""
+    v = pc.multiply(
+        pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])),
+        pc.add(1.0, b["l_tax"]))
+    t = pa.Table.from_arrays(
+        [pc.cast(b["l_orderkey"], pa.int64()), pc.cast(v, pa.float64())],
+        names=["k", "v"])
+    g = t.group_by("k").aggregate([("v", "sum"), ([], "count_all")])
+    return pa.Table.from_arrays(
+        [g["k"], g["v_sum"], pc.cast(g["count_all"], pa.int64())],
+        names=["k", "v", "n"])
+
+
+def q_order_totalprice_check(sf_dir: str, mode: str = "auto"):
     """(o_orderkey, n_items, consistent) for every order.
 
-    Fully distributed dual-path check: per-block pyarrow hash-aggregate
-    of lineitem → (key, partial_sum, partial_count) rows, merged with a
-    hash-partitioned ``groupby(key)`` shuffle (the exchange carries one
-    row per DISTINCT order, never raw lineitems), then a hash-partitioned
-    ``Dataset.join`` against orders. No driver-side structure is
-    proportional to the order count — this is the plan that survives
-    billions of orders.
-    """
-    from ray.data.aggregate import Sum
+    Mode planner (same philosophy as uniqueness's driver/hash/shuffle
+    split — pick the plan BEFORE any structure outgrows its home):
 
+    - 'driver' (≤ ~5M orders): per-block partials merge on the driver
+      (int64-keyed pandas at C speed), broadcast once, compared in a
+      streaming pass over orders. No all-to-all — the fast plan while
+      per-key sums fit driver memory.
+    - 'shuffle' (beyond): ONE hash-partitioned exchange — lineitem
+      partials and (key, stored_price, is_order=1) order tag rows ride
+      the same ``groupby(k)`` (the join-as-groupby trick), so nothing
+      driver-side is proportional to the order count. This is the plan
+      that survives billions of orders.
+
+    Both modes are output-identical (tests assert agreement).
+    """
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount",
                                  "l_tax"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    if mode == "auto":
+        mode = "driver" if orders.count() <= 5_000_000 else "shuffle"
 
-    def child_partial(b: pa.Table) -> pa.Table:
-        v = pc.multiply(
-            pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])),
-            pc.add(1.0, b["l_tax"]))
-        t = pa.Table.from_arrays(
-            [pc.cast(b["l_orderkey"], pa.int64()), pc.cast(v, pa.float64())],
-            names=["k", "v"])
-        g = t.group_by("k").aggregate([("v", "sum"), ([], "count_all")])
+    if mode == "driver":
+        partials = li.map_batches(_totalprice_child_partial,
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+        sums = partials.groupby("k").agg(v=("v", "sum"), n=("n", "sum"))
+        ref = ray.put((sums["v"], sums["n"]))
+
+        def compare_bcast(b: pa.Table) -> pa.Table:
+            v_by_key, n_by_key = ray.get(ref)
+            keys = pd.Series(b["o_orderkey"].to_numpy(zero_copy_only=False))
+            stored = b["o_totalprice"].to_numpy(zero_copy_only=False)
+            total = keys.map(v_by_key).fillna(0.0).to_numpy()
+            n_items = keys.map(n_by_key).fillna(0).to_numpy().astype(np.int64)
+            ok = np.abs(total - stored) <= 0.01
+            return pa.Table.from_arrays(
+                [pc.cast(b["o_orderkey"], pa.int64()),
+                 pa.array(n_items, type=pa.int64()),
+                 pa.array(ok, type=pa.bool_())],
+                names=["o_orderkey", "n_items", "consistent"])
+
+        return orders.map_batches(compare_bcast, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    if mode != "shuffle":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    from ray.data.aggregate import Max, Sum
+
+    def tag_partial(b: pa.Table) -> pa.Table:
+        g = _totalprice_child_partial(b)
+        n = g.num_rows
         return pa.Table.from_arrays(
-            [g["k"], g["v_sum"], pc.cast(g["count_all"], pa.int64())],
-            names=["k", "v", "n"])
+            [g["k"], g["v"], g["n"], pa.nulls(n, pa.float64()),
+             pa.array(np.zeros(n, dtype=np.int64))],
+            names=["k", "v", "n", "stored", "is_order"])
 
-    partials = li.map_batches(child_partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    sums = partials.groupby("k").aggregate(Sum("v", alias_name="v"),
-                                           Sum("n", alias_name="n"))
-    joined = orders.join(sums, join_type="left_outer", num_partitions=8,
-                         on=("o_orderkey",), right_on=("k",))
+    def order_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(b["o_orderkey"], pa.int64()),
+             pa.array(np.zeros(n)), pa.array(np.zeros(n, dtype=np.int64)),
+             pc.cast(b["o_totalprice"], pa.float64()),
+             pa.array(np.ones(n, dtype=np.int64))],
+            names=["k", "v", "n", "stored", "is_order"])
+
+    tagged = (li.map_batches(tag_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .union(orders.map_batches(order_rows, batch_format="pyarrow",
+                                          zero_copy_batch=True)))
+    merged = tagged.groupby("k").aggregate(
+        Sum("v", alias_name="v"), Sum("n", alias_name="n"),
+        Max("stored", alias_name="stored"),
+        Sum("is_order", alias_name="is_order"))
 
     def compare(b: pa.Table) -> pa.Table:
-        stored = b["o_totalprice"].to_numpy(zero_copy_only=False)
-        total = pc.fill_null(pc.cast(b["v"], pa.float64()),
+        t = b.filter(pc.greater(b["is_order"], 0))  # drop orphan lineitems
+        stored = pc.fill_null(pc.cast(t["stored"], pa.float64()),
+                              0.0).to_numpy(zero_copy_only=False)
+        total = pc.fill_null(pc.cast(t["v"], pa.float64()),
                              0.0).to_numpy(zero_copy_only=False)
-        n_items = pc.fill_null(pc.cast(b["n"], pa.int64()),
+        n_items = pc.fill_null(pc.cast(t["n"], pa.int64()),
                                0).to_numpy(zero_copy_only=False)
         ok = np.abs(total - stored) <= 0.01
         return pa.Table.from_arrays(
-            [pc.cast(b["o_orderkey"], pa.int64()),
+            [pc.cast(t["k"], pa.int64()),
              pa.array(n_items, type=pa.int64()), pa.array(ok, type=pa.bool_())],
             names=["o_orderkey", "n_items", "consistent"])
 
-    return joined.map_batches(compare, batch_format="pyarrow",
+    return merged.map_batches(compare, batch_format="pyarrow",
                               zero_copy_batch=True)
 
 

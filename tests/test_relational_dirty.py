@@ -88,3 +88,17 @@ def test_dirty_counts_nonzero(ray_session, dirty_dir):
     assert counts["enum-l_linestatus"] == 1     # 'Q'
     u = R.QUERIES["unique_custkey"](dirty_dir).to_pandas()
     assert dict(zip(u["c_custkey"], u["n"])) == {5: 3, 17: 2}
+
+
+def test_order_totalprice_modes_agree(ray_session):
+    """The planner's two plans — driver-merged broadcast vs the single
+    hash-partitioned exchange — must be output-identical."""
+    from cerberus_ray.pipelines.relational import q_order_totalprice_check
+
+    sf = "/root/testdata/sf0.001"
+    a = (q_order_totalprice_check(sf, mode="driver").to_pandas()
+         .sort_values("o_orderkey").reset_index(drop=True))
+    b = (q_order_totalprice_check(sf, mode="shuffle").to_pandas()
+         .sort_values("o_orderkey").reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) > 0
