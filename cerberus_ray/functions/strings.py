@@ -132,3 +132,49 @@ def name_concat(first, last) -> pa.Array:
 
 def truncate(values, n: int = 255) -> pa.Array:
     return pc.utf8_slice_codeunits(_arr(values), 0, n)
+
+
+def age_humanize(dob, today) -> pa.Array:
+    """M26: humanized age from date-of-birth (cerberus/models/pet.py:97-101
+    ``naturaldelta(now - dob)``; null dob → "Unknown").
+
+    Vectorized re-implementation of humanize.naturaldelta's whole-day
+    branch (the reference always passes date differences): <1 day →
+    "a moment"; days → "a day"/"N days"; months (30.5-day buckets) →
+    "a month"/"N months"; one year → "a year" / "1 year, N days" /
+    "1 year, 1 month" / "1 year, N months"; else "N years".
+    """
+    import numpy as np
+
+    arr = _arr(dob)
+    days_arr = pc.days_between(arr, pa.scalar(today, type=pa.date32()))
+    d = days_arr.to_numpy(zero_copy_only=False)
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    d = np.where(valid, d, 0).astype(np.int64)
+    d = np.abs(d)
+    years = d // 365
+    rem_days = d % 365
+    months = (rem_days / 30.5).astype(np.int64)
+
+    out = np.full(len(d), "Unknown", dtype=object)
+    m = valid & (years == 0) & (d < 1)
+    out[m] = "a moment"
+    m = valid & (years == 0) & (d == 1)
+    out[m] = "a day"
+    m = valid & (years == 0) & (d > 1) & (months == 0)
+    out[m] = np.char.add(d[m].astype(str), " days")
+    m = valid & (years == 0) & (months == 1)
+    out[m] = "a month"
+    m = valid & (years == 0) & (months > 1)
+    out[m] = np.char.add(months[m].astype(str), " months")
+    m = valid & (years == 1) & (months == 0) & (rem_days == 0)
+    out[m] = "a year"
+    m = valid & (years == 1) & (months == 0) & (rem_days > 0)
+    out[m] = np.array([f"1 year, {x} days" for x in rem_days[m]], dtype=object)
+    m = valid & (years == 1) & (months == 1)
+    out[m] = "1 year, 1 month"
+    m = valid & (years == 1) & (months > 1)
+    out[m] = np.array([f"1 year, {x} months" for x in months[m]], dtype=object)
+    m = valid & (years > 1)
+    out[m] = np.char.add(years[m].astype(str), " years")
+    return pa.array(out, type=pa.string())

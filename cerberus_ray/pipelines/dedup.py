@@ -347,6 +347,76 @@ def ngram_jaccard(text_a: str, text_b: str, *, w: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def connected_components_shuffle(pairs_table: pa.Table, *,
+                                 a_col: str = "doc_id_a",
+                                 b_col: str = "doc_id_b",
+                                 max_rounds: int = 20) -> pa.Table:
+    """Distributed min-label propagation: each round is one
+    hash-partitioned ``groupby(node).min(label)`` over (neighbour-label
+    messages ∪ current labels) — the 10^9-edge path where the candidate
+    graph outgrows the driver. Labels and edges live in Datasets
+    end-to-end; the driver sees only a per-round convergence checksum
+    (sum of label hashes) and the final result. Converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    Output-identical to :func:`connected_components` (agreement test).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..determinism import hash_strings
+
+    a = pa.array(pairs_table[a_col].to_pylist(), type=pa.string())
+    b = pa.array(pairs_table[b_col].to_pylist(), type=pa.string())
+    if len(a) == 0:
+        return pa.Table.from_pydict({"doc_id": pa.array([], pa.string()),
+                                     "cluster_id": pa.array([], pa.string())})
+    # both directions so a label can flow either way along an edge
+    edges = rd.from_arrow(pa.Table.from_pydict({
+        "src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}))
+    nodes = rd.from_arrow(pa.Table.from_pydict(
+        {"node": pa.concat_arrays([a, b])})).groupby("node").count()
+    labels = nodes.map_batches(
+        lambda t: pa.Table.from_arrays([t["node"], t["node"]],
+                                       names=["node", "label"]),
+        batch_format="pyarrow")
+
+    def _checksum(lbl_ds) -> int:
+        def h(t: pa.Table) -> pa.Table:
+            hv = hash_strings(pc.binary_join_element_wise(
+                t["node"], t["label"], "|")).view(np.int64)
+            return pa.Table.from_pydict(
+                {"s": [int(hv.sum() & 0x7FFFFFFFFFFFFFFF)]})
+
+        return int(lbl_ds.map_batches(h, batch_format="pyarrow")
+                   .sum("s") or 0)
+
+    prev = _checksum(labels)
+    for _ in range(max_rounds):
+        msgs = (edges.join(labels, join_type="inner", num_partitions=8,
+                           on=("src",), right_on=("node",))
+                .map_batches(lambda t: pa.Table.from_arrays(
+                    [t["dst"], t["label"]], names=["node", "label"]),
+                    batch_format="pyarrow"))
+        # materialize each round's label table: truncates the lazy lineage
+        # so round N doesn't re-execute rounds 1..N-1. The repartition is
+        # load-bearing: the hash aggregate emits empty SCHEMA-LESS blocks
+        # for unoccupied partitions, which poison the next round's join
+        # ("no match for FieldRef node"); coalescing drops them.
+        labels = (labels.union(msgs).groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .repartition(8).materialize())
+        cur = _checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    out = labels.to_pandas().rename(
+        columns={"node": "doc_id", "label": "cluster_id"})
+    out = out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["doc_id", "cluster_id"]],
+                                preserve_index=False)
+
+
 def connected_components(pairs_table: pa.Table, *, a_col: str = "doc_id_a",
                          b_col: str = "doc_id_b",
                          max_rounds: int = 50) -> pa.Table:
@@ -354,10 +424,10 @@ def connected_components(pairs_table: pa.Table, *, a_col: str = "doc_id_a",
     (each node adopts the minimum label among its neighbours until a fixed
     point) → (doc_id, cluster_id = min doc_id of the component).
 
-    Expressed as rounds of edge-join + groupby-min — each round is a
-    keyed aggregation, so at scale it runs as Ray groupby passes; here the
-    candidate-pair graph is small by construction (pairs survive LSH +
-    verification), so rounds run on the driver in numpy. Deterministic.
+    The candidate-pair graph is small by construction (pairs survive
+    LSH + verification), so rounds run on the driver in numpy;
+    :func:`connected_components_shuffle` is the wired keyed-groupby
+    variant for graphs that outgrow the driver. Deterministic.
     """
     a = np.asarray(pairs_table[a_col].to_pylist(), dtype=object)
     b = np.asarray(pairs_table[b_col].to_pylist(), dtype=object)

@@ -372,25 +372,37 @@ def q_events_by_type(sf_dir: str) -> pa.Table:
                         pc.round(t["avg_value"], **_R2))
 
 
-def q_events_users_per_type(sf_dir: str) -> pa.Table:
-    """Distinct-count per group, fully distributed: per-block distinct
-    (event_type, user_id) pairs (map-side combine — the exchange carries
-    distinct pairs per block, never raw events) → hash-partitioned
-    ``groupby`` shuffle for the global distinct → bounded-cardinality
-    rollup (one row per event_type). The driver never holds the pair
-    set, so the plan survives unbounded user counts."""
+def q_events_users_per_type(sf_dir: str, mode: str = "auto") -> pa.Table:
+    """Distinct-count per group. Per-block distinct (event_type, user_id)
+    pairs (map-side combine — the exchange carries distinct pairs per
+    block, never raw events), then the planner picks the global-distinct
+    plan: 'driver' dedups the pair partials on the driver (fits while
+    #users × #types is driver-sized), 'shuffle' routes them through a
+    hash-partitioned ``groupby`` so nothing driver-side is proportional
+    to the user count — the plan for unbounded user populations. Both
+    plans are output-identical (agreement test)."""
     from ..stages.groupagg import grouped_agg
 
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    if mode == "auto":
+        mode = "driver" if ds.count() <= 5_000_000 else "shuffle"
 
     def pairs(b: pa.Table) -> pa.Table:
         return b.group_by(["event_type", "user_id"]).aggregate([])
 
-    distinct = (ds.map_batches(pairs, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                  .groupby(["event_type", "user_id"]).count())
-    g = grouped_agg(distinct.select_columns(["event_type"]), ["event_type"],
-                    {"n_users": ("", "count")})
+    partials = ds.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if mode == "driver":
+        pdf = partials.to_pandas().drop_duplicates(["event_type", "user_id"])
+        g = (pdf.groupby("event_type", as_index=False)["user_id"].nunique()
+                .rename(columns={"user_id": "n_users"}))
+        g["n_users"] = g["n_users"].astype("int64")
+    elif mode == "shuffle":
+        distinct = partials.groupby(["event_type", "user_id"]).count()
+        g = grouped_agg(distinct.select_columns(["event_type"]),
+                        ["event_type"], {"n_users": ("", "count")})
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     g = g.sort_values("event_type").reset_index(drop=True)
     return pa.Table.from_pandas(g[["event_type", "n_users"]],
                                 preserve_index=False)

@@ -102,3 +102,12 @@ def test_order_totalprice_modes_agree(ray_session):
          .sort_values("o_orderkey").reset_index(drop=True))
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_events_users_modes_agree(ray_session):
+    from cerberus_ray.pipelines.relational import q_events_users_per_type
+
+    sf = "/root/testdata/sf0.001"
+    a = q_events_users_per_type(sf, mode="driver").to_pandas()
+    b = q_events_users_per_type(sf, mode="shuffle").to_pandas()
+    assert a.equals(b) and len(a) > 0

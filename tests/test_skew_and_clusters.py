@@ -69,3 +69,24 @@ def test_dedup_near_keep_first(ray_session):
     lbl = dict(zip(clusters.to_pandas()["doc_id"],
                    clusters.to_pandas()["cluster_id"]))
     assert lbl["a2"] == "a1" and lbl["a3"] == "a1"
+
+
+def test_connected_components_shuffle_agrees(ray_session):
+    """The distributed keyed-groupby label propagation must produce the
+    same clustering as the driver rounds, including chain components
+    (label must travel the full diameter)."""
+    import pyarrow as pa
+
+    from cerberus_ray.pipelines.dedup import (
+        connected_components,
+        connected_components_shuffle,
+    )
+
+    pairs = pa.Table.from_pydict({
+        "doc_id_a": ["a", "b", "c", "x", "m", "n"],
+        "doc_id_b": ["b", "c", "d", "y", "n", "o"],
+    })  # components: {a,b,c,d} chain, {x,y}, {m,n,o}
+    drv = connected_components(pairs).to_pandas()
+    shf = connected_components_shuffle(pairs).to_pandas()
+    assert drv.equals(shf)
+    assert set(shf[shf["doc_id"] == "d"]["cluster_id"]) == {"a"}

@@ -160,3 +160,30 @@ def test_registry_contains_all():
         return x
 
     assert get("my_custom") is my_custom
+
+
+def test_age_humanize_vectors():
+    """M26 (pet.py:97-101): naturaldelta whole-day branch vectors."""
+    from datetime import date
+
+    import pyarrow as pa
+
+    from cerberus_ray.functions.strings import age_humanize
+
+    today = date(2024, 3, 4)
+    dobs = pa.array([
+        None,                      # Unknown
+        date(2024, 3, 4),          # a moment
+        date(2024, 3, 3),          # a day
+        date(2024, 2, 20),         # 13 days
+        date(2024, 1, 25),         # a month (39 days -> 1 bucket)
+        date(2023, 11, 1),         # 4 months
+        date(2023, 3, 5),          # 365 days -> a year
+        date(2023, 2, 1),          # 1 year, 1 month
+        date(2022, 9, 1),          # 1 year, 6 months
+        date(2019, 3, 1),          # 5 years
+    ], type=pa.date32())
+    got = age_humanize(dobs, today).to_pylist()
+    assert got == ["Unknown", "a moment", "a day", "13 days", "a month",
+                   "4 months", "a year", "1 year, 1 month",
+                   "1 year, 6 months", "5 years"]
