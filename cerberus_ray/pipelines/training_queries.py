@@ -342,7 +342,61 @@ QUERIES = {
     "media_features": q_media_features,
 }
 
+def _stopword_sql(lang: str) -> str:
+    from .text import _STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+
+#: doc_langid: the stopword-hit classifier is fully SQL-expressible —
+#: token hits per language via list_filter, then the SAME first-strict-max
+#: tie-break as LangId.classify_tokens (dict order en,de,fr,es encoded as
+#: the reversed CASE cascade). Stopword lists are interpolated from the
+#: engine's own _STOPWORDS so the two sides cannot drift.
+_LANGID_SQL = f"""
+    WITH h AS (
+      SELECT lang, COALESCE(text, '') AS text,
+             string_split_regex(lower(COALESCE(text, '')), '\\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT lang, text,
+             len(list_filter(toks, x ->
+                 list_contains([{_stopword_sql('en')}], x))) AS h_en,
+             len(list_filter(toks, x ->
+                 list_contains([{_stopword_sql('de')}], x))) AS h_de,
+             len(list_filter(toks, x ->
+                 list_contains([{_stopword_sql('fr')}], x))) AS h_fr,
+             len(list_filter(toks, x ->
+                 list_contains([{_stopword_sql('es')}], x))) AS h_es
+      FROM h)
+    SELECT lang,
+           CASE WHEN regexp_matches(text, '[\\x{{4E00}}-\\x{{9FFF}}]')
+                    THEN 'zh'
+                WHEN h_es > greatest(h_en, h_de, h_fr) THEN 'es'
+                WHEN h_fr > greatest(h_en, h_de) THEN 'fr'
+                WHEN h_de > h_en THEN 'de'
+                WHEN h_en >= 1 THEN 'en'
+                ELSE 'unknown' END AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLE_SQL = {
+    "doc_langid": _LANGID_SQL,
+    "doc_normalize_stats": r"""
+        WITH n AS (
+          SELECT source, text,
+                 TRIM(regexp_replace(text, '(?m)(^[ \t\f\v]+|[\n\r]+)',
+                                     '', 'g'),
+                      ' ' || chr(9) || chr(10) || chr(11) || chr(12)
+                          || chr(13)) AS norm
+          FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (norm <> text) AS BIGINT) AS n_changed,
+               CAST(SUM(LENGTH(text) - LENGTH(norm)) AS BIGINT)
+                   AS chars_removed
+        FROM n GROUP BY 1 ORDER BY 1
+    """,
     "dedup_exact_stats": """
         SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
         FROM documents
