@@ -408,6 +408,41 @@ def q_events_users_per_type(sf_dir: str, mode: str = "auto") -> pa.Table:
                                 preserve_index=False)
 
 
+def q_events_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles (p50/p95/p99 per event_type) over a
+    bounded-resolution measure: per-block (type, value) histogram counts
+    (pyarrow hash aggregate) → driver merge bounded by the VALUE DOMAIN
+    (2-decimal measures ⇒ ≤ ~100k bins regardless of row count) →
+    cumulative-count lookup with DuckDB's quantile_disc index rule
+    (1-based ceil(q·n)). The exact-quantile counterpart of the t-digest
+    approximate path in stages/drift.py."""
+    import math
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "value"]).aggregate([([], "count_all")])
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    hist = pdf.groupby(["event_type", "value"], as_index=False)["count_all"].sum()
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("value")
+        cum = g["count_all"].cumsum().to_numpy()
+        vals = g["value"].to_numpy()
+        n = int(cum[-1])
+
+        def qd(q):
+            target = math.ceil(round(q * n, 9))
+            return float(vals[np.searchsorted(cum, target)])
+
+        rows.append({"event_type": et, "p50": qd(0.5), "p95": qd(0.95),
+                     "p99": qd(0.99)})
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_events_daily_minmax(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["ts", "value"])
 
@@ -509,6 +544,7 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "events_users_per_type": q_events_users_per_type,
     "events_daily_minmax": q_events_daily_minmax,
+    "events_quantiles": q_events_quantiles,
     "orders_per_month": q_orders_per_month,
     "events_close_pairs": q_events_close_pairs,
     "doc_nchars_check": q_doc_nchars_check,
@@ -595,6 +631,13 @@ ORACLE_SQL = {
     "events_daily_minmax": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, MIN(value) AS min_value,
                MAX(value) AS max_value, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "events_quantiles": """
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.95) AS p95,
+               quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY 1 ORDER BY 1
     """,
     "orders_per_month": """
