@@ -215,6 +215,42 @@ def q_events_rolling_1h(sf_dir: str) -> pa.Table:
                         "rolling_avg", pc.round(t["rolling_avg"], **_R2))
 
 
+def q_top_orders_per_nation(sf_dir: str) -> pa.Table:
+    """Grouped top-k (top-3 orders by totalprice per nation): broadcast
+    dim lookup → per-block partial top-3 per group (each block forwards
+    at most #groups × k rows — the map-side combine for top-k) → driver
+    merge of the tiny partials. Deterministic tie-break (price DESC,
+    orderkey ASC) matches the ROW_NUMBER oracle."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2name = cust.set_index("c_custkey")["c_nationkey"].map(
+        nation.set_index("n_nationkey")["n_name"])
+    ref = ray.put(c2name)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        lut = ray.get(ref)
+        pdf = pd.DataFrame({
+            "n_name": pd.Series(
+                b["o_custkey"].to_numpy(zero_copy_only=False)).map(lut),
+            "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False),
+            "o_totalprice": b["o_totalprice"].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["n_name"])
+        return (pdf.sort_values(["n_name", "o_totalprice", "o_orderkey"],
+                                ascending=[True, False, True])
+                   .groupby("n_name", as_index=False).head(3))
+
+    parts = (_t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    top = (parts.sort_values(["n_name", "o_totalprice", "o_orderkey"],
+                             ascending=[True, False, True])
+                .groupby("n_name", as_index=False).head(3)
+                .reset_index(drop=True))
+    top["o_orderkey"] = top["o_orderkey"].astype("int64")
+    top["o_totalprice"] = top["o_totalprice"].round(2)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def q_orders_sorted_view(sf_dir: str) -> pa.Table:
     """O2 whitelisted dynamic sort at the driver surface: the caller's
     sort key is validated against the whitelist (unknown keys raise
@@ -378,6 +414,7 @@ QUERIES = {
     "top_customers_by_revenue": q_top_customers_by_revenue,
     "orders_page": q_orders_page,
     "orders_sorted_view": q_orders_sorted_view,
+    "top_orders_per_nation": q_top_orders_per_nation,
     "filter_combo": q_filter_combo,
     "name_contains": q_name_contains,
     "events_hourly_windows": q_events_hourly_windows,
@@ -435,6 +472,18 @@ ORACLE_SQL = {
     "orders_sorted_view": """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders ORDER BY o_orderkey LIMIT 20
+    """,
+    "top_orders_per_nation": """
+        SELECT n_name, o_orderkey, o_totalprice FROM (
+            SELECT n.n_name AS n_name, o.o_orderkey AS o_orderkey,
+                   ROUND(o.o_totalprice, 2) AS o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        WHERE rn <= 3 ORDER BY n_name, o_totalprice DESC, o_orderkey
     """,
     "filter_combo": """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
