@@ -33,6 +33,7 @@ BOOKING_FRACTIONS: Dict[str, float] = {
     "pets-belong-to-customer": 0.004,
     "completed-no-charge": 0.004,
     "completed-charge-amount": 0.004,
+    "completed-before-end": 0.004,
 }
 SLOT_FRACTIONS: Dict[str, float] = {"slot-overlap": 0.004}
 CHARGE_FRACTIONS: Dict[str, float] = {"paid-on-consistency": 0.006}
@@ -73,6 +74,12 @@ class CrmGenConfig:
     @property
     def n_pets(self) -> int:
         return self.n_customers * 2
+
+
+def scaled_today(cfg: "CrmGenConfig") -> datetime:
+    """As-of time for guard rules: strictly after every grid slot's end,
+    so only the completed-before-end injections land past it."""
+    return BASE + timedelta(days=cfg.n_bookings // cfg.slots_per_day + 2)
 
 
 def _pick(fractions: Dict[str, float], idx: np.ndarray, seed: int,
@@ -162,6 +169,13 @@ def make_scaled_crm(cfg: CrmGenConfig):
     m_ca = hit("completed-charge-amount")  # completed, linked charge ≠ cost
     states[m_ca] = "completed"
     expected["completed-charge-amount"] = int(m_ca.sum())
+    # completed although end is past the as-of time (can_complete guard);
+    # linked with a correct charge so the charge rules stay silent for it
+    m_cbe = hit("completed-before-end")
+    states[m_cbe] = "completed"
+    bend[m_cbe] = scaled_today(cfg) + timedelta(hours=1)
+    expected["completed-before-end"] = int(m_cbe.sum())
+
     # silent control: completed bookings whose linked charge is correct
     m_ok = (uniform01(idx, seed, 0xB9) < COMPLETED_OK_FRACTION) & (bcode == -1)
     states[m_ok] = "completed"
@@ -209,6 +223,7 @@ def make_scaled_crm(cfg: CrmGenConfig):
     booking_link = np.full(n, None, dtype=object)
     booking_link[m_ca] = idx[m_ca]
     booking_link[m_ok] = idx[m_ok]
+    booking_link[m_cbe] = idx[m_cbe]
     line = np.full(n, 30.0)
     line[m_ca] = 10.0  # != cost
 

@@ -77,6 +77,7 @@ def make_crm_tables() -> tuple[dict, list]:
         (7, 1, BASE + 50 * h, BASE + 51 * h),
         (8, 1, BASE + 74 * h, BASE + 75 * h),
         (9, 1, BASE + 98 * h, BASE + 99 * h),
+        (10, 1, BASE + 35 * 24 * h, BASE + 35 * 24 * h + h),  # after TODAY
     ], columns=["slot_id", "service_id", "start", "end"])
     expected += [("2|4", "slot-overlap"), ("6", "slot-start-before-end")]
 
@@ -105,6 +106,9 @@ def make_crm_tables() -> tuple[dict, list]:
         (13, 4, 1, 8, "completed", BASE + 74 * h, BASE + 75 * h, 30.0, [6]),
         # completed whose booking charge amount != cost
         (14, 5, 1, 9, "completed", BASE + 98 * h, BASE + 99 * h, 30.0, [7]),
+        # completed although end is after TODAY (can_complete guard)
+        (15, 3, 1, 10, "completed", BASE + 35 * 24 * h,
+         BASE + 35 * 24 * h + h, 30.0, [5]),
     ], columns=["booking_id", "customer_id", "service_id", "slot_id", "state",
                 "start", "end", "cost", "pet_ids"])
     expected += [
@@ -117,6 +121,8 @@ def make_crm_tables() -> tuple[dict, list]:
         ("11", "enum-state"),
         ("13", "completed-no-charge"),
         ("14", "completed-charge-amount"),
+        ("15", "completed-before-end"),
+        ("2", "sent-with-customer-issues"),  # invoice 2 → customer 3 (issues)
     ]
     # slot 3 capacity: service 2 allows max_pet=4 — bookings 3,4,5 carry
     # 1+1+2 = 4 pets (OK) but distinct customers 3 > max_customer=3? == 3 OK.
@@ -137,10 +143,11 @@ def make_crm_tables() -> tuple[dict, list]:
         (9, "Walk", 10.0, 1, "unpaid", None, None, 5, None),    # booking 14, wrong amount
         # a PAID invoice (5) still carrying an unpaid charge (pay() must cascade)
         (10, "Groom", 20.0, 1, "unpaid", None, None, 5, 5),
+        (11, "Walk", 30.0, 1, "unpaid", None, None, 3, None),  # booking 15
     ], columns=["charge_id", "name", "line", "quantity", "state", "paid_on",
                 "parent_charge_id", "customer_id", "invoice_id"])
     charges["booking_id"] = pd.array(
-        [None, None, None, None, None, None, None, 12, 14, None],
+        [None, None, None, None, None, None, None, 12, 14, None, 15],
         dtype="Int64")
     expected += [("3", "paid-on-consistency"), ("7", "paid-on-consistency"),
                  ("1", "refund-exceeds-charge"), ("6", "maxlen-name")]

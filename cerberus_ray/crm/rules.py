@@ -432,6 +432,70 @@ def booking_completed_charges(bookings_ds, charges_ds, *, tol=0.01) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
 
 
+def booking_completed_guard(bookings_ds, *, today) -> pa.Table:
+    """can_complete guard (booking.py:389-390): complete() is legal only
+    once end < now — a COMPLETED booking whose end is at-or-after the
+    as-of time is an illegal post-state (the transition could never have
+    fired legally)."""
+    from datetime import date, datetime
+
+    asof = (datetime(today.year, today.month, today.day)
+            if isinstance(today, date) and not isinstance(today, datetime)
+            else today)
+
+    def check(b: pa.Table) -> pa.Table:
+        bad = pc.and_(pc.equal(b["state"], "completed"),
+                      pc.greater_equal(b["end"], pa.scalar(asof)))
+        rows = [(str(int(bid)), "completed-before-end", "end",
+                 f"completed booking ends {end} — not before {asof}")
+                for bid, end, isbad in zip(b["booking_id"].to_pylist(),
+                                           b["end"].to_pylist(),
+                                           pc.fill_null(bad, False).to_pylist())
+                if isbad]
+        return _v(rows)
+
+    out = bookings_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
+
+
+def invoice_send_guard(invoices_ds, customers_ds) -> pa.Table:
+    """can_send guard (invoice.py:116-117): sending requires the customer
+    to have ZERO issues (customer.py:130-140 — missing invoice email /
+    suspicious last name). An invoice past draft (unpaid/paid — it was
+    necessarily sent) whose customer has issues is an illegal
+    post-state. Customer issue ids are broadcast (dimension-sized)."""
+
+    def issue_ids(b: pa.Table) -> pa.Table:
+        bad = pc.or_(
+            pc.equal(pc.fill_null(b["invoice_email"], ""), ""),
+            pc.match_substring(pc.fill_null(b["last_name"], ""), "&"))
+        return pa.Table.from_arrays(
+            [b["customer_id"].filter(bad)], names=["customer_id"])
+
+    issue_pdf = customers_ds.map_batches(
+        issue_ids, batch_format="pyarrow").to_pandas()
+    issues = set(issue_pdf.get("customer_id", []))
+    ref = ray.put(issues)
+
+    def check(b: pa.Table) -> pa.Table:
+        bad_custs = ray.get(ref)
+        sent = pc.is_in(b["state"], value_set=pa.array(["unpaid", "paid"]))
+        rows = [(str(int(iid)), "sent-with-customer-issues", "customer_id",
+                 f"invoice was sent but customer {int(cid)} has issues")
+                for iid, cid, s in zip(b["invoice_id"].to_pylist(),
+                                       b["customer_id"].to_pylist(),
+                                       sent.to_pylist())
+                if s and cid in bad_custs]
+        return _v(rows)
+
+    out = invoices_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
+
+
 def overdue_parity(invoices_ds, *, today) -> pa.Table:
     """Stored overdue flag vs recomputed (state==unpaid ∧ due < today) —
     the M22 dual-path conformance pattern."""
@@ -556,6 +620,8 @@ def run_crm_pack(tables: Dict[str, pa.Table], *, today) -> pa.Table:
         invoice_paid_consistency(ds["invoices"], ds["payments"]),
         invoice_paid_charges(ds["invoices"], ds["charges"]),
         booking_completed_charges(ds["bookings"], ds["charges"]),
+        booking_completed_guard(ds["bookings"], today=today),
+        invoice_send_guard(ds["invoices"], ds["customers"]),
         overdue_parity(ds["invoices"], today=today),
         frozen_fields(ds["invoices"], ds["invoices_snapshot"]),
         fsm_log_validity(ds["state_log"]),

@@ -87,3 +87,16 @@ def test_scaled_fsm_side_effects(scaled):
     assert v["completed-charge-amount"] == exp["completed-charge-amount"]
     p = counts(invoice_paid_charges(ds["invoices"], ds["charges"]))
     assert p["paid-charges-unpaid"] == exp["paid-charges-unpaid"]
+
+
+def test_scaled_completed_guard(scaled):
+    """can_complete guard at 20k bookings: only the injected completions
+    whose end was pushed past the as-of time fire."""
+    from cerberus_ray.crm.datagen import scaled_today
+    from cerberus_ray.crm.rules import booking_completed_guard
+
+    ds, exp = scaled
+    today = scaled_today(CrmGenConfig(n_bookings=20_000))
+    v = counts(booking_completed_guard(ds["bookings"], today=today))
+    assert v["completed-before-end"] == exp["completed-before-end"]
+    assert exp["completed-before-end"] > 0
