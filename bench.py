@@ -45,6 +45,8 @@ QUERY_NAMES = [
     "ann_topk_cosine", "doc_quality", "doc_token_stats",
     "revenue_per_nation", "asof_click_before_purchase",
     "events_props_stats", "top_customers_by_revenue", "flagship_violations",
+    "events_quantiles", "doc_langid", "dedup_exact_keep",
+    "top_orders_per_nation",
 ]
 
 
