@@ -425,6 +425,12 @@ def q_events_quantiles(sf_dir: str) -> pa.Table:
 
     pdf = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
+    if "event_type" not in pdf.columns or not len(pdf):
+        return pa.Table.from_pydict(
+            {"event_type": pa.array([], pa.string()),
+             "p50": pa.array([], pa.float64()),
+             "p95": pa.array([], pa.float64()),
+             "p99": pa.array([], pa.float64())})
     hist = pdf.groupby(["event_type", "value"], as_index=False)["count_all"].sum()
     rows = []
     for et, g in hist.groupby("event_type"):

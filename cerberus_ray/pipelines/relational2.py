@@ -223,8 +223,11 @@ def q_top_orders_per_nation(sf_dir: str) -> pa.Table:
     orderkey ASC) matches the ROW_NUMBER oracle."""
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    c2name = cust.set_index("c_custkey")["c_nationkey"].map(
-        nation.set_index("n_nationkey")["n_name"])
+    if "c_custkey" in cust.columns and "n_nationkey" in nation.columns:
+        c2name = cust.set_index("c_custkey")["c_nationkey"].map(
+            nation.set_index("n_nationkey")["n_name"])
+    else:  # fully-empty dims lose their schema through to_pandas
+        c2name = pd.Series(dtype=object)
     ref = ray.put(c2name)
 
     def partial(b: pa.Table) -> pd.DataFrame:
@@ -242,6 +245,11 @@ def q_top_orders_per_nation(sf_dir: str) -> pa.Table:
     parts = (_t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
              .map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas())
+    if "n_name" not in parts.columns or not len(parts):
+        return pa.Table.from_pydict(
+            {"n_name": pa.array([], pa.string()),
+             "o_orderkey": pa.array([], pa.int64()),
+             "o_totalprice": pa.array([], pa.float64())})
     top = (parts.sort_values(["n_name", "o_totalprice", "o_orderkey"],
                              ascending=[True, False, True])
                 .groupby("n_name", as_index=False).head(3)

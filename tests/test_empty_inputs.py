@@ -91,3 +91,33 @@ def test_grouped_agg_empty(ray_session):
     out = grouped_agg(empty, ["g"], {"n": ("", "count"), "s": ("v", "sum")})
     assert len(out) == 0
     assert list(out.columns) == ["g", "n", "s"]
+
+
+def test_new_queries_empty_safe(ray_session, tmp_path):
+    """events_quantiles / top_orders_per_nation on EMPTY tables return
+    typed empty results (an all-empty Dataset loses its schema)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pydict(
+        {"event_id": pa.array([], pa.int64()),
+         "event_type": pa.array([], pa.string()),
+         "user_id": pa.array([], pa.int64()),
+         "value": pa.array([], pa.float64())}), f"{d}/events.parquet")
+    pq.write_table(pa.Table.from_pydict(
+        {"o_orderkey": pa.array([], pa.int64()),
+         "o_custkey": pa.array([], pa.int64()),
+         "o_totalprice": pa.array([], pa.float64())}), f"{d}/orders.parquet")
+    pq.write_table(pa.Table.from_pydict(
+        {"c_custkey": pa.array([], pa.int64()),
+         "c_nationkey": pa.array([], pa.int64())}), f"{d}/customer.parquet")
+    pq.write_table(pa.Table.from_pydict(
+        {"n_nationkey": pa.array([], pa.int64()),
+         "n_name": pa.array([], pa.string())}), f"{d}/nation.parquet")
+
+    from cerberus_ray.pipelines.relational import q_events_quantiles
+    from cerberus_ray.pipelines.relational2 import q_top_orders_per_nation
+
+    assert q_events_quantiles(d).num_rows == 0
+    assert q_top_orders_per_nation(d).num_rows == 0
