@@ -39,10 +39,35 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           near_threshold: float = 0.8, bands: int = 32,
                           shuffle_seed: int = 42,
                           quality_concurrency: int = 2,
-                          min_rows_per_file: int = 100_000) -> CorpusReport:
+                          min_rows_per_file: int = 100_000,
+                          resume: bool = True) -> CorpusReport:
     from ..pipelines.dedup import dedup_near_keep_first, exact_dedup_keep_first
 
     n_input = docs_ds.count()
+
+    # sink-level resume: a completed run left a manifest whose input size
+    # and parameters match — skip the whole rebuild (the per-fragment
+    # variant of this lives in state/checkpoint.py; here the corpus is
+    # one atomic sink, so completion is all-or-nothing)
+    if resume and out_dir is not None:
+        mp = os.path.join(out_dir, "manifest.json")
+        if os.path.exists(mp) and os.path.isdir(os.path.join(out_dir, "data")):
+            try:
+                with open(mp) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                m = None
+            if m and (m.get("n_input") == int(n_input)
+                      and m.get("near_threshold") == near_threshold
+                      and m.get("bands") == bands
+                      and m.get("shuffle_seed") == shuffle_seed):
+                return CorpusReport(
+                    n_input=m["n_input"],
+                    n_quality_pass=m["n_quality_pass"],
+                    n_after_exact_dedup=m["n_after_exact_dedup"],
+                    n_after_near_dedup=m["n_after_near_dedup"],
+                    n_written=m["n_after_near_dedup"], clusters=None,
+                    out_dir=out_dir, stats={"resumed": True})
 
     # 1. quality gate — the TextScorer heuristics applied inline, keeping
     # the original columns (stage is an actor-pool class: regexes and

@@ -67,3 +67,31 @@ def test_corpus_shuffle_reproducible(ray_session, tmp_path):
     sa = ta.sort_values("doc_id").reset_index(drop=True)
     sb = tb.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(sa, sb)  # same content either way
+
+
+def test_corpus_write_resumes_from_manifest(ray_session, tmp_path):
+    """A completed corpus run (manifest + data present, same input size
+    and parameters) is not rebuilt; changed parameters force a rebuild."""
+    import os
+
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.corpus import build_training_corpus
+
+    import pandas as pd
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(40)],
+                       "text": [f"some sufficiently long document text number {i} "
+                                f"with words words words" for i in range(40)]})
+    d = str(tmp_path / "corpus")
+    r1 = build_training_corpus(rd.from_pandas(df), out_dir=d)
+    assert not r1.stats.get("resumed")
+    mtime = os.path.getmtime(os.path.join(d, "manifest.json"))
+
+    r2 = build_training_corpus(rd.from_pandas(df), out_dir=d)
+    assert r2.stats.get("resumed") is True
+    assert r2.n_after_near_dedup == r1.n_after_near_dedup
+    assert os.path.getmtime(os.path.join(d, "manifest.json")) == mtime
+
+    r3 = build_training_corpus(rd.from_pandas(df), out_dir=d,
+                               near_threshold=0.5)
+    assert not r3.stats.get("resumed")  # parameter change -> rebuild
