@@ -64,6 +64,10 @@ def duplicate_key_counts(ds, keys: Sequence[str], *, mode: str = "auto",
     - 'shuffle': map-side combined partial counts → groupby(keys) — the
       10^12-key path (CMS saturates, candidates stop being rare); high
       fixed cost that amortizes on genuinely big inputs.
+    - 'hash2': two-pass hash-only variant of 'hash' — pass 1 ships
+      16 B/key (int64 hash + count), pass 2 fetches key columns for
+      candidate duplicate hashes only; for the band where key STRINGS
+      dominate driver transfer.
     """
     keys = list(keys)
     import pandas as pd
@@ -138,6 +142,66 @@ def duplicate_key_counts(ds, keys: Sequence[str], *, mode: str = "auto",
             return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
         sub = part.take(pa.array(order[np.flatnonzero(in_dup)]))
         g = sub.to_pandas().groupby(keys, as_index=False, dropna=False)["count_all"].sum()
+        g = g[g["count_all"] > 1].rename(columns={"count_all": "n"})
+        g = g.sort_values(keys).reset_index(drop=True)
+        return pa.Table.from_pandas(g[keys + ["n"]], preserve_index=False)
+
+    if mode == "hash2":
+        # Two-pass hash-only variant of 'hash' for the band where key
+        # STRINGS dominate driver transfer (tens of millions of distinct
+        # keys): pass 1 ships only (int64 hash, count) — 16 B/key — and
+        # the driver finds candidate duplicate hashes; pass 2 re-reads the
+        # input and ships key columns ONLY for candidate hashes (rare).
+        # Collisions between distinct keys are resolved exactly by the
+        # key-level merge of pass 2. Same output as every other mode.
+        import pyarrow.compute as pc
+        import ray
+
+        from ..determinism import hash_strings
+
+        def hash_only(batch: pa.Table) -> pa.Table:
+            part = _partial_counts(batch, keys)
+            h = hash_strings(_key_strings_col(part, keys)).view(np.int64)
+            return pa.Table.from_pydict(
+                {"h": pa.array(h),
+                 "c": pc.cast(part["count_all"], pa.int64())})
+
+        hp = ds.map_batches(hash_only, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+        if not len(hp):
+            pdf = pd.DataFrame({k: pd.Series(dtype=object) for k in keys}
+                               | {"n": pd.Series(dtype="int64")})
+            return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+        all_h = hp["h"].to_numpy()
+        all_c = hp["c"].to_numpy()
+        order = np.argsort(all_h)
+        h_s, c_s = all_h[order], all_c[order]
+        cand = c_s >= 2
+        if len(h_s) > 1:
+            eq = h_s[1:] == h_s[:-1]
+            cand[:-1] |= eq
+            cand[1:] |= eq
+        cand_hashes = np.unique(h_s[cand])
+        if len(cand_hashes) == 0:
+            pdf = pd.DataFrame({k: pd.Series(dtype=object) for k in keys}
+                               | {"n": pd.Series(dtype="int64")})
+            return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+        cref = ray.put(cand_hashes)
+
+        def fetch_candidates(batch: pa.Table) -> pa.Table:
+            ch = ray.get(cref)
+            part = _partial_counts(batch, keys)
+            h = hash_strings(_key_strings_col(part, keys)).view(np.int64)
+            pos = np.clip(np.searchsorted(ch, h), 0, len(ch) - 1)
+            return part.filter(pa.array(ch[pos] == h))
+
+        pdf = ds.map_batches(fetch_candidates, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+        if "count_all" not in pdf.columns or not len(pdf):
+            pdf = pd.DataFrame({k: pd.Series(dtype=object) for k in keys}
+                               | {"n": pd.Series(dtype="int64")})
+            return pa.Table.from_pandas(pdf[keys + ["n"]], preserve_index=False)
+        g = pdf.groupby(keys, as_index=False, dropna=False)["count_all"].sum()
         g = g[g["count_all"] > 1].rename(columns={"count_all": "n"})
         g = g.sort_values(keys).reset_index(drop=True)
         return pa.Table.from_pandas(g[keys + ["n"]], preserve_index=False)

@@ -18,7 +18,7 @@ def corpus(n=20_000, dup_frac=0.01, seed=7):
     return pd.DataFrame({"key": keys + extra + tripled})
 
 
-@pytest.mark.parametrize("mode", ["driver", "hash", "cms", "shuffle"])
+@pytest.mark.parametrize("mode", ["driver", "hash", "hash2", "cms", "shuffle"])
 def test_modes_agree(ray_session, mode):
     df = corpus()
     ds = rd.from_pandas(df)
