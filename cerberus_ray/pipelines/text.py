@@ -97,15 +97,20 @@ def score_text(ds, *, concurrency: int = 4, batch_size: int = 2048):
 
 
 class LangId:
-    """Stopword-hit language classifier (actor-pool stage)."""
+    """Stopword-hit language classifier (actor-pool stage), vectorized:
+    one explode + per-language isin/grouped sums instead of a Python
+    classification call per document. The first-strict-max tie-break
+    over dict order (en, de, fr, es) is applied as a reversed priority
+    cascade — identical to the per-row reference implementation (kept in
+    classify_tokens for the unit-vector tests)."""
 
     def __init__(self):
         self.stop = _STOPWORDS
 
     def classify_tokens(self, tokens: List[str]) -> str:
+        """Scalar reference implementation (used by tests)."""
         if not tokens:
             return "unknown"
-        # CJK heuristic: any han characters
         joined = "".join(tokens)
         if any("一" <= c <= "鿿" for c in joined):
             return "zh"
@@ -117,9 +122,29 @@ class LangId:
         return best
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        tokens = batch["text"].fillna("").str.lower().str.split()
+        texts = batch["text"].fillna("")
+        tokens = texts.str.lower().str.split()
+        ex = tokens.explode().dropna()
+        idx = batch.index
+        hits = {}
+        for lang, words in self.stop.items():
+            if len(ex):
+                h = ex.isin(words).groupby(ex.index).sum()
+                hits[lang] = h.reindex(idx).fillna(0).to_numpy()
+            else:
+                hits[lang] = np.zeros(len(idx))
+        h_en, h_de = hits["en"], hits["de"]
+        h_fr, h_es = hits["fr"], hits["es"]
+        pred = np.full(len(idx), "unknown", dtype=object)
+        pred[h_en >= 1] = "en"
+        pred[h_de > h_en] = "de"
+        pred[h_fr > np.maximum(h_en, h_de)] = "fr"
+        pred[h_es > np.maximum(h_fr, np.maximum(h_en, h_de))] = "es"
+        # CJK heuristic overrides (rare): any han character
+        cjk = texts.str.contains("[一-鿿]", regex=True, na=False).to_numpy()
+        pred[cjk & (tokens.str.len().fillna(0) > 0).to_numpy()] = "zh"
         batch = batch.copy()
-        batch["lang_pred"] = tokens.map(self.classify_tokens)
+        batch["lang_pred"] = pred
         return batch
 
 

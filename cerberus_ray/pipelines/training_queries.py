@@ -131,12 +131,15 @@ def q_doc_quality(sf_dir: str) -> pa.Table:
 
 
 def q_doc_langid(sf_dir: str) -> pa.Table:
-    """Confusion summary (lang, lang_pred, n) of the heuristic classifier."""
+    """Confusion summary (lang, lang_pred, n) of the heuristic classifier.
+    Group cardinality is bounded by the language domain, so the rollup is
+    the partial-combine + driver-merge plan (no all-to-all)."""
+    from ..stages.groupagg import grouped_agg
+
     scored = TX.lang_id(_docs(sf_dir, ["lang", "text"]), concurrency=2)
-    g = scored.groupby(["lang", "lang_pred"]).count()
-    pdf = g.to_pandas().rename(columns={"count()": "n"})
-    pdf = pdf.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
-    return pa.Table.from_pandas(pdf[["lang", "lang_pred", "n"]],
+    g = grouped_agg(scored, ["lang", "lang_pred"], {"n": ("", "count")})
+    g = g.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+    return pa.Table.from_pandas(g[["lang", "lang_pred", "n"]],
                                 preserve_index=False)
 
 

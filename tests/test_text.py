@@ -95,3 +95,29 @@ def test_strict_decoder_raises():
     d = MediaDecoder(strict=True)
     with pytest.raises(NotImplementedError):
         d._decode_fake(b"xx", "image")
+
+
+def test_langid_vectorized_matches_scalar(ray_session):
+    """The vectorized batch classifier must agree with the scalar
+    reference implementation on every row, including ties, empties,
+    CJK, and mixed-language text."""
+    import numpy as np
+    import pandas as pd
+
+    from cerberus_ray.pipelines.text import LangId
+
+    rng = np.random.default_rng(7)
+    li = LangId()
+    rows = ["the cat sat on the mat", "der hund ist in den garten",
+            "le chat est sur la table", "el perro es de la casa",
+            "", "   ", "xyzzy plugh", "the der le el", "一些中文字",
+            "the the the der der", None,
+            "with the rain of the night der und le la el es"]
+    for _ in range(50):
+        words = rng.choice(["the", "der", "le", "el", "of", "und", "des",
+                            "en", "la", "zz", "qq"], size=rng.integers(0, 12))
+        rows.append(" ".join(words))
+    df = pd.DataFrame({"text": rows})
+    got = li(df.copy())["lang_pred"].tolist()
+    want = [li.classify_tokens((t or "").lower().split()) for t in rows]
+    assert got == want
