@@ -279,10 +279,11 @@ def q_events_drift_check(sf_dir: str) -> pa.Table:
 
 def q_doc_normalize_stats(sf_dir: str) -> pa.Table:
     """Normalization at the driver surface: per-source count of docs whose
-    text changes under minimize_whitespace + total chars removed."""
-    from ray.data.aggregate import Count, Sum
-
+    text changes under minimize_whitespace + total chars removed. Group
+    cardinality = #sources (domain-bounded) → partial-combine + driver
+    merge, no all-to-all."""
     from ..functions.strings import minimize_whitespace
+    from ..stages.groupagg import grouped_agg
 
     ds = _docs(sf_dir, ["source", "text"])
 
@@ -296,13 +297,13 @@ def q_doc_normalize_stats(sf_dir: str) -> pa.Table:
             [b["source"], changed, pc.cast(removed, pa.int64())],
             names=["source", "changed", "removed"])
 
-    g = (ds.map_batches(delta, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("source")
-           .aggregate(Count(alias_name="n_docs"),
-                      Sum("changed", alias_name="n_changed"),
-                      Sum("removed", alias_name="chars_removed")))
-    pdf = g.to_pandas().sort_values("source").reset_index(drop=True)
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    g = grouped_agg(
+        ds.map_batches(delta, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {"n_docs": ("", "count"), "n_changed": ("changed", "sum"),
+         "chars_removed": ("removed", "sum")})
+    g = g.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def q_training_corpus_report(sf_dir: str) -> pa.Table:
