@@ -81,21 +81,28 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             stats = super().__call__(b.copy())
             return b[stats["quality_pass"].to_numpy()]
 
+    # Each stage is materialized once so the funnel counts and the next
+    # stage share one execution — without this, every count() re-runs the
+    # cumulative lineage (gate re-executed 4x, dedup 3x, ...). At
+    # petabyte scale the parquet sink is the materialization boundary
+    # instead (counts come from file metadata); here the object store
+    # holds it and spills as needed.
     kept_text = docs_ds.map_batches(Gate, batch_format="pandas",
                                     concurrency=quality_concurrency,
-                                    num_cpus=0.5)
+                                    num_cpus=0.5).materialize()
     n_quality = kept_text.count()
 
     # 2. exact dedup (min-key winner per content hash)
     exact = exact_dedup_keep_first(kept_text, text_col=text_col,
                                    key_col=key_col)
-    exact = exact.drop_columns(["text_md5"])
+    exact = exact.drop_columns(["text_md5"]).materialize()
     n_exact = exact.count()
 
     # 3. near-dedup (LSH → connected components → keep cluster min)
     deduped, clusters = dedup_near_keep_first(
         exact, text_col=text_col, key_col=key_col,
         threshold=near_threshold, bands=bands)
+    deduped = deduped.materialize()
     n_near = deduped.count()
 
     # 4. seeded global shuffle (training-order decorrelation)
