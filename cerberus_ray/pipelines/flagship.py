@@ -51,6 +51,11 @@ def run_flagship(docs_ds, media_ds, *, text_max_len: int = SPAN_TEXT_MAX_LEN,
     has_frag = FRAGMENT_COL in docs_ds.schema().names
 
     row_v = validate(docs_ds, rs, batch_size=batch_size)
+    if with_verdicts and has_frag:
+        # row_v feeds BOTH the violation union and fragment_verdicts;
+        # materialize once (bounded by the violation count, not the
+        # input) so the validate pass doesn't run twice
+        row_v = row_v.materialize()
     ref_v = referential_violations(
         docs_ds, media_ds, extract=span_media_keys, parent_key="media_ref",
         rule="fk-missing", parent_name="media_catalog", mode=ref_mode)
