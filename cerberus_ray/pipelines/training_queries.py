@@ -277,6 +277,37 @@ def q_events_drift_check(sf_dir: str) -> pa.Table:
     return v
 
 
+#: unanchored in-document variants of the contact regex cascade
+#: (functions/strings.py EMAIL_RE family, cerberus/models/contact.py) —
+#: RE2 on BOTH sides (Arrow and DuckDB), so the pattern is the contract
+_EMAIL_IN_TEXT = r"[^@\s]+@[^@\s]+\.[^@\s]+"
+_PHONE_IN_TEXT = r"(\+447|07)[0-9]{9}"
+
+
+def q_doc_pii_scan(sf_dir: str) -> pa.Table:
+    """PII-ish pattern scan for corpus hygiene: per source, how many docs
+    contain an email-like or UK-phone-like substring. Vectorized RE2
+    match per batch → bounded rollup per source (no all-to-all)."""
+    from ..stages.groupagg import grouped_agg
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b["text"], "")
+        em = pc.cast(pc.match_substring_regex(t, _EMAIL_IN_TEXT), pa.int64())
+        ph = pc.cast(pc.match_substring_regex(t, _PHONE_IN_TEXT), pa.int64())
+        return pa.Table.from_arrays([b["source"], em, ph],
+                                    names=["source", "has_email", "has_phone"])
+
+    g = grouped_agg(
+        ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {"n_docs": ("", "count"), "n_email": ("has_email", "sum"),
+         "n_phone": ("has_phone", "sum")})
+    g = g.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def q_doc_normalize_stats(sf_dir: str) -> pa.Table:
     """Normalization at the driver surface: per-source count of docs whose
     text changes under minimize_whitespace + total chars removed. Group
@@ -324,6 +355,7 @@ QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
     "doc_normalize_stats": q_doc_normalize_stats,
+    "doc_pii_scan": q_doc_pii_scan,
     "flagship_violations": q_flagship_violations,
     "flagship_verdicts": q_flagship_verdicts,
     "crm_violations": q_crm_violations,
@@ -387,6 +419,16 @@ _LANGID_SQL = f"""
 
 ORACLE_SQL = {
     "doc_langid": _LANGID_SQL,
+    "doc_pii_scan": rf"""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER
+                    (regexp_matches(text, '{_EMAIL_IN_TEXT}'))
+                    AS BIGINT) AS n_email,
+               CAST(COUNT(*) FILTER
+                    (regexp_matches(text, '{_PHONE_IN_TEXT}'))
+                    AS BIGINT) AS n_phone
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
     "doc_normalize_stats": r"""
         WITH n AS (
           SELECT source, text,

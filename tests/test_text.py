@@ -121,3 +121,27 @@ def test_langid_vectorized_matches_scalar(ray_session):
     got = li(df.copy())["lang_pred"].tolist()
     want = [li.classify_tokens((t or "").lower().split()) for t in rows]
     assert got == want
+
+
+def test_pii_scan_detects_patterns(ray_session, tmp_path):
+    """The PII scan must actually fire on email/phone-bearing docs (the
+    driver-fixture corpus contains none, so its oracle pass is vacuous —
+    this is the non-vacuous detection check)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cerberus_ray.pipelines.training_queries import q_doc_pii_scan
+
+    docs = pa.Table.from_pydict({
+        "source": ["web", "web", "mail", "mail", "mail"],
+        "text": ["nothing to see here",
+                 "contact me at ada@example.com for details",
+                 "call 07123456789 now",
+                 "or +447123456789 later",
+                 "misleading 0712 not a number"],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_doc_pii_scan(str(tmp_path)).to_pandas().set_index("source")
+    assert out.loc["web", "n_docs"] == 2
+    assert out.loc["web", "n_email"] == 1 and out.loc["web", "n_phone"] == 0
+    assert out.loc["mail", "n_email"] == 0 and out.loc["mail", "n_phone"] == 2
