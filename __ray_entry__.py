@@ -33,13 +33,51 @@ def entry() -> Any:
     return res.violations
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+#: rows-only entries kept on the driver surface (the round-2 driver
+#: recorded exactly the first 50 registered queries, so the registry is
+#: budgeted to 50: every oracle-gated query first, then the rows-only
+#: entries the task spec names as first-class — flagship/CRM/corpus/drift
+#: plus the non-SQL-expressible dedup family). The remainder stay covered
+#: by pytest and are exported via extra_queries().
+_ROWS_ONLY_KEEP = [
+    "flagship_violations",
+    "flagship_verdicts",
+    "crm_violations",
+    "training_corpus_report",
+    "events_drift_check",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_verified",
+    "emb_near_dup",
+]
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     from cerberus_ray.pipelines.relational import QUERIES
     from cerberus_ray.pipelines.relational2 import QUERIES as Q2
     from cerberus_ray.pipelines.training_queries import QUERIES as TQ
 
     return dict(QUERIES) | dict(Q2) | dict(TQ)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    """One entry per implemented operator/pipeline from SURVEY.md §2,
+    oracle-gated entries first (≤50 total — the driver's recording cap)."""
+    allq = _all_queries()
+    gated = oracle_sql()
+    out = {k: v for k, v in allq.items() if k in gated}
+    out.update({k: allq[k] for k in _ROWS_ONLY_KEEP if k in allq})
+    return out
+
+
+def extra_queries() -> dict[str, Callable[[str], Any]]:
+    """Implemented operators beyond the 50-slot driver budget (covered by
+    tests/: ANN approximate variants vs their exact oracle-gated twin,
+    near-dup clustering, sketch-vs-exact agreement, winnowing
+    fingerprints, multimodal decode plumbing)."""
+    allq = _all_queries()
+    main = queries()
+    return {k: v for k, v in allq.items() if k not in main}
 
 
 def oracle_sql() -> dict[str, str]:

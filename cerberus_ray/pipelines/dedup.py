@@ -156,26 +156,39 @@ def band_hashes(sigs: np.ndarray, *, bands: int = 16) -> np.ndarray:
 def minhash_near_dup_pairs(ds, *, text_col: str = "text",
                            key_col: str = "doc_id", k: int = 128,
                            w: int = 3, bands: int = 16,
-                           threshold: float = 0.8, seed: int = 42) -> pa.Table:
+                           threshold: float = 0.8, seed: int = 42,
+                           mode: str = "auto",
+                           n_rows_hint: int = 0) -> pa.Table:
     """→ (doc_id_a, doc_id_b, jaccard_est) pairs with est. Jaccard ≥ threshold.
 
     Two streaming passes, nothing materialized in the object store:
 
     1. shingle→minhash→band-hash per batch, FUSED with a per-block
        distinct bucket count — the pass emits only (bucket, count)
-       partial rows (16 B each, at most bands×rows-per-block); the
-       driver merges them and keeps the duplicated buckets (rare).
+       partial rows (16 B each, at most bands×rows-per-block).
     2. a second pass recomputes signatures per batch and emits
        (bucket, key, sig) rows ONLY for members of duplicated buckets —
        signatures for non-candidates never leave the worker.
 
     Then in-bucket pairs + signature-estimated Jaccard on the driver
-    (candidate pairs are rare by construction). Scale note: at 10^9+
-    docs the bucket-count driver merge switches to the shuffle path
-    exactly like duplicate_key_counts; the sig compute cost is 2× one
-    pass, traded for zero pinned intermediate state.
+    (candidate pairs are rare by construction).
+
+    Pass-1 merge mode (planner, mirroring duplicate_key_counts):
+
+    - 'driver' (≤ ~1M docs): per-block (bucket, count) partials merge on
+      the driver — no shuffle; driver holds O(docs × bands) 16-B rows.
+    - 'shuffle' (beyond): distributed ``groupby(bucket).sum`` — only the
+      DUPLICATED buckets (rare) ever reach the driver, so driver memory
+      is O(duplicate buckets), not O(docs × bands). The 10^9+ path.
+    Both modes are output-identical (agreement-tested).
     """
     import ray
+
+    if mode == "auto":
+        n = n_rows_hint or ds.count()
+        mode = "driver" if n <= 1_000_000 else "shuffle"
+    if mode not in ("driver", "shuffle"):
+        raise ValueError(f"unknown minhash pass-1 mode: {mode!r}")
 
     def _sig_buckets(batch: pa.Table):
         texts = batch[text_col].to_numpy(zero_copy_only=False)
@@ -193,16 +206,33 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
         t = pa.Table.from_pydict({"bucket": pa.array(bucket)})
         return t.group_by("bucket").aggregate([([], "count_all")])
 
-    bc = ds.map_batches(bucket_counts, batch_format="pyarrow",
-                        zero_copy_batch=True).to_pandas()
+    bc_ds = ds.map_batches(bucket_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
     empty = pa.Table.from_pydict(
         {"doc_id_a": pa.array([], pa.string()),
          "doc_id_b": pa.array([], pa.string()),
          "jaccard_est": pa.array([], pa.float64())})
-    if "bucket" not in bc.columns or not len(bc):
-        return empty
-    g = bc.groupby("bucket")["count_all"].sum()
-    dup_buckets = np.sort(np.asarray(g[g > 1].index.to_numpy(), dtype=np.int64))
+    if mode == "shuffle":
+        merged = bc_ds.groupby("bucket").sum("count_all")
+
+        def dup_only(t: pa.Table) -> pa.Table:
+            # the hash aggregate can emit SCHEMA-LESS empty blocks for
+            # unoccupied partitions — normalize them away
+            if "sum(count_all)" not in t.column_names:
+                return pa.Table.from_pydict({"bucket": pa.array([], pa.int64())})
+            return t.filter(pc.greater(t["sum(count_all)"], 1)).select(["bucket"])
+
+        dup = merged.map_batches(dup_only, batch_format="pyarrow").to_pandas()
+        if "bucket" not in dup.columns or not len(dup):
+            return empty
+        dup_buckets = np.sort(dup["bucket"].to_numpy().astype(np.int64))
+    else:
+        bc = bc_ds.to_pandas()
+        if "bucket" not in bc.columns or not len(bc):
+            return empty
+        g = bc.groupby("bucket")["count_all"].sum()
+        dup_buckets = np.sort(np.asarray(g[g > 1].index.to_numpy(),
+                                         dtype=np.int64))
     if len(dup_buckets) == 0:
         return empty
     bref = ray.put(dup_buckets)
@@ -279,14 +309,109 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
+#: byte-popcount lookup for the vectorized pair kernel
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _brute_pairs(keys: np.ndarray, sh: np.ndarray, max_hamming: int,
+                 out_a: list, out_b: list, out_h: list) -> None:
+    """All-pairs hamming ≤ max_hamming via an XOR + byte-popcount matrix
+    (no Python pair loop). keys are pre-sorted ascending so emitted pairs
+    satisfy a < b. O(m²) ints for m ≤ the recursion cap — bounded."""
+    m = len(keys)
+    if m < 2:
+        return
+    x = sh[:, None] ^ sh[None, :]
+    d = _POP8[x.view(np.uint8)].reshape(m, m, 8).sum(axis=2, dtype=np.int64)
+    ii, jj = np.triu_indices(m, 1)
+    hit = d[ii, jj] <= max_hamming
+    if hit.any():
+        out_a.extend(keys[ii[hit]])
+        out_b.extend(keys[jj[hit]])
+        out_h.extend(d[ii[hit], jj[hit]].tolist())
+
+
+def _rec_pairs(keys: np.ndarray, sh: np.ndarray, positions: np.ndarray,
+               max_hamming: int, cap: int,
+               out_a: list, out_b: list, out_h: list) -> None:
+    """Recall-preserving recursive refinement for hot buckets.
+
+    Pigeonhole: a pair with ≤ max_hamming differing bits among the
+    still-free ``positions`` keeps ≥ 1 of (max_hamming + 1) position
+    blocks fully intact, so bucketing on each block's value and recursing
+    inside every bucket finds the pair at least once (duplicates dropped
+    by the caller). Uninformative blocks (value identical across the
+    whole set) are removed WITHOUT fanout and the remaining positions
+    re-split — otherwise a flood of identical fingerprints multiplies the
+    recursion by (h+1) per level without shrinking anything. Every kept
+    block yields proper-subset groups, so each recursion strictly shrinks;
+    a set identical on every bit short-circuits to the all-pairs answer
+    (distance 0), emitted blockwise to bound memory."""
+    while True:
+        m = len(keys)
+        if m < 2:
+            return
+        if (sh == sh[0]).all():
+            # identical fingerprints: the TRUE answer is all C(m,2) pairs
+            # at distance 0 — emit row-blockwise, no popcount matrix
+            for i in range(m - 1):
+                out_a.extend(np.repeat(keys[i], m - 1 - i))
+                out_b.extend(keys[i + 1:])
+                out_h.extend([0] * (m - 1 - i))
+            return
+        if m <= cap or len(positions) == 0:
+            _brute_pairs(keys, sh, max_hamming, out_a, out_b, out_h)
+            return
+        blocks = [b for b in np.array_split(positions, max_hamming + 1)
+                  if len(b)]
+        masks, vals_per_block, dropped = [], [], False
+        for blk in blocks:
+            mask = np.uint64(0)
+            for p in blk:
+                mask |= np.uint64(1) << np.uint64(p)
+            vals = sh & mask
+            if vals[0] == vals[-1] and (vals == vals[0]).all():
+                # all-equal block: zero information — drop it from the
+                # free set and RE-SPLIT (pigeonhole needs a fresh h+1
+                # partition of what remains), no recursion fanout
+                positions = positions[~np.isin(positions, blk)]
+                dropped = True
+            else:
+                masks.append(blk)
+                vals_per_block.append(vals)
+        if dropped:
+            continue
+        for blk, vals in zip(masks, vals_per_block):
+            order = np.argsort(vals, kind="stable")  # stable keeps key order
+            vs = vals[order]
+            bounds = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1], True])
+            rest = positions[~np.isin(positions, blk)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e - s >= 2:  # proper subset: vals not all equal
+                    idx = order[s:e]
+                    _rec_pairs(keys[idx], sh[idx], rest, max_hamming, cap,
+                               out_a, out_b, out_h)
+        return
+
+
 def simhash_near_dup_pairs(ds, *, text_col: str = "text",
                            key_col: str = "doc_id",
-                           max_hamming: int = 3) -> pa.Table:
+                           max_hamming: int = 3,
+                           hot_bucket_cap: int = 256) -> pa.Table:
     """→ (doc_id_a, doc_id_b, hamming) pairs with distance ≤ max_hamming.
 
     4 chunk tables of (chunk16, key, simhash) → groupby chunk value →
     pair + verify. max_hamming ≤ 3 guarantees recall (pigeonhole over
-    4 chunks)."""
+    4 chunks).
+
+    Hot buckets: a 16-bit chunk universe caps the bucket count at 4×65536,
+    so bucket occupancy grows linearly with corpus size. Buckets larger
+    than ``hot_bucket_cap`` are recursively refined in-process on the
+    remaining 48 bits — (max_hamming + 1) sub-blocks per level, pigeonhole
+    again, so recall is EXACTLY preserved (unlike a lossy sub-hash split)
+    — and the pair kernel is a vectorized XOR byte-popcount matrix, never
+    a Python pair loop. Worst case (many identical fingerprints) emits
+    the true all-pairs answer blockwise."""
 
     def rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
@@ -309,17 +434,22 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("key").drop_duplicates("key")
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "ha": []})
-        ks = g["key"].tolist()
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "ha": pd.Series(dtype="int64")})
+        ks = g["key"].to_numpy()
         sh = g["sim"].to_numpy().view(np.uint64)
-        A, B, H = [], [], []
-        for i in range(len(ks)):
-            d = hamming64(sh[i + 1:], np.repeat(sh[i], len(ks) - i - 1)) \
-                if i + 1 < len(ks) else np.array([], dtype=np.int64)
-            for jj, dist in enumerate(d):
-                if dist <= max_hamming:
-                    A.append(ks[i]); B.append(ks[i + 1 + jj]); H.append(int(dist))
-        return pd.DataFrame({"a": A, "b": B, "ha": H})
+        cid = int(g["chunk_id"].iloc[0])
+        free = np.array([p for p in range(64)
+                         if not 16 * cid <= p < 16 * (cid + 1)],
+                        dtype=np.int64)
+        A: list = []
+        B: list = []
+        H: list = []
+        _rec_pairs(ks, sh, free, max_hamming, hot_bucket_cap, A, B, H)
+        return pd.DataFrame({"a": np.array(A, dtype=object),
+                             "b": np.array(B, dtype=object),
+                             "ha": np.array(H, dtype="int64")})
 
     cand = r.groupby(["chunk_id", "chunk"]).map_groups(pairs, batch_format="pandas")
     pdf = cand.to_pandas()

@@ -480,18 +480,31 @@ def q_orders_per_month(sf_dir: str) -> pa.Table:
 
 def q_events_close_pairs(sf_dir: str) -> pa.Table:
     """Per user: # of consecutive events closer than 300 s — the
-    interval-overlap rule shape (groupby key → sort in group → sweep)."""
+    interval-overlap rule shape (cerberus/models/booking.py:72-83:
+    partition by key, order by time within key).
+
+    Vectorized keyed-window plan: hash-bucket user_id → one pandas call
+    per BUCKET that sorts by (user_id, ts) and computes the diff sweep
+    with a group-boundary mask — no per-user Python (keyed_apply)."""
+    from ..stages.keyed_window import group_boundary_mask, keyed_apply
+
     ds = _t(sf_dir, "events", ["user_id", "ts"])
 
-    def sweep(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds()
-        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                             "n_close": [int((gaps < 300).sum())],
-                             "n_events": [len(g)]})
+    def sweep(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(["user_id", "ts"], kind="stable")
+        gaps = d["ts"].diff().dt.total_seconds().to_numpy()
+        first = group_boundary_mask(d["user_id"])
+        close = (gaps < 300) & ~first
+        res = (d.assign(_close=close)
+                .groupby("user_id", sort=False)["_close"]
+                .agg(n_close="sum", n_events="size").reset_index())
+        res["user_id"] = res["user_id"].astype("int64")
+        res["n_close"] = res["n_close"].astype("int64")
+        res["n_events"] = res["n_events"].astype("int64")
+        return res
 
-    out = ds.groupby("user_id").map_groups(sweep, batch_format="pandas")
-    pdf = out.to_pandas().sort_values("user_id")
+    pdf = keyed_apply(ds, "user_id", sweep).to_pandas().sort_values("user_id")
+    pdf = pdf.reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 

@@ -174,18 +174,28 @@ def q_events_sessions(sf_dir: str) -> pa.Table:
     """Session windows per user (gap > 1800 s starts a new session) —
     groupby(user) → sorted sweep in-group; the ordered-log pattern for
     stream-shaped references (partition by key, sort by ts within)."""
+    from ..stages.keyed_window import group_boundary_mask, keyed_apply
+
     ds = _t(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().reset_index(drop=True)
-        gaps = ts.diff().dt.total_seconds().fillna(0)
-        n_sessions = int((gaps > 1800).sum()) + 1
-        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                             "n_events": [len(g)],
-                             "n_sessions": [n_sessions]})
+    def sessions(d: pd.DataFrame) -> pd.DataFrame:
+        # vectorized multi-group kernel: sort once per bucket, session
+        # starts = gap > 1800 s AND not a group boundary (keyed_apply —
+        # no per-user Python)
+        d = d.sort_values(["user_id", "ts"], kind="stable")
+        gaps = d["ts"].diff().dt.total_seconds().to_numpy()
+        first = group_boundary_mask(d["user_id"])
+        starts = (gaps > 1800) & ~first
+        res = (d.assign(_s=starts)
+                .groupby("user_id", sort=False)["_s"]
+                .agg(n_events="size", n_starts="sum").reset_index())
+        out = pd.DataFrame({"user_id": res["user_id"].astype("int64"),
+                            "n_events": res["n_events"].astype("int64"),
+                            "n_sessions": (res["n_starts"] + 1).astype("int64")})
+        return out
 
-    pdf = (ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-             .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pdf = (keyed_apply(ds, "user_id", sessions)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
@@ -195,16 +205,23 @@ def q_events_rolling_1h(sf_dir: str) -> pa.Table:
     Ray shape: groupby(user) → time-indexed pandas rolling inside each
     sorted group — the sliding-window counterpart of the tumbling/session
     windows."""
+    from ..stages.keyed_window import keyed_apply
+
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").set_index("ts")
-        m = g["value"].rolling("3600s", closed="both").mean()
-        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+    def roll(d: pd.DataFrame) -> pd.DataFrame:
+        # groupby(...).rolling is a cython kernel over the whole sorted
+        # bucket — group order in its output equals the sorted row order,
+        # so values align positionally with d (keyed_apply: one call per
+        # bucket, no per-user Python)
+        d = d.sort_values(["user_id", "ts"], kind="stable").set_index("ts")
+        m = (d.groupby("user_id", sort=False)["value"]
+              .rolling("3600s", closed="both").mean())
+        return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
                              "rolling_avg": m.to_numpy()})
 
-    pdf = (ds.groupby("user_id").map_groups(roll, batch_format="pandas")
-             .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pdf = (keyed_apply(ds, "user_id", roll)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
     pdf["event_id"] = pdf["event_id"].astype("int64")
     t = pa.Table.from_pandas(pdf, preserve_index=False)
     # 2-decimal inputs make window means land EXACTLY on .005 — round
@@ -330,27 +347,32 @@ def q_asof_click_before_purchase(sf_dir: str) -> pa.Table:
     Ray shape: key-partitioned merge_asof — groupby(user_id) →
     pd.merge_asof inside each sorted group (the guide's prescribed as-of
     pattern: sort both sides by (key, ts) within buckets)."""
+    from ..stages.keyed_window import keyed_apply
+
     ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts",
                                "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"].sort_values("ts")
-        c = g[g["event_type"] == "click"].sort_values("ts")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized merge_asof per bucket: by="user_id" scopes the
+        # backward search to the key, both sides globally ts-sorted
+        # (keyed_apply — no per-user Python)
+        p = g[g["event_type"] == "purchase"].sort_values("ts", kind="stable")
+        c = g[g["event_type"] == "click"].sort_values("ts", kind="stable")
         if len(p) == 0 or len(c) == 0:
             return pd.DataFrame(
                 {"event_id": pd.Series(dtype="int64"),
                  "click_id": pd.Series(dtype="int64"),
                  "click_value": pd.Series(dtype="float64")})
-        m = pd.merge_asof(p[["ts", "event_id"]],
-                          c[["ts", "event_id", "value"]],
-                          on="ts", suffixes=("", "_c"), direction="backward")
+        m = pd.merge_asof(p[["ts", "user_id", "event_id"]],
+                          c[["ts", "user_id", "event_id", "value"]],
+                          on="ts", by="user_id", suffixes=("", "_c"),
+                          direction="backward")
         m = m.dropna(subset=["event_id_c"])
         return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
                              "click_id": m["event_id_c"].astype("int64"),
                              "click_value": m["value"].round(2)})
 
-    pdf = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-             .to_pandas())
+    pdf = keyed_apply(ds, "user_id", per_bucket).to_pandas()
     if "event_id" not in pdf.columns or not len(pdf):
         return pa.Table.from_pydict({"event_id": pa.array([], pa.int64()),
                                      "click_id": pa.array([], pa.int64()),

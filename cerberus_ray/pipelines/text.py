@@ -15,7 +15,6 @@ is compiled once per actor via a callable class (actor-pool pattern).
 
 from __future__ import annotations
 
-import re
 from typing import Dict, List
 
 import numpy as np
@@ -36,25 +35,43 @@ _STOPWORDS: Dict[str, frozenset] = {
                     "se su al lo como más pero sus le".split()),
 }
 
+#: RE2 patterns shared verbatim with the DuckDB doc_quality oracle
+#: (training_queries.py) — the pattern IS the contract, same trick as
+#: doc_pii_scan. Evaluated via pyarrow (RE2) on BOTH sides, never Python
+#: re, so unicode \w/\s semantics cannot drift between engine and oracle.
+SUBWORD_RE = r"\w+|[^\w\s]"
+PUNCT_RE = r"[^\w\s]"
+DIGIT_RE = r"\d"
+
+
+def _round4(s: pd.Series) -> pd.Series:
+    """Round-half-away-from-zero to 4 dp (DuckDB ROUND semantics) for
+    non-negative ratios; numpy/pandas .round is half-even, which diverges
+    on exactly-representable dyadic ties like 1/32 = 0.03125."""
+    return np.floor(s.to_numpy(dtype="float64") * 1e4 + 0.5) / 1e4
+
+
 class TextScorer:
     """Actor-pool stage: regexes compiled once per actor (__init__), scoring
     per batch (__call__) — the ST2 lru_cache pattern lifted to actors
     (reference: cerberus/utils.py:27-31)."""
 
     def __init__(self):
-        self.bpe = re.compile(r"\w+|[^\w\s]")
-        self.punct = re.compile(r"[^\w\s]")
         self.stop = _STOPWORDS
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
         texts = batch["text"].fillna("")
         low = texts.str.lower()
         tokens = low.str.split()
         n_tokens = tokens.str.len().fillna(0).astype("int64")
         n_chars = texts.str.len().astype("int64")
-        n_subwords = low.str.findall(self.bpe).str.len().fillna(0).astype("int64")
-        n_punct = texts.str.count(r"[^\w\s]").astype("int64")
-        n_digit = texts.str.count(r"\d").astype("int64")
+        arr, arr_low = pa.array(texts, pa.string()), pa.array(low, pa.string())
+        n_subwords = pc.count_substring_regex(arr_low, SUBWORD_RE).to_pandas().astype("int64")
+        n_punct = pc.count_substring_regex(arr, PUNCT_RE).to_pandas().astype("int64")
+        n_digit = pc.count_substring_regex(arr, DIGIT_RE).to_pandas().astype("int64")
+        n_subwords.index = n_punct.index = n_digit.index = batch.index
         en = self.stop["en"]
         # vectorized token stats: one explode + grouped reductions instead
         # of a Python lambda per document (the former hot cost of this
@@ -76,11 +93,11 @@ class TextScorer:
         out["n_chars"] = n_chars
         out["n_tokens"] = n_tokens
         out["n_subwords"] = n_subwords
-        out["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(4)
-        out["digit_ratio"] = (n_digit / n_chars.clip(lower=1)).round(4)
-        out["stopword_ratio"] = stop_ratio.astype(float).round(4)
-        out["unique_token_ratio"] = uniq_ratio.astype(float).round(4)
-        out["mean_word_len"] = mean_word_len.round(4)
+        out["punct_ratio"] = _round4(n_punct / n_chars.clip(lower=1))
+        out["digit_ratio"] = _round4(n_digit / n_chars.clip(lower=1))
+        out["stopword_ratio"] = _round4(stop_ratio.astype(float))
+        out["unique_token_ratio"] = _round4(uniq_ratio.astype(float))
+        out["mean_word_len"] = _round4(mean_word_len)
         # composite quality gate (Gopher-style heuristics)
         out["quality_pass"] = (
             (n_tokens >= 5) & (n_tokens <= 100_000)

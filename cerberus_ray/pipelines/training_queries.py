@@ -417,8 +417,51 @@ _LANGID_SQL = f"""
     FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+def _quality_sql() -> str:
+    """doc_quality oracle: the TextScorer kernel re-expressed in DuckDB.
+    The three regexes are interpolated from the engine's own RE2 patterns
+    (text.SUBWORD_RE/PUNCT_RE/DIGIT_RE — both sides evaluate RE2) and the
+    stopword list from _STOPWORDS, so neither side can drift. ROUND in
+    DuckDB is half-away-from-zero, which text._round4 mirrors."""
+    from .text import DIGIT_RE, PUNCT_RE, SUBWORD_RE
+
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, COALESCE(text, '') AS txt,
+             lower(COALESCE(text, '')) AS low
+      FROM documents),
+    tok AS (
+      SELECT doc_id, txt, low,
+             list_filter(string_split_regex(low, '\s+'),
+                         x -> x <> '') AS toks
+      FROM t)
+    SELECT doc_id,
+      CAST(LENGTH(txt) AS BIGINT) AS n_chars,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(low, '{SUBWORD_RE}')) AS BIGINT)
+          AS n_subwords,
+      ROUND(len(regexp_extract_all(txt, '{PUNCT_RE}'))::DOUBLE
+            / greatest(LENGTH(txt), 1), 4) AS punct_ratio,
+      ROUND(len(regexp_extract_all(txt, '{DIGIT_RE}'))::DOUBLE
+            / greatest(LENGTH(txt), 1), 4) AS digit_ratio,
+      ROUND(len(list_filter(toks, x ->
+                list_contains([{_stopword_sql('en')}], x)))::DOUBLE
+            / greatest(len(toks), 1), 4) AS stopword_ratio,
+      ROUND(len(list_distinct(toks))::DOUBLE
+            / greatest(len(toks), 1), 4) AS unique_token_ratio,
+      ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE list_sum(list_transform(toks, x -> LENGTH(x)))::DOUBLE
+                      / len(toks) END, 4) AS mean_word_len,
+      (n_tokens >= 5 AND n_tokens <= 100000
+       AND mean_word_len BETWEEN 2 AND 12
+       AND punct_ratio < 0.3 AND unique_token_ratio > 0.1) AS quality_pass
+    FROM tok ORDER BY doc_id
+    """
+
+
 ORACLE_SQL = {
     "doc_langid": _LANGID_SQL,
+    "doc_quality": _quality_sql(),
     "doc_pii_scan": rf"""
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(COUNT(*) FILTER

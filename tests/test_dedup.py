@@ -103,3 +103,58 @@ def test_verify_pairs_exact(ds):
     verified = DD.verify_pairs_exact(cand, ds, threshold=0.8).to_pandas()
     assert list(verified["doc_id_b"]) == ["x002"]  # false candidate killed
     assert verified["jaccard"].iloc[0] == 1.0
+
+
+def test_minhash_mode_agreement(ds):
+    """driver vs shuffle pass-1 merge must be output-identical (the
+    planner's contract — same gate as uniqueness/order_totalprice)."""
+    drv = DD.minhash_near_dup_pairs(ds, threshold=0.5, mode="driver")
+    shf = DD.minhash_near_dup_pairs(ds, threshold=0.5, mode="shuffle")
+    assert drv.equals(shf)
+    assert drv.num_rows > 0
+    with pytest.raises(ValueError):
+        DD.minhash_near_dup_pairs(ds, mode="bogus")
+
+
+def test_simhash_hot_bucket_recall_and_scale(ray_session):
+    """A hot bucket (thousands of docs sharing chunk 0 but unrelated
+    elsewhere) must not go O(n²): the recursive pigeonhole refinement
+    splits it, while planted near-dup pairs are still all found."""
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(2000):
+        rows.append({"doc_id": f"h{i:05d}",
+                     "text": " ".join(rng.choice(words, size=40))})
+    # planted near-identical pair (1 word appended to 200 → hamming ≤ 3)
+    base = " ".join(rng.choice(words, size=200).tolist())
+    rows.append({"doc_id": "p0001", "text": base})
+    rows.append({"doc_id": "p0002", "text": base + " w999"})
+    df = pd.DataFrame(rows)
+    got = DD.simhash_near_dup_pairs(
+        rd.from_pandas(df), max_hamming=3, hot_bucket_cap=64).to_pandas()
+    found = set(map(tuple, got[["doc_id_a", "doc_id_b"]].values))
+    assert ("p0001", "p0002") in found
+
+    # exact recall check vs brute force over the whole corpus
+    sh = DD.simhash64(df["text"].to_numpy())
+    ids = df["doc_id"].to_numpy()
+    expect = set()
+    for i in range(len(ids)):
+        d = DD.hamming64(sh[i + 1:], np.repeat(sh[i], len(ids) - i - 1))
+        for j in np.flatnonzero(d <= 3):
+            a, b = sorted((ids[i], ids[i + 1 + j]))
+            expect.add((a, b))
+    assert found == expect
+
+
+def test_simhash_identical_flood_emits_all_pairs(ray_session):
+    """> cap identical fingerprints: the true answer is all pairs; the
+    blockwise emitter must return exactly C(n,2) at hamming 0."""
+    n = 40
+    df = pd.DataFrame({"doc_id": [f"i{i:03d}" for i in range(n)],
+                       "text": ["same text for everyone here"] * n})
+    got = DD.simhash_near_dup_pairs(rd.from_pandas(df), max_hamming=3,
+                                    hot_bucket_cap=8).to_pandas()
+    assert len(got) == n * (n - 1) // 2
+    assert (got["hamming"] == 0).all()
