@@ -337,53 +337,93 @@ def invoice_total_consistency(invoices_ds, charges_ds, *, tol=0.01) -> pa.Table:
 
 
 def invoice_paid_consistency(invoices_ds, payments_ds, *, tol=0.01) -> pa.Table:
-    """Σ payments ≤ total always; == total when state is paid (A4)."""
-    pdf = payments_ds.to_pandas()
-    sums = pdf.groupby("invoice_id")["amount"].sum() if len(pdf) else pd.Series(dtype=float)
-    rows = []
-    for r in invoices_ds.take_all():
-        paid = float(sums.get(r["invoice_id"], 0.0))
-        total = float(r["total"])
-        if paid > total + tol:
-            rows.append((str(int(r["invoice_id"])), "paid-le-total", "total",
-                         f"payments {paid:.2f} > total {total:.2f}"))
-        if r["state"] == "paid" and abs(paid - total) > tol:
-            rows.append((str(int(r["invoice_id"])), "paid-total-mismatch",
-                         "total",
-                         f"paid state but payments {paid:.2f} != total {total:.2f}"))
-    return _v(rows)
+    """Σ payments ≤ total always; == total when state is paid (A4).
+
+    Streamed via the keyed_compare exchange (stages/aggcheck.py): payment
+    sums partial-combine per block, invoices ship (id, total, state), one
+    vectorized compare per hash bucket — no ``take_all``/``to_pandas``
+    driver loop (the A4 analogue of invoice.py:211-231)."""
+    from ..stages.aggcheck import keyed_compare, side_row
+
+    def child(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [pc.cast(b["invoice_id"], pa.string()),
+             pc.cast(b["amount"], pa.float64())], names=["k", "v"])
+        agg = t.group_by("k").aggregate([("v", "sum")])
+        return side_row((agg["k"], agg["v_sum"]), src="c")
+
+    def parent(b: pa.Table) -> pa.Table:
+        return side_row((b["invoice_id"], b["total"]), src="p",
+                        extra=pc.cast(b["state"], pa.string()))
+
+    def compare(d: pd.DataFrame) -> pd.DataFrame:
+        sums = d.loc[d["src"] == "c"].groupby("k")["v"].sum()
+        par = d.loc[d["src"] == "p"].drop_duplicates("k")
+        if not len(par):
+            return pd.DataFrame()
+        paid = sums.reindex(par["k"]).fillna(0.0).to_numpy()
+        total = par["v"].to_numpy()
+        state = par["extra"].to_numpy()
+        keys = par["k"].to_numpy()
+        out = []
+        for i in np.flatnonzero(paid > total + tol):
+            out.append({"doc_id": keys[i], "rule": "paid-le-total",
+                        "path": "total",
+                        "detail": f"payments {paid[i]:.2f} > "
+                                  f"total {total[i]:.2f}"})
+        bad_paid = (state == "paid") & (np.abs(paid - total) > tol)
+        for i in np.flatnonzero(bad_paid):
+            out.append({"doc_id": keys[i], "rule": "paid-total-mismatch",
+                        "path": "total",
+                        "detail": f"paid state but payments {paid[i]:.2f} "
+                                  f"!= total {total[i]:.2f}"})
+        return pd.DataFrame(out)
+
+    out = keyed_compare(payments_ds, invoices_ds, child_side=child,
+                        parent_side=parent, compare=compare).to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
 
 
 def invoice_paid_charges(invoices_ds, charges_ds) -> pa.Table:
     """FSM side-effect consistency: Invoice.pay() cascades charge.pay()
     (invoice.py:226-231; test_invoices.py:97-104 asserts every charge of
     a paid invoice is paid) — so a PAID invoice with any non-void,
-    non-paid charge is an illegal post-state. Map-side partial count of
-    offending charges per invoice → driver merge (violating invoices are
-    rare); invoices stream through the paid filter."""
+    non-paid charge is an illegal post-state. Streamed keyed_compare:
+    map-side partial counts of offending charges join the paid-invoice
+    stream in a hash-bucketed exchange — no driver-held per-key map."""
 
-    def partial(b: pa.Table) -> pa.Table:
+    from ..stages.aggcheck import keyed_compare, side_row
+
+    def child(b: pa.Table) -> pa.Table:
         bad_state = pc.invert(pc.is_in(
             b["state"], value_set=pa.array(["paid", "void"])))
         t = b.filter(pc.and_(pc.is_valid(b["invoice_id"]), bad_state))
-        return (t.select(["invoice_id"]).group_by("invoice_id")
-                 .aggregate([([], "count_all")]))
+        agg = (t.select(["invoice_id"]).group_by("invoice_id")
+                .aggregate([([], "count_all")]))
+        return side_row((agg["invoice_id"], agg["count_all"]), src="c")
 
-    pdf = charges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    bad = (pdf.groupby("invoice_id")["count_all"].sum()
-           if len(pdf) else pd.Series(dtype="int64"))
-
-    def check(b: pa.Table) -> pa.Table:
+    def parent(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["state"], "paid"))
-        rows = []
-        for iid in t["invoice_id"].to_pylist():
-            n = int(bad.get(iid, 0))
-            if n:
-                rows.append((str(int(iid)), "paid-charges-unpaid", "charges",
-                             f"{n} charge(s) not paid on a paid invoice"))
-        return _v(rows)
+        return side_row((t["invoice_id"],
+                         pa.array([0.0] * t.num_rows, pa.float64())), src="p")
 
-    out = invoices_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    def compare(d: pd.DataFrame) -> pd.DataFrame:
+        sums = d.loc[d["src"] == "c"].groupby("k")["v"].sum()
+        par = d.loc[d["src"] == "p"].drop_duplicates("k")
+        if not len(par):
+            return pd.DataFrame()
+        n = sums.reindex(par["k"]).fillna(0.0).to_numpy()
+        keys = par["k"].to_numpy()
+        return pd.DataFrame(
+            [{"doc_id": keys[i], "rule": "paid-charges-unpaid",
+              "path": "charges",
+              "detail": f"{int(n[i])} charge(s) not paid on a paid invoice"}
+             for i in np.flatnonzero(n >= 1)])
+
+    out = keyed_compare(charges_ds, invoices_ds, child_side=child,
+                        parent_side=parent, compare=compare).to_pandas()
     if not len(out):
         return VIOLATIONS.empty_table()
     return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
@@ -399,34 +439,47 @@ def booking_completed_charges(bookings_ds, charges_ds, *, tol=0.01) -> pa.Table:
     - ``completed-charge-amount``: charges exist but none matches cost
     """
 
-    def partial(b: pa.Table) -> pa.Table:
+    from ..stages.aggcheck import keyed_compare, side_row
+
+    def child(b: pa.Table) -> pa.Table:
         t = b.filter(pc.is_valid(b["booking_id"]))
         amount = pc.multiply(t["line"], pc.cast(t["quantity"], pa.float64()))
-        return pa.Table.from_arrays(
-            [pc.cast(t["booking_id"], pa.int64()), amount],
-            names=["k", "amount"])
+        return side_row((t["booking_id"], amount), src="c")
 
-    pdf = charges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    amounts_by_booking = (pdf.groupby("k")["amount"].agg(list)
-                          if len(pdf) else pd.Series(dtype=object))
-
-    def check(b: pa.Table) -> pa.Table:
+    def parent(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["state"], "completed"))
-        rows = []
-        for bid, cost in zip(t["booking_id"].to_pylist(),
-                             t["cost"].to_pylist()):
-            amts = amounts_by_booking.get(int(bid))
-            if amts is None:
-                rows.append((str(int(bid)), "completed-no-charge", "charges",
-                             "completed booking has no booking charge"))
-            elif not any(abs(a - float(cost)) <= tol for a in amts):
-                rows.append((str(int(bid)), "completed-charge-amount",
-                             "charges",
-                             f"no booking charge matches cost {cost:.2f} "
-                             f"(got {sorted(amts)})"))
-        return _v(rows)
+        return side_row((t["booking_id"], t["cost"]), src="p")
 
-    out = bookings_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    def compare(d: pd.DataFrame) -> pd.DataFrame:
+        ch = d.loc[d["src"] == "c"]
+        par = d.loc[d["src"] == "p"].drop_duplicates("k")
+        if not len(par):
+            return pd.DataFrame()
+        merged = ch.merge(par[["k", "v"]], on="k", suffixes=("", "_cost"))
+        merged["ok"] = (merged["v"] - merged["v_cost"]).abs() <= tol
+        any_ok = merged.groupby("k")["ok"].any()
+        child_keys = set(ch["k"])
+        out = []
+        for k, cost in zip(par["k"], par["v"]):
+            if k not in child_keys:
+                out.append({"doc_id": k, "rule": "completed-no-charge",
+                            "path": "charges",
+                            "detail": "completed booking has no booking "
+                                      "charge"})
+        bad = any_ok.index[~any_ok]
+        if len(bad):
+            amts = (ch[ch["k"].isin(bad)].groupby("k")["v"].agg(list))
+            cost_by_k = par.set_index("k")["v"]
+            for k in bad:
+                out.append({"doc_id": k, "rule": "completed-charge-amount",
+                            "path": "charges",
+                            "detail": f"no booking charge matches cost "
+                                      f"{cost_by_k[k]:.2f} "
+                                      f"(got {sorted(amts[k])})"})
+        return pd.DataFrame(out)
+
+    out = keyed_compare(charges_ds, bookings_ds, child_side=child,
+                        parent_side=parent, compare=compare).to_pandas()
     if not len(out):
         return VIOLATIONS.empty_table()
     return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)

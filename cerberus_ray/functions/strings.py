@@ -170,7 +170,9 @@ def age_humanize(dob, today) -> pa.Array:
     m = valid & (years == 1) & (months == 0) & (rem_days == 0)
     out[m] = "a year"
     m = valid & (years == 1) & (months == 0) & (rem_days > 0)
-    out[m] = np.array([f"1 year, {x} days" for x in rem_days[m]], dtype=object)
+    # ngettext parity (humanize naturaldelta): singular at exactly 1 day
+    out[m] = np.array([f"1 year, {x} day" if x == 1 else f"1 year, {x} days"
+                       for x in rem_days[m]], dtype=object)
     m = valid & (years == 1) & (months == 1)
     out[m] = "1 year, 1 month"
     m = valid & (years == 1) & (months > 1)

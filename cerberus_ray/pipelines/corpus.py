@@ -34,6 +34,32 @@ class CorpusReport:
     stats: Dict = field(default_factory=dict)
 
 
+def _content_fingerprint(ds, text_col: str, key_col: str) -> int:
+    """Order-independent content fingerprint: xor-fold of per-row
+    hash(key|text), xored across blocks. One streaming pass; 8 bytes per
+    block reach the driver. Guards the sink-level resume against a
+    changed input that happens to keep the same row count."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..determinism import hash_strings
+
+    def fold(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pc.cast(b[key_col], pa.string()),
+            pc.fill_null(pc.cast(b[text_col], pa.string()), ""), "|")
+        hv = hash_strings(s.to_numpy(zero_copy_only=False))
+        x = int(np.bitwise_xor.reduce(hv)) if len(hv) else 0
+        return pa.Table.from_pydict({"x": pa.array([x], pa.uint64())})
+
+    parts = ds.map_batches(fold, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    acc = 0
+    for v in parts.get("x", []):
+        acc ^= int(v)
+    return acc
+
+
 def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           text_col: str = "text", key_col: str = "doc_id",
                           near_threshold: float = 0.8, bands: int = 32,
@@ -44,11 +70,15 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     from ..pipelines.dedup import dedup_near_keep_first, exact_dedup_keep_first
 
     n_input = docs_ds.count()
+    # the fingerprint pass is only paid when a manifest could be written
+    # or matched (out_dir runs); pure-report runs skip it
+    fingerprint = (_content_fingerprint(docs_ds, text_col, key_col)
+                   if out_dir is not None else None)
 
-    # sink-level resume: a completed run left a manifest whose input size
-    # and parameters match — skip the whole rebuild (the per-fragment
-    # variant of this lives in state/checkpoint.py; here the corpus is
-    # one atomic sink, so completion is all-or-nothing)
+    # sink-level resume: a completed run left a manifest whose input size,
+    # CONTENT fingerprint and parameters match — skip the whole rebuild
+    # (the per-fragment variant of this lives in state/checkpoint.py; here
+    # the corpus is one atomic sink, so completion is all-or-nothing)
     if resume and out_dir is not None:
         mp = os.path.join(out_dir, "manifest.json")
         if os.path.exists(mp) and os.path.isdir(os.path.join(out_dir, "data")):
@@ -58,15 +88,22 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             except (json.JSONDecodeError, OSError):
                 m = None
             if m and (m.get("n_input") == int(n_input)
+                      and m.get("content_fingerprint") == fingerprint
                       and m.get("near_threshold") == near_threshold
                       and m.get("bands") == bands
                       and m.get("shuffle_seed") == shuffle_seed):
+                cp = os.path.join(out_dir, "clusters.parquet")
+                clusters = None
+                if os.path.exists(cp):
+                    import pyarrow.parquet as pq
+
+                    clusters = pq.read_table(cp)
                 return CorpusReport(
                     n_input=m["n_input"],
                     n_quality_pass=m["n_quality_pass"],
                     n_after_exact_dedup=m["n_after_exact_dedup"],
                     n_after_near_dedup=m["n_after_near_dedup"],
-                    n_written=m["n_after_near_dedup"], clusters=None,
+                    n_written=m["n_after_near_dedup"], clusters=clusters,
                     out_dir=out_dir, stats={"resumed": True})
 
     # 1. quality gate — the TextScorer heuristics applied inline, keeping
@@ -114,12 +151,17 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
         os.makedirs(out_dir, exist_ok=True)
         shuffled.write_parquet(os.path.join(out_dir, "data"),
                                min_rows_per_file=min_rows_per_file)
+        if clusters is not None:
+            import pyarrow.parquet as pq
+
+            pq.write_table(clusters, os.path.join(out_dir, "clusters.parquet"))
         manifest = {
             "n_input": int(n_input), "n_quality_pass": int(n_quality),
             "n_after_exact_dedup": int(n_exact),
             "n_after_near_dedup": int(n_near),
             "near_threshold": near_threshold, "bands": bands,
             "shuffle_seed": shuffle_seed,
+            "content_fingerprint": fingerprint,
         }
         with open(os.path.join(out_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, sort_keys=True, indent=1)

@@ -520,6 +520,7 @@ def connected_components_shuffle(pairs_table: pa.Table, *,
         return int(lbl_ds.map_batches(h, batch_format="pyarrow")
                    .sum("s") or 0)
 
+    converged = False
     prev = _checksum(labels)
     for _ in range(max_rounds):
         msgs = (edges.join(labels, join_type="inner", num_partitions=8,
@@ -537,8 +538,16 @@ def connected_components_shuffle(pairs_table: pa.Table, *,
                   .repartition(8).materialize())
         cur = _checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a silent fall-through would return partially-propagated labels
+        # (wrong clusters) for components deeper than max_rounds
+        raise RuntimeError(
+            f"connected_components_shuffle did not converge within "
+            f"{max_rounds} rounds — raise max_rounds (component diameter "
+            f"exceeds it)")
 
     out = labels.to_pandas().rename(
         columns={"node": "doc_id", "label": "cluster_id"})

@@ -25,28 +25,73 @@ def _t(sf_dir, name, columns=None):
     return read_table(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-def q_revenue_per_nation(sf_dir: str) -> pa.Table:
-    """Multi-hop broadcast join (orders→customer→nation) + grouped sum
-    (J1-shape: join through a chain of keys)."""
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+#: broadcast a lookup side only while it plausibly fits every worker's
+#: heap; beyond this the planner switches to the native hash-partitioned
+#: Dataset.join (customer is a FACT table at target scale, not a dim)
+_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def q_revenue_per_nation(sf_dir: str, *, mode: str = "auto") -> pa.Table:
+    """Multi-hop join (orders→customer→nation) + grouped sum (J1-shape:
+    join through a chain of keys).
+
+    Join-side planner (mirrors the uniqueness/minhash mode planners):
+
+    - 'broadcast' (lookup ≤ ~5M rows): ship the customer→nation map once
+      (ray.put) and resolve per batch — zero shuffle.
+    - 'shuffle': native hash-partitioned ``Dataset.join`` orders⋈customer
+      — the path once customer outgrows worker heaps; only nation (a true
+      25-row dimension) is broadcast.
+    Both modes end in the same bounded per-nation partial-combine +
+    driver merge and are output-identical (agreement-tested)."""
+    if mode == "auto":
+        n_cust = _t(sf_dir, "customer", ["c_custkey"]).count()
+        mode = "broadcast" if n_cust <= _BROADCAST_MAX_ROWS else "shuffle"
+    if mode not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown join mode: {mode!r}")
+
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = cust.set_index("c_custkey")["c_nationkey"]
     nation_name = nation.set_index("n_nationkey")["n_name"]
-    ref = ray.put((cust_to_nation, nation_name))
 
-    def partial(b: pa.Table) -> pa.Table:
-        c2n, n2name = ray.get(ref)
-        keys = pd.Series(b["o_custkey"].to_numpy(zero_copy_only=False))
-        nk = keys.map(c2n)
-        names = nk.map(n2name).fillna("UNKNOWN")
-        t = pa.Table.from_arrays(
-            [pa.array(names.to_numpy(), type=pa.string()),
-             pc.cast(b["o_totalprice"], pa.float64())],
-            names=["n_name", "v"])
-        return t.group_by("n_name").aggregate([("v", "sum"), ([], "count_all")])
+    if mode == "broadcast":
+        cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        cust_to_nation = cust.set_index("c_custkey")["c_nationkey"]
+        ref = ray.put((cust_to_nation, nation_name))
 
-    parts = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        def partial(b: pa.Table) -> pa.Table:
+            c2n, n2name = ray.get(ref)
+            keys = pd.Series(b["o_custkey"].to_numpy(zero_copy_only=False))
+            names = keys.map(c2n).map(n2name).fillna("UNKNOWN")
+            t = pa.Table.from_arrays(
+                [pa.array(names.to_numpy(), type=pa.string()),
+                 pc.cast(b["o_totalprice"], pa.float64())],
+                names=["n_name", "v"])
+            return t.group_by("n_name").aggregate(
+                [("v", "sum"), ([], "count_all")])
+
+        parts = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    else:
+        orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        cust_ds = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        joined = orders.join(cust_ds, join_type="left_outer",
+                             num_partitions=8, on=("o_custkey",),
+                             right_on=("c_custkey",))
+        nref = ray.put(nation_name)
+
+        def partial_joined(b: pa.Table) -> pa.Table:
+            n2name = ray.get(nref)
+            nk = pd.Series(b["c_nationkey"].to_numpy(zero_copy_only=False))
+            names = nk.map(n2name).fillna("UNKNOWN")
+            t = pa.Table.from_arrays(
+                [pa.array(names.to_numpy(), type=pa.string()),
+                 pc.cast(b["o_totalprice"], pa.float64())],
+                names=["n_name", "v"])
+            return t.group_by("n_name").aggregate(
+                [("v", "sum"), ([], "count_all")])
+
+        parts = joined.map_batches(partial_joined,
+                                   batch_format="pyarrow").to_pandas()
     g = parts.groupby("n_name", as_index=False).agg(
         revenue=("v_sum", "sum"), n_orders=("count_all", "sum"))
     g["revenue"] = g["revenue"].round(2)
@@ -232,36 +277,75 @@ def q_events_rolling_1h(sf_dir: str) -> pa.Table:
                         "rolling_avg", pc.round(t["rolling_avg"], **_R2))
 
 
-def q_top_orders_per_nation(sf_dir: str) -> pa.Table:
-    """Grouped top-k (top-3 orders by totalprice per nation): broadcast
-    dim lookup → per-block partial top-3 per group (each block forwards
-    at most #groups × k rows — the map-side combine for top-k) → driver
-    merge of the tiny partials. Deterministic tie-break (price DESC,
-    orderkey ASC) matches the ROW_NUMBER oracle."""
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    if "c_custkey" in cust.columns and "n_nationkey" in nation.columns:
-        c2name = cust.set_index("c_custkey")["c_nationkey"].map(
-            nation.set_index("n_nationkey")["n_name"])
-    else:  # fully-empty dims lose their schema through to_pandas
-        c2name = pd.Series(dtype=object)
-    ref = ray.put(c2name)
+def q_top_orders_per_nation(sf_dir: str, *, mode: str = "auto") -> pa.Table:
+    """Grouped top-k (top-3 orders by totalprice per nation): per-block
+    partial top-3 per group (each block forwards at most #groups × k rows
+    — the map-side combine for top-k) → driver merge of the tiny
+    partials. Deterministic tie-break (price DESC, orderkey ASC) matches
+    the ROW_NUMBER oracle.
 
-    def partial(b: pa.Table) -> pd.DataFrame:
-        lut = ray.get(ref)
-        pdf = pd.DataFrame({
-            "n_name": pd.Series(
-                b["o_custkey"].to_numpy(zero_copy_only=False)).map(lut),
-            "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False),
-            "o_totalprice": b["o_totalprice"].to_numpy(zero_copy_only=False),
-        }).dropna(subset=["n_name"])
+    Join-side planner: 'broadcast' ships the customer→nation-name map
+    once while customer fits worker heaps (≤ ~5M rows); 'shuffle' is the
+    native hash-partitioned orders⋈customer join with only the 25-row
+    nation dim broadcast. Output-identical (agreement-tested)."""
+    if mode == "auto":
+        n_cust = _t(sf_dir, "customer", ["c_custkey"]).count()
+        mode = "broadcast" if n_cust <= _BROADCAST_MAX_ROWS else "shuffle"
+    if mode not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown join mode: {mode!r}")
+
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+
+    def _partial_top3(pdf: pd.DataFrame) -> pd.DataFrame:
         return (pdf.sort_values(["n_name", "o_totalprice", "o_orderkey"],
                                 ascending=[True, False, True])
                    .groupby("n_name", as_index=False).head(3))
 
-    parts = (_t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-             .map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas())
+    if mode == "broadcast":
+        cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        if "c_custkey" in cust.columns and "n_nationkey" in nation.columns:
+            c2name = cust.set_index("c_custkey")["c_nationkey"].map(
+                nation.set_index("n_nationkey")["n_name"])
+        else:  # fully-empty dims lose their schema through to_pandas
+            c2name = pd.Series(dtype=object)
+        ref = ray.put(c2name)
+
+        def partial(b: pa.Table) -> pd.DataFrame:
+            lut = ray.get(ref)
+            pdf = pd.DataFrame({
+                "n_name": pd.Series(
+                    b["o_custkey"].to_numpy(zero_copy_only=False)).map(lut),
+                "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False),
+                "o_totalprice": b["o_totalprice"].to_numpy(zero_copy_only=False),
+            }).dropna(subset=["n_name"])
+            return _partial_top3(pdf)
+
+        parts = (_t(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_totalprice"])
+                 .map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas())
+    else:
+        orders = _t(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_totalprice"])
+        cust_ds = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        joined = orders.join(cust_ds, join_type="inner", num_partitions=8,
+                             on=("o_custkey",), right_on=("c_custkey",))
+        nref = ray.put(nation.set_index("n_nationkey")["n_name"]
+                       if "n_nationkey" in nation.columns
+                       else pd.Series(dtype=object))
+
+        def partial_joined(b: pa.Table) -> pd.DataFrame:
+            n2name = ray.get(nref)
+            pdf = pd.DataFrame({
+                "n_name": pd.Series(
+                    b["c_nationkey"].to_numpy(zero_copy_only=False)).map(n2name),
+                "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False),
+                "o_totalprice": b["o_totalprice"].to_numpy(zero_copy_only=False),
+            }).dropna(subset=["n_name"])
+            return _partial_top3(pdf)
+
+        parts = joined.map_batches(partial_joined,
+                                   batch_format="pyarrow").to_pandas()
     if "n_name" not in parts.columns or not len(parts):
         return pa.Table.from_pydict(
             {"n_name": pa.array([], pa.string()),

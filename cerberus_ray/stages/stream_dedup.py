@@ -11,9 +11,10 @@ actors:
 - The driver feeds batches in arrival order; each shard returns the
   batch rows whose content hash is NEW to it (first occurrence wins —
   arrival order, not min-key, is the streaming tie-break).
-- Shard state is a set of 8-byte hash prefixes (not texts): memory is
-  O(distinct docs / N) per shard. snapshot()/restore() make the stage
-  resumable mid-stream.
+- Shard state is a set of FULL 16-byte md5 digests (not texts): memory is
+  O(distinct docs / N) per shard, and equivalence to batch exact dedup
+  (which compares full md5) holds without a truncated-hash collision
+  window. snapshot()/restore() make the stage resumable mid-stream.
 
 Equivalent to batch exact dedup on the same feed order (asserted in
 tests); a Bloom filter can replace the exact set per shard when false
@@ -31,12 +32,11 @@ import pyarrow as pa
 import ray
 
 
-def _md5_u64(texts) -> np.ndarray:
-    """First 8 bytes of md5(text) as uint64 (same content hash family as
-    pipelines/dedup.add_md5, truncated for set storage)."""
-    return np.array(
-        [int.from_bytes(hashlib.md5((t or "").encode()).digest()[:8], "big")
-         for t in texts], dtype=np.uint64)
+def _md5_digests(texts) -> List[bytes]:
+    """Full 16-byte md5(text) digests (same content hash family as
+    pipelines/dedup.add_md5 — no truncation, so no silent false drop on
+    a 64-bit collision at billions of docs)."""
+    return [hashlib.md5((t or "").encode()).digest() for t in texts]
 
 
 @ray.remote
@@ -46,7 +46,8 @@ class DedupShard:
     def __init__(self):
         self.seen: set = set()
 
-    def filter_new(self, hashes: List[int], payload_idx: List[int]) -> List[int]:
+    def filter_new(self, hashes: List[bytes],
+                   payload_idx: List[int]) -> List[int]:
         """→ the payload indices whose hash is first-seen (marks them seen).
         Duplicates WITHIN the call keep only the first occurrence."""
         out = []
@@ -56,10 +57,10 @@ class DedupShard:
                 out.append(i)
         return out
 
-    def snapshot(self) -> List[int]:
+    def snapshot(self) -> List[bytes]:
         return sorted(self.seen)
 
-    def restore(self, seen: List[int]) -> None:
+    def restore(self, seen: List[bytes]) -> None:
         self.seen.update(seen)
 
     def n_seen(self) -> int:
@@ -76,21 +77,23 @@ class StreamingDeduper:
 
     def feed(self, batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
         """→ the subset of ``batch`` (original order) not seen before."""
-        h = _md5_u64(batch[text_col].to_numpy())
-        bucket = (h % np.uint64(self.n_shards)).astype(np.int64)
+        digs = _md5_digests(batch[text_col].to_numpy())
+        h64 = np.array([int.from_bytes(d[:8], "big") for d in digs],
+                       dtype=np.uint64)
+        bucket = (h64 % np.uint64(self.n_shards)).astype(np.int64)
         refs = []
         for s in range(self.n_shards):
             idx = np.flatnonzero(bucket == s)
             if len(idx):
                 refs.append(self.shards[s].filter_new.remote(
-                    [int(x) for x in h[idx]], [int(i) for i in idx]))
+                    [digs[i] for i in idx], [int(i) for i in idx]))
         keep = sorted(i for r in ray.get(refs) for i in r)
         return batch.iloc[keep].reset_index(drop=True)
 
-    def snapshot(self) -> List[List[int]]:
+    def snapshot(self) -> List[List[bytes]]:
         return ray.get([s.snapshot.remote() for s in self.shards])
 
-    def restore(self, snaps: List[List[int]]) -> None:
+    def restore(self, snaps: List[List[bytes]]) -> None:
         ray.get([s.restore.remote(sn)
                  for s, sn in zip(self.shards, snaps)])
 

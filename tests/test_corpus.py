@@ -95,3 +95,36 @@ def test_corpus_write_resumes_from_manifest(ray_session, tmp_path):
     r3 = build_training_corpus(rd.from_pandas(df), out_dir=d,
                                near_threshold=0.5)
     assert not r3.stats.get("resumed")  # parameter change -> rebuild
+
+
+def test_corpus_resume_rejects_changed_content(ray_session, tmp_path):
+    """Same row count + params but different CONTENT must NOT resume —
+    the manifest's content fingerprint is the gate."""
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(40)],
+                       "text": [f"some sufficiently long document text "
+                                f"number {i} with words words words"
+                                for i in range(40)]})
+    d = str(tmp_path / "corpus_fp")
+    r1 = build_training_corpus(rd.from_pandas(df), out_dir=d)
+    assert not r1.stats.get("resumed")
+
+    df2 = df.copy()
+    df2.loc[0, "text"] = "a completely different but equally long text here"
+    r2 = build_training_corpus(rd.from_pandas(df2), out_dir=d)
+    assert not r2.stats.get("resumed")  # content changed -> rebuild
+
+    r3 = build_training_corpus(rd.from_pandas(df2), out_dir=d)
+    assert r3.stats.get("resumed") is True  # now matches the new manifest
+
+
+def test_corpus_resume_restores_clusters(ray_session, tmp_path):
+    """A resumed run reloads the persisted near-dup cluster table instead
+    of silently returning clusters=None."""
+    ds = rd.from_pandas(corpus_df())
+    d = str(tmp_path / "corpus_cl")
+    r1 = build_training_corpus(ds, out_dir=d)
+    assert r1.clusters is not None
+    r2 = build_training_corpus(rd.from_pandas(corpus_df()), out_dir=d)
+    assert r2.stats.get("resumed") is True
+    assert r2.clusters is not None
+    assert r2.clusters.equals(r1.clusters)

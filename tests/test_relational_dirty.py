@@ -111,3 +111,26 @@ def test_events_users_modes_agree(ray_session):
     a = q_events_users_per_type(sf, mode="driver").to_pandas()
     b = q_events_users_per_type(sf, mode="shuffle").to_pandas()
     assert a.equals(b) and len(a) > 0
+
+
+def test_revenue_per_nation_modes_agree(ray_session):
+    """Broadcast lookup vs native hash-partitioned join must be
+    output-identical (the fact-sized-broadcast planner's contract)."""
+    from cerberus_ray.pipelines.relational2 import q_revenue_per_nation
+
+    sf = "/root/testdata/sf0.001"
+    a = q_revenue_per_nation(sf, mode="broadcast").to_pandas()
+    b = q_revenue_per_nation(sf, mode="shuffle").to_pandas()
+    assert a.equals(b) and len(a) > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        q_revenue_per_nation(sf, mode="bogus")
+
+
+def test_top_orders_per_nation_modes_agree(ray_session):
+    from cerberus_ray.pipelines.relational2 import q_top_orders_per_nation
+
+    sf = "/root/testdata/sf0.001"
+    a = q_top_orders_per_nation(sf, mode="broadcast").to_pandas()
+    b = q_top_orders_per_nation(sf, mode="shuffle").to_pandas()
+    assert a.equals(b) and len(a) > 0

@@ -90,3 +90,19 @@ def test_connected_components_shuffle_agrees(ray_session):
     shf = connected_components_shuffle(pairs).to_pandas()
     assert drv.equals(shf)
     assert set(shf[shf["doc_id"] == "d"]["cluster_id"]) == {"a"}
+
+
+def test_connected_components_shuffle_raises_on_nonconvergence(ray_session):
+    """A component deeper than max_rounds must raise, not silently return
+    partially-propagated (wrong) labels."""
+    import pyarrow as pa
+    import pytest
+
+    from cerberus_ray.pipelines.dedup import connected_components_shuffle
+
+    # a path graph a0-a1-...-a9 has diameter 9: 1 round cannot converge
+    pairs = pa.Table.from_pydict({
+        "doc_id_a": [f"a{i}" for i in range(9)],
+        "doc_id_b": [f"a{i+1}" for i in range(9)]})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_shuffle(pairs, max_rounds=1)

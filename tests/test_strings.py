@@ -179,11 +179,14 @@ def test_age_humanize_vectors():
         date(2024, 1, 25),         # a month (39 days -> 1 bucket)
         date(2023, 11, 1),         # 4 months
         date(2023, 3, 5),          # 365 days -> a year
+        date(2023, 3, 4),          # 366 days -> 1 year, 1 day (ngettext
+                                   # singular — naturaldelta parity)
+        date(2023, 2, 28),         # 370 days -> 1 year, 5 days
         date(2023, 2, 1),          # 1 year, 1 month
         date(2022, 9, 1),          # 1 year, 6 months
         date(2019, 3, 1),          # 5 years
     ], type=pa.date32())
     got = age_humanize(dobs, today).to_pylist()
     assert got == ["Unknown", "a moment", "a day", "13 days", "a month",
-                   "4 months", "a year", "1 year, 1 month",
-                   "1 year, 6 months", "5 years"]
+                   "4 months", "a year", "1 year, 1 day", "1 year, 5 days",
+                   "1 year, 1 month", "1 year, 6 months", "5 years"]
