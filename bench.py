@@ -168,7 +168,7 @@ def run_flagship_bench() -> dict:
         return run
 
     # best-of-N to damp shared-host CPU-quota noise
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     sec = float("inf")
     for _ in range(max(repeats, 1)):
         stage_fns = make_stage_fns()

@@ -128,3 +128,16 @@ def test_corpus_resume_restores_clusters(ray_session, tmp_path):
     assert r2.stats.get("resumed") is True
     assert r2.clusters is not None
     assert r2.clusters.equals(r1.clusters)
+
+
+def test_corpus_funnel_sf001_exact_counts(ray_session):
+    """Driver-surface pin: the training_corpus_report funnel at sf0.01 is
+    deterministic — exact expected counts (VERDICT r2 item 8)."""
+    from cerberus_ray.pipelines.training_queries import (
+        q_training_corpus_report,
+    )
+
+    t = q_training_corpus_report("/root/testdata/sf0.01").to_pydict()
+    assert t == {"n_input": [500], "n_quality_pass": [500],
+                 "n_after_exact_dedup": [500],
+                 "n_after_near_dedup": [476]}
