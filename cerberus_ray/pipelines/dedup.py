@@ -45,17 +45,31 @@ def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup_keep_first(ds, *, text_col: str = "text",
-                           key_col: str = "doc_id"):
+                           key_col: str = "doc_id", mode: str = "auto",
+                           n_rows_hint: int = 0):
     """Keep the min-key row per distinct content hash (deterministic winner,
     independent of block order).
 
-    Plan: per-block min-key partial (pyarrow hash aggregate) →
-    hash-partitioned ``groupby(hash).min(key)`` — the exchange carries one
-    (hash, key) row per distinct content per block, never rows or text —
-    → hash-partitioned inner ``Dataset.join`` back against the stream to
-    select the winners. No per-group Python callable (a ``map_groups``
-    here would pay one pandas invocation per DISTINCT document — millions
-    of calls at corpus scale) and no driver-side key structure."""
+    Mode planner (mirrors duplicate_key_counts):
+
+    - 'driver' (≤ ~2M rows): per-block min-key partials (pyarrow hash
+      aggregate — one (hash, key) row per distinct content per block)
+      merge on the driver; the winner map broadcasts once (ray.put) and
+      the stream filters against it. No Ray shuffle at all — the fixed
+      all-to-all cost dominates wall-time at benchmark scales.
+    - 'join' (beyond): hash-partitioned ``groupby(hash).min(key)`` →
+      hash-partitioned inner ``Dataset.join`` back against the stream —
+      driver memory stays O(1). No per-group Python callable in either
+      plan (a ``map_groups`` here would pay one pandas invocation per
+      DISTINCT document) . Output-identical (agreement-tested)."""
+    import ray
+
+    if mode == "auto":
+        n = n_rows_hint or ds.count()
+        mode = "driver" if n <= 2_000_000 else "join"
+    if mode not in ("driver", "join"):
+        raise ValueError(f"unknown keep-first mode: {mode!r}")
+
     hashed = ds.map_batches(lambda b: add_md5(b, text_col),
                             batch_format="pyarrow", zero_copy_batch=True)
 
@@ -65,9 +79,27 @@ def exact_dedup_keep_first(ds, *, text_col: str = "text",
         return pa.Table.from_arrays([g["text_md5"], g[f"{key_col}_min"]],
                                     names=["text_md5", "_keep_key"])
 
-    keepers = (hashed.map_batches(partial_min, batch_format="pyarrow",
+    partials = hashed.map_batches(partial_min, batch_format="pyarrow",
                                   zero_copy_batch=True)
-                     .groupby("text_md5").min("_keep_key"))
+
+    if mode == "driver":
+        pdf = partials.to_pandas()
+        if "text_md5" not in pdf.columns or not len(pdf):
+            return hashed
+        winners = pdf.groupby("text_md5")["_keep_key"].min()
+        ref = ray.put(winners)
+
+        def filt(b: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            md5 = b["text_md5"].to_numpy(zero_copy_only=False)
+            keys = b[key_col].to_numpy(zero_copy_only=False)
+            keep = lut.reindex(md5).to_numpy() == keys
+            return b.filter(pa.array(keep))
+
+        return hashed.map_batches(filt, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    keepers = partials.groupby("text_md5").min("_keep_key")
 
     def tidy(b: pa.Table) -> pa.Table:
         return pa.Table.from_arrays([b["text_md5"], b["min(_keep_key)"]],
@@ -85,10 +117,41 @@ def exact_dedup_keep_first(ds, *, text_col: str = "text",
     return joined.map_batches(drop_helpers, batch_format="pyarrow")
 
 
-def exact_dup_stats(ds, *, text_col: str = "text") -> pa.Table:
-    """(n_docs, n_unique) — distinct by a distributed grouped count; the
-    count of grouped rows IS the distinct count (no driver key list)."""
+def exact_dup_stats(ds, *, text_col: str = "text",
+                    mode: str = "auto") -> pa.Table:
+    """(n_docs, n_unique).
+
+    - 'driver' (≤ ~2M rows): per-block DISTINCT full 16-byte md5 digests
+      (as two uint64 columns) merge on the driver via numpy row-unique —
+      no shuffle, no truncated-hash collision window (16 B × distinct on
+      the driver bounds the band).
+    - 'shuffle': distributed grouped count over full hashes — the count
+      of grouped rows IS the distinct count (no driver key list)."""
     n_docs = ds.count()
+    if mode == "auto":
+        mode = "driver" if n_docs <= 2_000_000 else "shuffle"
+    if mode not in ("driver", "shuffle"):
+        raise ValueError(f"unknown dup-stats mode: {mode!r}")
+    if mode == "driver":
+        def distinct128(b: pa.Table) -> pa.Table:
+            texts = b[text_col].to_numpy(zero_copy_only=False)
+            raw = b"".join(hashlib.md5((t or "").encode()).digest()
+                           for t in texts)
+            a = np.frombuffer(raw, dtype=np.uint64).reshape(-1, 2)
+            u = np.unique(a, axis=0)
+            return pa.Table.from_pydict({"h1": pa.array(u[:, 0]),
+                                         "h2": pa.array(u[:, 1])})
+
+        parts = ds.map_batches(distinct128, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        if "h1" not in parts.columns or not len(parts):
+            n_unique = 0
+        else:
+            allh = np.stack([parts["h1"].to_numpy(),
+                             parts["h2"].to_numpy()], axis=1)
+            n_unique = int(len(np.unique(allh, axis=0)))
+        return pa.Table.from_pydict({"n_docs": [n_docs],
+                                     "n_unique": [n_unique]})
     hashed = ds.map_batches(
         lambda b: pa.Table.from_arrays([add_md5(b, text_col)["text_md5"]],
                                        names=["text_md5"]),

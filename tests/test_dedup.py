@@ -158,3 +158,24 @@ def test_simhash_identical_flood_emits_all_pairs(ray_session):
                                     hot_bucket_cap=8).to_pandas()
     assert len(got) == n * (n - 1) // 2
     assert (got["hamming"] == 0).all()
+
+
+def test_exact_keep_first_mode_agreement(ds):
+    """driver (broadcast winner map) vs join (hash-partitioned) keep-first
+    must select identical rows."""
+    drv = (DD.exact_dedup_keep_first(ds, mode="driver").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    jn = (DD.exact_dedup_keep_first(ds, mode="join").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert list(drv["doc_id"]) == list(jn["doc_id"])
+    assert len(drv) == 23
+    with pytest.raises(ValueError):
+        DD.exact_dedup_keep_first(ds, mode="bogus")
+
+
+def test_exact_dup_stats_mode_agreement(ds):
+    drv = DD.exact_dup_stats(ds, mode="driver").to_pandas()
+    shf = DD.exact_dup_stats(ds, mode="shuffle").to_pandas()
+    assert drv.equals(shf)
+    with pytest.raises(ValueError):
+        DD.exact_dup_stats(ds, mode="bogus")

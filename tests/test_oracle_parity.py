@@ -80,3 +80,20 @@ def test_query_matches_oracle(ray_session, con, name):
             assert not diffs, f"{name}.{c}: {diffs[:5]}"
         else:
             assert a.astype(str).tolist() == b.astype(str).tolist(), f"{name}.{c}"
+
+
+def test_registry_shape_and_extras_run(ray_session):
+    """Driver-contract shape: exactly 50 registered queries with every
+    oracle-gated entry first (the driver records only the first 50 rows);
+    the overflow operators stay callable through extra_queries()."""
+    import __ray_entry__ as e
+
+    q, o, x = e.queries(), e.oracle_sql(), e.extra_queries()
+    assert len(q) == 50
+    keys = list(q)
+    n_oracle = len(o)
+    assert all(k in o for k in keys[:n_oracle])
+    assert not (set(q) & set(x))
+    for name, fn in x.items():
+        r = to_df(fn(SF_DIR))
+        assert len(r) >= 0, name
