@@ -312,28 +312,70 @@ def invoice_total_consistency(invoices_ds, charges_ds, *, tol=0.01) -> pa.Table:
             .group_by("k").aggregate([("v", "sum")])
         return g
 
-    sums_pdf = charges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if len(sums_pdf):
-        sums = sums_pdf.groupby("k")["v_sum"].sum()
-    else:
-        sums = pd.Series(dtype=object if is_decimal else float)
-    rows = []
-    for r in invoices_ds.take_all():
+    # streamed keyed exchange (no take_all/driver loop): child partials
+    # union the parent (total, adjustment) stream, hash-bucketed on the
+    # invoice key, one compare call per bucket. The decimal path keeps
+    # exact Decimal arithmetic end-to-end (arrow decimal128 → pandas
+    # object Decimals — elementwise by nature); floats vectorize.
+    from ..stages.keyed_window import keyed_apply
+
+    vtype = pa.decimal128(28, 2) if is_decimal else pa.float64()
+
+    def child(b: pa.Table) -> pa.Table:
+        g = partial(b)
+        n = g.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(g["k"], pa.string()), pc.cast(g["v_sum"], vtype),
+             pa.nulls(n, vtype),
+             pa.array(["c"] * n, type=pa.string())],
+            names=["k", "v", "adj", "src"])
+
+    def parent(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(b["invoice_id"], pa.string()),
+             pc.cast(b["total"], vtype), pc.cast(b["adjustment"], vtype),
+             pa.array(["p"] * n, type=pa.string())],
+            names=["k", "v", "adj", "src"])
+
+    def compare(d: pd.DataFrame) -> pd.DataFrame:
+        sums = d.loc[d["src"] == "c"].groupby("k")["v"].sum()
+        par = d.loc[d["src"] == "p"].drop_duplicates("k")
+        if not len(par):
+            return pd.DataFrame()
+        got = sums.reindex(par["k"])
+        out = []
         if is_decimal:
-            recomputed = (sums.get(r["invoice_id"], Decimal("0"))
-                          + Decimal(str(r["adjustment"])))
-            stored = Decimal(str(r["total"]))
-            bad = recomputed != stored
+            zero = Decimal("0")
+            for k, s, stored, adj in zip(par["k"], got, par["v"], par["adj"]):
+                recomputed = (zero if pd.isna(s) else s) + adj
+                if recomputed != stored:
+                    out.append({
+                        "doc_id": k, "rule": "invoice-total-consistency",
+                        "path": "total",
+                        "detail": f"stored {stored:.2f} != "
+                                  f"recomputed {recomputed:.2f}"})
         else:
-            recomputed = float(sums.get(r["invoice_id"], 0.0)) \
-                + float(r["adjustment"])
-            stored = float(r["total"])
-            bad = abs(recomputed - stored) > tol
-        if bad:
-            rows.append((str(int(r["invoice_id"])), "invoice-total-consistency",
-                         "total",
-                         f"stored {stored:.2f} != recomputed {recomputed:.2f}"))
-    return _v(rows)
+            rec = (got.fillna(0.0).to_numpy(dtype="float64")
+                   + par["adj"].to_numpy(dtype="float64"))
+            stored = par["v"].to_numpy(dtype="float64")
+            keys = par["k"].to_numpy()
+            for i in np.flatnonzero(np.abs(rec - stored) > tol):
+                out.append({
+                    "doc_id": keys[i], "rule": "invoice-total-consistency",
+                    "path": "total",
+                    "detail": f"stored {stored[i]:.2f} != "
+                              f"recomputed {rec[i]:.2f}"})
+        return pd.DataFrame(out)
+
+    c = charges_ds.map_batches(child, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    p = invoices_ds.map_batches(parent, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = keyed_apply(c.union(p), "k", compare).to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
 
 
 def invoice_paid_consistency(invoices_ds, payments_ds, *, tol=0.01) -> pa.Table:
@@ -579,20 +621,55 @@ def frozen_fields(current_ds, snapshot_ds, *, frozen=("adjustment",),
                   key="invoice_id", state_col="state",
                   editable_states=("draft",)) -> pa.Table:
     """Non-draft invoices must not drift from their snapshot on frozen
-    columns (M23). Snapshot is broadcast (dimension-sized)."""
-    snap = {r[key]: r for r in snapshot_ds.take_all()}
-    rows = []
-    for r in current_ds.take_all():
-        if r[state_col] in editable_states:
-            continue
-        s = snap.get(r[key])
-        if s is None:
-            continue
+    columns (M23). Streamed: current and snapshot union into a keyed
+    exchange, one vectorized merge-and-compare per hash bucket — neither
+    side is collected on the driver."""
+    from ..stages.keyed_window import keyed_apply
+
+    frozen = list(frozen)
+
+    def cur_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(b[key], pa.string()), pc.cast(b[state_col], pa.string())]
+            + [b[c] for c in frozen]
+            + [pa.array(["cur"] * n, type=pa.string())],
+            names=["k", "_state"] + frozen + ["src"])
+
+    def snap_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(b[key], pa.string()), pa.nulls(n, pa.string())]
+            + [b[c] for c in frozen]
+            + [pa.array(["snap"] * n, type=pa.string())],
+            names=["k", "_state"] + frozen + ["src"])
+
+    def compare(d: pd.DataFrame) -> pd.DataFrame:
+        cur = d.loc[d["src"] == "cur"]
+        cur = cur[~cur["_state"].isin(editable_states)]
+        snap = d.loc[d["src"] == "snap"].drop_duplicates("k")
+        if not len(cur) or not len(snap):
+            return pd.DataFrame()
+        m = cur.merge(snap[["k"] + frozen], on="k", suffixes=("", "_snap"))
+        out = []
         for col in frozen:
-            if r[col] != s[col]:
-                rows.append((str(int(r[key])), f"frozen-{col}", col,
-                             f"frozen field changed from {s[col]} to {r[col]}"))
-    return _v(rows)
+            a, s = m[col], m[f"{col}_snap"]
+            bad = ~(a.eq(s) | (a.isna() & s.isna()))
+            for k_, sv, rv in zip(m["k"][bad], s[bad], a[bad]):
+                out.append({"doc_id": k_, "rule": f"frozen-{col}",
+                            "path": col,
+                            "detail": f"frozen field changed from {sv} "
+                                      f"to {rv}"})
+        return pd.DataFrame(out)
+
+    c = current_ds.map_batches(cur_side, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    s = snapshot_ds.map_batches(snap_side, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = keyed_apply(c.union(s), "k", compare).to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
 
 
 def fsm_log_validity(state_log_ds,
@@ -631,22 +708,42 @@ def fsm_log_validity(state_log_ds,
 
 def contact_email_census(contacts_ds, customers_ds) -> pa.Table:
     """Every active customer should have ≥1 email-classified contact
-    (fixcustomers census, A10 + M5 classifier)."""
+    (fixcustomers census, A10 + M5 classifier). Streamed keyed_compare:
+    per-block email-contact counts vs the customer stream — no driver
+    key set or row loop."""
     from ..functions.strings import classify_contact
+    from ..stages.aggcheck import keyed_compare, side_row
 
-    def classified(b: pa.Table) -> pa.Table:
+    def child(b: pa.Table) -> pa.Table:
         kinds = classify_contact(b["details"])
-        return pa.Table.from_arrays([b["customer_id"], kinds],
-                                    names=["customer_id", "kind"])
+        has_email = pc.cast(pc.equal(kinds, "email"), pa.int64())
+        t = pa.Table.from_arrays([b["customer_id"], has_email],
+                                 names=["k", "e"])
+        g = t.group_by("k").aggregate([("e", "sum")])
+        return side_row((g["k"], g["e_sum"]), src="c")
 
-    pdf = contacts_ds.map_batches(classified, batch_format="pyarrow").to_pandas()
-    with_email = set(pdf[pdf["kind"] == "email"]["customer_id"])
-    rows = []
-    for r in customers_ds.take_all():
-        if r["customer_id"] not in with_email:
-            rows.append((str(int(r["customer_id"])), "no-email-contact",
-                         "contacts", "customer has no email contact"))
-    return _v(rows)
+    def parent(b: pa.Table) -> pa.Table:
+        return side_row((b["customer_id"],
+                         pa.array([0.0] * b.num_rows, pa.float64())), src="p")
+
+    def compare(d: pd.DataFrame) -> pd.DataFrame:
+        sums = d.loc[d["src"] == "c"].groupby("k")["v"].sum()
+        par = d.loc[d["src"] == "p"].drop_duplicates("k")
+        if not len(par):
+            return pd.DataFrame()
+        n = sums.reindex(par["k"]).fillna(0.0).to_numpy()
+        keys = par["k"].to_numpy()
+        return pd.DataFrame(
+            [{"doc_id": keys[i], "rule": "no-email-contact",
+              "path": "contacts",
+              "detail": "customer has no email contact"}
+             for i in np.flatnonzero(n < 1)])
+
+    out = keyed_compare(contacts_ds, customers_ds, child_side=child,
+                        parent_side=parent, compare=compare).to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
 
 
 # ---------------------------------------------------------------------------
