@@ -28,8 +28,10 @@ def entry() -> Any:
     from cerberus_ray.pipelines.flagship import run_flagship
 
     cfg = GenConfig(n_docs=2000, n_media=500)
-    res = run_flagship(docs_dataset(cfg, fragment_size=500), media_dataset(cfg),
-                       text_max_len=cfg.text_max_len)
+    # materialize: the generated table feeds several rule families; lazy
+    # lineage would re-generate per consumer (parquet inputs stay lazy)
+    docs = docs_dataset(cfg, fragment_size=500).materialize()
+    res = run_flagship(docs, media_dataset(cfg), text_max_len=cfg.text_max_len)
     return res.violations
 
 

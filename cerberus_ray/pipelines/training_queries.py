@@ -211,9 +211,13 @@ def q_flagship_violations(sf_dir: str) -> pa.Table:
     from ..pipelines.flagship import run_flagship
 
     cfg = _flagship_cfg(sf_dir)
-    res = run_flagship(docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1)),
-                       media_dataset(cfg), text_max_len=cfg.text_max_len,
-                       with_verdicts=False)
+    # the generated table feeds three independent rule families; without a
+    # materialize each consumer re-executes generation (lazy lineage). At
+    # real scale the input is parquet (cheap re-scan, stays streaming) —
+    # this pin is for the synthetic driver-query surface only.
+    docs = docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1)).materialize()
+    res = run_flagship(docs, media_dataset(cfg),
+                       text_max_len=cfg.text_max_len, with_verdicts=False)
     return res.violations
 
 
@@ -225,7 +229,7 @@ def q_flagship_verdicts(sf_dir: str) -> pa.Table:
     from ..stages.validate import fragment_verdicts, validate
 
     cfg = _flagship_cfg(sf_dir)
-    docs = docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1))
+    docs = docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1)).materialize()
     rs = interleaved_ruleset(text_max_len=cfg.text_max_len)
     return fragment_verdicts(docs, validate(docs, rs))
 
