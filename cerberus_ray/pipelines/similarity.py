@@ -329,13 +329,19 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")})
         g = g.sort_values("id").drop_duplicates("id")
         ids = g["id"].to_numpy()
         e = np.stack(g["vec"].to_numpy()).astype(np.float64)
         found = _verify(ids, e, 0)
         if not found:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")})
         return pd.DataFrame({
             "id_a": np.concatenate([t[0] for t in found]),
             "id_b": np.concatenate([t[1] for t in found]),
