@@ -18,12 +18,22 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None, address: str | None = None):
+    """Attach or start a Ray session. Under ``ray job submit`` the job
+    runtime exports RAY_ADDRESS (e.g. ``auto``) and the driver script
+    attaches to the fixed-size cluster; with no address (or ``local``)
+    a local session starts — the sandbox/test path. ``num_cpus`` only
+    applies to a locally-started session (a cluster defines its own)."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        addr = address or os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if addr == "local":
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=addr, **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -92,6 +102,9 @@ def cmd_profile(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cerberus_ray")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--address", default=None,
+                   help="Ray address ('auto' under ray job submit; "
+                        "default: $RAY_ADDRESS or a local session)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     v = sub.add_parser("validate", help="checkpointed flagship validation")
@@ -116,7 +129,7 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     try:
         return args.fn(args)
     finally:
