@@ -679,26 +679,47 @@ def fsm_log_validity(state_log_ds,
     edges = edges or {"booking": BOOKING_EDGES, "charge": CHARGE_EDGES,
                       "invoice": INVOICE_EDGES}
 
-    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        ent = g["entity"].iloc[0]
-        key = f"{ent}|{int(g['entity_id'].iloc[0])}"
-        eset = edges.get(ent, set())
+    # vectorized keyed-window sweep (no per-entity Python, no iterrows):
+    # hash-bucket the composite key, sort the bucket by (key, ts), check
+    # edge legality with one merge against the legal-edge table and chain
+    # continuity with a shift + group-boundary mask
+    from ..stages.keyed_window import keyed_apply
+
+    legal = pd.DataFrame(
+        [(ent, s, t) for ent, es in edges.items() for (s, t) in es],
+        columns=["entity", "source", "target"])
+    legal["_ok"] = True
+
+    def add_key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b["entity"], pa.string()),
+            pc.cast(b["entity_id"], pa.string()), "|")
+        return b.append_column("_fsm_key", k)
+
+    def kernel(d: pd.DataFrame) -> pd.DataFrame:
+        d = (d.sort_values(["_fsm_key", "ts"], kind="stable")
+              .reset_index(drop=True))
+        first = d["_fsm_key"].ne(d["_fsm_key"].shift()).to_numpy()
+        m = d.merge(legal, on=["entity", "source", "target"], how="left")
+        bad_edge = m["_ok"].isna().to_numpy()
+        prev_target = d["target"].shift()
+        bad_chain = ~first & d["source"].ne(prev_target).to_numpy()
         out = []
-        for i, r in g.iterrows():
-            if (r["source"], r["target"]) not in eset:
-                out.append({"doc_id": key, "rule": "fsm-illegal-edge",
-                            "path": "state",
-                            "detail": f"{r['source']}→{r['target']} not allowed"})
-            if i > 0 and g.loc[i - 1, "target"] != r["source"]:
-                out.append({"doc_id": key, "rule": "fsm-broken-chain",
-                            "path": "state",
-                            "detail": f"log jumps from {g.loc[i-1,'target']} "
-                                      f"to {r['source']}"})
+        for i in np.flatnonzero(bad_edge):
+            out.append({"doc_id": d["_fsm_key"].iloc[i],
+                        "rule": "fsm-illegal-edge", "path": "state",
+                        "detail": f"{d['source'].iloc[i]}→"
+                                  f"{d['target'].iloc[i]} not allowed"})
+        for i in np.flatnonzero(bad_chain):
+            out.append({"doc_id": d["_fsm_key"].iloc[i],
+                        "rule": "fsm-broken-chain", "path": "state",
+                        "detail": f"log jumps from {prev_target.iloc[i]} "
+                                  f"to {d['source'].iloc[i]}"})
         return pd.DataFrame(out, columns=["doc_id", "rule", "path", "detail"])
 
-    pdf = (state_log_ds.groupby(["entity", "entity_id"])
-           .map_groups(per_entity, batch_format="pandas").to_pandas())
+    keyed = state_log_ds.map_batches(add_key, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    pdf = keyed_apply(keyed, "_fsm_key", kernel).to_pandas()
     if not len(pdf):
         return VIOLATIONS.empty_table()
     return pa.Table.from_pandas(
