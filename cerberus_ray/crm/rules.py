@@ -222,38 +222,45 @@ def slot_overlap(slots_ds) -> pa.Table:
     bucket, and duplicate pair findings are deduped (SURVEY.md §4)."""
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in b.iterrows():
-            d0 = r["start"].normalize()
-            d1 = r["end"].normalize()
-            d = d0
-            while d <= d1:
-                rows.append({"day": d, "slot_id": r["slot_id"],
-                             "start": r["start"], "end": r["end"]})
-                d += pd.Timedelta(days=1)
-        return pd.DataFrame(rows)
+        # vectorized day explode: repeat each slot once per day it
+        # touches (no per-row Python)
+        if not len(b):
+            return pd.DataFrame({"day": pd.Series(dtype="datetime64[ns]"),
+                                 "slot_id": pd.Series(dtype="int64"),
+                                 "start": pd.Series(dtype="datetime64[ns]"),
+                                 "end": pd.Series(dtype="datetime64[ns]")})
+        d0 = b["start"].dt.normalize().to_numpy()
+        nd = ((b["end"].dt.normalize().to_numpy() - d0)
+              .astype("timedelta64[D]").astype(np.int64) + 1)
+        idx = np.repeat(np.arange(len(b)), nd)
+        cs = np.cumsum(nd)
+        offs = np.arange(int(cs[-1])) - np.repeat(cs - nd, nd)
+        return pd.DataFrame({
+            "day": d0[idx] + offs.astype("timedelta64[D]"),
+            "slot_id": b["slot_id"].to_numpy()[idx],
+            "start": b["start"].to_numpy()[idx],
+            "end": b["end"].to_numpy()[idx]})
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        # start-sorted intervals: for j > i, s_i ≤ s_j and e_j > s_j ≥ s_i
+        # ⇒ strict overlap (and exact equality) is exactly s_j < e_i —
+        # enumerate candidate pairs with one triangular mask, no loop
         g = g.sort_values(["start", "slot_id"]).reset_index(drop=True)
-        out = []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                if g.loc[j, "start"] >= g.loc[i, "end"] and not (
-                        g.loc[i, "start"] == g.loc[j, "start"]
-                        and g.loc[i, "end"] == g.loc[j, "end"]):
-                    break
-                a, b_ = sorted([int(g.loc[i, "slot_id"]),
-                                int(g.loc[j, "slot_id"])])
-                if a == b_:
-                    continue
-                overlap = (g.loc[i, "start"] < g.loc[j, "end"]
-                           and g.loc[j, "start"] < g.loc[i, "end"])
-                equal = (g.loc[i, "start"] == g.loc[j, "start"]
-                         and g.loc[i, "end"] == g.loc[j, "end"])
-                if overlap or equal:
-                    out.append({"doc_id": f"{a}|{b_}", "rule": "slot-overlap",
-                                "path": "start,end",
-                                "detail": f"slots {a} and {b_} overlap"})
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(columns=["doc_id", "rule", "path", "detail"])
+        s = g["start"].to_numpy()
+        e = g["end"].to_numpy()
+        ids = g["slot_id"].to_numpy().astype(np.int64)
+        ii, jj = np.triu_indices(n, 1)
+        hit = s[jj] < e[ii]
+        ii, jj = ii[hit], jj[hit]
+        a = np.minimum(ids[ii], ids[jj])
+        b_ = np.maximum(ids[ii], ids[jj])
+        keep = a != b_
+        out = [{"doc_id": f"{x}|{y}", "rule": "slot-overlap",
+                "path": "start,end", "detail": f"slots {x} and {y} overlap"}
+               for x, y in zip(a[keep], b_[keep])]
         return pd.DataFrame(out, columns=["doc_id", "rule", "path", "detail"])
 
     pdf = (slots_ds.map_batches(
@@ -270,20 +277,47 @@ def slot_overlap(slots_ds) -> pa.Table:
 
 
 def refund_exceeds(charges_ds) -> pa.Table:
-    """Σ refund amounts must not exceed the parent charge amount (A9)."""
-    pdf = charges_ds.to_pandas()
-    amount = pdf["line"] * pdf["quantity"]
-    parents = pdf.set_index("charge_id")
-    refunds = pdf[(pdf["state"] == "refund") & pdf["parent_charge_id"].notna()]
-    rows = []
-    for pid, g in refunds.groupby("parent_charge_id"):
-        refunded = -(g["line"] * g["quantity"]).sum()
-        parent_amount = float(
-            parents.loc[int(pid), "line"] * parents.loc[int(pid), "quantity"])
-        if refunded > parent_amount + 1e-9:
-            rows.append((str(int(pid)), "refund-exceeds-charge", "line",
-                         f"refunded {refunded:.2f} > charge {parent_amount:.2f}"))
-    return _v(rows)
+    """Σ refund amounts must not exceed the parent charge amount (A9).
+    Streamed keyed_compare self-join on the charge stream: refund-sum
+    partials (child) vs parent charge amounts — no driver table."""
+    from ..stages.aggcheck import keyed_compare, side_row
+
+    def child(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.equal(b["state"], "refund"),
+                             pc.is_valid(b["parent_charge_id"])))
+        v = pc.multiply(pc.cast(t["line"], pa.float64()),
+                        pc.cast(t["quantity"], pa.float64()))
+        g = (pa.Table.from_arrays(
+                [pc.cast(t["parent_charge_id"], pa.int64()), v],
+                names=["k", "v"])
+             .group_by("k").aggregate([("v", "sum")]))
+        return side_row((g["k"], pc.multiply(g["v_sum"], -1.0)), src="c")
+
+    def parent(b: pa.Table) -> pa.Table:
+        v = pc.multiply(pc.cast(b["line"], pa.float64()),
+                        pc.cast(b["quantity"], pa.float64()))
+        return side_row((b["charge_id"], v), src="p")
+
+    def compare(d: pd.DataFrame) -> pd.DataFrame:
+        sums = d.loc[d["src"] == "c"].groupby("k")["v"].sum()
+        par = d.loc[d["src"] == "p"].drop_duplicates("k")
+        if not len(par) or not len(sums):
+            return pd.DataFrame()
+        refunded = sums.reindex(par["k"]).fillna(0.0).to_numpy()
+        amount = par["v"].to_numpy()
+        keys = par["k"].to_numpy()
+        return pd.DataFrame(
+            [{"doc_id": keys[i], "rule": "refund-exceeds-charge",
+              "path": "line",
+              "detail": f"refunded {refunded[i]:.2f} > "
+                        f"charge {amount[i]:.2f}"}
+             for i in np.flatnonzero(refunded > amount + 1e-9)])
+
+    out = keyed_compare(charges_ds, charges_ds, child_side=child,
+                        parent_side=parent, compare=compare).to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
 
 
 def invoice_total_consistency(invoices_ds, charges_ds, *, tol=0.01) -> pa.Table:
