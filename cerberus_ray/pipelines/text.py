@@ -213,6 +213,38 @@ def winnow_fingerprint(text: str, *, k: int = 5, window: int = 4) -> np.ndarray:
     return np.unique(sw.min(axis=1))
 
 
+def _winnow_batch(texts, *, k: int, window: int):
+    """Batch winnowing kernel: flatten every doc's k-grams, hash them in
+    ONE vectorized hash_strings call (the per-doc variant paid a polars
+    Series construction per document), then take per-doc sliding-window
+    minima in numpy. Output identical to winnow_fingerprint per doc."""
+    grams: list = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        tl = (t or "").lower()
+        n = max(len(tl) - k + 1, 0)
+        counts[i] = n
+        if n:
+            grams.extend(tl[j:j + k] for j in range(n))
+    if grams:
+        h = hash_strings(np.array(grams, dtype=object))
+    else:
+        h = np.array([], dtype=np.uint64)
+    fps = []
+    pos = 0
+    for n in counts:
+        seg = h[pos:pos + n]
+        pos += n
+        if n == 0:
+            fps.append(np.array([], dtype=np.uint64))
+        elif n <= window:
+            fps.append(np.unique(seg))
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(seg, window)
+            fps.append(np.unique(sw.min(axis=1)))
+    return fps
+
+
 def fingerprint_docs(ds, *, text_col: str = "text", key_col: str = "doc_id",
                      k: int = 5, window: int = 4):
     """→ Dataset (doc_id, n_grams, fingerprint: list<uint64 as int64>)."""
@@ -222,8 +254,8 @@ def fingerprint_docs(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
         texts = batch[text_col].to_numpy(zero_copy_only=False)
         keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
-        fps = [winnow_fingerprint(t, k=k, window=window).view(np.int64)
-               for t in texts]
+        fps = [f.view(np.int64)
+               for f in _winnow_batch(texts, k=k, window=window)]
         return pa.Table.from_pydict({
             "doc_id": pa.array(keys, type=pa.string()),
             "n_grams": pa.array([len(f) for f in fps], type=pa.int64()),
