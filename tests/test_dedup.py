@@ -179,3 +179,42 @@ def test_exact_dup_stats_mode_agreement(ds):
     assert drv.equals(shf)
     with pytest.raises(ValueError):
         DD.exact_dup_stats(ds, mode="bogus")
+
+
+def test_rec_pairs_property_matches_bruteforce():
+    """The recursive pigeonhole refinement must find EXACTLY the brute
+    force pair set for any fingerprint multiset, any cap — including
+    adversarial mixes of identical values, near pairs and random noise."""
+    rng = np.random.default_rng(123)
+    for trial in range(25):
+        n = int(rng.integers(2, 120))
+        sh = rng.integers(0, 2**63, size=n).astype(np.uint64)
+        # plant identical runs and near pairs
+        for _ in range(int(rng.integers(0, 4))):
+            i, j = rng.integers(0, n, size=2)
+            sh[j] = sh[i]
+        for _ in range(int(rng.integers(0, 4))):
+            i, j = rng.integers(0, n, size=2)
+            flips = rng.integers(0, 64, size=int(rng.integers(1, 4)))
+            v = sh[i]
+            for f in flips:
+                v ^= np.uint64(1) << np.uint64(f)
+            sh[j] = v
+        keys = np.array([f"k{i:04d}" for i in range(n)], dtype=object)
+        max_h = int(rng.integers(0, 5))
+        cap = int(rng.integers(2, 20))
+        positions = np.arange(64, dtype=np.int64)
+        A, B, H = [], [], []
+        DD._rec_pairs(keys, sh, positions, max_h, cap, A, B, H)
+        got = set(zip(A, B))
+        # brute force reference
+        expect = set()
+        for i in range(n):
+            d = DD.hamming64(sh[i + 1:], np.repeat(sh[i], n - i - 1))
+            for j in np.flatnonzero(d <= max_h):
+                expect.add((keys[i], keys[i + 1 + j]))
+        assert got == expect, (trial, n, max_h, cap)
+        # emitted distances must be true hamming distances
+        for a, b, h in zip(A, B, H):
+            ia = int(a[1:]); ib = int(b[1:])
+            assert DD.hamming64(sh[ia:ia+1], sh[ib:ib+1])[0] == h
