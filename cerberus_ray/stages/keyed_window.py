@@ -34,7 +34,15 @@ def keyed_apply(ds, key_col: str, fn: Callable[[pd.DataFrame], pd.DataFrame],
     """Apply ``fn`` (a vectorized multi-group pandas kernel) to every
     hash bucket of ``key_col``. ``fn`` receives a DataFrame holding all
     rows of every key in the bucket (unordered — the kernel sorts) and
-    returns any DataFrame; bucket outputs are concatenated."""
+    returns any DataFrame; bucket outputs are concatenated.
+
+    Sizing: one bucket is one kernel invocation AND one shuffle
+    partition, so pick ``n_buckets ≈ total_rows / rows_per_call`` where
+    rows_per_call fits a worker's heap (and ≥ cluster cores to keep every
+    worker busy). The default suits driver-query scale; a 100-TB run
+    raises it proportionally. A single pathologically hot key still lands
+    in one bucket — inherent to whole-key window semantics (the same
+    skew bound any engine's window partitioning has)."""
 
     def add_bucket(b: pa.Table) -> pa.Table:
         k = b[key_col].to_numpy(zero_copy_only=False)
