@@ -258,12 +258,19 @@ def q_events_rolling_1h(sf_dir: str) -> pa.Table:
         # groupby(...).rolling is a cython kernel over the whole sorted
         # bucket — group order in its output equals the sorted row order,
         # so values align positionally with d (keyed_apply: one call per
-        # bucket, no per-user Python)
+        # bucket, no per-user Python). The window mean is computed in
+        # integer CENTS (exact float64 sums, order-independent) and
+        # divided once, so the oracle — same cents formula in SQL —
+        # produces the bit-identical double: no accumulation-order
+        # rounding ties at any scale (342/100k rows flipped at sf0.1
+        # under the naive float mean).
         d = d.sort_values(["user_id", "ts"], kind="stable").set_index("ts")
-        m = (d.groupby("user_id", sort=False)["value"]
-              .rolling("3600s", closed="both").mean())
+        cents = np.rint(d["value"].to_numpy() * 100.0)
+        g = (d.assign(_cents=cents).groupby("user_id", sort=False)
+              ["_cents"].rolling("3600s", closed="both"))
+        avg = g.sum().to_numpy() / (100.0 * g.count().to_numpy())
         return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
-                             "rolling_avg": m.to_numpy()})
+                             "rolling_avg": avg})
 
     pdf = (keyed_apply(ds, "user_id", roll)
            .to_pandas().sort_values("event_id").reset_index(drop=True))
@@ -625,11 +632,13 @@ ORACLE_SQL = {
     """,
     "events_rolling_1h": """
         SELECT event_id,
-               ROUND(AVG(value) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
-                   2) AS rolling_avg
-        FROM events ORDER BY event_id
+               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                     / (100.0 * COUNT(value) OVER w), 2) AS rolling_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        ORDER BY event_id
     """,
     "nation_region_rollup": """
         SELECT r.r_name AS r_name,
