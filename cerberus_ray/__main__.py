@@ -83,6 +83,34 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_outbox(args) -> int:
+    """Render invoices + compose guarded RFC-822 messages into a parquet
+    outbox (S6/S7 sinks over the deterministic CRM fixture corpus —
+    ``--fixtures`` — or user parquet tables)."""
+    import ray.data as rd
+
+    from .crm.render import compose_emails, render_invoices, write_outbox
+
+    if args.fixtures:
+        from .crm.fixtures import make_crm_tables
+
+        t, _ = make_crm_tables()
+        invoices = rd.from_arrow(t["invoices"])
+        charges = rd.from_arrow(t["charges"])
+        customers = rd.from_arrow(t["customers"])
+    else:
+        invoices = rd.read_parquet(args.invoices)
+        charges = rd.read_parquet(args.charges)
+        customers = rd.read_parquet(args.customers)
+    rendered = render_invoices(invoices, charges)
+    msgs = compose_emails(rendered, invoices, customers)
+    n_msgs = msgs.count()
+    n_files = write_outbox(msgs, args.out)
+    print(json.dumps({"n_messages": int(n_msgs), "n_files": int(n_files),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_profile(args) -> int:
     import ray.data as rd
 
@@ -120,6 +148,15 @@ def main(argv=None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--threshold", type=float, default=0.8)
     c.set_defaults(fn=cmd_corpus)
+
+    ob = sub.add_parser("outbox", help="render + compose invoice messages")
+    ob.add_argument("--fixtures", action="store_true",
+                    help="use the deterministic CRM fixture corpus")
+    ob.add_argument("--invoices", default=None)
+    ob.add_argument("--charges", default=None)
+    ob.add_argument("--customers", default=None)
+    ob.set_defaults(fn=cmd_outbox)
+    ob.add_argument("--out", required=True)
 
     pr = sub.add_parser("profile", help="drift baseline profile")
     pr.add_argument("--input", required=True)

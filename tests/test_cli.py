@@ -28,3 +28,14 @@ def test_cli_validate_and_resume(tmp_path):
                  "--fragment-size", "200", "--run-id", "run-1")
     assert r2["processed_fragments"] == []
     assert r2["n_violations"] == r1["n_violations"]
+
+
+def test_cli_outbox(tmp_path):
+    out = str(tmp_path / "outbox")
+    r = run_cli("outbox", "--fixtures", "--out", out)
+    assert r["n_messages"] >= 1 and r["n_files"] >= 1
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.num_rows == r["n_messages"]
+    assert b"Subject: Invoice INV-" in t["rfc822"][0].as_py()
