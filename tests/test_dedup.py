@@ -218,3 +218,17 @@ def test_rec_pairs_property_matches_bruteforce():
         for a, b, h in zip(A, B, H):
             ia = int(a[1:]); ib = int(b[1:])
             assert DD.hamming64(sh[ia:ia+1], sh[ib:ib+1])[0] == h
+
+
+def test_minhash_shuffle_mode_at_sf001(ray_session):
+    """Shuffle pass-1 agreement on a real table (500 docs, sf0.01) — the
+    tiny-fixture agreement test can't exercise multi-block bucket
+    merges."""
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                         columns=["doc_id", "text"],
+                         override_num_blocks=8)
+    drv = DD.minhash_near_dup_pairs(ds, threshold=0.8, mode="driver")
+    shf = DD.minhash_near_dup_pairs(ds, threshold=0.8, mode="shuffle")
+    assert drv.equals(shf)
