@@ -144,46 +144,81 @@ def compose_emails(rendered_ds, invoices_ds, customers_ds, *,
     REAL stdlib MIME composition per invoice — text body + text/html
     alternative + rendered-document attachment, the invoice.py:193-208
     shape. The ``can_send`` guard (invoice.py:116-117: customer has an
-    invoice email and no issues — customer.py:130-140) is a broadcast of
-    the (dimension-sized) issue-free invoice→email map; guarded-out
+    invoice email and no issues — customer.py:130-140) is applied with
+    TWO keyed exchanges — rendered⋈invoices on the invoice key to attach
+    customer_id, then ⋈customers on the customer key to attach the
+    guarded email — so neither the invoice stream (fact-sized) nor the
+    customer stream is ever held on the driver or broadcast. Guarded-out
     invoices emit no message. Delivery (SMTP) is out of scope: the
     output is the serialized RFC-822 byte stream a transport would
-    send."""
-    import ray
+    send. MIME serialization is inherently per-message work, ∝ the
+    output message count (same as the reference's send loop)."""
 
-    def emails(b: pa.Table) -> pa.Table:
+    # exchange 1: rendered docs ∪ invoice (id, customer_id) on invoice key
+    def r_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(b["invoice_id"], pa.string()),
+             pc.cast(b["name"], pa.string()), pc.cast(b["html"], pa.string()),
+             pa.nulls(n, pa.string()),
+             pa.array(["r"] * n, type=pa.string())],
+            names=["k", "name", "html", "cust", "src"])
+
+    def i_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(b["invoice_id"], pa.string()), pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.string()), pc.cast(b["customer_id"], pa.string()),
+             pa.array(["i"] * n, type=pa.string())],
+            names=["k", "name", "html", "cust", "src"])
+
+    def attach_cust(d: pd.DataFrame) -> pd.DataFrame:
+        r = d.loc[d["src"] == "r", ["k", "name", "html"]]
+        i = d.loc[d["src"] == "i", ["k", "cust"]].drop_duplicates("k")
+        m = r.merge(i, on="k")
+        return m.rename(columns={"k": "invoice_id"})
+
+    with_cust = keyed_apply(
+        rendered_ds.map_batches(r_side, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .union(invoices_ds.map_batches(i_side, batch_format="pyarrow",
+                                       zero_copy_batch=True)),
+        "k", attach_cust, n_buckets=n_buckets)
+
+    # exchange 2: (invoice, customer_id, doc) ∪ guarded customer emails
+    # on the customer key; compose MIME inside the bucket kernel
+    def d_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(b["cust"], pa.string()),
+             pc.cast(b["invoice_id"], pa.string()),
+             pc.cast(b["name"], pa.string()), pc.cast(b["html"], pa.string()),
+             pa.nulls(n, pa.string()),
+             pa.array(["d"] * n, type=pa.string())],
+            names=["k", "invoice_id", "name", "html", "email", "src"])
+
+    def c_side(b: pa.Table) -> pa.Table:
         ok = pc.and_(
             pc.invert(pc.equal(pc.fill_null(b["invoice_email"], ""), "")),
             pc.invert(pc.match_substring(pc.fill_null(b["last_name"], ""),
                                          "&")))
         t = b.filter(ok)
+        n = t.num_rows
         return pa.Table.from_arrays(
-            [pc.cast(t["customer_id"], pa.string()),
-             pc.cast(t["invoice_email"], pa.string())],
-            names=["customer_id", "email"])
+            [pc.cast(t["customer_id"], pa.string()), pa.nulls(n, pa.string()),
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.string()),
+             pc.cast(t["invoice_email"], pa.string()),
+             pa.array(["c"] * n, type=pa.string())],
+            names=["k", "invoice_id", "name", "html", "email", "src"])
 
-    cust_pdf = customers_ds.map_batches(
-        emails, batch_format="pyarrow").to_pandas()
-    inv_pdf = invoices_ds.map_batches(
-        lambda b: pa.Table.from_arrays(
-            [pc.cast(b["invoice_id"], pa.string()),
-             pc.cast(b["customer_id"], pa.string())],
-            names=["invoice_id", "customer_id"]),
-        batch_format="pyarrow").to_pandas()
-    inv_to = inv_pdf.merge(cust_pdf, on="customer_id", how="inner") \
-        .set_index("invoice_id")["email"]
-    ref = ray.put(inv_to)
-
-    def compose(b: pa.Table) -> pa.Table:
-        to_map = ray.get(ref)
+    def compose(d: pd.DataFrame) -> pd.DataFrame:
+        docs = d.loc[d["src"] == "d", ["k", "invoice_id", "name", "html"]]
+        cust = d.loc[d["src"] == "c", ["k", "email"]].drop_duplicates("k")
+        m = docs.merge(cust, on="k")  # inner = the can_send guard
         out = {"invoice_id": [], "to": [], "subject": [], "n_bytes": [],
                "rfc822": []}
-        for k, name, html in zip(b["invoice_id"].to_pylist(),
-                                 b["name"].to_pylist(),
-                                 b["html"].to_pylist()):
-            to = to_map.get(k)
-            if to is None:  # can_send guard: no email / customer issues
-                continue
+        for k, name, html, to in zip(m["invoice_id"], m["name"], m["html"],
+                                     m["email"]):
             msg = EmailMessage()
             msg["Subject"] = SUBJECT_TMPL.format(name=name)
             msg["From"] = FROM_ADDR
@@ -200,14 +235,18 @@ def compose_emails(rendered_ds, invoices_ds, customers_ds, *,
             out["subject"].append(str(msg["Subject"]))
             out["n_bytes"].append(len(raw))
             out["rfc822"].append(raw)
-        return pa.Table.from_pydict({
-            "invoice_id": pa.array(out["invoice_id"], pa.string()),
-            "to": pa.array(out["to"], pa.string()),
-            "subject": pa.array(out["subject"], pa.string()),
-            "n_bytes": pa.array(out["n_bytes"], pa.int64()),
-            "rfc822": pa.array(out["rfc822"], pa.binary())})
+        return pd.DataFrame({
+            "invoice_id": pd.Series(out["invoice_id"], dtype=object),
+            "to": pd.Series(out["to"], dtype=object),
+            "subject": pd.Series(out["subject"], dtype=object),
+            "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+            "rfc822": pd.Series(out["rfc822"], dtype=object)})
 
-    return rendered_ds.map_batches(compose, batch_format="pyarrow")
+    return keyed_apply(
+        with_cust.map_batches(d_side, batch_format="pyarrow")
+        .union(customers_ds.map_batches(c_side, batch_format="pyarrow",
+                                        zero_copy_batch=True)),
+        "k", compose, n_buckets=n_buckets)
 
 
 def write_outbox(messages_ds, out_dir: str):
