@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from email.message import EmailMessage
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
