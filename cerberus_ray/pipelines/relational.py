@@ -503,8 +503,12 @@ def q_events_close_pairs(sf_dir: str) -> pa.Table:
         res["n_events"] = res["n_events"].astype("int64")
         return res
 
-    pdf = keyed_apply(ds, "user_id", sweep).to_pandas().sort_values("user_id")
-    pdf = pdf.reset_index(drop=True)
+    pdf = keyed_apply(ds, "user_id", sweep).to_pandas()
+    if "user_id" not in pdf.columns:  # all-empty input loses the schema
+        return pa.Table.from_pydict({"user_id": pa.array([], pa.int64()),
+                                     "n_close": pa.array([], pa.int64()),
+                                     "n_events": pa.array([], pa.int64())})
+    pdf = pdf.sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 

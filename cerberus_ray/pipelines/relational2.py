@@ -239,8 +239,12 @@ def q_events_sessions(sf_dir: str) -> pa.Table:
                             "n_sessions": (res["n_starts"] + 1).astype("int64")})
         return out
 
-    pdf = (keyed_apply(ds, "user_id", sessions)
-           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pdf = keyed_apply(ds, "user_id", sessions).to_pandas()
+    if "user_id" not in pdf.columns:  # all-empty input loses the schema
+        return pa.Table.from_pydict({"user_id": pa.array([], pa.int64()),
+                                     "n_events": pa.array([], pa.int64()),
+                                     "n_sessions": pa.array([], pa.int64())})
+    pdf = pdf.sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
@@ -272,8 +276,12 @@ def q_events_rolling_1h(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"event_id": d["event_id"].to_numpy(),
                              "rolling_avg": avg})
 
-    pdf = (keyed_apply(ds, "user_id", roll)
-           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pdf = keyed_apply(ds, "user_id", roll).to_pandas()
+    if "event_id" not in pdf.columns:  # all-empty input loses the schema
+        return pa.Table.from_pydict(
+            {"event_id": pa.array([], pa.int64()),
+             "rolling_avg": pa.array([], pa.float64())})
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
     pdf["event_id"] = pdf["event_id"].astype("int64")
     t = pa.Table.from_pandas(pdf, preserve_index=False)
     # 2-decimal inputs make window means land EXACTLY on .005 — round

@@ -121,3 +121,30 @@ def test_new_queries_empty_safe(ray_session, tmp_path):
 
     assert q_events_quantiles(d).num_rows == 0
     assert q_top_orders_per_nation(d).num_rows == 0
+
+
+def test_keyed_window_queries_empty_safe(ray_session, tmp_path):
+    """The keyed-window family on an EMPTY events table returns typed
+    empty results (bucket column append + groupby on zero rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pydict(
+        {"event_id": pa.array([], pa.int64()),
+         "event_type": pa.array([], pa.string()),
+         "user_id": pa.array([], pa.int64()),
+         "ts": pa.array([], pa.timestamp("us")),
+         "value": pa.array([], pa.float64())}), f"{d}/events.parquet")
+
+    from cerberus_ray.pipelines.relational import q_events_close_pairs
+    from cerberus_ray.pipelines.relational2 import (
+        q_asof_click_before_purchase,
+        q_events_rolling_1h,
+        q_events_sessions,
+    )
+
+    assert q_events_sessions(d).num_rows == 0
+    assert q_events_rolling_1h(d).num_rows == 0
+    assert q_asof_click_before_purchase(d).num_rows == 0
+    assert q_events_close_pairs(d).num_rows == 0
