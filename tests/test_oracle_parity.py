@@ -97,3 +97,14 @@ def test_registry_shape_and_extras_run(ray_session):
     for name, fn in x.items():
         r = to_df(fn(SF_DIR))
         assert len(r) >= 0, name
+
+
+def test_extra_queries_deterministic(ray_session):
+    """Every overflow operator returns identical results across two runs
+    in one session (rows-only surfaces must be deterministic for the
+    driver's repeat checks)."""
+    import __ray_entry__ as e
+
+    for name, fn in e.extra_queries().items():
+        a, b = to_df(fn(SF_DIR)), to_df(fn(SF_DIR))
+        pd.testing.assert_frame_equal(a, b), name
