@@ -162,6 +162,16 @@ def q_media_features(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_token_top_k(sf_dir: str) -> pa.Table:
+    """Corpus vocabulary: top-20 tokens by frequency (driver/CMS
+    heavy-hitter planner — extras surface; DuckDB dual-path parity is
+    asserted in tests/test_vocab.py to keep the main registry at the
+    driver's 50-row cap)."""
+    from .vocab import token_top_k
+
+    return token_top_k(_docs(sf_dir, ["text"]), k=20)
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters via MinHash pairs → connected components
     (rows-only: LSH + label propagation is not SQL-expressible)."""
@@ -380,6 +390,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
+    "token_top_k": q_token_top_k,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -1,0 +1,119 @@
+"""Corpus vocabulary statistics — top-k token frequency.
+
+A core training-data-pipeline operator (tokenizer fitting, vocabulary
+pruning, stopword discovery all start from the corpus term-frequency
+table). Mode planner in the engine's standard shape:
+
+- 'driver' (vocabulary fits the driver): per-block token counts (one
+  pyarrow hash-aggregate per block — the exchange carries one row per
+  DISTINCT token per block, never token instances) merge on the driver.
+- 'cms' (the 10^9-token-vocabulary path): Count-Min heavy hitters
+  (Cormode & Muthukrishnan 2005) — pass 1 builds one mergeable CMS per
+  block plus each block's local top-(k×overscan) candidate set (a
+  global top-k token is necessarily a local candidate in at least one
+  block at this overscan, and the CMS never undercounts, so the
+  candidate union is a superset of the true top-k); pass 2 counts the
+  candidate union EXACTLY (broadcast candidate set, per-block partial
+  counts, tiny driver merge) and takes the exact top-k. Driver memory is
+  O(sketch + candidates), never O(vocabulary).
+
+Both modes return identical results when counts are unambiguous
+(agreement-tested); ties broken by token for determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.countmin import CountMinSketch
+
+
+def _token_counts_block(b: pa.Table, text_col: str) -> pa.Table:
+    """One (token, n) row per distinct token in the block — vectorized
+    split + explode + hash-aggregate, no Python per token."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(b[text_col], "")), r"\s+")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    t = pa.Table.from_arrays([flat], names=["token"])
+    t = t.filter(pc.not_equal(t["token"], ""))
+    g = t.group_by("token").aggregate([([], "count_all")])
+    return pa.Table.from_arrays([g["token"], g["count_all"]],
+                                names=["token", "n"])
+
+
+def token_top_k(ds, *, text_col: str = "text", k: int = 20,
+                mode: str = "auto", n_rows_hint: int = 0,
+                cms_width: int = 1 << 16, overscan: int = 4) -> pa.Table:
+    """→ (token, n) — the k most frequent whitespace tokens, count DESC
+    then token ASC (deterministic tie-break)."""
+    if mode == "auto":
+        n = n_rows_hint or ds.count()
+        mode = "driver" if n <= 2_000_000 else "cms"
+    if mode not in ("driver", "cms"):
+        raise ValueError(f"unknown vocab mode: {mode!r}")
+
+    counts_ds = ds.map_batches(
+        lambda b: _token_counts_block(b, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    if mode == "driver":
+        pdf = counts_ds.to_pandas()
+        if "token" not in pdf.columns or not len(pdf):
+            return _empty()
+        g = pdf.groupby("token", as_index=False)["n"].sum()
+        return _top(g, k)
+
+    # ---- cms heavy hitters ----
+    import ray
+
+    def sketch_and_candidates(b: pa.Table) -> pa.Table:
+        g = _token_counts_block(b, text_col)
+        cm = CountMinSketch(width=cms_width)
+        cm.add(g["token"], g["n"].to_numpy(zero_copy_only=False))
+        order = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), ("token", "ascending")])
+        cand = g.take(order.slice(0, k * overscan))["token"]
+        return pa.Table.from_pydict({
+            "sketch": pa.array([cm.to_bytes()], type=pa.binary()),
+            "cands": pa.array([cand.to_pylist()],
+                              type=pa.list_(pa.string()))})
+
+    parts = ds.map_batches(sketch_and_candidates, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return _empty()
+    cand_union = sorted({t for lst in parts["cands"] for t in lst})
+    if not cand_union:
+        return _empty()
+    # pass 2: EXACT counts for the candidate union only
+    ref = ray.put(np.array(cand_union, dtype=object))
+
+    def exact_counts(b: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        g = _token_counts_block(b, text_col)
+        mask = pc.is_in(g["token"], value_set=pa.array(wanted, pa.string()))
+        return g.filter(mask)
+
+    pdf = ds.map_batches(exact_counts, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if "token" not in pdf.columns or not len(pdf):
+        return _empty()
+    g = pdf.groupby("token", as_index=False)["n"].sum()
+    return _top(g, k)
+
+
+def _empty() -> pa.Table:
+    return pa.Table.from_pydict({"token": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+
+
+def _top(g: pd.DataFrame, k: int) -> pa.Table:
+    g = (g.sort_values(["n", "token"], ascending=[False, True])
+          .head(k).reset_index(drop=True))
+    g["n"] = g["n"].astype("int64")
+    return pa.Table.from_pandas(g[["token", "n"]], preserve_index=False)
