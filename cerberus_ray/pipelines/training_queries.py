@@ -172,6 +172,25 @@ def q_token_top_k(sf_dir: str) -> pa.Table:
     return token_top_k(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_decontamination_report(sf_dir: str) -> pa.Table:
+    """Benchmark-decontamination hygiene report (extras surface): treat
+    the first 5 documents as the held-out set, scan the rest for 8-gram
+    overlap → (n_docs, n_contaminated, total_hits). Deterministic: exact
+    duplicates of 'benchmark' docs in the corpus are the expected hits."""
+    import pyarrow.compute as pc
+
+    from .decontaminate import contamination_scan
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = docs.filter(expr="doc_id < 5")
+    rest = docs.filter(expr="doc_id >= 5")
+    scan = contamination_scan(rest, bench, n=8).to_pandas()
+    return pa.Table.from_pydict({
+        "n_docs": [int(len(scan))],
+        "n_contaminated": [int(scan["contaminated"].sum())],
+        "total_hits": [int(scan["n_hits"].sum())]})
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters via MinHash pairs → connected components
     (rows-only: LSH + label propagation is not SQL-expressible)."""
@@ -391,6 +410,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
     "token_top_k": q_token_top_k,
+    "decontamination_report": q_decontamination_report,
 }
 
 def _stopword_sql(lang: str) -> str:
