@@ -191,6 +191,37 @@ def q_decontamination_report(sf_dir: str) -> pa.Table:
         "total_hits": [int(scan["n_hits"].sum())]})
 
 
+def q_corpus_mixing_report(sf_dir: str) -> pa.Table:
+    """Domain-mixing report (extras surface): deterministic weighted
+    sampling of the documents table by source → per-source kept counts."""
+    from ..stages.groupagg import grouped_agg
+    from .mixing import sample_by_source
+
+    kept = sample_by_source(_docs(sf_dir, ["doc_id", "source"]),
+                            {"src0": 0.5, "src1": 0.25, "src2": 0.0})
+    g = grouped_agg(kept, ["source"], {"n_kept": ("", "count")})
+    g = g.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(g[["source", "n_kept"]],
+                                preserve_index=False)
+
+
+def q_doc_chunks(sf_dir: str) -> pa.Table:
+    """Context-window chunking report (extras surface): chunk the
+    documents table at 64 tokens / 8 overlap → (n_docs_chunked,
+    n_chunks, max_chunk_tokens)."""
+    from .mixing import chunk_documents
+
+    out = chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                          max_tokens=64, overlap=8).to_pandas()
+    if "doc_id" not in out.columns or not len(out):
+        return pa.Table.from_pydict({"n_docs_chunked": [0], "n_chunks": [0],
+                                     "max_chunk_tokens": [0]})
+    return pa.Table.from_pydict({
+        "n_docs_chunked": [int(out["doc_id"].nunique())],
+        "n_chunks": [int(len(out))],
+        "max_chunk_tokens": [int(out["n_tokens"].max())]})
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters via MinHash pairs → connected components
     (rows-only: LSH + label propagation is not SQL-expressible)."""
@@ -411,6 +442,8 @@ QUERIES = {
     "media_features": q_media_features,
     "token_top_k": q_token_top_k,
     "decontamination_report": q_decontamination_report,
+    "corpus_mixing_report": q_corpus_mixing_report,
+    "doc_chunks": q_doc_chunks,
 }
 
 def _stopword_sql(lang: str) -> str:
