@@ -66,7 +66,16 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           shuffle_seed: int = 42,
                           quality_concurrency: int = 2,
                           min_rows_per_file: int = 100_000,
-                          resume: bool = True) -> CorpusReport:
+                          resume: bool = True,
+                          benchmark_ds=None,
+                          decontaminate_ngram: int = 8,
+                          mixing_weights: Optional[Dict[str, float]] = None,
+                          source_col: str = "source") -> CorpusReport:
+    """Optional hygiene/shaping stages extend the funnel when supplied:
+    ``benchmark_ds`` inserts a decontamination drop-filter (n-gram
+    overlap vs the held-out set) after the quality gate, and
+    ``mixing_weights`` applies deterministic per-source sampling after
+    near-dedup. Defaults leave the classic 4-stage funnel unchanged."""
     from ..pipelines.dedup import dedup_near_keep_first, exact_dedup_keep_first
 
     n_input = docs_ds.count()
@@ -74,6 +83,9 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     # or matched (out_dir runs); pure-report runs skip it
     fingerprint = (_content_fingerprint(docs_ds, text_col, key_col)
                    if out_dir is not None else None)
+    bench_fp = (_content_fingerprint(benchmark_ds, text_col, key_col)
+                if out_dir is not None and benchmark_ds is not None else None)
+    mix_key = (sorted(mixing_weights.items()) if mixing_weights else None)
 
     # sink-level resume: a completed run left a manifest whose input size,
     # CONTENT fingerprint and parameters match — skip the whole rebuild
@@ -87,8 +99,11 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                     m = json.load(f)
             except (json.JSONDecodeError, OSError):
                 m = None
+            mk = ([list(t) for t in mix_key] if mix_key else None)
             if m and (m.get("n_input") == int(n_input)
                       and m.get("content_fingerprint") == fingerprint
+                      and m.get("benchmark_fingerprint") == bench_fp
+                      and m.get("mixing_weights") == mk
                       and m.get("near_threshold") == near_threshold
                       and m.get("bands") == bands
                       and m.get("shuffle_seed") == shuffle_seed):
@@ -126,7 +141,15 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     # holds it and spills as needed.
     kept_text = docs_ds.map_batches(Gate, batch_format="pandas",
                                     concurrency=quality_concurrency,
-                                    num_cpus=0.5).materialize()
+                                    num_cpus=0.5)
+    # optional 1b. benchmark decontamination (eval-set hygiene)
+    if benchmark_ds is not None:
+        from ..pipelines.decontaminate import drop_contaminated
+
+        kept_text = drop_contaminated(kept_text, benchmark_ds,
+                                      text_col=text_col, key_col=key_col,
+                                      n=decontaminate_ngram)
+    kept_text = kept_text.materialize()
     n_quality = kept_text.count()
 
     # 2. exact dedup (min-key winner per content hash)
@@ -139,6 +162,13 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     deduped, clusters = dedup_near_keep_first(
         exact, text_col=text_col, key_col=key_col,
         threshold=near_threshold, bands=bands)
+    # optional 3b. domain mixing (deterministic per-source sampling)
+    if mixing_weights:
+        from ..pipelines.mixing import sample_by_source
+
+        deduped = sample_by_source(deduped, mixing_weights,
+                                   source_col=source_col, key_col=key_col,
+                                   seed=shuffle_seed)
     deduped = deduped.materialize()
     n_near = deduped.count()
 
@@ -162,6 +192,9 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             "near_threshold": near_threshold, "bands": bands,
             "shuffle_seed": shuffle_seed,
             "content_fingerprint": fingerprint,
+            "benchmark_fingerprint": bench_fp,
+            "mixing_weights": ([list(t) for t in mix_key]
+                               if mix_key else None),
         }
         with open(os.path.join(out_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, sort_keys=True, indent=1)

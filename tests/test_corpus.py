@@ -141,3 +141,32 @@ def test_corpus_funnel_sf001_exact_counts(ray_session):
     assert t == {"n_input": [500], "n_quality_pass": [500],
                  "n_after_exact_dedup": [500],
                  "n_after_near_dedup": [476]}
+
+
+def test_corpus_optional_hygiene_stages(ray_session, tmp_path):
+    """benchmark_ds inserts a decontamination drop and mixing_weights a
+    per-source sampler; both key the resume manifest (changed optional
+    params must rebuild)."""
+    df = corpus_df().assign(source="src0")
+    bench = pd.DataFrame({"doc_id": ["b1"], "text": [BASE]})
+    d = str(tmp_path / "corpus_hyg")
+    r1 = build_training_corpus(rd.from_pandas(df), out_dir=d,
+                               benchmark_ds=rd.from_pandas(bench),
+                               decontaminate_ngram=8)
+    # BASE-derived docs (dup1/dup2/near1) share 8-grams with the benchmark
+    assert r1.n_quality_pass < 43
+    ids = set(pq.read_table(os.path.join(d, "data"))
+              .column("doc_id").to_pylist())
+    assert {"dup1", "dup2", "near1"}.isdisjoint(ids)
+
+    # same params resume; different mixing weights rebuild
+    r2 = build_training_corpus(rd.from_pandas(df), out_dir=d,
+                               benchmark_ds=rd.from_pandas(bench),
+                               decontaminate_ngram=8)
+    assert r2.stats.get("resumed") is True
+    r3 = build_training_corpus(rd.from_pandas(df), out_dir=d,
+                               benchmark_ds=rd.from_pandas(bench),
+                               decontaminate_ngram=8,
+                               mixing_weights={"src0": 0.5})
+    assert not r3.stats.get("resumed")
+    assert r3.n_after_near_dedup < r1.n_after_near_dedup
