@@ -74,8 +74,16 @@ def cmd_corpus(args) -> int:
     from .pipelines.corpus import build_training_corpus
 
     ds = rd.read_parquet(args.input)
+    bench = rd.read_parquet(args.benchmark) if args.benchmark else None
+    mix = None
+    if args.mix:
+        mix = {}
+        for part in args.mix.split(","):
+            src, w = part.split("=", 1)
+            mix[src.strip()] = float(w)
     r = build_training_corpus(ds, out_dir=args.out,
-                              near_threshold=args.threshold)
+                              near_threshold=args.threshold,
+                              benchmark_ds=bench, mixing_weights=mix)
     print(json.dumps({
         "n_input": r.n_input, "n_quality_pass": r.n_quality_pass,
         "n_after_exact_dedup": r.n_after_exact_dedup,
@@ -147,6 +155,10 @@ def main(argv=None) -> int:
     c.add_argument("--input", required=True)
     c.add_argument("--out", required=True)
     c.add_argument("--threshold", type=float, default=0.8)
+    c.add_argument("--benchmark", default=None,
+                   help="parquet of held-out docs: drop n-gram overlaps")
+    c.add_argument("--mix", default=None,
+                   help="per-source sampling weights, e.g. 'web=0.5,code=1'")
     c.set_defaults(fn=cmd_corpus)
 
     ob = sub.add_parser("outbox", help="render + compose invoice messages")
