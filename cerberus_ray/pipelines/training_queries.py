@@ -222,6 +222,27 @@ def q_doc_chunks(sf_dir: str) -> pa.Table:
         "max_chunk_tokens": [int(out["n_tokens"].max())]})
 
 
+def q_lm_quality_report(sf_dir: str) -> pa.Table:
+    """Model-based quality scoring report (extras surface): per-language
+    mean unigram perplexity of the documents table — the CCNet-style
+    filter signal, fit on the corpus itself."""
+    from ..stages.groupagg import grouped_agg
+    from .lm_score import score_perplexity
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    scored = score_perplexity(docs, vocab_size=50_000)
+    lang = docs.select_columns(["doc_id", "lang"]).to_pandas()
+    pdf = scored.to_pandas().merge(
+        lang.assign(doc_id=lang["doc_id"].astype(str)), on="doc_id")
+    g = (pdf.groupby("lang", as_index=False)
+            .agg(n_docs=("ppl", "size"), mean_ppl=("ppl", "mean")))
+    g["mean_ppl"] = g["mean_ppl"].round(2)
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g = g.sort_values("lang").reset_index(drop=True)
+    return pa.Table.from_pandas(g[["lang", "n_docs", "mean_ppl"]],
+                                preserve_index=False)
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters via MinHash pairs → connected components
     (rows-only: LSH + label propagation is not SQL-expressible)."""
@@ -444,6 +465,7 @@ QUERIES = {
     "decontamination_report": q_decontamination_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,
+    "lm_quality_report": q_lm_quality_report,
 }
 
 def _stopword_sql(lang: str) -> str:
