@@ -47,6 +47,9 @@ QUERY_NAMES = [
     "events_props_stats", "top_customers_by_revenue", "flagship_violations",
     "events_quantiles", "doc_langid", "dedup_exact_keep",
     "top_orders_per_nation",
+    # extras-surface training-data ops (timed for the record; they are
+    # pytest-gated rather than driver-oracle-gated)
+    "token_top_k", "decontamination_report", "lm_quality_report",
 ]
 
 
@@ -193,7 +196,7 @@ def run_queries() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
-    q = entrymod.queries()
+    q = dict(entrymod.queries()) | dict(entrymod.extra_queries())
     # best-of-N per query: single-shot timings on the shared-quota host
     # recorded spurious 1.5-2x regressions round-over-round
     repeats = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
