@@ -16,10 +16,22 @@ training-corpus pipeline.
   so downstream stays resumable/joinable. Token reconstruction is exact:
   concatenating each chunk's non-overlap tail reproduces the document's
   token stream (property-tested).
+
+- ``pack_sequences``: bin-pack items (docs or chunks) into fixed
+  ``capacity``-token training sequences WITHOUT splitting items — the
+  packing step between chunking and loader hand-off. Packing is
+  block-local by design (bin-packing needs no global view: at corpus
+  scale each block packs independently with zero shuffle; the waste is
+  bounded by the open bins of one block, negligible against a block's
+  thousands of sequences). Within a block the result is independent of
+  row order (items are canonically ordered first) and sequence ids are
+  content-addressed (hash of member keys), so retries and block
+  reordering reproduce identical rows.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Dict, List
 
 import numpy as np
@@ -88,3 +100,130 @@ def chunk_documents(ds, *, text_col: str = "text", key_col: str = "doc_id",
             "n_tokens": pa.array(out_n, pa.int64())})
 
     return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pack_block(keys: np.ndarray, sizes: np.ndarray, capacity: int,
+                strategy: str):
+    """Pack one block's items into bins; → (bin_of_item, order) where
+    ``order`` is the canonical item order used (indices into keys)."""
+    if strategy == "ffd":
+        # first-fit-decreasing: stable sort by (-size, key) — canonical
+        # regardless of incoming row order. The per-item probe is one
+        # vectorized scan over open-bin remainders.
+        order = np.lexsort((keys, -sizes))
+    elif strategy == "nextfit":
+        order = np.argsort(keys, kind="stable")
+    else:
+        raise ValueError(f"unknown packing strategy {strategy!r}")
+
+    bin_of = np.empty(len(order), dtype=np.int64)
+    if strategy == "nextfit":
+        b = -1
+        rem = -1
+        for i in order:
+            s = int(sizes[i])
+            if s > rem:
+                b += 1
+                rem = capacity
+            bin_of[i] = b
+            rem -= s
+        return bin_of, order
+
+    rem = np.empty(0, dtype=np.int64)  # remaining capacity per open bin
+    n_bins = 0
+    for i in order:
+        s = int(sizes[i])
+        fit = np.flatnonzero(rem[:n_bins] >= s)
+        if len(fit):
+            b = int(fit[0])
+        else:
+            if n_bins == len(rem):
+                rem = np.concatenate(
+                    [rem, np.full(max(8, len(rem)), -1, dtype=np.int64)])
+            b = n_bins
+            rem[b] = capacity
+            n_bins += 1
+        rem[b] -= s
+        bin_of[i] = b
+    return bin_of, order
+
+
+def pack_sequences(ds, *, key_col: str = "doc_id",
+                   tokens_col: str = "n_tokens", capacity: int = 2048,
+                   strategy: str = "ffd", emit: str = "summary",
+                   batch_size: int | None = None):
+    """Pack items into ≤ ``capacity``-token sequences (no item is split;
+    an item larger than capacity becomes its own sequence with
+    ``overflow=true``). ``emit='summary'`` → one row per sequence
+    (seq_id, n_items, total_tokens, fill_ratio, overflow);
+    ``emit='assignments'`` → one row per item (seq_id, <key_col>, slot,
+    n_tokens). seq_id = md5 of the member keys in slot order, so ids are
+    stable under retries and dataset reordering. ``batch_size=None``
+    packs whole blocks (the intended granularity); pass an int to bound
+    the packing unit (and hence the FFD probe cost) on huge blocks."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if emit not in ("summary", "assignments"):
+        raise ValueError(f"unknown emit mode {emit!r}")
+
+    def pack(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        sizes = pc.cast(b[tokens_col], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = sizes > 0  # empty items carry no tokens: nothing to pack
+        keys, sizes = keys[keep], sizes[keep]
+        if not len(keys):
+            if emit == "assignments":
+                return pa.Table.from_pydict({
+                    "seq_id": pa.array([], pa.string()),
+                    key_col: pa.array([], pa.string()),
+                    "slot": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64())})
+            return pa.Table.from_pydict({
+                "seq_id": pa.array([], pa.string()),
+                "n_items": pa.array([], pa.int64()),
+                "total_tokens": pa.array([], pa.int64()),
+                "fill_ratio": pa.array([], pa.float64()),
+                "overflow": pa.array([], pa.bool_())})
+
+        bin_of, order = _pack_block(keys, sizes, capacity, strategy)
+        # member keys per bin, in slot (packing) order
+        members: Dict[int, List[int]] = {}
+        for i in order:
+            members.setdefault(int(bin_of[i]), []).append(int(i))
+        seq_ids = {
+            b_: hashlib.md5("|".join(keys[j] for j in idxs).encode()
+                            ).hexdigest()[:16]
+            for b_, idxs in members.items()}
+
+        if emit == "assignments":
+            out_seq, out_key, out_slot, out_n = [], [], [], []
+            for b_, idxs in sorted(members.items()):
+                for slot, j in enumerate(idxs):
+                    out_seq.append(seq_ids[b_])
+                    out_key.append(keys[j])
+                    out_slot.append(slot)
+                    out_n.append(int(sizes[j]))
+            return pa.Table.from_pydict({
+                "seq_id": pa.array(out_seq, pa.string()),
+                key_col: pa.array(out_key, pa.string()),
+                "slot": pa.array(out_slot, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64())})
+
+        out_seq, out_ni, out_tt, out_fill, out_ovf = [], [], [], [], []
+        for b_, idxs in sorted(members.items()):
+            tot = int(sizes[np.asarray(idxs)].sum())
+            out_seq.append(seq_ids[b_])
+            out_ni.append(len(idxs))
+            out_tt.append(tot)
+            out_fill.append(round(min(tot, capacity) / capacity, 4))
+            out_ovf.append(tot > capacity)
+        return pa.Table.from_pydict({
+            "seq_id": pa.array(out_seq, pa.string()),
+            "n_items": pa.array(out_ni, pa.int64()),
+            "total_tokens": pa.array(out_tt, pa.int64()),
+            "fill_ratio": pa.array(out_fill, pa.float64()),
+            "overflow": pa.array(out_ovf, pa.bool_())})
+
+    return ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

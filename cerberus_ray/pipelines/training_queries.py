@@ -222,6 +222,30 @@ def q_doc_chunks(sf_dir: str) -> pa.Table:
         "max_chunk_tokens": [int(out["n_tokens"].max())]})
 
 
+def q_seq_packing_report(sf_dir: str) -> pa.Table:
+    """Sequence-packing report (extras surface): chunk the documents
+    table at 128 tokens then FFD-pack the chunks into 512-token training
+    sequences → (n_items, n_seqs, total_tokens, mean_fill, n_overflow).
+    Block layout is pinned (repartition) so the block-local packing —
+    and hence the report — is deterministic across runs."""
+    from .mixing import chunk_documents, pack_sequences
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).repartition(4)
+    chunks = chunk_documents(docs, max_tokens=128)
+    summary = pack_sequences(chunks, key_col="doc_id",
+                             capacity=512, strategy="ffd").to_pandas()
+    if not len(summary):
+        return pa.Table.from_pydict({
+            "n_items": [0], "n_seqs": [0], "total_tokens": [0],
+            "mean_fill": [0.0], "n_overflow": [0]})
+    return pa.Table.from_pydict({
+        "n_items": [int(summary["n_items"].sum())],
+        "n_seqs": [int(len(summary))],
+        "total_tokens": [int(summary["total_tokens"].sum())],
+        "mean_fill": [round(float(summary["fill_ratio"].mean()), 4)],
+        "n_overflow": [int(summary["overflow"].sum())]})
+
+
 def q_lm_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality scoring report (extras surface): per-language
     mean unigram perplexity of the documents table — the CCNet-style
@@ -465,6 +489,7 @@ QUERIES = {
     "decontamination_report": q_decontamination_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,
+    "seq_packing_report": q_seq_packing_report,
     "lm_quality_report": q_lm_quality_report,
 }
 
