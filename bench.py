@@ -50,6 +50,7 @@ QUERY_NAMES = [
     # extras-surface training-data ops (timed for the record; they are
     # pytest-gated rather than driver-oracle-gated)
     "token_top_k", "decontamination_report", "lm_quality_report",
+    "seq_packing_report", "repeated_substring_report",
 ]
 
 

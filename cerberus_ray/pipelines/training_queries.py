@@ -246,6 +246,23 @@ def q_seq_packing_report(sf_dir: str) -> pa.Table:
         "n_overflow": [int(summary["overflow"].sum())]})
 
 
+def q_repeated_substring_report(sf_dir: str) -> pa.Table:
+    """Exact repeated-substring report (extras surface): 8-token
+    cross-doc duplicated shingles over the documents table → count of
+    duplicated shingles, docs carrying duplicated spans, and total span
+    tokens (the Lee-et-al-style cut list, summarized)."""
+    from .substring_dedup import repeated_substring_scan
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    dup, spans = repeated_substring_scan(docs, n=8, min_docs=2)
+    pdf = spans.to_pandas()
+    return pa.Table.from_pydict({
+        "n_dup_shingles": [int(len(dup))],
+        "n_docs_with_spans": [int(pdf["doc_id"].nunique()) if len(pdf) else 0],
+        "total_span_tokens": [int((pdf["end_tok"] - pdf["start_tok"]).sum())
+                              if len(pdf) else 0]})
+
+
 def q_lm_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality scoring report (extras surface): per-language
     mean unigram perplexity of the documents table — the CCNet-style
@@ -490,6 +507,7 @@ QUERIES = {
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,
     "seq_packing_report": q_seq_packing_report,
+    "repeated_substring_report": q_repeated_substring_report,
     "lm_quality_report": q_lm_quality_report,
 }
 
