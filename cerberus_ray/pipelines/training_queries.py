@@ -263,6 +263,33 @@ def q_repeated_substring_report(sf_dir: str) -> pa.Table:
                               if len(pdf) else 0]})
 
 
+def q_quality_prune_report(sf_dir: str) -> pa.Table:
+    """Quantile-pruning report (extras surface): keep the top 40% of the
+    documents table by text length via the merged-t-digest global
+    threshold → (n_input, n_kept, kept_frac, threshold)."""
+    from .pruning import prune_by_quantile
+
+    # pinned layout: the t-digest threshold is partition-DEPENDENT (the
+    # sketch is order-invariant but not boundary-invariant), so the
+    # report pins the block structure for run-to-run determinism
+    docs = _docs(sf_dir, ["doc_id", "text"]).repartition(4)
+
+    def with_len(b: pa.Table) -> pa.Table:
+        return b.append_column("nchars", pc.cast(
+            pc.utf8_length(pc.fill_null(b["text"], "")), pa.float64()))
+
+    scored = docs.map_batches(with_len, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    n_input = scored.count()
+    kept, thr = prune_by_quantile(scored, "nchars", 0.4, side="upper")
+    n_kept = kept.count()
+    return pa.Table.from_pydict({
+        "n_input": [int(n_input)],
+        "n_kept": [int(n_kept)],
+        "kept_frac": [round(n_kept / max(n_input, 1), 4)],
+        "threshold": [round(float(thr), 4)]})
+
+
 def q_lm_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality scoring report (extras surface): per-language
     mean unigram perplexity of the documents table — the CCNet-style
@@ -508,6 +535,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "seq_packing_report": q_seq_packing_report,
     "repeated_substring_report": q_repeated_substring_report,
+    "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
 }
 
