@@ -70,10 +70,13 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           benchmark_ds=None,
                           decontaminate_ngram: int = 8,
                           mixing_weights: Optional[Dict[str, float]] = None,
-                          source_col: str = "source") -> CorpusReport:
+                          source_col: str = "source",
+                          cut_ngram: Optional[int] = None) -> CorpusReport:
     """Optional hygiene/shaping stages extend the funnel when supplied:
     ``benchmark_ds`` inserts a decontamination drop-filter (n-gram
-    overlap vs the held-out set) after the quality gate, and
+    overlap vs the held-out set) after the quality gate,
+    ``cut_ngram`` removes cross-doc duplicated ≥n-token passages
+    (substring_dedup) between exact and near dedup, and
     ``mixing_weights`` applies deterministic per-source sampling after
     near-dedup. Defaults leave the classic 4-stage funnel unchanged."""
     from ..pipelines.dedup import dedup_near_keep_first, exact_dedup_keep_first
@@ -104,6 +107,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                       and m.get("content_fingerprint") == fingerprint
                       and m.get("benchmark_fingerprint") == bench_fp
                       and m.get("mixing_weights") == mk
+                      and m.get("cut_ngram") == cut_ngram
                       and m.get("near_threshold") == near_threshold
                       and m.get("bands") == bands
                       and m.get("shuffle_seed") == shuffle_seed):
@@ -158,6 +162,19 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     exact = exact.drop_columns(["text_md5"]).materialize()
     n_exact = exact.count()
 
+    # optional 2b. cut cross-doc duplicated passages (boilerplate,
+    # licenses, quoted blocks) before near-dedup, so residual boilerplate
+    # doesn't glue otherwise-distinct docs into near-dup clusters
+    if cut_ngram:
+        from ..pipelines.substring_dedup import (cut_duplicated_substrings,
+                                                 duplicated_shingle_hashes)
+
+        dup_h = duplicated_shingle_hashes(exact, text_col=text_col,
+                                          n=cut_ngram, min_docs=2)
+        if len(dup_h):
+            exact = cut_duplicated_substrings(
+                exact, dup_h, text_col=text_col, n=cut_ngram).materialize()
+
     # 3. near-dedup (LSH → connected components → keep cluster min)
     deduped, clusters = dedup_near_keep_first(
         exact, text_col=text_col, key_col=key_col,
@@ -193,6 +210,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             "shuffle_seed": shuffle_seed,
             "content_fingerprint": fingerprint,
             "benchmark_fingerprint": bench_fp,
+            "cut_ngram": cut_ngram,
             "mixing_weights": ([list(t) for t in mix_key]
                                if mix_key else None),
         }

@@ -132,6 +132,29 @@ def duplicated_shingle_hashes(ds, *, text_col: str = "text", n: int = 20,
     return np.sort(pdf["h"].to_numpy().astype(np.uint64))
 
 
+def _hit_spans(texts, dup: np.ndarray, n: int):
+    """→ (doc_idx, start_tok, end_tok) of maximal duplicated spans per
+    doc: hit windows found by searchsorted membership, then overlapping/
+    adjacent [i, i+n) windows merged with one gap/doc-change mask."""
+    z = np.array([], dtype=np.int64)
+    doc_idx, offs, H = _block_windows(texts, n)
+    if not len(H) or not len(dup):
+        return z, z, z
+    idx = np.searchsorted(dup, H)
+    idx[idx >= len(dup)] = len(dup) - 1
+    hit = dup[idx] == H
+    d, o = doc_idx[hit], offs[hit]
+    if not len(d):
+        return z, z, z
+    # windows arrive sorted by (doc, offset); merge where the next
+    # window starts inside-or-adjacent-to the previous one's end
+    new_span = np.ones(len(d), dtype=bool)
+    new_span[1:] = (d[1:] != d[:-1]) | (o[1:] > o[:-1] + n)
+    starts_i = np.flatnonzero(new_span)
+    ends_i = np.append(starts_i[1:] - 1, len(d) - 1)
+    return d[starts_i], o[starts_i], o[ends_i] + n
+
+
 def duplicated_spans(ds, dup_hashes: np.ndarray, *,
                      text_col: str = "text", key_col: str = "doc_id",
                      n: int = 20):
@@ -146,32 +169,46 @@ def duplicated_spans(ds, dup_hashes: np.ndarray, *,
         keys = pc.cast(b[key_col], pa.string()).to_numpy(
             zero_copy_only=False)
         texts = b[text_col].to_numpy(zero_copy_only=False)
-        doc_idx, offs, H = _block_windows(texts, n)
-        empty = pa.Table.from_pydict({
-            "doc_id": pa.array([], pa.string()),
-            "start_tok": pa.array([], pa.int64()),
-            "end_tok": pa.array([], pa.int64())})
-        if not len(H) or not len(dup):
-            return empty
-        idx = np.searchsorted(dup, H)
-        idx[idx >= len(dup)] = len(dup) - 1
-        hit = dup[idx] == H
-        d, o = doc_idx[hit], offs[hit]
-        if not len(d):
-            return empty
-        # windows arrive sorted by (doc, offset); merge where the next
-        # window starts inside-or-adjacent-to the previous one's end
-        new_span = np.ones(len(d), dtype=bool)
-        new_span[1:] = (d[1:] != d[:-1]) | (o[1:] > o[:-1] + n)
-        span_id = np.cumsum(new_span) - 1
-        starts_i = np.flatnonzero(new_span)
-        ends_i = np.append(starts_i[1:] - 1, len(d) - 1)
+        d, s, e = _hit_spans(texts, dup, n)
         return pa.Table.from_pydict({
-            "doc_id": pa.array(keys[d[starts_i]], pa.string()),
-            "start_tok": pa.array(o[starts_i], pa.int64()),
-            "end_tok": pa.array(o[ends_i] + n, pa.int64())})
+            "doc_id": pa.array(keys[d] if len(d) else [], pa.string()),
+            "start_tok": pa.array(s, pa.int64()),
+            "end_tok": pa.array(e, pa.int64())})
 
     return ds.map_batches(spans, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def cut_duplicated_substrings(ds, dup_hashes: np.ndarray, *,
+                              text_col: str = "text", n: int = 20):
+    """Rewrite ``text_col`` with every duplicated span's tokens removed
+    (the Lee-et-al cut applied, not just reported). All other columns
+    pass through untouched; docs without duplicated spans keep their
+    text byte-identical. Rewritten docs are re-joined with single
+    spaces (tokenization is whitespace-based, so span boundaries are
+    exact in token space; original inter-token whitespace inside a
+    REWRITTEN doc is normalized — the same contract as the normalize
+    stage)."""
+    ref = ray.put(np.asarray(dup_hashes, dtype=np.uint64))
+
+    def cut(b: pa.Table) -> pa.Table:
+        dup = ray.get(ref)
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        d, s, e = _hit_spans(texts, dup, n)
+        if not len(d):
+            return b
+        new_texts = texts.astype(object)
+        for di in np.unique(d):
+            sel = d == di
+            toks = (texts[di] or "").split()
+            keep = np.ones(len(toks), dtype=bool)
+            for a, z in zip(s[sel], e[sel]):
+                keep[a:z] = False
+            new_texts[di] = " ".join(np.asarray(toks, dtype=object)[keep])
+        i = b.schema.get_field_index(text_col)
+        return b.set_column(i, text_col, pa.array(new_texts, pa.string()))
+
+    return ds.map_batches(cut, batch_format="pyarrow",
                           zero_copy_batch=True)
 
 

@@ -143,6 +143,34 @@ def test_corpus_funnel_sf001_exact_counts(ray_session):
                  "n_after_near_dedup": [476]}
 
 
+def test_corpus_cut_ngram_stage(ray_session, tmp_path):
+    """cut_ngram removes cross-doc boilerplate passages span-wise (both
+    docs SURVIVE with the shared block cut out) and keys the resume
+    manifest."""
+    boiler = " ".join(f"license{j}" for j in range(20))
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": f"d{i:02d}",
+                     "text": " ".join(f"u{i}w{j}" for j in range(40))})
+    rows[4]["text"] = boiler + " " + rows[4]["text"]
+    rows[9]["text"] = rows[9]["text"] + " " + boiler
+    df = pd.DataFrame(rows)
+    d = str(tmp_path / "corpus_cut")
+    r1 = build_training_corpus(rd.from_pandas(df), out_dir=d, cut_ngram=10)
+    assert r1.n_after_near_dedup == 30  # nothing dropped, only cut
+    texts = (pq.read_table(os.path.join(d, "data")).to_pandas()
+             .set_index("doc_id")["text"])
+    assert "license0" not in texts["d04"] and "license19" not in texts["d09"]
+    assert texts["d04"] == " ".join(f"u4w{j}" for j in range(40))
+    assert texts["d09"] == " ".join(f"u9w{j}" for j in range(40))
+    assert texts["d00"] == " ".join(f"u0w{j}" for j in range(40))
+
+    r2 = build_training_corpus(rd.from_pandas(df), out_dir=d, cut_ngram=10)
+    assert r2.stats.get("resumed") is True
+    r3 = build_training_corpus(rd.from_pandas(df), out_dir=d)
+    assert not r3.stats.get("resumed")  # cut_ngram change -> rebuild
+
+
 def test_corpus_optional_hygiene_stages(ray_session, tmp_path):
     """benchmark_ds inserts a decontamination drop and mixing_weights a
     per-source sampler; both key the resume manifest (changed optional

@@ -8,7 +8,8 @@ import pytest
 import ray.data as rd
 
 from cerberus_ray.pipelines.substring_dedup import (
-    duplicated_shingle_hashes, duplicated_spans, repeated_substring_scan)
+    cut_duplicated_substrings, duplicated_shingle_hashes, duplicated_spans,
+    repeated_substring_scan)
 
 
 PASSAGE = " ".join(f"boiler{j}" for j in range(30))  # 30-token passage
@@ -73,6 +74,32 @@ def test_sampled_mode_subset_and_long_passage_survives(ray_session):
     spans = duplicated_spans(ds, samp, n=20).to_pandas()
     for _, r in spans.iterrows():
         assert r["doc_id"] in ("d03", "d07")
+
+
+def test_cut_removes_planted_passage_only(ray_session):
+    """cut_duplicated_substrings rewrites exactly the spans that
+    duplicated_spans reports: planted passages vanish from d03/d07,
+    every other doc (incl. the self-repeating d12) is byte-identical."""
+    df = corpus()
+    ds = rd.from_pandas(df).repartition(3).materialize()
+    dup = duplicated_shingle_hashes(ds, n=20, min_docs=2)
+    out = (cut_duplicated_substrings(ds, dup, n=20).to_pandas()
+           .set_index("doc_id")["text"])
+    orig = df.set_index("doc_id")["text"]
+    assert out["d03"] == "intro3 words here tail3 x y"
+    assert out["d07"] == " ".join(f"pre{j}" for j in range(10)) + " post7"
+    for did in orig.index:
+        if did not in ("d03", "d07"):
+            assert out[did] == orig[did]
+
+
+def test_cut_is_noop_with_no_duplicates(ray_session):
+    df = corpus()
+    ds = rd.from_pandas(df).materialize()
+    out = cut_duplicated_substrings(
+        ds, np.array([], dtype=np.uint64), n=20).to_pandas()
+    assert (out.set_index("doc_id")["text"]
+            .equals(df.set_index("doc_id")["text"]))
 
 
 def test_no_duplication_no_rows(ray_session):
