@@ -311,6 +311,26 @@ def q_lm_quality_report(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_token_budget_report(sf_dir: str) -> pa.Table:
+    """Token-budget selection report (extras surface): pick the longest
+    documents (score = n_chars, ties by doc_id) whose whitespace-token
+    total fits 30% of the corpus's tokens. Exact prefix-of-total-order
+    semantics — partitioning-invariant by construction."""
+    from .budget import select_token_budget, with_token_counts
+
+    docs = with_token_counts(
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])).materialize()
+    total = int(docs.sum("n_tokens"))
+    budget = int(total * 0.3)
+    sel = select_token_budget(docs, budget, score_col="n_chars",
+                              mode="sort").materialize()
+    return pa.Table.from_pydict({
+        "n_input": [int(docs.count())],
+        "n_selected": [int(sel.count())],
+        "selected_tokens": [int(sel.sum("n_tokens") or 0)],
+        "budget": [budget]})
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters via MinHash pairs → connected components
     (rows-only: LSH + label propagation is not SQL-expressible)."""
@@ -537,6 +557,7 @@ QUERIES = {
     "repeated_substring_report": q_repeated_substring_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
+    "token_budget_report": q_token_budget_report,
 }
 
 def _stopword_sql(lang: str) -> str:

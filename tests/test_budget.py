@@ -1,0 +1,101 @@
+"""Global token-budget selection: DuckDB window-oracle parity (both
+modes), exact prefix semantics under score ties, block-boundary cuts,
+and edge budgets."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from cerberus_ray.pipelines.budget import (select_token_budget,
+                                           token_budget_cut,
+                                           with_token_counts)
+
+SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM t) WHERE cum <= {budget}
+"""
+
+
+def frame(n=400, seed=7, ties=False):
+    rng = np.random.default_rng(seed)
+    scores = (rng.integers(0, 12, n).astype(float) if ties
+              else rng.random(n))
+    return pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(n)],
+        "score": scores,
+        "n_tokens": rng.integers(0, 300, n)})
+
+
+def oracle_ids(df, budget):
+    con = duckdb.connect()
+    con.register("t", df)
+    return set(con.execute(SQL.format(budget=budget)).df()["doc_id"])
+
+
+@pytest.mark.parametrize("mode", ["driver", "sort"])
+@pytest.mark.parametrize("ties", [False, True])
+def test_duckdb_window_parity(ray_session, mode, ties):
+    df = frame(ties=ties)
+    budget = int(df["n_tokens"].sum() * 0.35)
+    ds = rd.from_pandas(df).repartition(5).materialize()
+    got = select_token_budget(ds, budget, score_col="score",
+                              mode=mode).to_pandas()
+    assert set(got["doc_id"]) == oracle_ids(df, budget)
+    assert list(got.columns) == list(df.columns)  # all columns preserved
+
+
+def test_mode_agreement_and_boundary_cuts(ray_session):
+    df = frame(n=60, seed=3)
+    ds = rd.from_pandas(df).repartition(60).materialize()  # 1-row blocks
+    for frac in (0.0, 0.1, 0.5, 0.9, 1.0):
+        budget = int(df["n_tokens"].sum() * frac)
+        a = token_budget_cut(ds, budget, score_col="score", mode="driver")
+        b = token_budget_cut(ds, budget, score_col="score", mode="sort")
+        assert a == b, (frac, a, b)
+        sel = select_token_budget(ds, budget, score_col="score",
+                                  mode="sort").to_pandas()
+        got = set(sel["doc_id"]) if len(sel) else set()
+        assert got == oracle_ids(df, budget), frac
+
+
+def test_edge_budgets(ray_session):
+    df = frame(n=50)
+    ds = rd.from_pandas(df).repartition(3).materialize()
+    # zero budget with min token count > 0 -> empty, schema preserved
+    df2 = df.assign(n_tokens=df["n_tokens"] + 1)
+    ds2 = rd.from_pandas(df2).repartition(3).materialize()
+    empty = select_token_budget(ds2, 0, score_col="score").to_pandas()
+    assert len(empty) == 0
+    # budget >= total -> everything
+    total = int(df["n_tokens"].sum())
+    assert select_token_budget(ds, total, score_col="score").count() == 50
+    with pytest.raises(ValueError):
+        token_budget_cut(ds, -1, score_col="score")
+    with pytest.raises(ValueError):
+        token_budget_cut(ds, 10, score_col="score", mode="salted")
+
+
+def test_zero_token_docs_inside_prefix(ray_session):
+    """Zero-token docs sitting right after the cum==budget point are kept
+    (cum stays <= budget) — exact SQL-window semantics."""
+    df = pd.DataFrame({"doc_id": ["a", "b", "c", "d"],
+                       "score": [9.0, 8.0, 7.0, 6.0],
+                       "n_tokens": [5, 0, 0, 5]})
+    ds = rd.from_pandas(df).materialize()
+    got = set(select_token_budget(ds, 5, score_col="score")
+              .to_pandas()["doc_id"])
+    assert got == {"a", "b", "c"} == oracle_ids(df, 5)
+
+
+def test_with_token_counts(ray_session):
+    df = pd.DataFrame({"doc_id": ["a", "b", "c", "d"],
+                       "text": ["one two  three", "", None, "  x  "]})
+    out = (with_token_counts(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id")["n_tokens"])
+    assert list(out[["a", "b", "c", "d"]]) == [3, 0, 0, 1]
