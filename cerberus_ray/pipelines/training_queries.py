@@ -331,6 +331,22 @@ def q_token_budget_report(sf_dir: str) -> pa.Table:
         "budget": [budget]})
 
 
+def q_emb_outlier_report(sf_dir: str) -> pa.Table:
+    """Embedding centroid-cohesion report (extras surface): per-label
+    cosine-to-own-centroid stats and mean−3σ outlier counts over the
+    embeddings table — the embedding-space distribution check."""
+    from .emb_quality import embedding_outliers
+
+    _, stats = embedding_outliers(_emb(sf_dir).materialize(), k_sigma=3.0)
+    stats = stats.sort_values("label").reset_index(drop=True)
+    return pa.Table.from_pydict({
+        "label": [int(v) for v in stats["label"]],
+        "n": [int(v) for v in stats["n"]],
+        "mean_cos": [round(float(v), 4) for v in stats["mean"]],
+        "std_cos": [round(float(v), 4) for v in stats["std"]],
+        "n_outliers": [int(v) for v in stats["n_outliers"]]})
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters via MinHash pairs → connected components
     (rows-only: LSH + label propagation is not SQL-expressible)."""
@@ -558,6 +574,7 @@ QUERIES = {
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
+    "emb_outlier_report": q_emb_outlier_report,
 }
 
 def _stopword_sql(lang: str) -> str:
