@@ -51,6 +51,7 @@ QUERY_NAMES = [
     # pytest-gated rather than driver-oracle-gated)
     "token_top_k", "decontamination_report", "lm_quality_report",
     "seq_packing_report", "repeated_substring_report",
+    "token_budget_report", "emb_outlier_report",
 ]
 
 

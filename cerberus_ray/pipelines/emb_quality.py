@@ -128,6 +128,8 @@ def _group_cos_stats(scored, label_col: str) -> pd.DataFrame:
 
     pdf = scored.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True).to_pandas()
+    if not len(pdf):  # empty input loses its schema in to_pandas
+        return pd.DataFrame({"label": [], "n": [], "mean": [], "std": []})
     g = pdf.groupby("label", as_index=False)[["n", "s", "s2"]].sum()
     g["mean"] = g["s"] / g["n"].clip(lower=1)
     var = (g["s2"] / g["n"].clip(lower=1) - g["mean"] ** 2).clip(lower=0.0)
