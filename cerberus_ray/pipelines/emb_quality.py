@@ -161,10 +161,13 @@ def embedding_outliers(ds, *, vec_col: str = "embedding",
         cos = b["centroid_cos"].to_numpy(zero_copy_only=False)
         cut = np.array([t.get(v, -np.inf) for v in lab], dtype=np.float64)
         m = ~np.isnan(cos) & (cos < cut)
+        mask = pa.array(m, pa.bool_())
+        # filter the original columns (not numpy round-trips) so Arrow
+        # types — and the schema of empty blocks — are preserved
         return pa.Table.from_pydict({
-            key_col: b[key_col].filter(pa.array(m)),
-            "label": pa.array(lab[m]),
-            "centroid_cos": pa.array(cos[m], pa.float64()),
+            key_col: b[key_col].combine_chunks().filter(mask),
+            "label": b[label_col].combine_chunks().filter(mask),
+            "centroid_cos": b["centroid_cos"].combine_chunks().filter(mask),
             "threshold": pa.array(cut[m], pa.float64())})
 
     out = scored.map_batches(flag, batch_format="pyarrow",
@@ -174,11 +177,12 @@ def embedding_outliers(ds, *, vec_col: str = "embedding",
     def ocount(b: pa.Table) -> pa.Table:
         lab = _label_key(b["label"])
         if not len(lab):  # keep a typed schema on empty blocks
-            return pa.Table.from_pydict(
-                {"label": b["label"], "c": pa.array([], pa.int64())})
+            return (b.select(["label"]).slice(0, 0)
+                    .append_column("c", pa.array([], pa.int64())))
         uniq, cnt = np.unique(lab, return_counts=True)
         return pa.Table.from_pydict({
-            "label": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
+            "label": pa.array(uniq, b.schema.field("label").type),
+            "c": pa.array(cnt.astype(np.int64))})
 
     oc = out.map_batches(ocount, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
