@@ -93,6 +93,16 @@ def test_zero_token_docs_inside_prefix(ray_session):
     assert got == {"a", "b", "c"} == oracle_ids(df, 5)
 
 
+def test_report_pin_sf0001(ray_session):
+    """Driver-surface pin: the token_budget_report is deterministic —
+    exact expected values on the sf0.001 documents table."""
+    from cerberus_ray.pipelines.training_queries import q_token_budget_report
+
+    t = q_token_budget_report("/root/testdata/sf0.001").to_pydict()
+    assert t == {"n_input": [500], "n_selected": [91],
+                 "selected_tokens": [8350], "budget": [8381]}
+
+
 def test_with_token_counts(ray_session):
     df = pd.DataFrame({"doc_id": ["a", "b", "c", "d"],
                        "text": ["one two  three", "", None, "  x  "]})

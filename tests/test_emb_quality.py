@@ -79,6 +79,18 @@ def test_planted_outliers_flagged_exactly(ray_session):
         assert s.loc[k, "n_outliers"] == 2
 
 
+def test_report_pin_sf0001(ray_session):
+    """Driver-surface pin: per-label counts and outlier totals on the
+    sf0.001 embeddings table are deterministic."""
+    from cerberus_ray.pipelines.training_queries import q_emb_outlier_report
+
+    t = q_emb_outlier_report("/root/testdata/sf0.001").to_pydict()
+    assert t["label"] == list(range(10))
+    assert t["n"] == [56, 47, 54, 43, 48, 51, 42, 50, 46, 63]
+    assert t["n_outliers"] == [0, 0, 0, 0, 0, 1, 0, 0, 0, 0]
+    assert t["mean_cos"][0] == 0.1425 and t["std_cos"][0] == 0.1098
+
+
 def test_partitioning_invariance(ray_session):
     df, _ = clustered(n_per=60)
     a = embedding_outliers(
