@@ -175,6 +175,42 @@ def token_budget_cut(ds, budget: int, *, score_col: str,
     return (float(prev["last_score"]), _py(prev["last_key"]))
 
 
+def sample_exact_k(ds, k: int, *, key_col: str = "doc_id",
+                   seed: int = 0, mode: str = "auto"):
+    """Exactly-k uniform sample without replacement — deterministic in
+    (seed, key), partition-invariant, any scale.
+
+    ``Dataset.random_sample(fraction)`` gives a BINOMIAL size; training
+    pipelines routinely need exactly k ("hold out 100k eval docs").
+    Reduction: give every row a deterministic uniform draw keyed on
+    (seed, hash(key)) and take the k smallest — which is exactly the
+    budget prefix cut with score = -draw, unit tokens and budget = k.
+    Inherits the driver/sort mode planner and the two-scalar streamed
+    filter; returns the sampled rows with original columns."""
+    import pyarrow.compute as _pc
+
+    def draw(b: pa.Table) -> pa.Table:
+        keys = b[key_col]
+        if not pa.types.is_integer(keys.type):
+            from ..determinism import hash_strings
+            idx = hash_strings(_pc.cast(keys, pa.string()).to_numpy(
+                zero_copy_only=False))
+        else:
+            idx = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        from ..determinism import uniform01
+        u = uniform01(idx, seed, salt=0xA5)
+        b = b.append_column("_samp_score", pa.array(-u, pa.float64()))
+        return b.append_column("_samp_one",
+                               pa.array(np.ones(b.num_rows, np.int64)))
+
+    scored = ds.map_batches(draw, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    out = select_token_budget(scored, k, score_col="_samp_score",
+                              token_col="_samp_one", key_col=key_col,
+                              mode=mode)
+    return out.drop_columns(["_samp_score", "_samp_one"])
+
+
 def select_token_budget(ds, budget: int, *, score_col: str,
                         token_col: str = "n_tokens",
                         key_col: str = "doc_id", mode: str = "auto"):

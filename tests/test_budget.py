@@ -8,7 +8,8 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from cerberus_ray.pipelines.budget import (select_token_budget,
+from cerberus_ray.pipelines.budget import (sample_exact_k,
+                                           select_token_budget,
                                            token_budget_cut,
                                            with_token_counts)
 
@@ -101,6 +102,28 @@ def test_report_pin_sf0001(ray_session):
     t = q_token_budget_report("/root/testdata/sf0.001").to_pydict()
     assert t == {"n_input": [500], "n_selected": [91],
                  "selected_tokens": [8350], "budget": [8381]}
+
+
+def test_sample_exact_k(ray_session):
+    """Exactly-k size, determinism across partitionings, seed
+    sensitivity, and without-replacement uniqueness."""
+    df = pd.DataFrame({"doc_id": [f"d{i:04d}" for i in range(500)],
+                       "payload": np.arange(500)})
+    a = set(sample_exact_k(rd.from_pandas(df).repartition(3).materialize(),
+                           100, seed=7).to_pandas()["doc_id"])
+    b = set(sample_exact_k(rd.from_pandas(df).repartition(11).materialize(),
+                           100, seed=7).to_pandas()["doc_id"])
+    c = set(sample_exact_k(rd.from_pandas(df).repartition(3).materialize(),
+                           100, seed=8).to_pandas()["doc_id"])
+    assert len(a) == 100 and a == b          # exact size, partition-invariant
+    assert a != c                             # seed moves the sample
+    # int keys too, and k >= n keeps everything
+    dfi = pd.DataFrame({"doc_id": np.arange(40), "x": np.arange(40)})
+    dsi = rd.from_pandas(dfi).repartition(4).materialize()
+    assert sample_exact_k(dsi, 10, seed=1).count() == 10
+    assert sample_exact_k(dsi, 99, seed=1).count() == 40
+    got = sample_exact_k(dsi, 10, seed=1).to_pandas()
+    assert list(got.columns) == ["doc_id", "x"]  # helper columns dropped
 
 
 def test_with_token_counts(ray_session):
