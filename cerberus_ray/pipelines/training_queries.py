@@ -347,6 +347,37 @@ def q_emb_outlier_report(sf_dir: str) -> pa.Table:
         "n_outliers": [int(v) for v in stats["n_outliers"]]})
 
 
+#: declared schemas for the training tables (the TESTDATA.md contract) —
+#: schema drift in any fragment surfaces BEFORE a data pass.
+_DECLARED = {
+    "documents": pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                            ("lang", pa.string()), ("source", pa.string()),
+                            ("n_chars", pa.int64())]),
+    "events": pa.schema([("event_id", pa.int64()),
+                         ("ts", pa.timestamp("us")),
+                         ("user_id", pa.int64()),
+                         ("event_type", pa.string()),
+                         ("value", pa.float64()), ("props", pa.string())]),
+    "embeddings": pa.schema([("vec_id", pa.int64()),
+                             ("embedding", pa.list_(pa.float32())),
+                             ("label", pa.int32())]),
+}
+
+
+def q_schema_conformance_report(sf_dir: str) -> pa.Table:
+    """Schema-conformance report (extras surface): every parquet fragment
+    of the declared training tables checked footer-only against its
+    declared schema → (table, n_violations)."""
+    from ..stages.schema_check import check_parquet_fragments
+
+    names, counts = [], []
+    for t in sorted(_DECLARED):
+        v = check_parquet_fragments(f"{sf_dir}/{t}.parquet", _DECLARED[t])
+        names.append(t)
+        counts.append(int(v.count()))
+    return pa.Table.from_pydict({"table": names, "n_violations": counts})
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters via MinHash pairs → connected components
     (rows-only: LSH + label propagation is not SQL-expressible)."""
@@ -575,6 +606,7 @@ QUERIES = {
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
     "emb_outlier_report": q_emb_outlier_report,
+    "schema_conformance_report": q_schema_conformance_report,
 }
 
 def _stopword_sql(lang: str) -> str:
