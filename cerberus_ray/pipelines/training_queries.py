@@ -378,6 +378,34 @@ def q_schema_conformance_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pydict({"table": names, "n_violations": counts})
 
 
+def q_snapshot_diff_report(sf_dir: str) -> pa.Table:
+    """Snapshot-diff report (extras surface): documents table vs a
+    deterministically perturbed second snapshot (doc_id%13==0 removed,
+    doc_id%17==0 edited, 20 synthetic adds) → per-status counts."""
+    from .snapshot_diff import snapshot_diff_summary
+
+    a = _docs(sf_dir, ["doc_id", "text"]).materialize()
+
+    def perturb(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 13 != 0
+        t = b.filter(pa.array(keep))
+        txt = t["text"].to_numpy(zero_copy_only=False).astype(object)
+        ed = t["doc_id"].to_numpy(zero_copy_only=False) % 17 == 0
+        txt[ed] = [s + " EDITED" for s in txt[ed]]
+        i = t.schema.get_field_index("text")
+        return t.set_column(i, "text", pa.array(txt, pa.string()))
+
+    adds = pa.Table.from_pydict({
+        "doc_id": pa.array(range(10_000_000, 10_000_020), pa.int64()),
+        "text": pa.array([f"synthetic addition {i}" for i in range(20)])})
+    import ray.data as rd
+    snap_b = (a.map_batches(perturb, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .union(rd.from_arrow(adds))).materialize()
+    return snapshot_diff_summary(a, snap_b)
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clusters via MinHash pairs → connected components
     (rows-only: LSH + label propagation is not SQL-expressible)."""
@@ -607,6 +635,7 @@ QUERIES = {
     "token_budget_report": q_token_budget_report,
     "emb_outlier_report": q_emb_outlier_report,
     "schema_conformance_report": q_schema_conformance_report,
+    "snapshot_diff_report": q_snapshot_diff_report,
 }
 
 def _stopword_sql(lang: str) -> str:
