@@ -46,6 +46,7 @@ from typing import Optional, Tuple
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 _DRIVER_MAX_ROWS = 5_000_000
 
@@ -209,6 +210,152 @@ def sample_exact_k(ds, k: int, *, key_col: str = "doc_id",
                               token_col="_samp_one", key_col=key_col,
                               mode=mode)
     return out.drop_columns(["_samp_score", "_samp_one"])
+
+
+def _draw_cols(b: pa.Table, key_col: str, seed: int) -> np.ndarray:
+    """Deterministic uniform draw per key (pure in (seed, key))."""
+    keys = b[key_col]
+    if not pa.types.is_integer(keys.type):
+        from ..determinism import hash_strings
+        idx = hash_strings(pc.cast(keys, pa.string()).to_numpy(
+            zero_copy_only=False))
+    else:
+        idx = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+    from ..determinism import uniform01
+    return uniform01(idx, seed, salt=0xA5)
+
+
+def sample_exact_k_per_group(ds, k: int, *, group_col: str,
+                             key_col: str = "doc_id", seed: int = 0,
+                             mode: str = "auto"):
+    """Stratified exactly-k sample: k uniform draws WITHOUT replacement
+    from every ``group_col`` stratum (groups smaller than k are kept
+    whole) — eval-set construction per language/source. Deterministic in
+    (seed, key); partition-invariant.
+
+    Per group the kept set is a prefix of the (draw asc, key asc) order,
+    so it reduces to ONE cut pair per group. ``mode='driver'`` pulls the
+    compact (group, draw, key) triplets and resolves cuts with one
+    pandas pass (right below ~5M rows). ``mode='sort'`` (scale path)
+    sorts by (group, draw, key) — groups occupy contiguous block
+    ranges — then per-(block, group) summary rows let the driver locate
+    each group's cut block and collect ONLY those boundary blocks
+    (≤ #groups of them). The final filter broadcasts the O(#groups) cut
+    map once. Strata are assumed domain-bounded (languages, sources)."""
+    if mode not in ("auto", "driver", "sort"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    if mode == "auto":
+        mode = "driver" if ds.count() <= _DRIVER_MAX_ROWS else "sort"
+
+    def compact(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "g": b[group_col], "u": pa.array(_draw_cols(b, key_col, seed),
+                                             pa.float64()),
+            "key": b[key_col]})
+
+    tri = ds.map_batches(compact, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    if mode == "driver":
+        pdf = tri.to_pandas().sort_values(["g", "u", "key"],
+                                          kind="mergesort")
+        top = pdf.groupby("g", sort=False).head(k)
+        cuts = top.groupby("g", sort=False).tail(1)  # per-group last kept
+        cut_map = {_py(r["g"]): (float(r["u"]), _py(r["key"]))
+                   for _, r in cuts.iterrows()}
+    else:
+        srt = tri.sort(["g", "u", "key"]).materialize()
+
+        def summary(b: pa.Table) -> pa.Table:
+            """One row per (block, group-run): first/last (u, key) of
+            the run plus its row count."""
+            g = b["g"].to_numpy(zero_copy_only=False)
+            if not len(g):
+                e64 = pa.array([], pa.float64())
+                return pa.Table.from_pydict(
+                    {"g": b["g"], "u0": e64, "k0": b["key"],
+                     "u1": e64, "k1": b["key"],
+                     "n": pa.array([], pa.int64())})
+            new = np.ones(len(g), dtype=bool)
+            new[1:] = g[1:] != g[:-1]
+            starts = np.flatnonzero(new)
+            lasts = np.append(starts[1:] - 1, len(g) - 1)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "g": b["g"].take(pa.array(starts)),
+                "u0": pa.array(u[starts], pa.float64()),
+                "k0": b["key"].take(pa.array(starts)),
+                "u1": pa.array(u[lasts], pa.float64()),
+                "k1": b["key"].take(pa.array(lasts)),
+                "n": pa.array(lasts - starts + 1, pa.int64())})
+
+        # runs of one group across blocks are ordered by their own first
+        # (u, key) — the global sort is (g, u, key), so within a group
+        # the run order IS the (u0, k0) order
+        blk = (srt.map_batches(summary, batch_size=None,
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+               .sort_values(["g", "u0", "k0"], kind="mergesort"))
+        cut_map = {}
+        boundary = []  # (g, run row, remaining-in-run)
+        for g, gg in blk.groupby("g", sort=False):
+            cum = gg["n"].to_numpy().cumsum()
+            if cum[-1] <= k:  # whole group fits: keep-all sentinel
+                cut_map[_py(g)] = None
+                continue
+            ci = int(np.flatnonzero(cum > k)[0])
+            rem = int(k - (cum[ci - 1] if ci else 0))
+            if rem <= 0:  # cut ends exactly at the previous run's last row
+                prev = gg.iloc[ci - 1]
+                cut_map[_py(g)] = (float(prev["u1"]), _py(prev["k1"]))
+            else:
+                boundary.append((_py(g), gg.iloc[ci], rem))
+        if boundary:
+            want = [(g_, float(r["u0"]), _py(r["k0"]), float(r["u1"]),
+                     _py(r["k1"])) for g_, r, _ in boundary]
+
+            def grab(b: pa.Table) -> pa.Table:
+                """Collect ONLY the cut runs' rows — each run lives in
+                one block, so this is ≤ #groups block-sized slices."""
+                g = b["g"].to_numpy(zero_copy_only=False)
+                u = b["u"].to_numpy(zero_copy_only=False)
+                ky = b["key"].to_numpy(zero_copy_only=False)
+                m = np.zeros(len(g), dtype=bool)
+                for g_, u0, k0, u1, k1 in want:
+                    ge = (u > u0) | ((u == u0) & (ky >= k0))
+                    le = (u < u1) | ((u == u1) & (ky <= k1))
+                    m |= (g == g_) & ge & le
+                return b.filter(pa.array(m))
+
+            bp = (srt.map_batches(grab, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+                  .sort_values(["g", "u", "key"], kind="mergesort"))
+            for g_, _, rem in boundary:
+                r = bp[bp["g"] == g_].iloc[rem - 1]
+                cut_map[g_] = (float(r["u"]), _py(r["key"]))
+
+    ref = ray.put(cut_map)
+
+    def keep(b: pa.Table) -> pa.Table:
+        cuts = ray.get(ref)
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        u = _draw_cols(b, key_col, seed)
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        m = np.zeros(len(g), dtype=bool)
+        for gg_, cut in cuts.items():
+            sel = g == gg_
+            if cut is None:  # whole group kept
+                m |= sel
+            else:
+                u_star, k_star = cut
+                m |= sel & ((u < u_star) |
+                            ((u == u_star) & (keys <= k_star)))
+        return b.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def select_token_budget(ds, budget: int, *, score_col: str,

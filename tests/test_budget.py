@@ -9,6 +9,7 @@ import pytest
 import ray.data as rd
 
 from cerberus_ray.pipelines.budget import (sample_exact_k,
+                                           sample_exact_k_per_group,
                                            select_token_budget,
                                            token_budget_cut,
                                            with_token_counts)
@@ -124,6 +125,57 @@ def test_sample_exact_k(ray_session):
     assert sample_exact_k(dsi, 99, seed=1).count() == 40
     got = sample_exact_k(dsi, 10, seed=1).to_pandas()
     assert list(got.columns) == ["doc_id", "x"]  # helper columns dropped
+
+
+def test_sample_exact_k_per_group(ray_session):
+    """Stratified exact-k: exactly min(k, |group|) per stratum, equal to
+    the ground-truth k-smallest-draw set, identical across modes and
+    partitionings."""
+    from cerberus_ray.determinism import hash_strings, uniform01
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(400)],
+        "lang": rng.choice(["en", "de", "fr"], 400, p=[0.6, 0.3, 0.1]),
+        "x": np.arange(400)})
+    df.loc[df.index[:5], "lang"] = "tiny"   # a stratum smaller than k
+
+    # ground truth: k smallest deterministic draws per group
+    u = uniform01(hash_strings(df["doc_id"].to_numpy()), 9, salt=0xA5)
+    exp = set(df.assign(u=u).sort_values(["u", "doc_id"])
+              .groupby("lang").head(40)["doc_id"])
+
+    ds3 = rd.from_pandas(df).repartition(3).materialize()
+    ds9 = rd.from_pandas(df).repartition(9).materialize()
+    a = set(sample_exact_k_per_group(ds3, 40, group_col="lang",
+                                     seed=9, mode="driver")
+            .to_pandas()["doc_id"])
+    b = set(sample_exact_k_per_group(ds9, 40, group_col="lang",
+                                     seed=9, mode="sort")
+            .to_pandas()["doc_id"])
+    assert a == exp == b
+    got = sample_exact_k_per_group(ds3, 40, group_col="lang",
+                                   seed=9).to_pandas()
+    sizes = got.groupby("lang")["doc_id"].count().to_dict()
+    full = df.groupby("lang")["doc_id"].count().to_dict()
+    assert sizes == {g: min(40, n) for g, n in full.items()}
+    assert list(got.columns) == ["doc_id", "lang", "x"]
+    with pytest.raises(ValueError):
+        sample_exact_k_per_group(ds3, 0, group_col="lang")
+
+
+def test_sample_per_group_sort_boundaries(ray_session):
+    """Tiny blocks force group runs to straddle many blocks — exercises
+    the run-summary + cut-run resolution paths of sort mode."""
+    df = pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(120)],
+                       "g": ["a"] * 60 + ["b"] * 60})
+    ds = rd.from_pandas(df).repartition(40).materialize()  # 3-row blocks
+    for k in (1, 7, 59, 60, 61):
+        a = set(sample_exact_k_per_group(ds, k, group_col="g", seed=4,
+                                         mode="driver").to_pandas()["doc_id"])
+        b = set(sample_exact_k_per_group(ds, k, group_col="g", seed=4,
+                                         mode="sort").to_pandas()["doc_id"])
+        assert a == b and len(a) == 2 * min(k, 60), k
 
 
 def test_with_token_counts(ray_session):
