@@ -70,9 +70,9 @@ def group_centroids(ds, *, vec_col: str = "embedding",
     out = []
     for lab, g in pdf.groupby("label", sort=True):
         dim = int(g["dim"].iloc[0])
-        s = np.zeros(dim, dtype=np.float64)
-        for raw in g["vsum"]:
-            s += np.frombuffer(raw, dtype=np.float64)
+        # one buffer decode + one C reduction per label (not per block)
+        s = np.frombuffer(b"".join(g["vsum"]), dtype=np.float64) \
+            .reshape(-1, dim).sum(axis=0)
         n = int(g["n"].sum())
         c = s / max(n, 1)
         nrm = np.linalg.norm(c)
@@ -99,7 +99,9 @@ def score_centroid_cosine(ds, cent: pd.DataFrame, *,
         labels, mat = ray.get(ref)
         m = _unit(_mat(b[vec_col]))
         lab = _label_key(b[label_col])
-        idx = np.array([labels.get(v, -1) for v in lab], dtype=np.int64)
+        # vectorized label→row map (no per-row Python)
+        idx = (pd.Series(lab).map(labels).fillna(-1)
+               .to_numpy(dtype=np.int64))
         cos = np.full(len(lab), np.nan, dtype=np.float64)
         ok = idx >= 0
         if ok.any():
@@ -159,7 +161,8 @@ def embedding_outliers(ds, *, vec_col: str = "embedding",
         t = ray.get(ref)
         lab = _label_key(b[label_col])
         cos = b["centroid_cos"].to_numpy(zero_copy_only=False)
-        cut = np.array([t.get(v, -np.inf) for v in lab], dtype=np.float64)
+        cut = (pd.Series(lab).map(t).fillna(-np.inf)
+               .to_numpy(dtype=np.float64))
         m = ~np.isnan(cos) & (cos < cut)
         mask = pa.array(m, pa.bool_())
         # filter the original columns (not numpy round-trips) so Arrow
