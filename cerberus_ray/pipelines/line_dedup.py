@@ -1,0 +1,204 @@
+"""Corpus-wide exact LINE deduplication — drop lines that recur across
+documents (navigation chrome, cookie banners, license headers, boilerplate).
+
+This is the line-granular member of the dedup family (public recipe:
+C4's repeated-span removal, Raffel et al. 2020; RefinedWeb / Dolma run
+exact line or paragraph dedup corpus-wide before model training). It
+complements `substring_dedup.py` (n-token windows WITHIN flowing text)
+with newline-delimited structural units. Reference analogue: the
+uniqueness rule family at sub-row granularity (SURVEY.md §2.7 O6,
+/root/reference/cerberus/models/booking.py:50,57-64).
+
+Semantics (deterministic and partition-invariant by construction):
+
+- A line's identity is its whitespace-stripped content; blank lines are
+  never dedup candidates (they are structure, not content).
+- A line is *duplicated* when it occurs in ≥ ``min_docs`` DISTINCT
+  documents (within-doc repeats do not count — same contract as
+  ``substring_dedup``).
+- ``keep='none'`` (default) cuts every occurrence — boilerplate removal.
+  ``keep='first'`` keeps the single occurrence in the lexicographically
+  smallest ``key_col`` (deterministic winner, independent of block
+  order — the `exact_dedup_keep_first` contract at line granularity).
+
+Ray shape (two passes, the fused two-pass design shared with the MinHash
+and substring stages):
+
+- Pass 1: per-block explode → strip → per-doc distinct line hashes →
+  (hash, doc-count, min-key) partials via pyarrow hash aggregate.
+  ``mode='driver'`` merges partials on the driver (bounded: the driver
+  holds one row per DISTINCT line hash that appears in ≥2 blocks'
+  partials — at most the distinct-line universe; right at bench scale
+  where Ray's fixed shuffle cost dominates); ``mode='shuffle'`` routes
+  through ``groupby(h).aggregate(Sum, Min)`` and filters to true
+  duplicates BEFORE collecting, so the driver only ever holds
+  cross-doc-duplicated lines (∝ boilerplate volume, not corpus size).
+- Pass 2: the duplicated set — (sorted hashes, parallel min-key array) —
+  broadcasts once via ``ray.put``; one streamed pass rebuilds each doc's
+  text with duplicated lines removed. Membership is a searchsorted;
+  reassembly is one ``'\\n'.join`` per REWRITTEN doc (string building is
+  inherently per-doc; untouched docs pass through byte-identical with no
+  join at all).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..determinism import hash_strings
+
+__all__ = ["duplicated_line_set", "cut_duplicated_lines",
+           "line_dedup_report"]
+
+
+def _block_lines(texts) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (doc_idx, line_hash) for every non-blank stripped line, one row
+    per (doc, distinct line). Vectorized: one split/explode/strip pass."""
+    s = pd.Series(texts, dtype=object).fillna("")
+    ex = s.str.split("\n").explode().str.strip()
+    ex = ex[ex != ""]
+    if not len(ex):
+        z = np.array([], dtype=np.int64)
+        return z, np.array([], dtype=np.uint64)
+    doc_idx = ex.index.to_numpy(dtype=np.int64)
+    h = hash_strings(ex.to_numpy(dtype=object))
+    # per-doc distinct: a doc repeating its own line is one occurrence
+    order = np.lexsort((h, doc_idx))
+    d, hh = doc_idx[order], h[order]
+    first = np.ones(len(hh), dtype=bool)
+    first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    return d[first], hh[first]
+
+
+def duplicated_line_set(ds, *, text_col: str = "text",
+                        key_col: str = "doc_id", min_docs: int = 2,
+                        mode: str = "driver"
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (sorted uint64 hashes, parallel min-key string array) of lines
+    occurring in ≥ min_docs distinct documents."""
+    if mode not in ("driver", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        keys = pc.cast(b[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        d, h = _block_lines(texts)
+        t = pa.Table.from_pydict({
+            "h": pa.array(h, pa.uint64()),
+            "k": pa.array(keys[d] if len(d) else [], pa.string())})
+        g = t.group_by("h").aggregate([([], "count_all"), ("k", "min")])
+        return pa.Table.from_arrays(
+            [g["h"], g["count_all"], g["k_min"]], names=["h", "c", "k"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    empty = (np.array([], dtype=np.uint64), np.array([], dtype=object))
+    if mode == "driver":
+        pdf = partials.to_pandas()
+        if "h" not in pdf.columns or not len(pdf):
+            return empty
+        agg = pdf.groupby("h").agg(c=("c", "sum"), k=("k", "min"))
+        agg = agg[agg["c"] >= min_docs].sort_index()
+        return (agg.index.to_numpy().astype(np.uint64),
+                agg["k"].to_numpy(dtype=object))
+
+    from ray.data.aggregate import Min, Sum
+    merged = (partials.groupby("h")
+              .aggregate(Sum("c", alias_name="c"),
+                         Min("k", alias_name="k")))
+
+    def only_dups(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater_equal(b["c"], min_docs)).select(["h", "k"])
+
+    pdf = (merged.map_batches(only_dups, batch_format="pyarrow")
+           .to_pandas())
+    if "h" not in pdf.columns or not len(pdf):
+        return empty
+    pdf = pdf.sort_values("h")
+    return (pdf["h"].to_numpy().astype(np.uint64),
+            pdf["k"].to_numpy(dtype=object))
+
+
+def cut_duplicated_lines(ds, dup: Tuple[np.ndarray, np.ndarray], *,
+                         text_col: str = "text", key_col: str = "doc_id",
+                         keep: str = "none"):
+    """Rewrite ``text_col`` with duplicated lines removed (``keep='none'``)
+    or removed everywhere except the min-key document (``keep='first'``).
+    Line boundaries and untouched docs are preserved byte-identically;
+    matching is on stripped content, removal takes the whole raw line."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    hashes, keepers = dup
+    ref = ray.put((np.asarray(hashes, dtype=np.uint64),
+                   np.asarray(keepers, dtype=object)))
+
+    def cut(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dup_h, dup_k = ray.get(ref)
+        if not len(dup_h):
+            return b
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        keys = pc.cast(b[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        s = pd.Series(texts, dtype=object).fillna("")
+        lines = s.str.split("\n")
+        ex = lines.explode()
+        doc_idx = ex.index.to_numpy(dtype=np.int64)
+        raw = ex.to_numpy(dtype=object)
+        stripped = ex.str.strip().to_numpy(dtype=object)
+        h = hash_strings(stripped)
+        idx = np.searchsorted(dup_h, h)
+        idx[idx >= len(dup_h)] = len(dup_h) - 1
+        hit = (dup_h[idx] == h) & (stripped != "")
+        if keep == "first":
+            hit &= dup_k[idx] != keys[doc_idx]
+        if not hit.any():
+            return b
+        touched = np.zeros(len(texts), dtype=bool)
+        touched[doc_idx[hit]] = True
+        new_texts = texts.astype(object)
+        kept = ~hit
+        for di in np.flatnonzero(touched):
+            sel = doc_idx == di
+            new_texts[di] = "\n".join(raw[sel & kept])
+        i = b.schema.get_field_index(text_col)
+        return b.set_column(i, text_col, pa.array(new_texts, pa.string()))
+
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def line_dedup_report(ds, *, text_col: str = "text",
+                      key_col: str = "doc_id", min_docs: int = 2,
+                      mode: str = "driver", keep: str = "none",
+                      _mat: Optional[object] = None) -> pa.Table:
+    """One-row summary: duplicated-line universe + removal volume.
+    The input is consumed twice (pass 1 + cut) — parquet-backed inputs
+    stay lazy; in-memory inputs should be materialized by the caller."""
+    dup = duplicated_line_set(ds, text_col=text_col, key_col=key_col,
+                              min_docs=min_docs, mode=mode)
+    cutds = cut_duplicated_lines(ds, dup, text_col=text_col,
+                                 key_col=key_col, keep=keep)
+
+    def vol(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.Table.from_pydict({
+            "docs": [b.num_rows],
+            "chars": [int(pc.sum(pc.utf8_length(
+                pc.fill_null(b[text_col], ""))).as_py() or 0)]})
+
+    before = ds.map_batches(vol, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas().sum()
+    after = cutds.map_batches(vol, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas().sum()
+    return pa.Table.from_pydict({
+        "n_docs": pa.array([int(before["docs"])], pa.int64()),
+        "dup_lines": pa.array([len(dup[0])], pa.int64()),
+        "chars_before": pa.array([int(before["chars"])], pa.int64()),
+        "chars_after": pa.array([int(after["chars"])], pa.int64()),
+    })

@@ -263,6 +263,29 @@ def q_repeated_substring_report(sf_dir: str) -> pa.Table:
                               if len(pdf) else 0]})
 
 
+def q_line_dedup_report(sf_dir: str) -> pa.Table:
+    """Corpus-wide exact line-dedup report (extras surface). The synthetic
+    documents table is single-line, so texts are first re-wrapped
+    deterministically into 10-token lines (pure function of the text —
+    partition-invariant); the table's injected whole-doc duplicates then
+    surface as cross-doc duplicated lines."""
+    from .line_dedup import line_dedup_report
+
+    def wrap(b: pa.Table) -> pa.Table:
+        txts = b["text"].to_pylist()
+        out = []
+        for t in txts:
+            toks = (t or "").split()
+            out.append("\n".join(" ".join(toks[i:i + 10])
+                                 for i in range(0, len(toks), 10)))
+        i = b.schema.get_field_index("text")
+        return b.set_column(i, "text", pa.array(out, pa.string()))
+
+    docs = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(wrap, batch_format="pyarrow").materialize())
+    return line_dedup_report(docs, min_docs=2, mode="driver")
+
+
 def q_quality_prune_report(sf_dir: str) -> pa.Table:
     """Quantile-pruning report (extras surface): keep the top 40% of the
     documents table by text length via the merged-t-digest global
@@ -630,6 +653,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "seq_packing_report": q_seq_packing_report,
     "repeated_substring_report": q_repeated_substring_report,
+    "line_dedup_report": q_line_dedup_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
