@@ -171,6 +171,86 @@ def lang_id(ds, *, concurrency: int = 4, batch_size: int = 2048):
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (Gopher Appendix-A repetition filters)
+# ---------------------------------------------------------------------------
+
+def repetition_signals(ds, *, text_col: str = "text",
+                       batch_size: int = 2048):
+    """Per-document repetition statistics — the within-document repetition
+    family of the Gopher quality rules (Rae et al. 2021, Table A1; the
+    across-document complement lives in `line_dedup.py`):
+
+    - ``dup_line_frac``: duplicated lines / total non-blank lines (a line
+      counts as duplicated when the same stripped content occurs on an
+      earlier line of the SAME doc)
+    - ``dup_line_char_frac``: characters inside duplicated lines / total
+      non-blank line characters
+    - ``top2gram_char_frac``: characters covered by the most frequent
+      word 2-gram / total token characters
+    - ``rep_flag``: the Gopher gate (dup_line_frac > 0.30 or
+      top2gram_char_frac > 0.20)
+
+    Fully vectorized: one explode + two pandas groupby counts per batch —
+    no per-document Python. Ratios use `_round4` half-away rounding (the
+    shared oracle-parity convention)."""
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        # --- line duplication -------------------------------------------
+        lines = texts.str.split("\n").explode().str.strip()
+        lines = lines[lines != ""]
+        if len(lines):
+            li = pd.DataFrame({"d": lines.index, "v": lines.to_numpy()})
+            li["chars"] = li["v"].str.len()
+            occ = li.groupby(["d", "v"], sort=False)["chars"].agg(
+                n="count", c="first")
+            n_lines = occ.groupby(level="d")["n"].sum()
+            dup_lines = (occ["n"] - 1).groupby(level="d").sum()
+            tot_chars = (occ["n"] * occ["c"]).groupby(level="d").sum()
+            dup_chars = ((occ["n"] - 1) * occ["c"]).groupby(level="d").sum()
+        else:
+            n_lines = dup_lines = tot_chars = dup_chars = pd.Series(
+                dtype="int64")
+        idx = batch.index
+        n_lines = n_lines.reindex(idx).fillna(0)
+        dlf = dup_lines.reindex(idx).fillna(0) / n_lines.clip(lower=1)
+        dcf = (dup_chars.reindex(idx).fillna(0)
+               / tot_chars.reindex(idx).fillna(0).clip(lower=1))
+        # --- top word-2-gram --------------------------------------------
+        toks = texts.str.lower().str.split().explode().dropna()
+        if len(toks):
+            d = toks.index.to_numpy()
+            v = toks.to_numpy(dtype=object).astype(str)
+            same = d[:-1] == d[1:]          # pair stays inside its doc
+            big_d = d[:-1][same]
+            big_v = np.char.add(np.char.add(v[:-1][same], " "),
+                                v[1:][same])
+            bi = pd.DataFrame({"d": big_d, "v": big_v})
+            bi["chars"] = bi["v"].str.len() - 1  # chars of the two words
+            top = (bi.groupby(["d", "v"], sort=False)["chars"]
+                   .agg(n="count", c="first").reset_index())
+            top["cov"] = top["n"] * top["c"]
+            top_cov = top.groupby("d")["cov"].max()
+            tok_chars = pd.Series(
+                np.char.str_len(v), index=d).groupby(level=0).sum()
+        else:
+            top_cov = tok_chars = pd.Series(dtype="int64")
+        t2 = (top_cov.reindex(idx).fillna(0)
+              / tok_chars.reindex(idx).fillna(0).clip(lower=1))
+        out = batch[[c for c in batch.columns if c != text_col]].copy()
+        out["n_lines"] = n_lines.astype("int64")
+        out["dup_line_frac"] = _round4(dlf.astype(float))
+        out["dup_line_char_frac"] = _round4(dcf.astype(float))
+        out["top2gram_char_frac"] = _round4(t2.astype(float))
+        out["rep_flag"] = ((out["dup_line_frac"] > 0.30)
+                           | (out["top2gram_char_frac"] > 0.20))
+        return out
+
+    return ds.map_batches(signals, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
 # token counts (oracle-expressible subset)
 # ---------------------------------------------------------------------------
 

@@ -286,6 +286,34 @@ def q_line_dedup_report(sf_dir: str) -> pa.Table:
     return line_dedup_report(docs, min_docs=2, mode="driver")
 
 
+def q_doc_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition-signal rollup (extras surface) over the
+    documents table, re-wrapped into 10-token lines (same deterministic
+    wrap as line_dedup_report so line signals are exercised)."""
+    from .text import repetition_signals
+
+    def wrap(b: pa.Table) -> pa.Table:
+        out = ["\n".join(" ".join((t or "").split()[i:i + 10])
+                         for i in range(0, len((t or "").split()), 10))
+               for t in b["text"].to_pylist()]
+        i = b.schema.get_field_index("text")
+        return b.set_column(i, "text", pa.array(out, pa.string()))
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        wrap, batch_format="pyarrow")
+    sig = repetition_signals(docs).to_pandas()
+    return pa.Table.from_pydict({
+        "n_docs": pa.array([len(sig)], pa.int64()),
+        "n_flagged": pa.array([int(sig["rep_flag"].sum())], pa.int64()),
+        "mean_dup_line_frac": pa.array(
+            [float(np.floor(sig["dup_line_frac"].mean() * 1e4 + 0.5) / 1e4)],
+            pa.float64()),
+        "mean_top2gram_char_frac": pa.array(
+            [float(np.floor(sig["top2gram_char_frac"].mean() * 1e4 + 0.5)
+                   / 1e4)], pa.float64()),
+    })
+
+
 def q_quality_prune_report(sf_dir: str) -> pa.Table:
     """Quantile-pruning report (extras surface): keep the top 40% of the
     documents table by text length via the merged-t-digest global
@@ -654,6 +682,7 @@ QUERIES = {
     "seq_packing_report": q_seq_packing_report,
     "repeated_substring_report": q_repeated_substring_report,
     "line_dedup_report": q_line_dedup_report,
+    "doc_repetition": q_doc_repetition,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
