@@ -171,6 +171,36 @@ def lang_id(ds, *, concurrency: int = 4, batch_size: int = 2048):
 
 
 # ---------------------------------------------------------------------------
+# PII patterns + redaction
+# ---------------------------------------------------------------------------
+
+#: RE2 patterns shared verbatim with the doc_pii_scan DuckDB oracle and the
+#: redaction parity tests (pattern-as-contract, same trick as SUBWORD_RE).
+PII_EMAIL_RE = r"[^@\s]+@[^@\s]+\.[^@\s]+"
+PII_PHONE_RE = r"(\+447|07)[0-9]{9}"
+
+
+def redact_pii(ds, *, text_col: str = "text",
+               email_token: str = "<EMAIL>", phone_token: str = "<PHONE>"):
+    """Replace every email-like then phone-like substring with a fixed
+    placeholder token — the removal complement of `doc_pii_scan` (public
+    pipeline hygiene step; both sides are RE2: pyarrow here, DuckDB
+    ``regexp_replace(..., 'g')`` in the parity test, so offsets and
+    greediness cannot drift). Replacement order (emails first) is part of
+    the contract. Stateless streamed pass; all other columns untouched."""
+    import pyarrow.compute as pc
+
+    def red(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b[text_col], "")
+        t = pc.replace_substring_regex(t, PII_EMAIL_RE, email_token)
+        t = pc.replace_substring_regex(t, PII_PHONE_RE, phone_token)
+        i = b.schema.get_field_index(text_col)
+        return b.set_column(i, text_col, t)
+
+    return ds.map_batches(red, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # repetition signals (Gopher Appendix-A repetition filters)
 # ---------------------------------------------------------------------------
 

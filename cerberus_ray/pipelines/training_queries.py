@@ -286,6 +286,36 @@ def q_line_dedup_report(sf_dir: str) -> pa.Table:
     return line_dedup_report(docs, min_docs=2, mode="driver")
 
 
+def q_doc_pii_redact(sf_dir: str) -> pa.Table:
+    """PII redaction rollup (extras surface): docs changed by redaction
+    and total chars delta, per source. The redacted TEXT itself is
+    DuckDB-parity-tested in tests/test_pii_redact.py."""
+    from ..stages.groupagg import grouped_agg
+    from .text import redact_pii
+
+    ds = _docs(sf_dir, ["source", "text"]).materialize()
+    red = redact_pii(ds)
+
+    def delta(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b["source"], pc.utf8_length(pc.fill_null(b["text"], ""))],
+            names=["source", "n_chars"])
+
+    a = grouped_agg(ds.map_batches(delta, batch_format="pyarrow"),
+                    ["source"], {"n_docs": ("", "count"),
+                                 "chars": ("n_chars", "sum")})
+    b = grouped_agg(red.map_batches(delta, batch_format="pyarrow"),
+                    ["source"], {"n_docs": ("", "count"),
+                                 "chars": ("n_chars", "sum")})
+    m = (a.merge(b, on="source", suffixes=("_before", "_after"))
+         .sort_values("source").reset_index(drop=True))
+    return pa.Table.from_pydict({
+        "source": m["source"],
+        "n_docs": m["n_docs_before"].astype("int64"),
+        "chars_before": m["chars_before"].astype("int64"),
+        "chars_after": m["chars_after"].astype("int64")})
+
+
 def q_doc_repetition(sf_dir: str) -> pa.Table:
     """Gopher-style repetition-signal rollup (extras surface) over the
     documents table, re-wrapped into 10-token lines (same deterministic
@@ -579,8 +609,8 @@ def q_events_drift_check(sf_dir: str) -> pa.Table:
 #: unanchored in-document variants of the contact regex cascade
 #: (functions/strings.py EMAIL_RE family, cerberus/models/contact.py) —
 #: RE2 on BOTH sides (Arrow and DuckDB), so the pattern is the contract
-_EMAIL_IN_TEXT = r"[^@\s]+@[^@\s]+\.[^@\s]+"
-_PHONE_IN_TEXT = r"(\+447|07)[0-9]{9}"
+_EMAIL_IN_TEXT = TX.PII_EMAIL_RE
+_PHONE_IN_TEXT = TX.PII_PHONE_RE
 
 
 def q_doc_pii_scan(sf_dir: str) -> pa.Table:
@@ -683,6 +713,7 @@ QUERIES = {
     "repeated_substring_report": q_repeated_substring_report,
     "line_dedup_report": q_line_dedup_report,
     "doc_repetition": q_doc_repetition,
+    "doc_pii_redact": q_doc_pii_redact,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
