@@ -316,6 +316,45 @@ def q_doc_pii_redact(sf_dir: str) -> pa.Table:
         "chars_after": m["chars_after"].astype("int64")})
 
 
+def q_nb_quality_report(sf_dir: str) -> pa.Table:
+    """Model-based quality filter (extras surface): fit the Naive Bayes
+    classifier on TextScorer's heuristic gate as weak labels (the public
+    weak-supervision recipe: heuristic seed labels → learned scorer),
+    re-score the corpus, and report prediction volume + agreement with
+    the weak labels."""
+    from .quality_classifier import fit_nb, score_nb
+    from .text import score_text
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    keep = docs.map_batches(lambda df: df.assign(_orig=df["text"]),
+                            batch_format="pandas")
+    # concurrency < session cores: an actor pool sized to ALL cores
+    # starves its upstream tasks (documented deadlock)
+    scored = score_text(keep, concurrency=2)
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        # the synthetic table passes the Gopher gate wholesale, so the
+        # weak label tightens it with a lexical-diversity cut to get a
+        # two-class training signal (weak-supervision recipe unchanged)
+        weak = df["quality_pass"] & (df["unique_token_ratio"] > 0.45)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "text": df["_orig"],
+            "label": np.where(weak, "good", "junk")})
+
+    labeled = scored.map_batches(lab, batch_format="pandas").materialize()
+    model = fit_nb(labeled, vocab_size=20_000)
+    out = score_nb(labeled, model).to_pandas()
+    return pa.Table.from_pydict({
+        "n_docs": pa.array([len(out)], pa.int64()),
+        "n_pred_good": pa.array([int((out["nb_pred"] == "good").sum())],
+                                pa.int64()),
+        "n_pred_junk": pa.array([int((out["nb_pred"] == "junk").sum())],
+                                pa.int64()),
+        "weak_label_agreement": pa.array(
+            [float(np.floor((out["nb_pred"] == out["label"]).mean() * 1e4
+                            + 0.5) / 1e4)], pa.float64())})
+
+
 def q_doc_repetition(sf_dir: str) -> pa.Table:
     """Gopher-style repetition-signal rollup (extras surface) over the
     documents table, re-wrapped into 10-token lines (same deterministic
@@ -714,6 +753,7 @@ QUERIES = {
     "line_dedup_report": q_line_dedup_report,
     "doc_repetition": q_doc_repetition,
     "doc_pii_redact": q_doc_pii_redact,
+    "nb_quality_report": q_nb_quality_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
