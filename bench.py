@@ -52,6 +52,7 @@ QUERY_NAMES = [
     "token_top_k", "decontamination_report", "lm_quality_report",
     "seq_packing_report", "repeated_substring_report",
     "token_budget_report", "emb_outlier_report",
+    "line_dedup_report", "nb_quality_report", "doc_repetition",
 ]
 
 

@@ -316,6 +316,26 @@ def q_doc_pii_redact(sf_dir: str) -> pa.Table:
         "chars_after": m["chars_after"].astype("int64")})
 
 
+def q_numeric_outlier_report(sf_dir: str) -> pa.Table:
+    """Distribution-derived range validation (extras surface): z-score and
+    Tukey-IQR outlier counts over the skewed events.value column. The
+    t-digest quartile fences are partition-dependent at the margin, so
+    the block layout is pinned for run-to-run determinism."""
+    from ..stages.outliers import numeric_outlier_violations
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "value"]).repartition(4)
+    ev = ev.materialize()
+    z = numeric_outlier_violations(
+        ev, ["value"], key_col="event_id", method="zscore", k=3.0).count()
+    i = numeric_outlier_violations(
+        ev, ["value"], key_col="event_id", method="iqr", k=1.5).count()
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([ev.count()], pa.int64()),
+        "n_zscore": pa.array([int(z)], pa.int64()),
+        "n_iqr": pa.array([int(i)], pa.int64())})
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -754,6 +774,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_pii_redact": q_doc_pii_redact,
     "nb_quality_report": q_nb_quality_report,
+    "numeric_outlier_report": q_numeric_outlier_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,

@@ -1,0 +1,104 @@
+"""Numeric-column outlier validation — distribution-based range rules.
+
+Extends the static range rule (M17, `rules/core.range_rule`) with fences
+derived from the DATA: z-score (mean ± k·σ) and IQR (Tukey fences from
+t-digest quartiles). This is the "column stats" leg of the validation
+engine's north rule — the same two-pass shape as drift: a tiny mergeable
+profile pass, then a streamed flag pass emitting standard violation rows
+(doc_id, rule, path, detail).
+
+Scale shape:
+
+- Pass 1 reuses `drift.profile_dataset`: per-block (col → count / Σx /
+  Σx² / t-digest) partial rows, driver merge is O(#cols × #blocks) tiny
+  sketches. Moments are exact (population σ from Σ/Σ² at float64);
+  quartiles are t-digest-approximate with the documented rank-accuracy
+  contract (tests/test_pruning.py establishes it for this digest).
+- Pass 2 broadcasts the per-column fence pairs (a dict of 2 floats per
+  column — O(#cols)) and flags rows in one vectorized pass. No shuffle
+  anywhere; violations stream to the caller ∝ outlier rate.
+
+The z-score fences are SQL-expressible (AVG / STDDEV_POP) — the parity
+test compares flagged counts per column against DuckDB on the same data.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..schema import VIOLATIONS
+from .drift import NumericProfile, profile_dataset
+
+__all__ = ["numeric_fences", "numeric_outlier_violations"]
+
+
+def numeric_fences(ds, cols: Sequence[str], *, method: str = "zscore",
+                   k: float = 3.0) -> Dict[str, Tuple[float, float]]:
+    """→ {col: (lo, hi)} from one profile pass. ``zscore``: mean ± k·σ
+    (population σ); ``iqr``: [q1 − k·IQR, q3 + k·IQR] (Tukey fences,
+    conventionally k=1.5) from t-digest quartiles."""
+    if method not in ("zscore", "iqr"):
+        raise ValueError(f"unknown method {method!r}")
+    prof = profile_dataset(ds, numeric=list(cols))
+    fences: Dict[str, Tuple[float, float]] = {}
+    for c in cols:
+        p = prof.columns.get(c)
+        if not isinstance(p, NumericProfile) or not p.count:
+            fences[c] = (-np.inf, np.inf)
+            continue
+        if method == "zscore":
+            mean = p.total / p.count
+            var = max(p.total_sq / p.count - mean * mean, 0.0)
+            sd = var ** 0.5
+            fences[c] = (mean - k * sd, mean + k * sd)
+        else:
+            q1 = float(p.digest.quantile(0.25))
+            q3 = float(p.digest.quantile(0.75))
+            iqr = q3 - q1
+            fences[c] = (q1 - k * iqr, q3 + k * iqr)
+    return fences
+
+
+def numeric_outlier_violations(ds, cols: Sequence[str], *,
+                               key_col: str = "doc_id",
+                               method: str = "zscore", k: float = 3.0,
+                               rule_name: str | None = None):
+    """→ violations Dataset (VIOLATIONS schema): one row per (row, col)
+    outside that column's fence. Nulls are never outliers (nullability is
+    its own rule). The fences dict broadcasts once via ``ray.put``."""
+    fences = numeric_fences(ds, cols, method=method, k=k)
+    rule = rule_name or f"numeric-outlier-{method}"
+    ref = ray.put(fences)
+
+    def flag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        fen = ray.get(ref)
+        keys = pc.cast(b[key_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        out_keys, out_path, out_detail = [], [], []
+        for c, (lo, hi) in fen.items():
+            x = b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            bad = np.flatnonzero(~np.isnan(x) & ((x < lo) | (x > hi)))
+            if not len(bad):
+                continue
+            out_keys.append(keys[bad])
+            out_path.append(np.full(len(bad), c, dtype=object))
+            out_detail.append(np.array(
+                [f"{v:.6g} outside [{lo:.6g}, {hi:.6g}]"
+                 for v in x[bad]], dtype=object))
+        if not out_keys:
+            return VIOLATIONS.empty_table()
+        n = sum(len(a) for a in out_keys)
+        return pa.Table.from_arrays([
+            pa.array(np.concatenate(out_keys), pa.string()),
+            pa.array(np.full(n, rule, dtype=object), pa.string()),
+            pa.array(np.concatenate(out_path), pa.string()),
+            pa.array(np.concatenate(out_detail), pa.string())],
+            schema=VIOLATIONS)
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)
