@@ -62,6 +62,39 @@ def sample_by_source(ds, weights: Dict[str, float], *,
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def assign_splits(ds, ratios: Dict[str, float], *,
+                  key_col: str = "doc_id", seed: int = 42,
+                  out_col: str = "split"):
+    """Deterministic train/val/test assignment: append ``out_col`` with
+    the split name drawn from ``ratios`` (must sum to 1 within 1e-9).
+
+    Assignment is pure in (seed, key) — the same counter-based-hash
+    contract as ``sample_by_source``: a document lands in the same split
+    under retries, block splits, cluster resize, or re-ingestion, which
+    is what prevents silent train/eval leakage when a corpus is rebuilt.
+    Split names are processed in sorted order so the cut points are
+    independent of dict insertion order. Sizes are binomial (hash-split
+    convention); use ``budget.sample_exact_k`` when exact counts matter."""
+    if abs(sum(ratios.values()) - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {sum(ratios.values())}")
+    if any(w < 0 for w in ratios.values()):
+        raise ValueError("ratios must be non-negative")
+    names = sorted(ratios)
+    cuts = np.cumsum([ratios[s] for s in names])
+    cuts[-1] = 1.0 + 1e-15          # guard the topmost edge
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b[key_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        u = (hash_strings(np.char.add(keys.astype(str), f"|split{seed}"))
+             .astype(np.float64) / 2.0 ** 64)
+        idx = np.searchsorted(cuts, u, side="right")
+        lab = np.asarray(names, dtype=object)[np.clip(idx, 0, len(names) - 1)]
+        return b.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def chunk_documents(ds, *, text_col: str = "text", key_col: str = "doc_id",
                     max_tokens: int = 512, overlap: int = 0):
     """→ Dataset (doc_id, chunk_idx, text, n_tokens); empty docs emit no

@@ -316,6 +316,21 @@ def q_doc_pii_redact(sf_dir: str) -> pa.Table:
         "chars_after": m["chars_after"].astype("int64")})
 
 
+def q_split_report(sf_dir: str) -> pa.Table:
+    """Deterministic 80/10/10 hash split of the documents table (extras
+    surface): (split, n_docs) rows — re-runs and re-partitions reproduce
+    the same assignment (leakage-proof rebuilds)."""
+    from ..stages.groupagg import grouped_agg
+    from .mixing import assign_splits
+
+    tagged = assign_splits(_docs(sf_dir, ["doc_id"]),
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    g = grouped_agg(tagged, ["split"], {"n_docs": ("", "count")})
+    g = g.sort_values("split").reset_index(drop=True)
+    return pa.Table.from_pandas(g[["split", "n_docs"]],
+                                preserve_index=False)
+
+
 def q_numeric_outlier_report(sf_dir: str) -> pa.Table:
     """Distribution-derived range validation (extras surface): z-score and
     Tukey-IQR outlier counts over the skewed events.value column. The
@@ -775,6 +790,7 @@ QUERIES = {
     "doc_pii_redact": q_doc_pii_redact,
     "nb_quality_report": q_nb_quality_report,
     "numeric_outlier_report": q_numeric_outlier_report,
+    "split_report": q_split_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
