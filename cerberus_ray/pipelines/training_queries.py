@@ -316,6 +316,45 @@ def q_doc_pii_redact(sf_dir: str) -> pa.Table:
         "chars_after": m["chars_after"].astype("int64")})
 
 
+def q_incremental_validation_report(sf_dir: str) -> pa.Table:
+    """Incremental validation demo (extras surface): snapshot v2 = v1
+    with a deterministic perturbation (5% removed, ~9% changed with one
+    planted oversize violation each); only the changed docs re-validate.
+    Exactness vs full re-validation is the test file's property."""
+    from ..datagen import DEFAULT_FRACTIONS, GenConfig, docs_dataset, \
+        media_dataset
+    from .incremental import incremental_validate
+
+    fr = {k: (0.0 if k == "unique-doc-id" else v)
+          for k, v in DEFAULT_FRACTIONS.items()}
+    cfg = GenConfig(n_docs=2000, n_media=500, fractions=fr)
+    max_len = cfg.text_max_len
+
+    def perturb(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        b = b.filter(pa.array([not i.endswith("0") for i in ids]))
+        rows = b.to_pylist()
+        for r in rows:
+            if r["doc_id"].endswith("7") and r["spans"]:
+                r["spans"][0]["text"] = "y" * (max_len + 3)
+        return pa.Table.from_pylist(rows, schema=b.schema)
+
+    v1 = docs_dataset(cfg, fragment_size=500).materialize()
+    v2 = v1.map_batches(perturb, batch_format="pyarrow").materialize()
+    res = incremental_validate(v1, v2, media_dataset(cfg),
+                               text_max_len=max_len)
+    s = {r["status"]: r["n_docs"] for r in res["summary"].to_pylist()}
+    return pa.Table.from_pydict({
+        "n_removed": pa.array([s.get("removed", 0)], pa.int64()),
+        "n_changed": pa.array([s.get("changed", 0)], pa.int64()),
+        "n_unchanged": pa.array([s.get("unchanged", 0)], pa.int64()),
+        "n_revalidated": pa.array([res["n_revalidated"]], pa.int64()),
+        "n_delta_violations": pa.array([len(res["delta_violations"])],
+                                       pa.int64()),
+        "n_unique_violations": pa.array(
+            [len(res["uniqueness_violations"])], pa.int64())})
+
+
 def q_split_report(sf_dir: str) -> pa.Table:
     """Deterministic 80/10/10 hash split of the documents table (extras
     surface): (split, n_docs) rows — re-runs and re-partitions reproduce
@@ -791,6 +830,7 @@ QUERIES = {
     "nb_quality_report": q_nb_quality_report,
     "numeric_outlier_report": q_numeric_outlier_report,
     "split_report": q_split_report,
+    "incremental_validation_report": q_incremental_validation_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
