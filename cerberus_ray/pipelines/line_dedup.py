@@ -58,15 +58,23 @@ __all__ = ["duplicated_line_set", "cut_duplicated_lines",
 
 def _block_lines(texts) -> Tuple[np.ndarray, np.ndarray]:
     """→ (doc_idx, line_hash) for every non-blank stripped line, one row
-    per (doc, distinct line). Vectorized: one split/explode/strip pass."""
-    s = pd.Series(texts, dtype=object).fillna("")
-    ex = s.str.split("\n").explode().str.strip()
-    ex = ex[ex != ""]
-    if not len(ex):
+    per (doc, distinct line). All-Arrow: split_pattern → flatten →
+    trim, with doc attribution from the list lengths."""
+    import pyarrow.compute as pc
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else \
+        pa.array(pd.Series(texts, dtype=object).fillna(""), pa.string())
+    lst = pc.split_pattern(pc.fill_null(arr, ""), "\n")
+    flat = pc.utf8_trim_whitespace(lst.combine_chunks().flatten()
+                                   if isinstance(lst, pa.ChunkedArray)
+                                   else lst.flatten())
+    lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    doc_all = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.any():
         z = np.array([], dtype=np.int64)
         return z, np.array([], dtype=np.uint64)
-    doc_idx = ex.index.to_numpy(dtype=np.int64)
-    h = hash_strings(ex.to_numpy(dtype=object))
+    doc_idx = doc_all[keep]
+    h = hash_strings(flat.filter(pa.array(keep)))
     # per-doc distinct: a doc repeating its own line is one occurrence
     order = np.lexsort((h, doc_idx))
     d, hh = doc_idx[order], h[order]
@@ -86,9 +94,8 @@ def duplicated_line_set(ds, *, text_col: str = "text",
 
     def partial(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        texts = b[text_col].to_numpy(zero_copy_only=False)
         keys = pc.cast(b[key_col], pa.string()).to_numpy(zero_copy_only=False)
-        d, h = _block_lines(texts)
+        d, h = _block_lines(b[text_col])
         t = pa.Table.from_pydict({
             "h": pa.array(h, pa.uint64()),
             "k": pa.array(keys[d] if len(d) else [], pa.string())})

@@ -263,6 +263,16 @@ def q_repeated_substring_report(sf_dir: str) -> pa.Table:
                               if len(pdf) else 0]})
 
 
+def _wrap10(b: pa.Table) -> pa.Table:
+    """Deterministic 10-token line re-wrap, fully vectorized: the input
+    texts are single-space-separated, so re-wrapping is one global RE2
+    replace of the space after every 10th token with a newline."""
+    t = pc.fill_null(b["text"], "")
+    t = pc.replace_substring_regex(t, r"((?:\S+ ){9}\S+) ", "\\1\n")
+    i = b.schema.get_field_index("text")
+    return b.set_column(i, "text", t)
+
+
 def q_line_dedup_report(sf_dir: str) -> pa.Table:
     """Corpus-wide exact line-dedup report (extras surface). The synthetic
     documents table is single-line, so texts are first re-wrapped
@@ -271,18 +281,9 @@ def q_line_dedup_report(sf_dir: str) -> pa.Table:
     surface as cross-doc duplicated lines."""
     from .line_dedup import line_dedup_report
 
-    def wrap(b: pa.Table) -> pa.Table:
-        txts = b["text"].to_pylist()
-        out = []
-        for t in txts:
-            toks = (t or "").split()
-            out.append("\n".join(" ".join(toks[i:i + 10])
-                                 for i in range(0, len(toks), 10)))
-        i = b.schema.get_field_index("text")
-        return b.set_column(i, "text", pa.array(out, pa.string()))
-
     docs = (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(wrap, batch_format="pyarrow").materialize())
+            .map_batches(_wrap10, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize())
     return line_dedup_report(docs, min_docs=2, mode="driver")
 
 
@@ -435,15 +436,8 @@ def q_doc_repetition(sf_dir: str) -> pa.Table:
     wrap as line_dedup_report so line signals are exercised)."""
     from .text import repetition_signals
 
-    def wrap(b: pa.Table) -> pa.Table:
-        out = ["\n".join(" ".join((t or "").split()[i:i + 10])
-                         for i in range(0, len((t or "").split()), 10))
-               for t in b["text"].to_pylist()]
-        i = b.schema.get_field_index("text")
-        return b.set_column(i, "text", pa.array(out, pa.string()))
-
     docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        wrap, batch_format="pyarrow")
+        _wrap10, batch_format="pyarrow", zero_copy_batch=True)
     sig = repetition_signals(docs).to_pandas()
     return pa.Table.from_pydict({
         "n_docs": pa.array([len(sig)], pa.int64()),
