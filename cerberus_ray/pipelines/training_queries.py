@@ -356,6 +356,32 @@ def q_incremental_validation_report(sf_dir: str) -> pa.Table:
             [len(res["uniqueness_violations"])], pa.int64())})
 
 
+def q_bpe_report(sf_dir: str) -> pa.Table:
+    """BPE tokenizer training (extras surface): fit 40 merges on the
+    documents table, re-encode the corpus, report vocabulary shape and
+    token volume (fertility = BPE tokens per whitespace word)."""
+    from .bpe import encode_bpe, fit_bpe
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    merges = fit_bpe(docs, num_merges=40)
+    enc = encode_bpe(docs, merges)
+
+    def agg(b: pa.Table) -> pa.Table:
+        words = pc.count_substring_regex(
+            pc.fill_null(b["text"], ""), r"\S+")
+        return pa.Table.from_pydict({
+            "t": [int(pc.sum(b["n_bpe_tokens"]).as_py() or 0)],
+            "w": [int(pc.sum(words).as_py() or 0)]})
+
+    s = enc.map_batches(agg, batch_format="pyarrow").to_pandas().sum()
+    fert = float(np.floor(s["t"] / max(int(s["w"]), 1) * 1e4 + 0.5) / 1e4)
+    return pa.Table.from_pydict({
+        "n_merges": pa.array([len(merges)], pa.int64()),
+        "total_bpe_tokens": pa.array([int(s["t"])], pa.int64()),
+        "total_words": pa.array([int(s["w"])], pa.int64()),
+        "fertility": pa.array([fert], pa.float64())})
+
+
 def q_split_report(sf_dir: str) -> pa.Table:
     """Deterministic 80/10/10 hash split of the documents table (extras
     surface): (split, n_docs) rows — re-runs and re-partitions reproduce
@@ -825,6 +851,7 @@ QUERIES = {
     "numeric_outlier_report": q_numeric_outlier_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
+    "bpe_report": q_bpe_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
