@@ -356,6 +356,29 @@ def q_incremental_validation_report(sf_dir: str) -> pa.Table:
             [len(res["uniqueness_violations"])], pa.int64())})
 
 
+def q_constraint_check_report(sf_dir: str) -> pa.Table:
+    """Cross-row constraint validation (extras surface): a functional
+    dependency probe (o_custkey → o_orderpriority — expected to be
+    violated: priorities vary per customer) and per-user event-value
+    monotonicity ordered by ts. DuckDB-parity-tested in
+    tests/test_constraints.py."""
+    from ..stages.constraints import (functional_dependency_violations,
+                                      monotonic_violations)
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderpriority"])
+    fd = functional_dependency_violations(
+        orders, "o_custkey", "o_orderpriority", key_col="o_orderkey")
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "value"])
+    mono = monotonic_violations(ev, "user_id", "ts", "value",
+                                id_col="event_id")
+    return pa.Table.from_pydict({
+        "n_fd_violations": pa.array([fd.count()], pa.int64()),
+        "n_monotonic_violations": pa.array([mono.count()], pa.int64())})
+
+
 def q_bpe_report(sf_dir: str) -> pa.Table:
     """BPE tokenizer training (extras surface): fit 40 merges on the
     documents table, re-encode the corpus, report vocabulary shape and
@@ -852,6 +875,7 @@ QUERIES = {
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
+    "constraint_check_report": q_constraint_check_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
