@@ -601,6 +601,17 @@ _DECLARED = {
 }
 
 
+def q_semantic_dedup_report(sf_dir: str) -> pa.Table:
+    """Semantic-dedup funnel (extras surface): SemDeDup-style k-means +
+    within-cluster cosine pruning over the embeddings table."""
+    from .semdedup import semantic_dedup_report
+
+    # τ matches emb_near_dup: the synthetic embeddings' injected
+    # near-dups sit around cosine 0.45-0.51 (no higher-sim pairs exist)
+    return semantic_dedup_report(_emb(sf_dir).materialize(),
+                                 threshold=0.45, n_clusters=8)
+
+
 def q_schema_conformance_report(sf_dir: str) -> pa.Table:
     """Schema-conformance report (extras surface): every parquet fragment
     of the declared training tables checked footer-only against its
@@ -880,6 +891,7 @@ QUERIES = {
     "lm_quality_report": q_lm_quality_report,
     "token_budget_report": q_token_budget_report,
     "emb_outlier_report": q_emb_outlier_report,
+    "semantic_dedup_report": q_semantic_dedup_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
 }

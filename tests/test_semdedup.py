@@ -1,0 +1,167 @@
+"""Semantic dedup (SemDeDup-style): exact pruned set vs a slow numpy
+reference sharing the same centroid fit, keep-least-centroid-similar
+rule, partition invariance, hot-cluster guard, threshold monotonicity,
+sf0.001 pin."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cerberus_ray.pipelines.semdedup import (semantic_dedup_pruned,
+                                             semantic_dedup_report)
+from cerberus_ray.pipelines.similarity import _unit, train_ivf_centroids
+
+SF = "/root/testdata/sf0.001"
+DIM = 16
+
+
+def planted_frame(seed=7) -> pd.DataFrame:
+    """4 well-separated topics (one per axis block); each topic has
+    singleton vectors plus planted near-duplicate groups (base + tiny
+    noise) that stay within cosine 0.95 of each other."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for topic in range(4):
+        base_dir = np.zeros(DIM)
+        base_dir[topic * 4:(topic + 1) * 4] = 1.0
+        # singletons: base direction + moderate noise (not near-dups)
+        for _ in range(20):
+            v = base_dir + rng.normal(0, 0.35, DIM)
+            rows.append((vid, v))
+            vid += 1
+        # two dup groups of 3: one base each, tiny perturbations
+        for g in range(2):
+            base = base_dir + rng.normal(0, 0.2, DIM)
+            for j in range(3):
+                v = base + rng.normal(0, 0.01, DIM)
+                rows.append((vid, v))
+                vid += 1
+    e = _unit(np.stack([r[1] for r in rows]))
+    return pd.DataFrame({"vec_id": [r[0] for r in rows],
+                         "embedding": [v.tolist() for v in
+                                       e.astype(np.float32)]})
+
+
+def to_ds(pdf: pd.DataFrame, n_blocks: int):
+    tbl = pa.Table.from_pydict({
+        "vec_id": pa.array(pdf["vec_id"].to_numpy(), pa.int64()),
+        "embedding": pa.array(pdf["embedding"].tolist(),
+                              pa.list_(pa.float32()))})
+    return rd.from_arrow(tbl).repartition(n_blocks).materialize()
+
+
+def reference_pruned(pdf: pd.DataFrame, centroids: np.ndarray,
+                     threshold: float) -> set:
+    """Slow reference: same semantics — assign to nearest centroid,
+    connected components of the >=threshold graph within a cluster,
+    keep min (cent_cos, id) per component."""
+    e = _unit(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+    ids = pdf["vec_id"].to_numpy()
+    sims_c = e @ centroids.T
+    cl = np.argmax(sims_c, axis=1)
+    cos = np.round(sims_c[np.arange(len(ids)), cl], 6)
+    pruned = set()
+    for c in np.unique(cl):
+        m = np.flatnonzero(cl == c)
+        if len(m) < 2:
+            continue
+        sub_ids, sub_cos, sub_e = ids[m], cos[m], e[m]
+        order = np.argsort(sub_ids)
+        sub_ids, sub_cos, sub_e = (sub_ids[order], sub_cos[order],
+                                   sub_e[order])
+        s = sub_e @ sub_e.T
+        n = len(sub_ids)
+        # naive union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if s[i, j] >= threshold:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        comps = {}
+        for i in range(n):
+            comps.setdefault(find(i), []).append(i)
+        for members in comps.values():
+            if len(members) < 2:
+                continue
+            keep = min(members, key=lambda i: (sub_cos[i], sub_ids[i]))
+            pruned.update(int(sub_ids[i]) for i in members if i != keep)
+    return pruned
+
+
+def test_pruned_set_matches_reference(ray_session):
+    pdf = planted_frame()
+    ds = to_ds(pdf, 4)
+    cents = train_ivf_centroids(ds, n_lists=4, seed=42)
+    got = set(semantic_dedup_pruned(
+        ds, threshold=0.95, n_clusters=4, seed=42,
+        centroids=cents)["pruned_id"].to_pylist())
+    want = reference_pruned(pdf, cents, 0.95)
+    assert got == want
+    # 8 planted groups of 3 → at least 16 pruned (2 per group)
+    assert len(got) >= 16
+
+
+def test_partition_invariance(ray_session):
+    pdf = planted_frame(seed=11)
+    a = set(semantic_dedup_pruned(
+        to_ds(pdf, 1),
+        threshold=0.95, n_clusters=4)["pruned_id"].to_pylist())
+    b = set(semantic_dedup_pruned(
+        to_ds(pdf.sample(frac=1, random_state=3), 7),
+        threshold=0.95, n_clusters=4)["pruned_id"].to_pylist())
+    assert a == b
+
+
+def test_threshold_monotonicity(ray_session):
+    pdf = planted_frame(seed=23)
+    ds = to_ds(pdf, 3)
+    cents = train_ivf_centroids(ds, n_lists=4, seed=42)
+    hi = set(semantic_dedup_pruned(ds, threshold=0.99, n_clusters=4,
+                                   centroids=cents)["pruned_id"].to_pylist())
+    lo = set(semantic_dedup_pruned(ds, threshold=0.90, n_clusters=4,
+                                   centroids=cents)["pruned_id"].to_pylist())
+    assert len(hi) <= len(lo)
+
+
+def test_hot_cluster_guard(ray_session):
+    """A flood of identical vectors larger than max_cluster completes
+    without O(n^2) and prunes all but at most a handful (one survivor
+    per degenerate chunk)."""
+    n = 600
+    e = np.tile(_unit(np.ones((1, DIM))), (n, 1))
+    pdf = pd.DataFrame({"vec_id": np.arange(n),
+                        "embedding": list(e.astype(np.float32))})
+    ds = to_ds(pdf, 3)
+    pruned = semantic_dedup_pruned(ds, threshold=0.95, n_clusters=2,
+                                   max_cluster=100)["pruned_id"]
+    n_chunks = -(-n // 100)
+    assert n - len(pruned) <= n_chunks  # >= one survivor per chunk only
+
+
+def test_sf0001_report_pin(ray_session):
+    from cerberus_ray.sources.io import read_table
+
+    ds = read_table(f"{SF}/embeddings.parquet").materialize()
+    rep = semantic_dedup_report(ds, threshold=0.45, n_clusters=8)
+    assert rep.num_rows == 1
+    d = rep.to_pydict()
+    # pinned on the deterministic sf0.001 table (τ matches the injected
+    # near-dup band — see q_semantic_dedup_report)
+    assert d["n_input"] == [500]
+    assert d["n_pruned"] == [4]
+    assert d["n_kept"] == [496]
+    # determinism: same call → identical table
+    rep2 = semantic_dedup_report(ds, threshold=0.45, n_clusters=8)
+    assert rep.equals(rep2)
