@@ -31,6 +31,61 @@ def read_table(path: str, *, columns: Optional[Sequence[str]] = None,
                            filter=filter, **kwargs)
 
 
+def read_jsonl(path: str, *, columns: Optional[Sequence[str]] = None,
+               schema=None, **kwargs) -> "rd.Dataset":
+    """Read newline-delimited JSON as a Ray Dataset with the same logical
+    schema contract as ``read_table``.
+
+    JSON has no footer statistics, so column pruning cannot be pushed
+    into the scan the way parquet row-group pruning can — the projection
+    runs as a ``select_columns`` immediately after the read (each block
+    drops the extra columns before anything downstream sees it). For
+    scale work prefer parquet/lance inputs; JSONL is the common EXCHANGE
+    format for web-scraped corpora, supported so those land directly.
+
+    ``schema`` (a ``pyarrow.Schema``) is applied as a post-read cast so
+    type drift in the text representation (e.g. ints parsed as strings)
+    surfaces at read time, not deep in a pipeline.
+    """
+    ds = rd.read_json(path, **kwargs)
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    if schema is not None:
+        import pyarrow as pa
+
+        target = schema
+
+        def cast(batch: "pa.Table") -> "pa.Table":
+            cols = [batch[f.name].cast(f.type) for f in target]
+            return pa.Table.from_arrays(cols, schema=target)
+
+        ds = ds.map_batches(cast, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return ds
+
+
+def read_csv(path: str, *, columns: Optional[Sequence[str]] = None,
+             schema=None, **kwargs) -> "rd.Dataset":
+    """Read CSV as a Ray Dataset (same contract as ``read_jsonl``:
+    post-read projection + optional schema cast; prefer parquet/lance
+    for scale — CSV exists as an ingestion format)."""
+    ds = rd.read_csv(path, **kwargs)
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    if schema is not None:
+        import pyarrow as pa
+
+        target = schema
+
+        def cast(batch: "pa.Table") -> "pa.Table":
+            cols = [batch[f.name].cast(f.type) for f in target]
+            return pa.Table.from_arrays(cols, schema=target)
+
+        ds = ds.map_batches(cast, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return ds
+
+
 def write_table(ds: "rd.Dataset", path: str, **kwargs) -> None:
     """Write a Dataset as a directory of files (resumable layout: the caller
     picks one directory per partition/fragment; see state.checkpoint)."""
