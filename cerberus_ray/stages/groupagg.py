@@ -77,3 +77,59 @@ def grouped_agg(ds, group_cols: Sequence[str],
         else:
             out[out_col] = g[f"{col}_{fn}"]
     return out.sort_values(group_cols).reset_index(drop=True)
+
+
+def approx_quantiles_by_group(ds, group_col: str, value_col: str, *,
+                              qs: Sequence[float] = (0.25, 0.5, 0.75),
+                              compression: float = 200.0,
+                              round_digits: int = 4) -> pd.DataFrame:
+    """Per-group approximate quantiles via mergeable t-digests → frame
+    (group_col, q25/q50/... one column per requested quantile).
+
+    One digest per (block, group) — same contract as
+    ``uniqueness.approx_distinct_by_group``: no shuffle, the driver
+    merges O(#blocks × #groups) KB-sized sketches, bounded by the group
+    DOMAIN. The sketch-path analogue of the exact domain-bounded
+    histogram quantiles (``relational.q_events_quantiles``); rank
+    accuracy is the t-digest contract (tested against exact quantiles).
+    """
+    import numpy as np
+
+    from ..state.tdigest import TDigest
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, value_col])
+        gi = t[group_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(float)
+        ok = ~np.isnan(vals)
+        gi, vals = gi[ok], vals[ok]
+        order = np.argsort(gi.astype(str), kind="stable")
+        gs, vs = gi[order], vals[order]
+        starts = np.flatnonzero(
+            np.r_[True, gs[1:] != gs[:-1]]) if len(gs) else []
+        bounds = list(starts) + [len(gs)]
+        groups, payloads = [], []
+        for i in range(len(bounds) - 1):
+            d = TDigest(compression=compression)
+            d.update(vs[bounds[i]:bounds[i + 1]])
+            groups.append(str(gs[bounds[i]]))
+            payloads.append(d.to_bytes())
+        return pa.Table.from_pydict({
+            "g": pa.array(groups, pa.string()),
+            "sketch": pa.array(payloads, pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    acc: Dict[str, TDigest] = {}
+    for _, r in parts.iterrows():
+        d = TDigest.from_bytes(r["sketch"])
+        if r["g"] in acc:
+            acc[r["g"]].merge(d)
+        else:
+            acc[r["g"]] = d
+    rows = {group_col: sorted(acc)}
+    for q in qs:
+        rows[f"q{int(round(q * 100))}"] = [
+            round(float(acc[g].quantile(q)), round_digits)
+            for g in sorted(acc)]
+    return pd.DataFrame(rows)
