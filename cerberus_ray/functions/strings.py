@@ -180,3 +180,33 @@ def age_humanize(dob, today) -> pa.Array:
     m = valid & (years > 1)
     out[m] = np.char.add(years[m].astype(str), " years")
     return pa.array(out, type=pa.string())
+
+
+def nfc_normalize(values) -> pa.Array:
+    """Unicode NFC normalization (canonical composition) — the encoding
+    cleanup a web-scraped corpus needs before hashing/dedup (the same
+    text in composed vs decomposed form must hash identically).
+
+    Fast path: a string whose UTF-8 byte length equals its codepoint
+    count is pure ASCII and NFC by definition — skipped without touching
+    Python. Only the non-ASCII remainder goes through
+    ``unicodedata.is_normalized`` (C-level check) and, for the strings
+    that actually need it, ``unicodedata.normalize``. DuckDB's
+    ``nfc_normalize`` is the byte-exact oracle (tested)."""
+    import unicodedata
+
+    import numpy as np
+
+    arr = _arr(values)
+    ascii_mask = pc.equal(pc.binary_length(arr), pc.utf8_length(arr))
+    need = pc.fill_null(pc.invert(ascii_mask), False).to_numpy(
+        zero_copy_only=False)
+    if not need.any():
+        return arr
+    vals = arr.to_numpy(zero_copy_only=False).astype(object)
+    idx = np.flatnonzero(need)
+    for i in idx:
+        s = vals[i]
+        if s is not None and not unicodedata.is_normalized("NFC", s):
+            vals[i] = unicodedata.normalize("NFC", s)
+    return pa.array(vals, type=pa.string())
