@@ -713,3 +713,71 @@ def verify_pairs_exact(pairs_table: pa.Table, ds, *, text_col: str = "text",
                         "jaccard": jac[keep].round(4)})
     out = out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_near_keep_best(ds, *, score_col: str, text_col: str = "text",
+                         key_col: str = "doc_id", threshold: float = 0.8,
+                         **minhash_kwargs):
+    """Near-dedup keeping the BEST-scoring member of each cluster
+    (quality-aware winner selection — the corpus-construction refinement
+    of :func:`dedup_near_keep_first`): MinHash-LSH pairs → components →
+    per-cluster winner = max ``score_col`` (ties: min key;
+    null score = -inf) → drop the rest.
+
+    Scale shape: cluster members are ∝ the true duplicate rate; their
+    (key, score) rows are gathered with ONE streamed semi-join pass
+    (member-id set broadcast once), the winner argmax runs on that small
+    table, and the final cut is the same broadcast-drop-set filter as
+    keep-first. Returns (kept_ds, winners) where winners =
+    (cluster_id, doc_id, score) one row per cluster."""
+    import ray
+
+    pairs = minhash_near_dup_pairs(ds, text_col=text_col, key_col=key_col,
+                                   threshold=threshold, **minhash_kwargs)
+    clusters = connected_components(pairs)
+    cl = clusters.to_pandas()
+    if len(cl) == 0:
+        winners = pa.Table.from_pydict({
+            "cluster_id": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64())})
+        return ds, winners
+    member_ids = np.array(sorted(cl["doc_id"].astype(str)), dtype=object)
+    mref = ray.put(member_ids)
+
+    def member_scores(batch: pa.Table) -> pa.Table:
+        ids = ray.get(mref)
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(
+            zero_copy_only=False).astype(str)
+        mask = np.isin(keys, ids.astype(str))
+        sc = pc.cast(batch[score_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(keys[mask], pa.string()),
+            "score": pa.array(sc[mask], pa.float64())})
+
+    scores = ds.map_batches(member_scores, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    m = cl.assign(doc_id=cl["doc_id"].astype(str)).merge(
+        scores.drop_duplicates("doc_id"), on="doc_id", how="left")
+    m["score"] = m["score"].fillna(float("-inf"))
+    # winner per cluster: max score, ties broken by min doc_id
+    m = m.sort_values(["cluster_id", "score", "doc_id"],
+                      ascending=[True, False, True])
+    winners = m.groupby("cluster_id", as_index=False).first()
+    drop = set(m["doc_id"]) - set(winners["doc_id"])
+    dref = ray.put(np.array(sorted(drop), dtype=object))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(dref)
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        mask = ~np.isin(keys.astype(str), dropped.astype(str))
+        return batch.filter(pa.array(mask))
+
+    kept = ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    wt = pa.Table.from_pandas(
+        winners[["cluster_id", "doc_id", "score"]].sort_values("cluster_id")
+        .reset_index(drop=True), preserve_index=False)
+    return kept, wt

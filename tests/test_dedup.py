@@ -232,3 +232,44 @@ def test_minhash_shuffle_mode_at_sf001(ray_session):
     drv = DD.minhash_near_dup_pairs(ds, threshold=0.8, mode="driver")
     shf = DD.minhash_near_dup_pairs(ds, threshold=0.8, mode="shuffle")
     assert drv.equals(shf)
+
+
+def test_keep_best_picks_max_score(ray_session):
+    """keep-best winner = argmax score per near-dup cluster (ties: min
+    key; null score = -inf); kept set = winners + all non-members."""
+    pdf = corpus()
+    # scores: make n001 the best of the x/n cluster; null on x001
+    score = {r: 0.1 for r in pdf["doc_id"]}
+    score["x001"] = None
+    score["x002"] = 0.4
+    score["n001"] = 0.9
+    score["n002"] = 0.4
+    pdf["quality"] = pdf["doc_id"].map(score)
+    d = rd.from_pandas(pdf, override_num_blocks=3).materialize()
+    kept, winners = DD.dedup_near_keep_best(
+        d, score_col="quality", threshold=0.5)
+    kp = kept.to_pandas()
+    w = winners.to_pandas()
+    members = {"x001", "x002", "n001", "n002"}
+    # the known cluster resolves to its best-scoring member
+    assert set(w["doc_id"]) & members == {"n001"}
+    assert "n001" in set(kp["doc_id"])
+    assert not (members - {"n001"}) & set(kp["doc_id"])
+    # non-members all kept
+    assert set(kp["doc_id"]) >= set(pdf["doc_id"]) - members
+    # same cluster count as keep-first, different winner
+    kept_f, clusters = DD.dedup_near_keep_first(d, threshold=0.5)
+    assert len(w) == clusters.to_pandas()["cluster_id"].nunique()
+    assert len(kp) == len(kept_f.to_pandas())
+
+
+def test_keep_best_tie_breaks_min_key(ray_session):
+    pdf = corpus()
+    pdf["quality"] = 0.5  # all tied → min doc_id wins per cluster
+    d = rd.from_pandas(pdf, override_num_blocks=2).materialize()
+    kept_b, w = DD.dedup_near_keep_best(d, score_col="quality",
+                                        threshold=0.5)
+    kept_f, _ = DD.dedup_near_keep_first(d, threshold=0.5)
+    a = sorted(kept_b.to_pandas()["doc_id"])
+    b = sorted(kept_f.to_pandas()["doc_id"])
+    assert a == b  # all-tied keep-best degenerates to keep-first
