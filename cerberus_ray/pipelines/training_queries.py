@@ -601,6 +601,20 @@ _DECLARED = {
 }
 
 
+def q_tfidf_report(sf_dir: str) -> pa.Table:
+    """TF-IDF keyword extraction (extras surface): each document's top
+    term by tf·idf; returns the 10 lowest doc_ids' rank-1 rows
+    (deterministic small table)."""
+    from .tfidf import tfidf_topk
+
+    out = tfidf_topk(_docs(sf_dir, ["doc_id", "text"]).materialize(),
+                     k=1).to_pandas()
+    out["doc_id_n"] = out["doc_id"].astype("int64")
+    out = (out.sort_values("doc_id_n").head(10)
+           [["doc_id", "token", "score"]].reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_semantic_dedup_report(sf_dir: str) -> pa.Table:
     """Semantic-dedup funnel (extras surface): SemDeDup-style k-means +
     within-cluster cosine pruning over the embeddings table."""
@@ -892,6 +906,7 @@ QUERIES = {
     "token_budget_report": q_token_budget_report,
     "emb_outlier_report": q_emb_outlier_report,
     "semantic_dedup_report": q_semantic_dedup_report,
+    "tfidf_report": q_tfidf_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
 }
