@@ -381,3 +381,41 @@ def select_token_budget(ds, budget: int, *, score_col: str,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def sample_exact_k_weighted(ds, k: int, *, weight_col: str,
+                            key_col: str = "doc_id", seed: int = 0,
+                            mode: str = "auto"):
+    """Exactly-k WEIGHTED sample without replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets key u^(1/w) for a deterministic
+    uniform u pure in (seed, key); the k LARGEST keys are the sample —
+    inclusion probability rises with weight, the sample is exact-size,
+    deterministic, and partition-invariant (all the
+    :func:`sample_exact_k` guarantees, plus weights).
+
+    Reduces to the budget prefix cut with score = log(u)/w (ascending ⇔
+    u^(1/w) descending — the log form avoids float underflow at tiny
+    weights), unit tokens and budget = k. Rows with weight ≤ 0 or null
+    never enter the sample (score -inf ⇒ sorted last; they can only
+    appear if fewer than k positive-weight rows exist)."""
+    import pyarrow.compute as _pc
+
+    def draw(b: pa.Table) -> pa.Table:
+        u = _draw_cols(b, key_col, seed ^ 0x5EED)
+        w = _pc.cast(b[weight_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        w = np.nan_to_num(w, nan=0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            es = np.where(w > 0, np.log(u) / w, -np.inf)
+        # budget cut keeps the HIGHEST score first: log(u)/w in (-inf, 0],
+        # larger ⇔ larger u^(1/w)
+        b = b.append_column("_samp_score", pa.array(es, pa.float64()))
+        return b.append_column("_samp_one",
+                               pa.array(np.ones(b.num_rows, np.int64)))
+
+    scored = ds.map_batches(draw, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    out = select_token_budget(scored, k, score_col="_samp_score",
+                              token_col="_samp_one", key_col=key_col,
+                              mode=mode)
+    return out.drop_columns(["_samp_score", "_samp_one"])
