@@ -601,6 +601,35 @@ _DECLARED = {
 }
 
 
+def q_events_weekly_drift(sf_dir: str) -> pa.Table:
+    """Week-over-week drift (extras surface): PSI/KS between consecutive
+    ISO weeks of the events table (value numeric, event_type
+    categorical) — the A5 weekly-report delta as a first-class rule."""
+    from ..stages.drift import consecutive_window_drift, profile_by_window
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "value", "event_type"])
+
+    def add_week(b: pa.Table) -> pa.Table:
+        lab = pc.binary_join_element_wise(
+            pc.cast(pc.iso_year(b["ts"]), pa.string()),
+            pc.utf8_lpad(pc.cast(pc.iso_week(b["ts"]), pa.string()),
+                         2, "0"), "-W")
+        return b.append_column("week", lab)
+
+    wk = ds.map_batches(add_week, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    profs = profile_by_window(wk, "week", numeric=["value"],
+                              categorical=["event_type"])
+    out = consecutive_window_drift(profs)
+    # sketch centroids vary with merge order at the 4th decimal; the
+    # report surfaces verdict-stable 2-dp values
+    import pandas as pd  # noqa: F811
+    pdf = out.to_pandas()
+    pdf["value"] = pdf["value"].round(2)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_tfidf_report(sf_dir: str) -> pa.Table:
     """TF-IDF keyword extraction (extras surface): each document's top
     term by tf·idf; returns the 10 lowest doc_ids' rank-1 rows
@@ -907,6 +936,7 @@ QUERIES = {
     "emb_outlier_report": q_emb_outlier_report,
     "semantic_dedup_report": q_semantic_dedup_report,
     "tfidf_report": q_tfidf_report,
+    "events_weekly_drift": q_events_weekly_drift,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
 }

@@ -175,9 +175,12 @@ def psi_numeric(baseline: NumericProfile, current: NumericProfile,
     edges = np.unique(edges)
     if len(edges) < 2:
         return 0.0
+    # ±inf outer buckets catch mass OUTSIDE the baseline range — without
+    # them a fully shifted current distribution has ~0 in-range CDF mass
+    # everywhere and PSI collapses to ~0 (missed drift)
+    edges = np.concatenate([[-np.inf], edges, [np.inf]])
     pb = np.diff(baseline.digest.cdf(edges))
     pc_ = np.diff(current.digest.cdf(edges))
-    # spread residual mass (outside baseline range) into end buckets
     pb = np.clip(pb, eps, None)
     pc_ = np.clip(pc_, eps, None)
     pb, pc_ = pb / pb.sum(), pc_ / pc_.sum()
@@ -229,3 +232,85 @@ def drift_violations(baseline: TableProfile, current: TableProfile, *,
                 add("drift-new-category", col,
                     f"category {nc!r} absent from baseline")
     return pa.Table.from_pydict(rows, schema=VIOLATIONS)
+
+
+# ---------------------------------------------------------------------------
+# windowed drift (week-over-week) — the A5 weekly-report drift signal
+# ---------------------------------------------------------------------------
+
+def profile_by_window(ds, window_col: str, *, numeric: Sequence[str] = (),
+                      categorical: Sequence[str] = (),
+                      compression: float = 200.0) -> dict:
+    """→ {window label: TableProfile}: one sketch row per (window, block,
+    column). The window domain is calendar-bounded (weeks, days), so the
+    driver merge stays O(#blocks × #windows × #cols) tiny rows no matter
+    the input size — the same contract as ``profile_dataset`` with one
+    extra bounded dimension."""
+
+    def per_window(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = []
+        wins = pc.cast(batch[window_col], pa.string())
+        for w in pc.unique(wins).to_pylist():
+            sub = batch.filter(pc.equal(wins, w))
+            t = _batch_profile(sub, numeric, categorical, compression)
+            t = t.append_column("window",
+                                pa.array([w] * t.num_rows, pa.string()))
+            out.append(t)
+        return (pa.concat_tables(out) if out else
+                pa.Table.from_pydict({"col": pa.array([], pa.string()),
+                                      "payload": pa.array([], pa.string()),
+                                      "window": pa.array([], pa.string())}))
+
+    parts = ds.map_batches(per_window, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    profs: dict = {}
+    for _, row in parts.iterrows():
+        prof = profs.setdefault(row["window"], TableProfile())
+        d = json.loads(row["payload"])
+        p = (NumericProfile.from_dict(d) if d["kind"] == "numeric"
+             else CategoricalProfile.from_dict(d))
+        if row["col"] in prof.columns:
+            prof.columns[row["col"]].merge(p)
+        else:
+            prof.columns[row["col"]] = p
+    return profs
+
+
+def consecutive_window_drift(profiles: dict, *, psi_threshold: float = 0.2,
+                             ks_threshold: float = 0.2,
+                             round_digits: int = 4) -> pa.Table:
+    """Window-over-window drift: PSI (and KS for numeric columns)
+    between every consecutive pair of sorted window labels →
+    (window_from, window_to, col, metric, value, drifted). The
+    week-over-week delta a report owner eyeballs (reference weekly
+    report, cerberus/reports.py:19-35), made a first-class rule."""
+    wins = sorted(profiles)
+    rows = []
+    for a, b in zip(wins, wins[1:]):
+        pa_, pb = profiles[a], profiles[b]
+        for col in sorted(set(pa_.columns) & set(pb.columns)):
+            x, y = pa_.columns[col], pb.columns[col]
+            if isinstance(x, NumericProfile):
+                psi = psi_numeric(x, y)
+                ks = ks_distance(x, y)
+                rows.append((a, b, col, "psi", round(psi, round_digits),
+                             psi > psi_threshold))
+                rows.append((a, b, col, "ks", round(ks, round_digits),
+                             ks > ks_threshold))
+            else:
+                psi = psi_categorical(x, y)
+                rows.append((a, b, col, "psi", round(psi, round_digits),
+                             psi > psi_threshold))
+                new = new_categories(x, y)
+                if new:
+                    rows.append((a, b, col, "new-categories",
+                                 float(len(new)), True))
+    return pa.Table.from_pydict({
+        "window_from": pa.array([r[0] for r in rows], pa.string()),
+        "window_to": pa.array([r[1] for r in rows], pa.string()),
+        "col": pa.array([r[2] for r in rows], pa.string()),
+        "metric": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "drifted": pa.array([r[5] for r in rows], pa.bool_())})
