@@ -56,10 +56,12 @@ def fit_unigram(ds, *, text_col: str = "text",
 
 def score_perplexity(docs_ds, *, text_col: str = "text",
                      key_col: str = "doc_id", vocab_size: int = 50_000,
-                     reference_ds=None):
-    """→ Dataset (doc_id, n_tokens, xent, ppl): cross-entropy (bits per
-    token) and perplexity of each document under the unigram model fit on
-    ``reference_ds`` (default: the corpus itself)."""
+                     reference_ds=None, carry_cols: Tuple[str, ...] = ()):
+    """→ Dataset (doc_id, n_tokens, xent, ppl [, carry_cols...]):
+    cross-entropy (bits per token) and perplexity of each document under
+    the unigram model fit on ``reference_ds`` (default: the corpus
+    itself). ``carry_cols`` are passed through unchanged (e.g. ``lang``
+    for the per-language CCNet bucket split)."""
     import ray
 
     toks, logp, oov_logp = fit_unigram(
@@ -90,11 +92,118 @@ def score_perplexity(docs_ds, *, text_col: str = "text",
         if lp.size and nz.any():
             sums[nz] = np.add.reduceat(lp, starts[nz])
         xent = np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
-        return pa.Table.from_arrays(
-            [pc.cast(b[key_col], pa.string()),
-             pa.array(counts), pa.array(np.round(xent, 4)),
-             pa.array(np.round(np.exp2(xent), 2))],
-            names=["doc_id", "n_tokens", "xent", "ppl"])
+        arrays = [pc.cast(b[key_col], pa.string()),
+                  pa.array(counts), pa.array(np.round(xent, 4)),
+                  pa.array(np.round(np.exp2(xent), 2))]
+        names = ["doc_id", "n_tokens", "xent", "ppl"]
+        for c in carry_cols:
+            arrays.append(b[c])
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
 
     return docs_ds.map_batches(score, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def grouped_quantile_thresholds(ds, *, score_col: str, group_col: str,
+                                cuts: Tuple[float, ...] = (1 / 3, 2 / 3),
+                                compression: float = 200.0) -> dict:
+    """Per-group approximate quantile cut points via mergeable t-digests.
+
+    One streamed pass emits a serialized digest per (block, group) — the
+    driver merges O(#blocks × #groups) KB-sized rows and reads the cut
+    points off each group's merged digest. No shuffle, no value
+    materialization; the group universe (languages) is domain-bounded.
+    → {group: np.ndarray of len(cuts) thresholds (ascending)}."""
+    from ..state.tdigest import TDigest
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, g = v[ok], g[ok]
+        groups, sketches = [], []
+        for grp in pd.unique(g):
+            td = TDigest(compression=compression)
+            td.update(v[g == grp])
+            groups.append(str(grp))
+            sketches.append(td.to_bytes().hex())
+        return pa.Table.from_pydict({
+            "group": pa.array(groups, pa.string()),
+            "sketch": pa.array(sketches, pa.string())})
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    out: dict = {}
+    if "group" not in pdf.columns:
+        return out
+    for grp, rows in pdf.groupby("group")["sketch"]:
+        merged = TDigest(compression=compression)
+        for s in rows:
+            merged = merged.merge(TDigest.from_bytes(bytes.fromhex(s)))
+        out[grp] = np.array([merged.quantile(q) for q in cuts],
+                            dtype=np.float64)
+    return out
+
+
+#: CCNet bucket names for the canonical tercile split (lowest perplexity
+#: = closest to the reference distribution = "head").
+_CCNET_LABELS = ("head", "middle", "tail")
+
+
+def bucket_by_perplexity(docs_ds, *, text_col: str = "text",
+                         key_col: str = "doc_id", lang_col: str = "lang",
+                         vocab_size: int = 50_000,
+                         cuts: Tuple[float, ...] = (1 / 3, 2 / 3),
+                         reference_ds=None, compression: float = 200.0):
+    """CCNet-style per-language perplexity split: score every document
+    under the unigram reference model, take per-language quantile cut
+    points (default terciles), and label each document head / middle /
+    tail within its OWN language's distribution (so high-resource and
+    low-resource languages are split on their own scales, exactly the
+    CCNet design).
+
+    Ray shape: one scoring pass (model broadcast once) → materialize
+    (the scored table feeds both the threshold sketch pass and the
+    assignment pass) → per-(block, lang) t-digest partials merged on the
+    driver (O(#langs) thresholds) → the tiny {lang: cuts} map broadcast
+    once → one streamed assignment pass. No shuffle anywhere.
+
+    → Dataset (doc_id, lang, n_tokens, ppl, bucket). The cut points are
+    t-digest-approximate (rank accuracy tested in tests/test_pruning.py);
+    the ASSIGNMENT is exact w.r.t. the chosen cut points.
+    """
+    import ray
+
+    if len(cuts) == 2:
+        labels = _CCNET_LABELS
+    else:
+        labels = tuple(f"q{i}" for i in range(len(cuts) + 1))
+    scored = score_perplexity(
+        docs_ds, text_col=text_col, key_col=key_col,
+        vocab_size=vocab_size, reference_ds=reference_ds,
+        carry_cols=(lang_col,)).materialize()
+    thresholds = grouped_quantile_thresholds(
+        scored, score_col="ppl", group_col=lang_col, cuts=cuts,
+        compression=compression)
+    thr_ref = ray.put(thresholds)
+
+    def assign(b: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        ppl = b["ppl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        langs = b[lang_col].to_numpy(zero_copy_only=False)
+        idx = np.zeros(len(ppl), dtype=np.int64)
+        for grp in pd.unique(langs):
+            m = langs == grp
+            c = thr.get(str(grp))
+            if c is None:  # unseen group (reference-fit corpus differs)
+                idx[m] = 1 if len(cuts) == 2 else 0
+            else:
+                # side='left': ppl strictly greater than cut k moves to
+                # bucket k+1, so ties on the cut stay in the lower bucket
+                idx[m] = np.searchsorted(c, ppl[m], side="left")
+        lab = np.array(labels, dtype=object)[idx]
+        return b.append_column("bucket", pa.array(lab, pa.string()))
+
+    return scored.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -172,6 +172,16 @@ def q_token_top_k(sf_dir: str) -> pa.Table:
     return token_top_k(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_token_top_k_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language vocabulary heavy hitters: top-10 tokens within each
+    language (driver/shuffle planner — extras surface; pandas + DuckDB
+    dual-path parity asserted in tests/test_vocab.py)."""
+    from .vocab import token_top_k_by_group
+
+    return token_top_k_by_group(_docs(sf_dir, ["lang", "text"]),
+                                group_col="lang", k=10)
+
+
 def q_decontamination_report(sf_dir: str) -> pa.Table:
     """Benchmark-decontamination hygiene report (extras surface): treat
     the first 5 documents as the held-out set, scan the rest for 8-gram
@@ -548,6 +558,26 @@ def q_lm_quality_report(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_ppl_bucket_report(sf_dir: str) -> pa.Table:
+    """CCNet perplexity-bucket report (extras surface): split every
+    document into head/middle/tail within its own language's perplexity
+    distribution → per (lang, bucket) doc counts + mean perplexity."""
+    from .lm_score import bucket_by_perplexity
+
+    # pinned layout: the t-digest cut points are partition-dependent
+    # (order-invariant, not boundary-invariant) — pin for determinism
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"]).repartition(4)
+    labeled = bucket_by_perplexity(docs, vocab_size=50_000)
+    pdf = labeled.select_columns(["lang", "bucket", "ppl"]).to_pandas()
+    g = (pdf.groupby(["lang", "bucket"], as_index=False)
+            .agg(n_docs=("ppl", "size"), mean_ppl=("ppl", "mean")))
+    g["mean_ppl"] = g["mean_ppl"].round(2)
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g = g.sort_values(["lang", "bucket"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        g[["lang", "bucket", "n_docs", "mean_ppl"]], preserve_index=False)
+
+
 def q_token_budget_report(sf_dir: str) -> pa.Table:
     """Token-budget selection report (extras surface): pick the longest
     documents (score = n_chars, ties by doc_id) whose whitespace-token
@@ -916,6 +946,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
     "token_top_k": q_token_top_k,
+    "token_top_k_by_lang": q_token_top_k_by_lang,
     "decontamination_report": q_decontamination_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,
@@ -932,6 +963,7 @@ QUERIES = {
     "constraint_check_report": q_constraint_check_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
+    "ppl_bucket_report": q_ppl_bucket_report,
     "token_budget_report": q_token_budget_report,
     "emb_outlier_report": q_emb_outlier_report,
     "semantic_dedup_report": q_semantic_dedup_report,

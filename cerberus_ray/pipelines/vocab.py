@@ -107,6 +107,111 @@ def token_top_k(ds, *, text_col: str = "text", k: int = 20,
     return _top(g, k)
 
 
+def _grouped_token_counts_block(b: pa.Table, text_col: str,
+                                group_col: str) -> pa.Table:
+    """One (group, token, n) row per distinct (group, token) pair in the
+    block — split + length-repeat of the group key + hash-aggregate, no
+    Python per token."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(b[text_col], "")), r"\s+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    groups = np.repeat(
+        b[group_col].to_numpy(zero_copy_only=False).astype(object), lens)
+    t = pa.Table.from_arrays(
+        [pa.array(groups, pa.string()), flat], names=["group", "token"])
+    t = t.filter(pc.not_equal(t["token"], ""))
+    g = t.group_by(["group", "token"]).aggregate([([], "count_all")])
+    return pa.Table.from_arrays([g["group"], g["token"], g["count_all"]],
+                                names=["group", "token", "n"])
+
+
+def token_top_k_by_group(ds, *, text_col: str = "text",
+                         group_col: str = "lang", k: int = 20,
+                         mode: str = "auto", n_rows_hint: int = 0) -> pa.Table:
+    """Per-group heavy hitters: the k most frequent whitespace tokens
+    WITHIN each group (language, source domain) — the per-domain
+    boilerplate/stopword-discovery primitive.
+
+    → (group, token, n) sorted (group ASC, n DESC, token ASC).
+
+    Modes (standard planner shape, output-identical, agreement-tested):
+
+    - 'driver': per-block (group, token, n) hash-aggregate partials merge
+      on the driver — O(Σ_g vocab_g) rows, fine while the per-group
+      vocabularies fit driver memory.
+    - 'shuffle' (the 10^9-vocabulary path): the same partials go through
+      ``groupby(['group','token']).sum`` — after that exchange every
+      (group, token) is globally unique, so each output block's per-group
+      top-k is a SUPERSET filter for the global per-group top-k
+      (a global top-k row must be in the top-k of whatever single block
+      holds it). The driver merges ≤ #blocks × #groups × k candidate
+      rows, never the token universe.
+    """
+    if mode == "auto":
+        n = n_rows_hint or ds.count()
+        mode = "driver" if n <= 2_000_000 else "shuffle"
+    if mode not in ("driver", "shuffle"):
+        raise ValueError(f"unknown grouped-vocab mode: {mode!r}")
+
+    counts_ds = ds.map_batches(
+        lambda b: _grouped_token_counts_block(b, text_col, group_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    if mode == "driver":
+        pdf = counts_ds.to_pandas()
+        if "token" not in pdf.columns or not len(pdf):
+            return _empty_grouped()
+        g = pdf.groupby(["group", "token"], as_index=False)["n"].sum()
+        return _top_per_group(g, k)
+
+    # ---- shuffle: exact global (group, token) counts, then a per-block
+    # per-group top-k candidate filter so the driver never sees the
+    # full vocabulary ----
+    from ray.data.aggregate import Sum
+
+    agg = (counts_ds.groupby(["group", "token"]).aggregate(Sum("n"))
+           .repartition(8))  # hash aggregate can emit schema-less empties
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "group" not in b.column_names:
+            return _empty_grouped()
+        df = pa.Table.from_arrays(
+            [b["group"], b["token"], b["sum(n)"]],
+            names=["group", "token", "n"]).to_pandas()
+        out = (df.sort_values(["group", "n", "token"],
+                              ascending=[True, False, True])
+                 .groupby("group", as_index=False).head(k))
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out[["group", "token", "n"]],
+                                    preserve_index=False)
+
+    pdf = agg.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if "token" not in pdf.columns or not len(pdf):
+        return _empty_grouped()
+    # rows are already globally-unique (group, token) pairs: no re-sum
+    return _top_per_group(pdf, k)
+
+
+def _empty_grouped() -> pa.Table:
+    return pa.Table.from_pydict({"group": pa.array([], pa.string()),
+                                 "token": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+
+
+def _top_per_group(g: pd.DataFrame, k: int) -> pa.Table:
+    out = (g.sort_values(["group", "n", "token"],
+                         ascending=[True, False, True])
+            .groupby("group", as_index=False).head(k)
+            .reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out[["group", "token", "n"]],
+                                preserve_index=False)
+
+
 def _empty() -> pa.Table:
     return pa.Table.from_pydict({"token": pa.array([], pa.string()),
                                  "n": pa.array([], pa.int64())})

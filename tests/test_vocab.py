@@ -94,3 +94,87 @@ def test_token_top_k_duckdb_parity(ray_session):
     """).fetch_df()
     assert mine["token"].tolist() == orc["token"].tolist()
     assert mine["n"].tolist() == orc["n"].tolist()
+
+
+# ---- per-group heavy hitters -------------------------------------------
+
+
+def grouped_corpus(n_docs=240, seed=13):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_docs):
+        lang = ("en", "de", "fr")[i % 3]
+        vocab = [f"{lang}_{j}" for j in range(80)]
+        w = 1.0 / (np.arange(80) + 1)
+        w /= w.sum()
+        rows.append({"doc_id": i, "lang": lang,
+                     "text": " ".join(rng.choice(vocab, size=30, p=w))})
+    return pd.DataFrame(rows)
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    from cerberus_ray.pipelines.vocab import token_top_k_by_group
+
+    df = grouped_corpus()
+    ds = rd.from_pandas(df, override_num_blocks=6)
+    top = token_top_k_by_group(ds, group_col="lang", k=8,
+                               mode="driver").to_pandas()
+    ex = df.assign(token=df["text"].str.lower().str.split()) \
+           .explode("token")[["lang", "token"]]
+    ref = (ex.groupby(["lang", "token"], as_index=False).size()
+             .rename(columns={"size": "n", "lang": "group"})
+             .sort_values(["group", "n", "token"],
+                          ascending=[True, False, True])
+             .groupby("group", as_index=False).head(8)
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        top, ref.astype({"n": "int64"}), check_dtype=False)
+
+
+def test_grouped_topk_mode_agreement(ray_session):
+    from cerberus_ray.pipelines.vocab import token_top_k_by_group
+
+    ds = rd.from_pandas(grouped_corpus(), override_num_blocks=6)
+    a = token_top_k_by_group(ds, group_col="lang", k=8, mode="driver")
+    b = token_top_k_by_group(ds, group_col="lang", k=8, mode="shuffle")
+    assert a.equals(b)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        token_top_k_by_group(ds, group_col="lang", mode="bogus")
+
+
+def test_grouped_topk_duckdb_parity_sf0001(ray_session):
+    import duckdb
+
+    from cerberus_ray.pipelines.training_queries import q_token_top_k_by_lang
+
+    sf = "/root/testdata/sf0.001"
+    mine = q_token_top_k_by_lang(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    orc = con.execute(r"""
+        WITH t AS (
+          SELECT lang AS "group",
+                 unnest(string_split_regex(
+                     lower(COALESCE(text, '')), '\s+')) AS token
+          FROM documents),
+        c AS (
+          SELECT "group", token, CAST(COUNT(*) AS BIGINT) AS n
+          FROM t WHERE token <> '' GROUP BY "group", token),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY "group"
+                       ORDER BY n DESC, token) AS rk
+          FROM c)
+        SELECT "group", token, n FROM r WHERE rk <= 10
+        ORDER BY "group", n DESC, token
+    """).fetch_df()
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+
+
+def test_grouped_topk_empty(ray_session):
+    from cerberus_ray.pipelines.vocab import token_top_k_by_group
+
+    ds = rd.from_pandas(pd.DataFrame({"lang": ["en"], "text": [""]}))
+    assert token_top_k_by_group(ds, group_col="lang",
+                                mode="driver").num_rows == 0
