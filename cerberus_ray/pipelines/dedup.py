@@ -160,6 +160,95 @@ def exact_dup_stats(ds, *, text_col: str = "text",
     return pa.Table.from_pydict({"n_docs": [n_docs], "n_unique": [n_unique]})
 
 
+def exact_dedup_against(ds, reference_ds, *, text_col: str = "text",
+                        ref_text_col: str | None = None,
+                        mode: str = "auto", n_ref_hint: int = 0):
+    """Cross-corpus exact dedup: drop every row of ``ds`` whose content
+    hash appears in ``reference_ds`` (dedup a new crawl against a prior
+    corpus release / a benchmark suite — the cross-snapshot analogue of
+    exact_dedup_keep_first; reference `invoice.py:92-108`'s frozen-prior
+    semantics applied to content).
+
+    Modes (standard planner shape, output-identical):
+
+    - 'broadcast' (reference distinct-content count fits the driver —
+      the common case: references are releases/benchmarks ≪ the crawl):
+      per-block DISTINCT md5 partials of the reference merge on the
+      driver, the sorted hash array broadcasts once (``ray.put``), and
+      one streamed searchsorted anti-filter pass drops the hits. No
+      shuffle anywhere.
+    - 'join' (both sides huge): distinct reference hashes stay
+      distributed (``groupby(md5).count``) and the stream anti-joins via
+      a hash-partitioned ``left_outer`` ``Dataset.join`` + null-marker
+      filter — driver memory O(1).
+
+    Returns a Dataset with the input schema (helper columns dropped).
+    """
+    import ray
+
+    if mode == "auto":
+        n = n_ref_hint or reference_ds.count()
+        mode = "broadcast" if n <= 2_000_000 else "join"
+    if mode not in ("broadcast", "join"):
+        raise ValueError(f"unknown cross-dedup mode: {mode!r}")
+    rcol = ref_text_col or text_col
+
+    hashed = ds.map_batches(lambda b: add_md5(b, text_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    def ref_hashes(b: pa.Table) -> pa.Table:
+        h = add_md5(b, rcol)["text_md5"]
+        return pa.Table.from_arrays([pc.unique(h)], names=["text_md5"])
+
+    ref_h = reference_ds.map_batches(ref_hashes, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    if mode == "broadcast":
+        pdf = ref_h.to_pandas()
+        seen = (np.sort(pdf["text_md5"].unique().astype(object))
+                if "text_md5" in pdf.columns and len(pdf)
+                else np.array([], dtype=object))
+        ref = ray.put(seen)
+
+        def anti(b: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            h = b["text_md5"].to_numpy(zero_copy_only=False)
+            if len(lut):
+                pos = np.clip(np.searchsorted(lut, h), 0, len(lut) - 1)
+                hit = lut[pos] == h
+            else:
+                hit = np.zeros(len(h), dtype=bool)
+            return b.filter(pa.array(~hit)).drop_columns(["text_md5"])
+
+        return hashed.map_batches(anti, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    # ---- join mode: distributed anti-join on the content hash ----
+    distinct_ref = (ref_h.groupby("text_md5").count()
+                    .repartition(8))  # coalesce schema-less empties
+
+    def mark(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "text_md5" not in b.column_names:
+            return pa.Table.from_pydict(
+                {"_ref_md5": pa.array([], pa.string()),
+                 "_in_ref": pa.array([], pa.int8())})
+        return pa.Table.from_arrays(
+            [b["text_md5"],
+             pa.array(np.ones(b.num_rows, dtype=np.int8))],
+            names=["_ref_md5", "_in_ref"])
+
+    marked = distinct_ref.map_batches(mark, batch_format="pyarrow")
+    joined = hashed.join(marked, join_type="left_outer", num_partitions=8,
+                         on=("text_md5",), right_on=("_ref_md5",))
+
+    def keep_misses(b: pa.Table) -> pa.Table:
+        out = b.filter(pc.is_null(b["_in_ref"]))
+        return out.select([c for c in out.column_names
+                           if c not in ("text_md5", "_ref_md5", "_in_ref")])
+
+    return joined.map_batches(keep_misses, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash
 # ---------------------------------------------------------------------------

@@ -260,3 +260,71 @@ def pack_sequences(ds, *, key_col: str = "doc_id",
 
     return ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def length_bucket_stats(ds, *, text_col: str = "text",
+                        min_cap: int = 16) -> pa.Table:
+    """Length-bucketed batching report: assign every document to the
+    power-of-two token-capacity bucket it would be padded into
+    (cap = smallest power of two ≥ its whitespace-token count, floored at
+    ``min_cap``) and roll up per-bucket document/token totals plus the
+    padding waste a pad-to-bucket loader would pay. The standard
+    padding-efficiency probe before choosing loader bucket boundaries.
+
+    Ray shape: one streamed pass emits per-block (bucket, n_docs,
+    n_tokens, pad) hash-aggregate partials — the driver merges
+    O(#buckets × #blocks) tiny rows (#buckets ≈ log2 of the longest doc).
+    No shuffle, no per-row Python.
+
+    → (bucket_cap, n_docs, n_tokens, pad_tokens, pad_frac) sorted by
+    bucket_cap; pad_frac = pad / (bucket_cap × n_docs).
+    """
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), r"\s+")
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        # per-row count of non-empty tokens: sum a 0/1 mask per list slot
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        mask = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        n = np.zeros(len(lens), dtype=np.int64)
+        nz = lens > 0
+        if mask.size and nz.any():
+            n[nz] = np.add.reduceat(mask, starts[nz])
+        cap = np.maximum(
+            min_cap,
+            1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64))
+        t = pa.Table.from_pydict({
+            "bucket_cap": pa.array(cap, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "pad": pa.array(cap - n, pa.int64())})
+        g = t.group_by("bucket_cap").aggregate(
+            [("n", "sum"), ("pad", "sum"), ([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["bucket_cap"], g["count_all"], g["n_sum"], g["pad_sum"]],
+            names=["bucket_cap", "n_docs", "n_tokens", "pad_tokens"])
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if "bucket_cap" not in pdf.columns or not len(pdf):
+        return pa.Table.from_pydict({
+            "bucket_cap": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "pad_tokens": pa.array([], pa.int64()),
+            "pad_frac": pa.array([], pa.float64())})
+    g = (pdf.groupby("bucket_cap", as_index=False)
+            .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+                 pad_tokens=("pad_tokens", "sum"))
+            .sort_values("bucket_cap").reset_index(drop=True))
+    g["pad_frac"] = (g["pad_tokens"]
+                     / (g["bucket_cap"] * g["n_docs"])).round(4)
+    for c in ("n_docs", "n_tokens", "pad_tokens"):
+        g[c] = g[c].astype("int64")
+    return pa.Table.from_pandas(
+        g[["bucket_cap", "n_docs", "n_tokens", "pad_tokens", "pad_frac"]],
+        preserve_index=False)

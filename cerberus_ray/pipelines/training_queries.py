@@ -182,6 +182,46 @@ def q_token_top_k_by_lang(sf_dir: str) -> pa.Table:
                                 group_col="lang", k=10)
 
 
+def q_length_bucket_report(sf_dir: str) -> pa.Table:
+    """Length-bucketed batching report (extras surface): power-of-two
+    token-capacity buckets over the documents table with per-bucket
+    padding waste — pandas + DuckDB dual-path parity asserted in
+    tests/test_mixing.py."""
+    from .mixing import length_bucket_stats
+
+    return length_bucket_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_cross_dedup_report(sf_dir: str) -> pa.Table:
+    """Cross-corpus exact dedup report (extras surface): treat the 'web'
+    source as the prior corpus release and drop every other-source
+    document whose content already appears there → (n_input,
+    n_ref_distinct, n_kept, n_dropped). DuckDB anti-join parity asserted
+    in tests/test_dedup.py."""
+    from .dedup import exact_dedup_against, exact_dup_stats
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"]).materialize()
+
+    def split(b: pa.Table, want: bool) -> pa.Table:
+        m = pc.equal(pc.fill_null(b["source"], ""), "web")
+        return b.filter(m if want else pc.invert(m))
+
+    ref = docs.map_batches(lambda b: split(b, True),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    rest = docs.map_batches(lambda b: split(b, False),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    n_input = rest.count()
+    n_ref_distinct = int(exact_dup_stats(ref)["n_unique"][0].as_py())
+    kept = exact_dedup_against(rest, ref, mode="broadcast")
+    n_kept = kept.count()
+    return pa.Table.from_pydict({
+        "n_input": [int(n_input)],
+        "n_ref_distinct": [n_ref_distinct],
+        "n_kept": [int(n_kept)],
+        "n_dropped": [int(n_input - n_kept)]})
+
+
 def q_decontamination_report(sf_dir: str) -> pa.Table:
     """Benchmark-decontamination hygiene report (extras surface): treat
     the first 5 documents as the held-out set, scan the rest for 8-gram
@@ -948,6 +988,8 @@ QUERIES = {
     "token_top_k": q_token_top_k,
     "token_top_k_by_lang": q_token_top_k_by_lang,
     "decontamination_report": q_decontamination_report,
+    "cross_dedup_report": q_cross_dedup_report,
+    "length_bucket_report": q_length_bucket_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,
     "seq_packing_report": q_seq_packing_report,

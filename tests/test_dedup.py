@@ -273,3 +273,94 @@ def test_keep_best_tie_breaks_min_key(ray_session):
     a = sorted(kept_b.to_pandas()["doc_id"])
     b = sorted(kept_f.to_pandas()["doc_id"])
     assert a == b  # all-tied keep-best degenerates to keep-first
+
+
+# ---- cross-corpus exact dedup -------------------------------------------
+
+
+def _cross_fixture():
+    ref = pd.DataFrame({
+        "doc_id": [f"r{i}" for i in range(40)],
+        "text": [f"reference doc {i}" for i in range(40)]})
+    rows = []
+    for i in range(100):
+        if i % 5 == 0:  # 20 rows collide with the reference
+            txt = f"reference doc {i % 40}"
+        else:
+            txt = f"fresh doc {i}"
+        rows.append({"doc_id": f"n{i:03d}", "text": txt})
+    # an internal duplicate pair that does NOT hit the reference: cross
+    # dedup must keep BOTH (it is not an intra-corpus dedup)
+    rows.append({"doc_id": "n900", "text": "fresh doc 1"})
+    return ref, pd.DataFrame(rows)
+
+
+def test_cross_dedup_drops_exactly_the_hits(ray_session):
+    from cerberus_ray.pipelines.dedup import exact_dedup_against
+
+    ref, new = _cross_fixture()
+    out = exact_dedup_against(
+        rd.from_pandas(new, override_num_blocks=4),
+        rd.from_pandas(ref, override_num_blocks=3),
+        mode="broadcast").to_pandas()
+    expected = new[~new["text"].isin(set(ref["text"]))]
+    assert sorted(out["doc_id"]) == sorted(expected["doc_id"])
+    assert list(out.columns) == list(new.columns)  # schema preserved
+    assert "n900" in set(out["doc_id"])  # internal dup survives
+
+
+def test_cross_dedup_mode_agreement(ray_session):
+    from cerberus_ray.pipelines.dedup import exact_dedup_against
+
+    ref, new = _cross_fixture()
+    a = exact_dedup_against(rd.from_pandas(new, override_num_blocks=4),
+                            rd.from_pandas(ref, override_num_blocks=3),
+                            mode="broadcast").to_pandas()
+    b = exact_dedup_against(rd.from_pandas(new, override_num_blocks=4),
+                            rd.from_pandas(ref, override_num_blocks=3),
+                            mode="join").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True))
+    with pytest.raises(ValueError):
+        exact_dedup_against(rd.from_pandas(new), rd.from_pandas(ref),
+                            mode="bogus")
+
+
+def test_cross_dedup_empty_reference_keeps_all(ray_session):
+    from cerberus_ray.pipelines.dedup import exact_dedup_against
+
+    _, new = _cross_fixture()
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                          "text": pd.Series([], dtype=object)})
+    out = exact_dedup_against(rd.from_pandas(new),
+                              rd.from_pandas(empty),
+                              mode="broadcast").to_pandas()
+    assert len(out) == len(new)
+
+
+def test_cross_dedup_duckdb_parity_sf0001(ray_session):
+    """Anti-join on md5(text) vs DuckDB over the real sf0.001 table:
+    reference = the 'web' source, corpus = everything else."""
+    import duckdb
+
+    from cerberus_ray.pipelines.training_queries import q_cross_dedup_report
+
+    sf = "/root/testdata/sf0.001"
+    mine = q_cross_dedup_report(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    orc = con.execute("""
+        WITH ref AS (SELECT DISTINCT md5(COALESCE(text,'')) AS h
+                     FROM documents WHERE source = 'web'),
+        rest AS (SELECT doc_id, md5(COALESCE(text,'')) AS h
+                 FROM documents WHERE source <> 'web')
+        SELECT CAST((SELECT COUNT(*) FROM rest) AS BIGINT) AS n_input,
+               CAST((SELECT COUNT(*) FROM ref) AS BIGINT)  AS n_ref_distinct,
+               CAST((SELECT COUNT(*) FROM rest
+                     WHERE h NOT IN (SELECT h FROM ref)) AS BIGINT) AS n_kept
+    """).fetch_df()
+    assert int(mine["n_input"].iloc[0]) == int(orc["n_input"].iloc[0])
+    assert int(mine["n_ref_distinct"].iloc[0]) == int(orc["n_ref_distinct"].iloc[0])
+    assert int(mine["n_kept"].iloc[0]) == int(orc["n_kept"].iloc[0])

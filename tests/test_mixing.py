@@ -65,3 +65,70 @@ def test_chunking_reconstructs_tokens(ray_session):
     assert chunked_ids | empty_ids == set(df["doc_id"])
     with pytest.raises(ValueError):
         chunk_documents(rd.from_pandas(df), max_tokens=8, overlap=8)
+
+
+# ---- length-bucketed batching stats --------------------------------------
+
+
+def _len_reference(df, min_cap=16):
+    import numpy as np
+    n = (df["text"].fillna("").str.lower().str.split().apply(len)
+         .to_numpy(dtype=np.int64))
+    cap = np.maximum(
+        min_cap, 1 << np.ceil(np.log2(np.maximum(n, 1))).astype(np.int64))
+    g = (pd.DataFrame({"bucket_cap": cap, "n": n, "pad": cap - n})
+         .groupby("bucket_cap", as_index=False)
+         .agg(n_docs=("n", "size"), n_tokens=("n", "sum"),
+              pad_tokens=("pad", "sum"))
+         .sort_values("bucket_cap").reset_index(drop=True))
+    g["pad_frac"] = (g["pad_tokens"] / (g["bucket_cap"] * g["n_docs"])).round(4)
+    return g
+
+
+def test_length_buckets_match_pandas(ray_session):
+    import numpy as np
+
+    from cerberus_ray.pipelines.mixing import length_bucket_stats
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "doc_id": range(300),
+        "text": [" ".join("tok" for _ in range(int(rng.integers(0, 300))))
+                 for _ in range(300)]})
+    df.loc[0, "text"] = ""          # empty → min_cap bucket, 0 tokens
+    df.loc[1, "text"] = None        # null → same convention
+    out = length_bucket_stats(
+        rd.from_pandas(df, override_num_blocks=5)).to_pandas()
+    ref = _len_reference(df)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # exact power-of-two boundary: a 64-token doc pads by 0 into cap 64
+    df2 = pd.DataFrame({"doc_id": [0], "text": [" ".join(["x"] * 64)]})
+    o2 = length_bucket_stats(rd.from_pandas(df2)).to_pandas()
+    assert o2["bucket_cap"].tolist() == [64]
+    assert o2["pad_tokens"].tolist() == [0]
+
+
+def test_length_buckets_duckdb_token_parity(ray_session):
+    """Token totals per bucket vs DuckDB on the real sf0.001 table (the
+    bucket rounding itself is pinned by the pandas reference above)."""
+    import duckdb
+
+    from cerberus_ray.pipelines.training_queries import q_length_bucket_report
+
+    sf = "/root/testdata/sf0.001"
+    mine = q_length_bucket_report(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    orc = con.execute(r"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM (SELECT len(list_filter(string_split_regex(
+                  lower(COALESCE(text,'')), '\s+'), t -> t <> '')) AS n
+              FROM documents)
+    """).fetch_df()
+    assert int(mine["n_docs"].sum()) == int(orc["n_docs"].iloc[0])
+    assert int(mine["n_tokens"].sum()) == int(orc["n_tokens"].iloc[0])
+    # deterministic rerun
+    again = q_length_bucket_report(sf).to_pandas()
+    pd.testing.assert_frame_equal(mine, again)
