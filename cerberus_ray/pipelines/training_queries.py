@@ -192,6 +192,85 @@ def q_length_bucket_report(sf_dir: str) -> pa.Table:
     return length_bucket_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_html_strip_report(sf_dir: str) -> pa.Table:
+    """HTML-stripping hygiene report (extras surface): wrap a
+    deterministic subset of documents in markup (script/style/comments/
+    entities), strip it back, and assert the round trip — byte-exact
+    DuckDB regexp_replace-chain parity lives in tests/test_webclean.py."""
+    from .webclean import strip_html
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def perturb(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_numpy(zero_copy_only=False).astype(object)
+        wrapped = ids % 10 == 0
+        for i in np.flatnonzero(wrapped):
+            txt[i] = ("<html><head><style>p{color:red}</style></head>"
+                      f"<body><p>{txt[i]}</p>"
+                      "<script>var x=1;</script><!-- note --></body></html>")
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"],
+            "orig": b["text"],
+            "wrapped": pa.array(wrapped),
+            "text": pa.array(txt, pa.string())})
+
+    dirty = docs.map_batches(perturb, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cleaned = strip_html(dirty, text_col="text", out_col="stripped")
+
+    def verdicts(b: pa.Table) -> pa.Table:
+        same = pc.equal(pc.fill_null(b["stripped"], ""),
+                        pc.fill_null(b["orig"], ""))
+        w = b["wrapped"].to_numpy(zero_copy_only=False)
+        s = same.to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "n_docs": [len(w)],
+            "n_wrapped": [int(w.sum())],
+            "n_roundtrip_exact": [int((w & s).sum())],
+            "n_changed_unwrapped": [int((~w & ~s).sum())]})
+
+    pdf = cleaned.map_batches(verdicts, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    g = pdf.sum()
+    return pa.Table.from_pydict({k: [int(g[k])] for k in
+                                 ("n_docs", "n_wrapped",
+                                  "n_roundtrip_exact",
+                                  "n_changed_unwrapped")})
+
+
+def q_domain_blocklist_report(sf_dir: str) -> pa.Table:
+    """Domain-blocklist filtering report (extras surface): inject
+    blocklisted-domain mentions into a deterministic subset, run the
+    vectorized alternation scan + drop filter → per-domain hit counts
+    plus drop-consistency columns. DuckDB regexp parity in
+    tests/test_webclean.py."""
+    from .webclean import domain_blocklist_scan, drop_blocklisted
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    blocklist = ["spam-a.example", "tracker-b.example",
+                 "never-seen.example"]
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_numpy(zero_copy_only=False).astype(object)
+        for i in np.flatnonzero(ids % 37 == 0):
+            txt[i] = (txt[i] or "") + " visit https://ads.spam-a.example now"
+        for i in np.flatnonzero(ids % 53 == 0):
+            txt[i] = (txt[i] or "") + " see tracker-b.example/path"
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"], "text": pa.array(txt, pa.string())})
+
+    dirty = docs.map_batches(inject, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    scan = domain_blocklist_scan(dirty, blocklist).to_pandas()
+    n_input = dirty.count()
+    n_kept = drop_blocklisted(dirty, blocklist).count()
+    scan["n_input"] = int(n_input)
+    scan["n_kept"] = int(n_kept)
+    return pa.Table.from_pandas(scan, preserve_index=False)
+
+
 def q_cross_dedup_report(sf_dir: str) -> pa.Table:
     """Cross-corpus exact dedup report (extras surface): treat the 'web'
     source as the prior corpus release and drop every other-source
@@ -990,6 +1069,8 @@ QUERIES = {
     "decontamination_report": q_decontamination_report,
     "cross_dedup_report": q_cross_dedup_report,
     "length_bucket_report": q_length_bucket_report,
+    "html_strip_report": q_html_strip_report,
+    "domain_blocklist_report": q_domain_blocklist_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,
     "seq_packing_report": q_seq_packing_report,

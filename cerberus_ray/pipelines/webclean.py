@@ -1,0 +1,136 @@
+"""Web-corpus cleaning — HTML markup stripping and domain-blocklist
+filtering (the C4/RefinedWeb front-door hygiene stages).
+
+Both operators are single streamed ``map_batches`` passes built on RE2
+(`pyarrow.compute` string kernels) with NO per-row Python:
+
+- ``strip_html``: remove script/style blocks, comments and tags, decode
+  the six ubiquitous HTML entities, collapse whitespace. The ordered
+  (pattern, replacement) sequence is exported as ``HTML_STRIP_STEPS`` so
+  the DuckDB oracle can run the IDENTICAL regexp_replace chain —
+  byte-exact parity is asserted in tests/test_webclean.py (same trick as
+  ``text.redact_pii``). Entity decoding runs ``&amp;`` LAST so
+  double-escaped text is not double-unescaped.
+- ``domain_blocklist_scan`` / ``drop_blocklisted``: C4-style bad-domain
+  filtering. The hit test is ONE vectorized RE2 alternation pass whose
+  pattern size is O(blocklist), never O(corpus); per-domain counts are
+  then taken over the HIT subset only (∝ violation rate). Domains match
+  with any subdomain prefix and a left word boundary, so blocking
+  ``spam.com`` hits ``ads.spam.com`` but not ``notspam.com``.
+
+Reference semantics analogue: the contact-classifier regex cascade
+(`cerberus/models/contact.py:48-61`) and the anonymise rewrite command
+(`cerberus/management/commands/anonymise.py:19-31`) — pattern-driven
+normalize/filter passes over text fields, here applied to web documents.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: Ordered regexp_replace chain shared verbatim with the DuckDB oracle.
+#: Every pattern is RE2-compatible (no backreferences); ``(?is)`` inline
+#: flags give case-insensitive + dotall where needed.
+HTML_STRIP_STEPS: Tuple[Tuple[str, str], ...] = (
+    (r"(?is)<script\b.*?</script>", " "),
+    (r"(?is)<style\b.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+)
+
+#: Literal entity decodes, applied after tag removal; ``&amp;`` last.
+HTML_ENTITY_STEPS: Tuple[Tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """The full strip chain on one Arrow string array (RE2 end-to-end)."""
+    s = pc.fill_null(arr, "")
+    for pat, rep in HTML_STRIP_STEPS:
+        s = pc.replace_substring_regex(s, pat, rep)
+    for lit, rep in HTML_ENTITY_STEPS:
+        s = pc.replace_substring(s, lit, rep)
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    return pc.utf8_trim_whitespace(s)
+
+
+def strip_html(ds, *, text_col: str = "text", out_col: str | None = None):
+    """→ Dataset with ``out_col`` (default: ``text_col`` replaced) holding
+    the markup-stripped text. One streamed vectorized pass."""
+    dest = out_col or text_col
+
+    def run(b: pa.Table) -> pa.Table:
+        cleaned = strip_html_array(b[text_col])
+        if dest in b.column_names:
+            i = b.column_names.index(dest)
+            return b.set_column(i, dest, cleaned)
+        return b.append_column(dest, cleaned)
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def domain_pattern(domain: str) -> str:
+    """RE2 pattern matching ``domain`` (or any subdomain of it) with a
+    left word boundary — shared with the DuckDB oracle."""
+    return (r"(?i)(?:^|[^a-z0-9.-])(?:[a-z0-9-]+\.)*"
+            + re.escape(domain.lower()))
+
+
+def _hit_mask(arr, domains: Sequence[str]):
+    pat = "|".join(f"(?:{domain_pattern(d)})" for d in domains)
+    return pc.match_substring_regex(pc.fill_null(arr, ""), pat)
+
+
+def domain_blocklist_scan(ds, domains: Sequence[str], *,
+                          text_col: str = "text") -> pa.Table:
+    """Per-domain census: how many documents mention each blocklisted
+    domain. One alternation pass finds the hit rows; per-domain counts
+    run over the hits only. → (domain, n_docs) sorted by domain, zeros
+    included."""
+    doms: List[str] = sorted({d.lower() for d in domains})
+    if not doms:
+        return pa.Table.from_pydict({"domain": pa.array([], pa.string()),
+                                     "n_docs": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        hits = b.filter(_hit_mask(b[text_col], doms))
+        counts = np.zeros(len(doms), dtype=np.int64)
+        if hits.num_rows:
+            s = pc.fill_null(hits[text_col], "")
+            for i, d in enumerate(doms):
+                m = pc.match_substring_regex(s, domain_pattern(d))
+                counts[i] = pc.sum(pc.cast(m, pa.int64())).as_py() or 0
+        return pa.Table.from_pydict({
+            "domain": pa.array(doms, pa.string()),
+            "n_docs": pa.array(counts, pa.int64())})
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    g = (pdf.groupby("domain", as_index=False)["n_docs"].sum()
+         .sort_values("domain").reset_index(drop=True))
+    g["n_docs"] = g["n_docs"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def drop_blocklisted(ds, domains: Sequence[str], *, text_col: str = "text"):
+    """Filter out every document mentioning any blocklisted domain.
+    Stateless streamed pass; the pattern is O(blocklist)."""
+    doms = sorted({d.lower() for d in domains})
+    if not doms:
+        return ds
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(_hit_mask(b[text_col], doms)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

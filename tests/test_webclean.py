@@ -1,0 +1,155 @@
+"""Web-cleaning operators: HTML strip chain (hand vectors, byte-exact
+DuckDB regexp_replace parity, idempotence) and domain-blocklist
+scan/drop (boundary semantics, DuckDB parity, drop consistency)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cerberus_ray.pipelines.webclean import (HTML_ENTITY_STEPS,
+                                             HTML_STRIP_STEPS,
+                                             domain_blocklist_scan,
+                                             domain_pattern,
+                                             drop_blocklisted,
+                                             strip_html, strip_html_array)
+
+
+DIRTY = [
+    "<html><body><p>hello world</p></body></html>",
+    "before <script>var x = '<p>evil</p>';</script> after",
+    "css <STYLE type='a'>p { color: red }</STYLE> gone",
+    "keep <!-- secret comment --> text",
+    "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; c&nbsp;d",
+    "&amp;lt; stays escaped-once",
+    "plain text, no markup at all",
+    "spaces\t\tand\n\nnewlines   collapse",
+    "",
+    None,
+    "unclosed <div attr='x' never ends",
+    "math: a < b and c > d",
+]
+
+
+def test_hand_vectors():
+    out = strip_html_array(pa.array(DIRTY, pa.string())).to_pylist()
+    assert out[0] == "hello world"
+    assert out[1] == "before after"
+    assert out[2] == "css gone"
+    assert out[3] == "keep text"
+    assert out[4] == "a & b <tag> \"q\" 's' c d"
+    # double-escaped input unescapes exactly once
+    assert out[5] == "&lt; stays escaped-once"
+    assert out[6] == "plain text, no markup at all"
+    assert out[7] == "spaces and newlines collapse"
+    assert out[8] == "" and out[9] == ""
+    # regex limitation is the documented C4-style contract: an unclosed
+    # tag (no '>') survives; a bare '<' with a later '>' eats the middle
+    assert out[10] == "unclosed <div attr='x' never ends"
+    assert out[11] == "math: a d"
+
+
+def test_idempotent():
+    once = strip_html_array(pa.array(DIRTY, pa.string()))
+    twice = strip_html_array(once)
+    # entity decoding is NOT idempotent by design ('&amp;lt;' -> '&lt;'
+    # -> '<'), so compare only rows without residual entities
+    for a, b in zip(once.to_pylist(), twice.to_pylist()):
+        if "&" not in a:
+            assert a == b
+
+
+def test_duckdb_byte_exact_parity():
+    """The SAME ordered replace chain interpolated into DuckDB must give
+    byte-identical output (both engines are RE2)."""
+    con = duckdb.connect()
+    expr = "COALESCE(t, '')"
+    for pat, rep in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    for lit, rep in HTML_ENTITY_STEPS:
+        l_, r_ = lit.replace("'", "''"), rep.replace("'", "''")
+        expr = f"replace({expr}, '{l_}', '{r_}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    con.register("d", pa.table({"t": pa.array(DIRTY, pa.string())}))
+    orc = con.execute(f"SELECT {expr} AS s FROM d").fetch_df()["s"].tolist()
+    mine = strip_html_array(pa.array(DIRTY, pa.string())).to_pylist()
+    assert mine == orc
+
+
+def test_strip_html_dataset(ray_session):
+    df = pd.DataFrame({"doc_id": range(len(DIRTY)), "text": DIRTY})
+    out = strip_html(rd.from_pandas(df, override_num_blocks=3)).to_pandas()
+    assert out.loc[0, "text"] == "hello world"
+    assert list(out.columns) == ["doc_id", "text"]
+    out2 = strip_html(rd.from_pandas(df), out_col="clean").to_pandas()
+    assert list(out2.columns) == ["doc_id", "text", "clean"]
+    assert out2.loc[1, "clean"] == "before after"
+
+
+BLOCK_DOCS = [
+    "visit https://spam.com today",          # exact domain
+    "cdn at static.ads.spam.com/path",       # subdomain
+    "mail me at bob@spam.com",               # in an email
+    "notspam.com is a different site",       # left-boundary: no hit
+    "totally clean document",
+    "SPAM.COM uppercase",                    # case-insensitive
+    "tracker.io and spam.com both",          # two domains, one doc
+    None,
+]
+
+
+def test_blocklist_scan_and_drop(ray_session):
+    df = pd.DataFrame({"doc_id": range(len(BLOCK_DOCS)),
+                       "text": BLOCK_DOCS})
+    ds = rd.from_pandas(df, override_num_blocks=3)
+    scan = domain_blocklist_scan(ds, ["spam.com", "tracker.io",
+                                      "absent.example"]).to_pandas()
+    got = dict(zip(scan["domain"], scan["n_docs"]))
+    assert got == {"absent.example": 0, "spam.com": 5, "tracker.io": 1}
+    kept = drop_blocklisted(ds, ["spam.com", "tracker.io"]).to_pandas()
+    assert sorted(kept["doc_id"]) == [3, 4, 7]
+    # empty blocklist keeps everything (and returns the same dataset)
+    assert drop_blocklisted(ds, []).count() == len(df)
+
+
+def test_blocklist_duckdb_parity():
+    con = duckdb.connect()
+    con.register("d", pa.table({"t": pa.array(BLOCK_DOCS, pa.string())}))
+    for dom, want in (("spam.com", 5), ("tracker.io", 1)):
+        p = domain_pattern(dom).replace("'", "''")
+        n = con.execute(
+            f"SELECT COUNT(*) FROM d WHERE "
+            f"regexp_matches(COALESCE(t,''), '{p}')").fetchone()[0]
+        assert n == want
+
+
+def test_reports_sf0001(ray_session):
+    from cerberus_ray.pipelines.training_queries import (
+        q_domain_blocklist_report, q_html_strip_report)
+
+    sf = "/root/testdata/sf0.001"
+    h = q_html_strip_report(sf).to_pandas()
+    assert int(h["n_roundtrip_exact"].iloc[0]) == int(h["n_wrapped"].iloc[0])
+    assert int(h["n_changed_unwrapped"].iloc[0]) == 0
+    assert int(h["n_wrapped"].iloc[0]) > 0
+
+    b = q_domain_blocklist_report(sf).to_pandas()
+    got = dict(zip(b["domain"], b["n_docs"]))
+    assert got["never-seen.example"] == 0
+    assert got["spam-a.example"] > 0 and got["tracker-b.example"] > 0
+    # drop consistency: docs hit by ANY domain = n_input - n_kept; the
+    # injection sets overlap at lcm(37,53) — recompute from doc ids
+    import duckdb as dk
+    con = dk.connect()
+    ids = con.execute(
+        f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+    ).fetch_df()["doc_id"]
+    hit = ((ids % 37 == 0) | (ids % 53 == 0)).sum()
+    assert int(b["n_input"].iloc[0] - b["n_kept"].iloc[0]) == int(hit)
+    assert got["spam-a.example"] == int((ids % 37 == 0).sum())
+    assert got["tracker-b.example"] == int((ids % 53 == 0).sum())
+    # deterministic rerun
+    pd.testing.assert_frame_equal(b, q_domain_blocklist_report(sf).to_pandas())
