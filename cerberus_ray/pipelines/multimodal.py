@@ -1,13 +1,19 @@
 """Multimodal (image/audio/video) plumbing.
 
 Media payloads are opaque ``binary`` columns with typed metadata — the
-engine's schema treatment of the interleaved ``media_ref`` spans. The
-decode/resize/frame-sample kernels need codec libraries that are NOT in
-this container, so the decode step is STUBBED: ``MediaDecoder`` tries the
-real libraries (PIL / soundfile) and otherwise produces a clearly-marked
-deterministic fake derived from the payload hash. Everything Ray-side —
-schema, actor-pool signature, batch sizing, output layout — is real and
-tested, so swapping the kernel for a real decoder changes one method.
+engine's schema treatment of the interleaved ``media_ref`` spans.
+
+The IMAGE path is REAL: image payloads are actual PNG streams and
+``MediaDecoder`` decodes them with the engine's pure-stdlib PNG codec
+(`functions/png.py` — zlib inflate + scanline unfilter), extracting true
+dimensions and per-channel pixel statistics; ``resize_media`` re-encodes
+payloads through a real nearest-neighbor resample. Audio/video decode
+needs codec libraries NOT in this container, so those kinds keep the
+clearly-marked deterministic fake derived from the payload hash
+(``decoder`` column says which kernel ran: 'png' vs 'stub'). Everything
+Ray-side — schema, actor-pool signature, batch sizing, output layout —
+is identical across both kernels, so a libav-backed decoder swaps in
+behind one method.
 
 Actor-pool pattern: heavyweight setup (codec init) in __init__ (once per
 actor), per-batch work in __call__ — the engine's ST2/ST5 stateful-stage
@@ -21,6 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..determinism import hash_strings
+from ..functions.png import decode_png, encode_png, is_png, resize_nearest
 
 MEDIA_FEATURES_SCHEMA = pa.schema([
     pa.field("media_ref", pa.string()),
@@ -34,19 +41,36 @@ MEDIA_FEATURES_SCHEMA = pa.schema([
 ])
 
 
-def synthesize_payloads(media_ds, *, max_bytes: int = 4096):
-    """Deterministic opaque binary payload per media_ref (hash-expanded).
+def _synth_image(h: np.uint64) -> bytes:
+    """Deterministic small REAL PNG derived from the catalog hash: dims
+    8–23 px, an RGB gradient + hash-offset pattern."""
+    hi = int(h)
+    w = 8 + (hi & 0xF)
+    ht = 8 + ((hi >> 4) & 0xF)
+    yy, xx = np.mgrid[0:ht, 0:w]
+    r = (xx * 255 // max(w - 1, 1) + (hi & 0xFF)) % 256
+    g = (yy * 255 // max(ht - 1, 1) + ((hi >> 8) & 0xFF)) % 256
+    b = (xx + yy + ((hi >> 16) & 0xFF)) % 256
+    return encode_png(np.stack([r, g, b], axis=2).astype(np.uint8))
 
-    Stands in for reading real blobs; payload size follows the catalog's
-    ``bytes`` column capped at max_bytes so blocks stay bounded."""
+
+def synthesize_payloads(media_ds, *, max_bytes: int = 4096):
+    """Deterministic binary payload per media_ref. Images get REAL PNG
+    streams (decodable by `functions/png.py`); audio/video get opaque
+    hash-expanded blobs whose size follows the catalog's ``bytes`` column
+    capped at max_bytes so blocks stay bounded."""
 
     def gen(batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_numpy(zero_copy_only=False)
+        kinds = batch["kind"].to_numpy(zero_copy_only=False)
         sizes = np.minimum(batch["bytes"].to_numpy(zero_copy_only=False),
                            max_bytes).astype(np.int64)
         h = hash_strings(refs)
         payloads = []
         for i, n in enumerate(sizes):
+            if kinds[i] == "image":
+                payloads.append(_synth_image(h[i]))
+                continue
             reps = int(n // 8) + 1
             seq = (np.arange(reps, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                    ^ h[i])
@@ -59,19 +83,29 @@ def synthesize_payloads(media_ds, *, max_bytes: int = 4096):
 class MediaDecoder:
     """Actor-pool decode/feature-extract stage.
 
-    STUB: real decoding requires PIL/soundfile/av, absent here. The fake
-    path is deterministic in the payload bytes; ``strict=True`` raises
-    NotImplementedError instead (the contract a real deployment fills)."""
+    PNG payloads decode for REAL (pure-stdlib codec): true width/height
+    and per-channel pixel statistics, ``decoder='png'``. Audio/video
+    decode requires soundfile/av, absent here — those payloads take the
+    deterministic fake path (``decoder='stub'``); ``strict=True`` raises
+    NotImplementedError for them instead (the contract a real deployment
+    fills)."""
 
     def __init__(self, feature_dim: int = 8, strict: bool = False):
         self.feature_dim = feature_dim
         self.strict = strict
-        try:  # pragma: no cover - libs not installed in this sandbox
-            from PIL import Image  # noqa: F401
 
-            self.real_image = True
-        except ImportError:
-            self.real_image = False
+    def _decode_png(self, payload: bytes):
+        img = decode_png(payload)
+        h, w, c = img.shape
+        px = img.astype(np.float64)
+        chan = px.reshape(-1, c).mean(axis=0)
+        feat = np.zeros(self.feature_dim, dtype=np.float64)
+        feat[:min(c, self.feature_dim)] = chan[:self.feature_dim]
+        extras = [px.std(), px.min(), px.max()]
+        for j, v in enumerate(extras):
+            if c + j < self.feature_dim:
+                feat[c + j] = v
+        return w, h, 1, (feat / 255.0).astype(np.float32)
 
     def _decode_fake(self, payload: bytes, kind: str):
         if self.strict:
@@ -93,9 +127,15 @@ class MediaDecoder:
         refs = batch["media_ref"].to_pylist()
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        W, H, F, feats = [], [], [], []
+        W, H, F, feats, decs = [], [], [], [], []
         for p, k in zip(payloads, kinds):
-            w, h, nf, ft = self._decode_fake(p or b"", k or "image")
+            p = p or b""
+            if is_png(p):
+                w, h, nf, ft = self._decode_png(p)
+                decs.append("png")
+            else:
+                w, h, nf, ft = self._decode_fake(p, k or "image")
+                decs.append("stub")
             W.append(w); H.append(h); F.append(nf); feats.append(ft)
         return pa.Table.from_arrays(
             [pa.array(refs, type=pa.string()),
@@ -103,7 +143,7 @@ class MediaDecoder:
              pa.array([len(p or b"") for p in payloads], type=pa.int64()),
              pa.array(W, type=pa.int32()), pa.array(H, type=pa.int32()),
              pa.array(F, type=pa.int32()),
-             pa.array(["stub"] * len(refs), type=pa.string()),
+             pa.array(decs, type=pa.string()),
              pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32()))],
             schema=MEDIA_FEATURES_SCHEMA)
 
@@ -159,3 +199,34 @@ def sample_frames(features_ds, *, every_n: int = 10):
         })
 
     return features_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def resize_media(payload_ds, *, target: int = 64, concurrency: int = 2,
+                 batch_size: int = 256):
+    """REAL payload-level image resize: decode PNG → nearest-neighbor
+    resample to target×target → re-encode PNG; non-PNG payloads pass
+    through untouched. Actor-pool stage, small batches (payload-heavy
+    rows × concurrency must fit the worker heap)."""
+
+    class Resizer:
+        def __init__(self, t: int):
+            self.t = t
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            payloads = batch["payload"].to_pylist()
+            out = []
+            for p in payloads:
+                p = p or b""
+                if is_png(p):
+                    img = resize_nearest(decode_png(p), self.t, self.t)
+                    out.append(encode_png(img))
+                else:
+                    out.append(p)
+            i = batch.schema.get_field_index("payload")
+            return batch.set_column(i, "payload",
+                                    pa.array(out, type=pa.binary()))
+
+    return payload_ds.map_batches(
+        Resizer, fn_constructor_kwargs={"t": target},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -150,7 +150,9 @@ def q_doc_fingerprint(sf_dir: str) -> pa.Table:
 
 
 def q_media_features(sf_dir: str) -> pa.Table:
-    """Multimodal plumbing: synthetic payloads → actor-pool decode stub."""
+    """Multimodal decode: synthetic payloads (REAL PNGs for images,
+    hash blobs for audio/video) → actor-pool decode — the PNG kernel is
+    a real pure-stdlib decoder (functions/png.py), the rest stubbed."""
     from ..datagen import GenConfig, media_dataset
 
     n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(

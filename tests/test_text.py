@@ -74,8 +74,13 @@ def test_multimodal_plumbing(ray_session):
     assert len(pdf) == 50
     assert set(pdf.columns) == {"media_ref", "kind", "n_bytes", "width",
                                 "height", "n_frames", "decoder", "feature"}
-    assert (pdf["decoder"] == "stub").all()
-    assert (pdf["width"] >= 16).all()
+    # image payloads are real PNGs and decode with the real kernel;
+    # audio/video stay on the documented stub path
+    img = pdf["kind"] == "image"
+    assert (pdf.loc[img, "decoder"] == "png").all()
+    assert (pdf.loc[~img, "decoder"] == "stub").all()
+    assert (pdf.loc[img, "n_frames"] == 1).all()
+    assert (pdf["width"] >= 8).all()
     # deterministic across runs
     pdf2 = MM.decode_media(MM.synthesize_payloads(media), concurrency=2,
                            batch_size=16).to_pandas()
