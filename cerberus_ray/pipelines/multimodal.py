@@ -3,17 +3,21 @@
 Media payloads are opaque ``binary`` columns with typed metadata — the
 engine's schema treatment of the interleaved ``media_ref`` spans.
 
-The IMAGE path is REAL: image payloads are actual PNG streams and
-``MediaDecoder`` decodes them with the engine's pure-stdlib PNG codec
-(`functions/png.py` — zlib inflate + scanline unfilter), extracting true
-dimensions and per-channel pixel statistics; ``resize_media`` re-encodes
-payloads through a real nearest-neighbor resample. Audio/video decode
-needs codec libraries NOT in this container, so those kinds keep the
-clearly-marked deterministic fake derived from the payload hash
-(``decoder`` column says which kernel ran: 'png' vs 'stub'). Everything
-Ray-side — schema, actor-pool signature, batch sizing, output layout —
-is identical across both kernels, so a libav-backed decoder swaps in
-behind one method.
+The IMAGE and AUDIO paths are REAL: image payloads are actual PNG
+streams decoded by the engine's pure-stdlib PNG codec (`functions/png.py`
+— zlib inflate + scanline unfilter; true dimensions + per-channel pixel
+statistics, and ``resize_media`` re-encodes through a real
+nearest-neighbor resample); audio payloads are actual PCM WAV streams
+decoded by `functions/wav.py` (true sample rate/channels/duration + RMS/
+peak/zero-crossing features). Video decode genuinely needs codec
+libraries NOT in this container, so that kind keeps the clearly-marked
+deterministic fake derived from the payload hash. The ``decoder`` column
+says which kernel ran ('png' / 'wav' / 'stub'). For audio rows the
+image-shaped metadata columns carry (width=sample_rate,
+height=n_channels, n_frames=n_samples) — documented mapping, schema
+unchanged. Everything Ray-side — schema, actor-pool signature, batch
+sizing, output layout — is identical across kernels, so a libav-backed
+video decoder swaps in behind one method.
 
 Actor-pool pattern: heavyweight setup (codec init) in __init__ (once per
 actor), per-batch work in __call__ — the engine's ST2/ST5 stateful-stage
@@ -28,6 +32,7 @@ import pyarrow.compute as pc
 
 from ..determinism import hash_strings
 from ..functions.png import decode_png, encode_png, is_png, resize_nearest
+from ..functions.wav import audio_features, decode_wav, encode_wav, is_wav
 
 MEDIA_FEATURES_SCHEMA = pa.schema([
     pa.field("media_ref", pa.string()),
@@ -54,9 +59,26 @@ def _synth_image(h: np.uint64) -> bytes:
     return encode_png(np.stack([r, g, b], axis=2).astype(np.uint8))
 
 
+def _synth_audio(h: np.uint64) -> bytes:
+    """Deterministic small REAL PCM WAV derived from the catalog hash:
+    400-2447 samples of a hash-pitched sine + second harmonic, mono or
+    stereo by a hash bit."""
+    hi = int(h)
+    n = 400 + (hi & 0x7FF)
+    freq = 110.0 * (1 + ((hi >> 12) & 0x7))
+    sr = 16_000
+    t = np.arange(n) / sr
+    x = (0.6 * np.sin(2 * np.pi * freq * t)
+         + 0.25 * np.sin(2 * np.pi * 2 * freq * t + (hi & 0xFF) / 40.0))
+    s = (x * 20_000).astype(np.int16)
+    if (hi >> 20) & 1:
+        s = np.stack([s, s[::-1]], axis=1)  # stereo variant
+    return encode_wav(s, sr)
+
+
 def synthesize_payloads(media_ds, *, max_bytes: int = 4096):
     """Deterministic binary payload per media_ref. Images get REAL PNG
-    streams (decodable by `functions/png.py`); audio/video get opaque
+    streams; audio gets REAL PCM WAV streams; remaining kinds get opaque
     hash-expanded blobs whose size follows the catalog's ``bytes`` column
     capped at max_bytes so blocks stay bounded."""
 
@@ -71,6 +93,9 @@ def synthesize_payloads(media_ds, *, max_bytes: int = 4096):
             if kinds[i] == "image":
                 payloads.append(_synth_image(h[i]))
                 continue
+            if kinds[i] == "audio":
+                payloads.append(_synth_audio(h[i]))
+                continue
             reps = int(n // 8) + 1
             seq = (np.arange(reps, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                    ^ h[i])
@@ -83,9 +108,11 @@ def synthesize_payloads(media_ds, *, max_bytes: int = 4096):
 class MediaDecoder:
     """Actor-pool decode/feature-extract stage.
 
-    PNG payloads decode for REAL (pure-stdlib codec): true width/height
-    and per-channel pixel statistics, ``decoder='png'``. Audio/video
-    decode requires soundfile/av, absent here — those payloads take the
+    PNG and PCM-WAV payloads decode for REAL (pure-stdlib codecs):
+    ``decoder='png'`` rows carry true width/height + per-channel pixel
+    means; ``decoder='wav'`` rows carry (width=sample_rate,
+    height=n_channels, n_frames=n_samples) + RMS/peak/ZCR features.
+    Video decode requires av, absent here — those payloads take the
     deterministic fake path (``decoder='stub'``); ``strict=True`` raises
     NotImplementedError for them instead (the contract a real deployment
     fills)."""
@@ -133,6 +160,11 @@ class MediaDecoder:
             if is_png(p):
                 w, h, nf, ft = self._decode_png(p)
                 decs.append("png")
+            elif is_wav(p):
+                samples, rate = decode_wav(p)
+                ft = audio_features(samples, rate, self.feature_dim)
+                w, h, nf = rate, samples.shape[1], len(samples)
+                decs.append("wav")
             else:
                 w, h, nf, ft = self._decode_fake(p, k or "image")
                 decs.append("stub")

@@ -74,12 +74,16 @@ def test_multimodal_plumbing(ray_session):
     assert len(pdf) == 50
     assert set(pdf.columns) == {"media_ref", "kind", "n_bytes", "width",
                                 "height", "n_frames", "decoder", "feature"}
-    # image payloads are real PNGs and decode with the real kernel;
-    # audio/video stay on the documented stub path
+    # image/audio payloads are real PNG/WAV streams and decode with the
+    # real kernels; remaining kinds stay on the documented stub path
     img = pdf["kind"] == "image"
+    aud = pdf["kind"] == "audio"
     assert (pdf.loc[img, "decoder"] == "png").all()
-    assert (pdf.loc[~img, "decoder"] == "stub").all()
+    assert (pdf.loc[aud, "decoder"] == "wav").all()
+    assert (pdf.loc[~img & ~aud, "decoder"] == "stub").all()
     assert (pdf.loc[img, "n_frames"] == 1).all()
+    assert (pdf.loc[aud, "width"] == 16_000).all()   # sample rate
+    assert pdf.loc[aud, "height"].isin([1, 2]).all()  # channels
     assert (pdf["width"] >= 8).all()
     # deterministic across runs
     pdf2 = MM.decode_media(MM.synthesize_payloads(media), concurrency=2,
