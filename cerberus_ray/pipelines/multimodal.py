@@ -3,16 +3,18 @@
 Media payloads are opaque ``binary`` columns with typed metadata — the
 engine's schema treatment of the interleaved ``media_ref`` spans.
 
-The IMAGE and AUDIO paths are REAL: image payloads are actual PNG
+Every kind the catalog emits decodes for REAL: image payloads are actual PNG
 streams decoded by the engine's pure-stdlib PNG codec (`functions/png.py`
 — zlib inflate + scanline unfilter; true dimensions + per-channel pixel
 statistics, and ``resize_media`` re-encodes through a real
 nearest-neighbor resample); audio payloads are actual PCM WAV streams
 decoded by `functions/wav.py` (true sample rate/channels/duration + RMS/
-peak/zero-crossing features). Video decode genuinely needs codec
-libraries NOT in this container, so that kind keeps the clearly-marked
+peak/zero-crossing features); table payloads are actual Arrow IPC
+streams decoded by pyarrow (true row/column counts + numeric-column
+means). Compressed video/image/audio codecs genuinely need libraries NOT
+in this container, so unrecognized payloads keep the clearly-marked
 deterministic fake derived from the payload hash. The ``decoder`` column
-says which kernel ran ('png' / 'wav' / 'stub'). For audio rows the
+says which kernel ran ('png' / 'wav' / 'arrow' / 'stub'). For audio rows the
 image-shaped metadata columns carry (width=sample_rate,
 height=n_channels, n_frames=n_samples) — documented mapping, schema
 unchanged. Everything Ray-side — schema, actor-pool signature, batch
@@ -76,11 +78,30 @@ def _synth_audio(h: np.uint64) -> bytes:
     return encode_wav(s, sr)
 
 
+def _synth_table(h: np.uint64) -> bytes:
+    """Deterministic small REAL Arrow IPC stream derived from the hash:
+    2-17 rows of (id int64, value float64, tag string)."""
+    import pyarrow.ipc as ipc
+
+    hi = int(h)
+    n = 2 + (hi & 0xF)
+    ids = np.arange(n, dtype=np.int64) + (hi & 0xFFFF)
+    vals = ((ids * 2654435761) % 1000) / 10.0
+    tags = np.array([f"t{(hi >> (i % 32)) & 7}" for i in range(n)],
+                    dtype=object)
+    t = pa.table({"id": pa.array(ids), "value": pa.array(vals),
+                  "tag": pa.array(tags, pa.string())})
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
 def synthesize_payloads(media_ds, *, max_bytes: int = 4096):
-    """Deterministic binary payload per media_ref. Images get REAL PNG
-    streams; audio gets REAL PCM WAV streams; remaining kinds get opaque
-    hash-expanded blobs whose size follows the catalog's ``bytes`` column
-    capped at max_bytes so blocks stay bounded."""
+    """Deterministic binary payload per media_ref. Every catalog kind is
+    a REAL stream: images are PNG, audio is PCM WAV, tables are Arrow
+    IPC. Unknown kinds fall back to opaque hash-expanded blobs whose size
+    follows the catalog's ``bytes`` column capped at max_bytes."""
 
     def gen(batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_numpy(zero_copy_only=False)
@@ -95,6 +116,9 @@ def synthesize_payloads(media_ds, *, max_bytes: int = 4096):
                 continue
             if kinds[i] == "audio":
                 payloads.append(_synth_audio(h[i]))
+                continue
+            if kinds[i] == "table":
+                payloads.append(_synth_table(h[i]))
                 continue
             reps = int(n // 8) + 1
             seq = (np.arange(reps, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -112,14 +136,31 @@ class MediaDecoder:
     ``decoder='png'`` rows carry true width/height + per-channel pixel
     means; ``decoder='wav'`` rows carry (width=sample_rate,
     height=n_channels, n_frames=n_samples) + RMS/peak/ZCR features.
-    Video decode requires av, absent here — those payloads take the
-    deterministic fake path (``decoder='stub'``); ``strict=True`` raises
-    NotImplementedError for them instead (the contract a real deployment
-    fills)."""
+    Arrow-IPC payloads (the 'table' kind) decode with pyarrow itself:
+    (width=n_cols, height=1, n_frames=n_rows) + numeric-column-mean
+    features, ``decoder='arrow'``. Unrecognized payloads (e.g. a video
+    codec) take the deterministic fake path (``decoder='stub'``);
+    ``strict=True`` raises NotImplementedError for them instead (the
+    contract a real deployment fills)."""
 
     def __init__(self, feature_dim: int = 8, strict: bool = False):
         self.feature_dim = feature_dim
         self.strict = strict
+
+    def _decode_arrow(self, payload: bytes):
+        import pyarrow.ipc as ipc
+
+        t = ipc.open_stream(payload).read_all()
+        feat = np.zeros(self.feature_dim, dtype=np.float64)
+        j = 0
+        for col in t.columns:
+            if j >= self.feature_dim:
+                break
+            if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                feat[j] = float(np.nanmean(v)) if len(v) else 0.0
+                j += 1
+        return t.num_columns, 1, t.num_rows, feat.astype(np.float32)
 
     def _decode_png(self, payload: bytes):
         img = decode_png(payload)
@@ -165,6 +206,9 @@ class MediaDecoder:
                 ft = audio_features(samples, rate, self.feature_dim)
                 w, h, nf = rate, samples.shape[1], len(samples)
                 decs.append("wav")
+            elif p[:4] == b"\xff\xff\xff\xff":  # Arrow IPC stream marker
+                w, h, nf, ft = self._decode_arrow(p)
+                decs.append("arrow")
             else:
                 w, h, nf, ft = self._decode_fake(p, k or "image")
                 decs.append("stub")

@@ -74,17 +74,20 @@ def test_multimodal_plumbing(ray_session):
     assert len(pdf) == 50
     assert set(pdf.columns) == {"media_ref", "kind", "n_bytes", "width",
                                 "height", "n_frames", "decoder", "feature"}
-    # image/audio payloads are real PNG/WAV streams and decode with the
-    # real kernels; remaining kinds stay on the documented stub path
+    # every catalog kind carries a REAL stream (PNG / PCM WAV / Arrow
+    # IPC) and decodes with the matching real kernel
     img = pdf["kind"] == "image"
     aud = pdf["kind"] == "audio"
+    tab = pdf["kind"] == "table"
     assert (pdf.loc[img, "decoder"] == "png").all()
     assert (pdf.loc[aud, "decoder"] == "wav").all()
-    assert (pdf.loc[~img & ~aud, "decoder"] == "stub").all()
+    assert (pdf.loc[tab, "decoder"] == "arrow").all()
     assert (pdf.loc[img, "n_frames"] == 1).all()
     assert (pdf.loc[aud, "width"] == 16_000).all()   # sample rate
     assert pdf.loc[aud, "height"].isin([1, 2]).all()  # channels
-    assert (pdf["width"] >= 8).all()
+    assert (pdf.loc[tab, "width"] == 3).all()         # columns
+    assert (pdf.loc[tab, "n_frames"] >= 2).all()      # rows
+    assert (pdf["width"] >= 3).all()
     # deterministic across runs
     pdf2 = MM.decode_media(MM.synthesize_payloads(media), concurrency=2,
                            batch_size=16).to_pandas()
