@@ -71,15 +71,34 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           decontaminate_ngram: int = 8,
                           mixing_weights: Optional[Dict[str, float]] = None,
                           source_col: str = "source",
-                          cut_ngram: Optional[int] = None) -> CorpusReport:
+                          cut_ngram: Optional[int] = None,
+                          strip_markup: bool = False,
+                          blocklist=None,
+                          reference_ds=None) -> CorpusReport:
     """Optional hygiene/shaping stages extend the funnel when supplied:
-    ``benchmark_ds`` inserts a decontamination drop-filter (n-gram
-    overlap vs the held-out set) after the quality gate,
-    ``cut_ngram`` removes cross-doc duplicated ≥n-token passages
-    (substring_dedup) between exact and near dedup, and
-    ``mixing_weights`` applies deterministic per-source sampling after
-    near-dedup. Defaults leave the classic 4-stage funnel unchanged."""
+    ``strip_markup`` runs the HTML strip chain as stage 0 (webclean),
+    ``blocklist`` drops documents mentioning blocklisted domains before
+    the quality gate, ``benchmark_ds`` inserts a decontamination
+    drop-filter (n-gram overlap vs the held-out set) after the quality
+    gate, ``cut_ngram`` removes cross-doc duplicated ≥n-token passages
+    (substring_dedup) between exact and near dedup, ``reference_ds``
+    drops content already present in a prior corpus release (cross-corpus
+    exact dedup) after in-corpus exact dedup, and ``mixing_weights``
+    applies deterministic per-source sampling after near-dedup. Defaults
+    leave the classic 4-stage funnel unchanged."""
     from ..pipelines.dedup import dedup_near_keep_first, exact_dedup_keep_first
+
+    # optional 0. markup strip + domain blocklist (web hygiene front door)
+    if strip_markup:
+        from ..pipelines.webclean import strip_html
+
+        docs_ds = strip_html(docs_ds, text_col=text_col)
+    if blocklist:
+        from ..pipelines.webclean import drop_blocklisted
+
+        docs_ds = drop_blocklisted(docs_ds, blocklist, text_col=text_col)
+    if strip_markup or blocklist:
+        docs_ds = docs_ds.materialize()
 
     n_input = docs_ds.count()
     # the fingerprint pass is only paid when a manifest could be written
@@ -88,6 +107,9 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                    if out_dir is not None else None)
     bench_fp = (_content_fingerprint(benchmark_ds, text_col, key_col)
                 if out_dir is not None and benchmark_ds is not None else None)
+    ref_fp = (_content_fingerprint(reference_ds, text_col, key_col)
+              if out_dir is not None and reference_ds is not None else None)
+    block_key = sorted({d.lower() for d in blocklist}) if blocklist else None
     mix_key = (sorted(mixing_weights.items()) if mixing_weights else None)
 
     # sink-level resume: a completed run left a manifest whose input size,
@@ -106,6 +128,9 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             if m and (m.get("n_input") == int(n_input)
                       and m.get("content_fingerprint") == fingerprint
                       and m.get("benchmark_fingerprint") == bench_fp
+                      and m.get("reference_fingerprint") == ref_fp
+                      and m.get("strip_markup") == strip_markup
+                      and m.get("blocklist") == block_key
                       and m.get("mixing_weights") == mk
                       and m.get("cut_ngram") == cut_ngram
                       and m.get("near_threshold") == near_threshold
@@ -159,7 +184,13 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     # 2. exact dedup (min-key winner per content hash)
     exact = exact_dedup_keep_first(kept_text, text_col=text_col,
                                    key_col=key_col)
-    exact = exact.drop_columns(["text_md5"]).materialize()
+    exact = exact.drop_columns(["text_md5"])
+    # optional 2a. cross-corpus dedup against a prior release
+    if reference_ds is not None:
+        from ..pipelines.dedup import exact_dedup_against
+
+        exact = exact_dedup_against(exact, reference_ds, text_col=text_col)
+    exact = exact.materialize()
     n_exact = exact.count()
 
     # optional 2b. cut cross-doc duplicated passages (boilerplate,
@@ -210,6 +241,9 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             "shuffle_seed": shuffle_seed,
             "content_fingerprint": fingerprint,
             "benchmark_fingerprint": bench_fp,
+            "reference_fingerprint": ref_fp,
+            "strip_markup": strip_markup,
+            "blocklist": block_key,
             "cut_ngram": cut_ngram,
             "mixing_weights": ([list(t) for t in mix_key]
                                if mix_key else None),

@@ -198,3 +198,54 @@ def test_corpus_optional_hygiene_stages(ray_session, tmp_path):
                                mixing_weights={"src0": 0.5})
     assert not r3.stats.get("resumed")
     assert r3.n_after_near_dedup < r1.n_after_near_dedup
+
+
+def test_corpus_webclean_and_reference_stages(ray_session, tmp_path):
+    """strip_markup fixes otherwise-gate-failing HTML wrappers, blocklist
+    drops a doc, reference_ds drops already-released content, and the
+    manifest resume invalidates when those knobs change."""
+    df = corpus_df()
+    # wrap one good doc in markup; without strip_markup its exact-dup
+    # twin would NOT collide (different bytes)
+    df.loc[df["doc_id"] == "dup2", "text"] = (
+        "<html><body><p>" + BASE + "</p><script>x()</script></body></html>")
+    df = pd.concat([df, pd.DataFrame([
+        {"doc_id": "blocked1",
+         "text": "lambda mu nu xi omicron visit ads.bad-site.example now "
+                 "alpha beta gamma delta epsilon zeta eta theta iota"},
+    ])], ignore_index=True)
+    # prior release already contains doc g000's content
+    prior = pd.DataFrame([{"doc_id": "old1",
+                           "text": df.loc[df["doc_id"] == "g000",
+                                          "text"].iloc[0]}])
+    out = str(tmp_path / "c")
+    r = build_training_corpus(
+        rd.from_pandas(df), out_dir=out, near_threshold=0.5, bands=32,
+        min_rows_per_file=1000, strip_markup=True,
+        blocklist=["bad-site.example"],
+        reference_ds=rd.from_pandas(prior))
+    # blocked1 dropped before the gate: 46 - 1 = 45 input rows
+    assert r.n_input == 45
+    assert r.n_quality_pass == 43
+    # dup2's markup stripped back to BASE -> exact dup of dup1 (42), and
+    # g000 dropped against the prior release (41)
+    assert r.n_after_exact_dedup == 41
+    written = pq.read_table(os.path.join(out, "data"))
+    ids = set(written["doc_id"].to_pylist())
+    assert "blocked1" not in ids and "g000" not in ids
+    assert "dup2" not in ids and "dup1" in ids
+    # resume honors the new manifest keys: same call resumes...
+    r2 = build_training_corpus(
+        rd.from_pandas(df), out_dir=out, near_threshold=0.5, bands=32,
+        min_rows_per_file=1000, strip_markup=True,
+        blocklist=["bad-site.example"],
+        reference_ds=rd.from_pandas(prior))
+    assert r2.stats.get("resumed") is True
+    # ...a different blocklist rebuilds (blocked1 passes the gate now)
+    r3 = build_training_corpus(
+        rd.from_pandas(df), out_dir=out, near_threshold=0.5, bands=32,
+        min_rows_per_file=1000, strip_markup=True,
+        blocklist=["other.example"],
+        reference_ds=rd.from_pandas(prior))
+    assert not r3.stats.get("resumed")
+    assert r3.n_input == 46
