@@ -53,6 +53,10 @@ QUERY_NAMES = [
     "seq_packing_report", "repeated_substring_report",
     "token_budget_report", "emb_outlier_report",
     "line_dedup_report", "nb_quality_report", "doc_repetition",
+    # fourth-session extras
+    "ppl_bucket_report", "token_top_k_by_lang", "cross_dedup_report",
+    "length_bucket_report", "html_strip_report", "domain_blocklist_report",
+    "media_features",
 ]
 
 

@@ -194,6 +194,16 @@ def q_length_bucket_report(sf_dir: str) -> pa.Table:
     return length_bucket_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_corpus_datasheet(sf_dir: str) -> pa.Table:
+    """Per-(source, lang) corpus datasheet (extras surface): volumes,
+    exact-dup rate, quality-gate share — DuckDB parity for the exact
+    columns asserted in tests/test_datasheet.py."""
+    from .datasheet import corpus_datasheet
+
+    return corpus_datasheet(
+        _docs(sf_dir, ["doc_id", "text", "lang", "source"]))
+
+
 def q_html_strip_report(sf_dir: str) -> pa.Table:
     """HTML-stripping hygiene report (extras surface): wrap a
     deterministic subset of documents in markup (script/style/comments/
@@ -1072,6 +1082,7 @@ QUERIES = {
     "cross_dedup_report": q_cross_dedup_report,
     "length_bucket_report": q_length_bucket_report,
     "html_strip_report": q_html_strip_report,
+    "corpus_datasheet": q_corpus_datasheet,
     "domain_blocklist_report": q_domain_blocklist_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,
