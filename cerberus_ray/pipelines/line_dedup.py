@@ -55,15 +55,25 @@ from ..determinism import hash_strings
 __all__ = ["duplicated_line_set", "cut_duplicated_lines",
            "line_dedup_report"]
 
+#: unit → (arrow splitter kwargs, pandas split pattern, rejoin separator).
+#: 'line' splits on every newline; 'paragraph' on blank lines (the
+#: Dolma/RefinedWeb paragraph-dedup granularity). Rewritten docs re-join
+#: with the canonical separator; untouched docs pass through byte-exact.
+_UNITS = {"line": ("\n", False, "\n"),
+          "paragraph": (r"\n[ \t]*\n", True, "\n\n")}
 
-def _block_lines(texts) -> Tuple[np.ndarray, np.ndarray]:
-    """→ (doc_idx, line_hash) for every non-blank stripped line, one row
-    per (doc, distinct line). All-Arrow: split_pattern → flatten →
-    trim, with doc attribution from the list lengths."""
+
+def _block_lines(texts, unit: str = "line") -> Tuple[np.ndarray, np.ndarray]:
+    """→ (doc_idx, unit_hash) for every non-blank stripped line/paragraph,
+    one row per (doc, distinct unit). All-Arrow: split → flatten → trim,
+    with doc attribution from the list lengths."""
     import pyarrow.compute as pc
+    pat, is_regex, _ = _UNITS[unit]
     arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else \
         pa.array(pd.Series(texts, dtype=object).fillna(""), pa.string())
-    lst = pc.split_pattern(pc.fill_null(arr, ""), "\n")
+    filled = pc.fill_null(arr, "")
+    lst = (pc.split_pattern_regex(filled, pat) if is_regex
+           else pc.split_pattern(filled, pat))
     flat = pc.utf8_trim_whitespace(lst.combine_chunks().flatten()
                                    if isinstance(lst, pa.ChunkedArray)
                                    else lst.flatten())
@@ -85,17 +95,19 @@ def _block_lines(texts) -> Tuple[np.ndarray, np.ndarray]:
 
 def duplicated_line_set(ds, *, text_col: str = "text",
                         key_col: str = "doc_id", min_docs: int = 2,
-                        mode: str = "driver"
+                        mode: str = "driver", unit: str = "line"
                         ) -> Tuple[np.ndarray, np.ndarray]:
-    """→ (sorted uint64 hashes, parallel min-key string array) of lines
-    occurring in ≥ min_docs distinct documents."""
+    """→ (sorted uint64 hashes, parallel min-key string array) of
+    lines/paragraphs occurring in ≥ min_docs distinct documents."""
     if mode not in ("driver", "shuffle"):
         raise ValueError(f"unknown mode {mode!r}")
+    if unit not in _UNITS:
+        raise ValueError(f"unknown unit {unit!r}")
 
     def partial(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         keys = pc.cast(b[key_col], pa.string()).to_numpy(zero_copy_only=False)
-        d, h = _block_lines(b[text_col])
+        d, h = _block_lines(b[text_col], unit)
         t = pa.Table.from_pydict({
             "h": pa.array(h, pa.uint64()),
             "k": pa.array(keys[d] if len(d) else [], pa.string())})
@@ -135,13 +147,17 @@ def duplicated_line_set(ds, *, text_col: str = "text",
 
 def cut_duplicated_lines(ds, dup: Tuple[np.ndarray, np.ndarray], *,
                          text_col: str = "text", key_col: str = "doc_id",
-                         keep: str = "none"):
-    """Rewrite ``text_col`` with duplicated lines removed (``keep='none'``)
-    or removed everywhere except the min-key document (``keep='first'``).
-    Line boundaries and untouched docs are preserved byte-identically;
-    matching is on stripped content, removal takes the whole raw line."""
+                         keep: str = "none", unit: str = "line"):
+    """Rewrite ``text_col`` with duplicated lines/paragraphs removed
+    (``keep='none'``) or removed everywhere except the min-key document
+    (``keep='first'``). Untouched docs are preserved byte-identically;
+    matching is on stripped content, removal takes the whole raw unit
+    (rewritten docs re-join with the unit's canonical separator)."""
     if keep not in ("none", "first"):
         raise ValueError(f"unknown keep policy {keep!r}")
+    if unit not in _UNITS:
+        raise ValueError(f"unknown unit {unit!r}")
+    upat, uregex, usep = _UNITS[unit]
     hashes, keepers = dup
     ref = ray.put((np.asarray(hashes, dtype=np.uint64),
                    np.asarray(keepers, dtype=object)))
@@ -154,7 +170,8 @@ def cut_duplicated_lines(ds, dup: Tuple[np.ndarray, np.ndarray], *,
         texts = b[text_col].to_numpy(zero_copy_only=False)
         keys = pc.cast(b[key_col], pa.string()).to_numpy(zero_copy_only=False)
         s = pd.Series(texts, dtype=object).fillna("")
-        lines = s.str.split("\n")
+        lines = (s.str.split(upat, regex=True) if uregex
+                 else s.str.split(upat))
         ex = lines.explode()
         doc_idx = ex.index.to_numpy(dtype=np.int64)
         raw = ex.to_numpy(dtype=object)
@@ -173,7 +190,7 @@ def cut_duplicated_lines(ds, dup: Tuple[np.ndarray, np.ndarray], *,
         kept = ~hit
         for di in np.flatnonzero(touched):
             sel = doc_idx == di
-            new_texts[di] = "\n".join(raw[sel & kept])
+            new_texts[di] = usep.join(raw[sel & kept])
         i = b.schema.get_field_index(text_col)
         return b.set_column(i, text_col, pa.array(new_texts, pa.string()))
 
@@ -183,14 +200,15 @@ def cut_duplicated_lines(ds, dup: Tuple[np.ndarray, np.ndarray], *,
 def line_dedup_report(ds, *, text_col: str = "text",
                       key_col: str = "doc_id", min_docs: int = 2,
                       mode: str = "driver", keep: str = "none",
+                      unit: str = "line",
                       _mat: Optional[object] = None) -> pa.Table:
     """One-row summary: duplicated-line universe + removal volume.
     The input is consumed twice (pass 1 + cut) — parquet-backed inputs
     stay lazy; in-memory inputs should be materialized by the caller."""
     dup = duplicated_line_set(ds, text_col=text_col, key_col=key_col,
-                              min_docs=min_docs, mode=mode)
+                              min_docs=min_docs, mode=mode, unit=unit)
     cutds = cut_duplicated_lines(ds, dup, text_col=text_col,
-                                 key_col=key_col, keep=keep)
+                                 key_col=key_col, keep=keep, unit=unit)
 
     def vol(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

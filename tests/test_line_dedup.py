@@ -147,3 +147,62 @@ def test_empty_and_dup_free_inputs(ray_session):
     assert list(out["text"]) == ["only here", "only there"]
     h2, k2 = duplicated_line_set(clean, mode="shuffle")
     assert len(h2) == 0
+
+
+# ---- paragraph granularity ------------------------------------------------
+
+PARA_BOILER = ("This document is provided as-is.\nNo warranty of any kind\n"
+               "is expressed or implied.")
+
+
+def para_corpus() -> pd.DataFrame:
+    rows = []
+    for i in range(30):
+        paras = [f"intro {i} one\ncontinues here {i}",
+                 PARA_BOILER,
+                 f"body {i} closing thoughts"]
+        rows.append({"doc_id": f"p{i:03d}", "text": "\n\n".join(paras)})
+    rows.append({"doc_id": "clean", "text": "totally unique\n\nparagraphs"})
+    return pd.DataFrame(rows)
+
+
+def test_paragraph_unit_detects_multiline_boilerplate(ray_session):
+    df = para_corpus()
+    ds_ = rd.from_pandas(df, override_num_blocks=4)
+    # at line granularity the boilerplate is 3 separate duplicated lines
+    lh, _ = duplicated_line_set(ds_, unit="line")
+    ph, pk = duplicated_line_set(ds_, unit="paragraph")
+    assert len(lh) == 3
+    assert len(ph) == 1          # one duplicated PARAGRAPH unit
+    assert pk[0] == "p000"        # min-key winner
+
+    cut = cut_duplicated_lines(ds_, (ph, pk), unit="paragraph").to_pandas()
+    cut = cut.set_index("doc_id")
+    # whole 3-line block removed, other paragraphs joined back with \n\n
+    assert cut.loc["p004", "text"] == (
+        "intro 4 one\ncontinues here 4\n\nbody 4 closing thoughts")
+    # untouched doc byte-exact
+    assert cut.loc["clean", "text"] == "totally unique\n\nparagraphs"
+
+
+def test_paragraph_keep_first_and_mode_agreement(ray_session):
+    df = para_corpus()
+    ds_ = rd.from_pandas(df, override_num_blocks=4)
+    a = duplicated_line_set(ds_, unit="paragraph", mode="driver")
+    b = duplicated_line_set(ds_, unit="paragraph", mode="shuffle")
+    assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+    kept = cut_duplicated_lines(ds_, a, unit="paragraph",
+                                keep="first").to_pandas()
+    has = kept["text"].str.contains("No warranty", regex=False)
+    assert has.sum() == 1
+    assert kept.loc[has, "doc_id"].iloc[0] == "p000"
+    with pytest.raises(ValueError):
+        duplicated_line_set(ds_, unit="sentence")
+
+
+def test_paragraph_report(ray_session):
+    df = para_corpus()
+    r = line_dedup_report(rd.from_pandas(df).materialize(),
+                          unit="paragraph").to_pandas()
+    assert int(r["dup_lines"].iloc[0]) == 1
+    assert int(r["chars_after"].iloc[0]) < int(r["chars_before"].iloc[0])
