@@ -74,7 +74,9 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           cut_ngram: Optional[int] = None,
                           strip_markup: bool = False,
                           blocklist=None,
-                          reference_ds=None) -> CorpusReport:
+                          reference_ds=None,
+                          ppl_keep=None,
+                          lang_col: str = "lang") -> CorpusReport:
     """Optional hygiene/shaping stages extend the funnel when supplied:
     ``strip_markup`` runs the HTML strip chain as stage 0 (webclean),
     ``blocklist`` drops documents mentioning blocklisted domains before
@@ -83,9 +85,12 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     gate, ``cut_ngram`` removes cross-doc duplicated ≥n-token passages
     (substring_dedup) between exact and near dedup, ``reference_ds``
     drops content already present in a prior corpus release (cross-corpus
-    exact dedup) after in-corpus exact dedup, and ``mixing_weights``
-    applies deterministic per-source sampling after near-dedup. Defaults
-    leave the classic 4-stage funnel unchanged."""
+    exact dedup) after in-corpus exact dedup, ``ppl_keep`` (e.g.
+    ``("head", "middle")``) applies the CCNet per-language perplexity
+    split after the heuristic gate and keeps only the named buckets
+    (requires ``lang_col``), and ``mixing_weights`` applies deterministic
+    per-source sampling after near-dedup. Defaults leave the classic
+    4-stage funnel unchanged."""
     from ..pipelines.dedup import dedup_near_keep_first, exact_dedup_keep_first
 
     # optional 0. markup strip + domain blocklist (web hygiene front door)
@@ -130,6 +135,8 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                       and m.get("benchmark_fingerprint") == bench_fp
                       and m.get("reference_fingerprint") == ref_fp
                       and m.get("strip_markup") == strip_markup
+                      and m.get("ppl_keep") == (sorted(ppl_keep)
+                                                if ppl_keep else None)
                       and m.get("blocklist") == block_key
                       and m.get("mixing_weights") == mk
                       and m.get("cut_ngram") == cut_ngram
@@ -178,6 +185,50 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
         kept_text = drop_contaminated(kept_text, benchmark_ds,
                                       text_col=text_col, key_col=key_col,
                                       n=decontaminate_ngram)
+    # optional 1c. CCNet perplexity gate: per-language tercile split on
+    # the corpus-fit unigram model, keep the configured buckets
+    if ppl_keep:
+        import pyarrow.compute as pc
+
+        from ..pipelines.lm_score import bucket_by_perplexity
+
+        kept_text = kept_text.materialize()
+        labeled = bucket_by_perplexity(
+            kept_text.select_columns([key_col, lang_col, text_col]),
+            text_col=text_col, key_col=key_col, lang_col=lang_col)
+
+        def winners(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b["bucket"],
+                         value_set=pa.array(list(ppl_keep), pa.string()))
+            # bucket_by_perplexity's key output column is named doc_id
+            # regardless of key_col (it casts the key to string)
+            return pa.Table.from_arrays([b.filter(m)["doc_id"]],
+                                        names=["_ppl_key"])
+
+        import numpy as np
+        import ray
+
+        keys = (labeled.map_batches(winners, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                .to_pandas()["_ppl_key"].to_numpy(dtype=object))
+        kref = ray.put(np.sort(keys))
+
+        def keep_ids(b: pa.Table) -> pa.Table:
+            lut = ray.get(kref)
+            k = pc.cast(b[key_col], pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+            if len(lut):
+                pos = np.clip(np.searchsorted(lut, k), 0, len(lut) - 1)
+                hit = lut[pos] == k
+            else:
+                hit = np.zeros(len(k), dtype=bool)
+            return b.filter(pa.array(hit))
+
+        # the kept-id broadcast is O(kept docs) — at corpus scale the
+        # labeled Dataset instead joins back on key (hash-partitioned,
+        # the exact_dedup_keep_first 'join' plan); driver band documented
+        kept_text = kept_text.map_batches(keep_ids, batch_format="pyarrow",
+                                          zero_copy_batch=True)
     kept_text = kept_text.materialize()
     n_quality = kept_text.count()
 
@@ -244,6 +295,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             "reference_fingerprint": ref_fp,
             "strip_markup": strip_markup,
             "blocklist": block_key,
+            "ppl_keep": sorted(ppl_keep) if ppl_keep else None,
             "cut_ngram": cut_ngram,
             "mixing_weights": ([list(t) for t in mix_key]
                                if mix_key else None),

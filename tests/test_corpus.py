@@ -249,3 +249,37 @@ def test_corpus_webclean_and_reference_stages(ray_session, tmp_path):
         reference_ds=rd.from_pandas(prior))
     assert not r3.stats.get("resumed")
     assert r3.n_input == 46
+
+
+def test_corpus_ppl_gate(ray_session, tmp_path):
+    """ppl_keep applies the CCNet per-language tercile split inside the
+    funnel: ~2/3 of gate-passing docs survive, tail docs are gone, and
+    the manifest invalidates when the bucket set changes."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    w = 1.0 / (np.arange(60) + 1)
+    w /= w.sum()
+    rows = [{"doc_id": f"d{i:03d}", "lang": "en",
+             "text": " ".join(rng.choice(vocab, size=30, p=w))}
+            for i in range(90)]
+    df = pd.DataFrame(rows)
+    out = str(tmp_path / "ppl")
+    r = build_training_corpus(
+        rd.from_pandas(df, override_num_blocks=3), out_dir=out,
+        near_threshold=0.5, bands=32, min_rows_per_file=1000,
+        ppl_keep=("head", "middle"))
+    assert r.n_input == 90
+    # tercile split: keep ~60 of the 90 (t-digest rank tolerance)
+    assert 52 <= r.n_quality_pass <= 68
+    # same knobs resume; different bucket set rebuilds
+    r2 = build_training_corpus(
+        rd.from_pandas(df, override_num_blocks=3), out_dir=out,
+        near_threshold=0.5, bands=32, min_rows_per_file=1000,
+        ppl_keep=("head", "middle"))
+    assert r2.stats.get("resumed") is True
+    r3 = build_training_corpus(
+        rd.from_pandas(df, override_num_blocks=3), out_dir=out,
+        near_threshold=0.5, bands=32, min_rows_per_file=1000,
+        ppl_keep=("head",))
+    assert not r3.stats.get("resumed")
+    assert r3.n_quality_pass < r.n_quality_pass
