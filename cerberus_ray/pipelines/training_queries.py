@@ -194,6 +194,34 @@ def q_length_bucket_report(sf_dir: str) -> pa.Table:
     return length_bucket_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_ann_index_report(sf_dir: str) -> pa.Table:
+    """Persisted-IVF ANN index (extras surface): build the on-disk index
+    over the embeddings table, probe it with the first 5 vectors, and
+    report recall@5 vs brute force. Agreement with batch ivf_topk and
+    the stale-parameter guard are tested in tests/test_ann_index.py."""
+    import tempfile
+
+    from .ann_index import build_ivf_index, probe_ivf_index
+    from .similarity import brute_force_topk
+
+    emb = _emb(sf_dir).materialize()
+    q = np.stack(emb.limit(5).to_pandas()["embedding"].to_numpy())
+    with tempfile.TemporaryDirectory(prefix="ivf_report_") as d:
+        build_ivf_index(emb, d, n_lists=16, seed=42)
+        approx = probe_ivf_index(d, q, k=5, n_probe=4).to_pandas()
+    exact = brute_force_topk(emb, q, k=5).to_pandas()
+    hits = tot = 0
+    for qi in range(len(q)):
+        truth = set(exact[exact["query_id"] == qi]["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    return pa.Table.from_pydict({
+        "n_vectors": [int(emb.count())],
+        "n_queries": [len(q)],
+        "recall_at_5": [round(hits / max(tot, 1), 4)]})
+
+
 def q_corpus_datasheet(sf_dir: str) -> pa.Table:
     """Per-(source, lang) corpus datasheet (extras surface): volumes,
     exact-dup rate, quality-gate share — DuckDB parity for the exact
@@ -1083,6 +1111,7 @@ QUERIES = {
     "length_bucket_report": q_length_bucket_report,
     "html_strip_report": q_html_strip_report,
     "corpus_datasheet": q_corpus_datasheet,
+    "ann_index_report": q_ann_index_report,
     "domain_blocklist_report": q_domain_blocklist_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,

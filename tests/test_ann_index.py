@@ -1,0 +1,89 @@
+"""Persisted IVF index: build/probe agreement with the batch ivf_topk,
+recall vs brute force, stale-parameter guard, probe-only reuse."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from cerberus_ray.pipelines.ann_index import (IndexParamsMismatch,
+                                              build_ivf_index,
+                                              probe_ivf_index)
+from cerberus_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+
+def vectors(n=600, d=16, seed=4):
+    rng = np.random.default_rng(seed)
+    # clustered vectors so IVF lists are meaningful
+    centers = rng.normal(size=(8, d))
+    v = centers[rng.integers(0, 8, n)] + 0.15 * rng.normal(size=(n, d))
+    # plain Python lists → Arrow list<float> (the parquet tables' type;
+    # numpy rows would become Ray's tensor extension type instead)
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                         "embedding": [row.astype(np.float32).tolist()
+                                       for row in v]})
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    df = vectors()
+    d = str(tmp_path_factory.mktemp("ivf") / "index")
+    build_ivf_index(rd.from_pandas(df, override_num_blocks=4), d,
+                    n_lists=8, seed=42)
+    return d, df
+
+
+def test_probe_agrees_with_batch_ivf(index_dir):
+    d, df = index_dir
+    rng = np.random.default_rng(99)
+    q = rng.normal(size=(5, 16))
+    a = probe_ivf_index(d, q, k=10, n_probe=3).to_pandas()
+    b = ivf_topk(rd.from_pandas(df, override_num_blocks=4), q, k=10,
+                 n_lists=8, n_probe=3, seed=42).to_pandas()
+    for qi in range(5):
+        ia = a[a["query_id"] == qi].sort_values(
+            ["sim", "vec_id"], ascending=[False, True])
+        ib = b[b["query_id"] == qi].sort_values(
+            ["sim", "vec_id"], ascending=[False, True])
+        assert set(ia["vec_id"]) == set(ib["vec_id"])
+        np.testing.assert_allclose(
+            np.sort(ia["sim"].to_numpy()),
+            np.sort(ib["sim"].to_numpy()), atol=2e-4)
+
+
+def test_probe_recall_vs_brute_force(index_dir):
+    d, df = index_dir
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(8, 16))
+    exact = brute_force_topk(rd.from_pandas(df), q, k=5).to_pandas()
+    approx = probe_ivf_index(d, q, k=5, n_probe=4).to_pandas()
+    hits = tot = 0
+    for qi in range(8):
+        truth = set(exact[exact["query_id"] == qi]["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert hits / tot >= 0.8
+
+
+def test_stale_param_guard(index_dir):
+    d, _ = index_dir
+    with pytest.raises(IndexParamsMismatch):
+        probe_ivf_index(d, np.zeros((1, 16)), expect={"n_lists": 32})
+    # matching expectation passes
+    probe_ivf_index(d, np.zeros((1, 16)), expect={"n_lists": 8, "seed": 42})
+
+
+def test_probe_is_fit_free(index_dir, monkeypatch):
+    """Probing must never retrain the quantizer."""
+    import cerberus_ray.pipelines.ann_index as AI
+
+    d, _ = index_dir
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("probe called the trainer")
+
+    monkeypatch.setattr(AI, "train_ivf_centroids", boom)
+    out = probe_ivf_index(d, np.ones((2, 16)), k=3).to_pandas()
+    assert set(out["query_id"]) <= {0, 1}
+    assert len(out) > 0
