@@ -81,9 +81,18 @@ def cmd_corpus(args) -> int:
         for part in args.mix.split(","):
             src, w = part.split("=", 1)
             mix[src.strip()] = float(w)
+    ref = rd.read_parquet(args.reference) if args.reference else None
+    blocklist = ([d.strip() for d in args.blocklist.split(",") if d.strip()]
+                 if args.blocklist else None)
+    ppl_keep = (tuple(b.strip() for b in args.ppl_keep.split(",") if b.strip())
+                if args.ppl_keep else None)
     r = build_training_corpus(ds, out_dir=args.out,
                               near_threshold=args.threshold,
-                              benchmark_ds=bench, mixing_weights=mix)
+                              benchmark_ds=bench, mixing_weights=mix,
+                              cut_ngram=args.cut_ngram,
+                              strip_markup=args.strip_markup,
+                              blocklist=blocklist, reference_ds=ref,
+                              ppl_keep=ppl_keep)
     print(json.dumps({
         "n_input": r.n_input, "n_quality_pass": r.n_quality_pass,
         "n_after_exact_dedup": r.n_after_exact_dedup,
@@ -115,6 +124,25 @@ def cmd_outbox(args) -> int:
     n_msgs = msgs.count()
     n_files = write_outbox(msgs, args.out)
     print(json.dumps({"n_messages": int(n_msgs), "n_files": int(n_files),
+                      "out": args.out}))
+    return 0
+
+
+def cmd_datasheet(args) -> int:
+    """Per-(source, lang) corpus composition summary — the release
+    datasheet (volumes, dup rate, quality-gate share)."""
+    import ray.data as rd
+
+    from .pipelines.datasheet import corpus_datasheet
+
+    ds = rd.read_parquet(args.input)
+    groups = [c.strip() for c in args.group.split(",") if c.strip()]
+    t = corpus_datasheet(ds, group_cols=groups)
+    if args.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, args.out)
+    print(json.dumps({"rows": t.to_pandas().to_dict("records"),
                       "out": args.out}))
     return 0
 
@@ -159,7 +187,23 @@ def main(argv=None) -> int:
                    help="parquet of held-out docs: drop n-gram overlaps")
     c.add_argument("--mix", default=None,
                    help="per-source sampling weights, e.g. 'web=0.5,code=1'")
+    c.add_argument("--cut-ngram", type=int, default=None,
+                   help="remove cross-doc duplicated >=N-token passages")
+    c.add_argument("--strip-markup", action="store_true",
+                   help="run the HTML strip chain before the gate")
+    c.add_argument("--blocklist", default=None,
+                   help="comma-separated bad domains to drop on mention")
+    c.add_argument("--reference", default=None,
+                   help="parquet of a prior release: drop exact matches")
+    c.add_argument("--ppl-keep", default=None,
+                   help="CCNet buckets to keep, e.g. 'head,middle'")
     c.set_defaults(fn=cmd_corpus)
+
+    dsh = sub.add_parser("datasheet", help="corpus composition summary")
+    dsh.add_argument("--input", required=True)
+    dsh.add_argument("--group", default="source,lang")
+    dsh.add_argument("--out", default=None, help="optional parquet path")
+    dsh.set_defaults(fn=cmd_datasheet)
 
     ob = sub.add_parser("outbox", help="render + compose invoice messages")
     ob.add_argument("--fixtures", action="store_true",

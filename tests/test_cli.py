@@ -39,3 +39,17 @@ def test_cli_outbox(tmp_path):
     t = pq.read_table(out)
     assert t.num_rows == r["n_messages"]
     assert b"Subject: Invoice INV-" in t["rfc822"][0].as_py()
+
+
+def test_cli_datasheet(tmp_path):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "sheet.parquet")
+    r = run_cli("datasheet", "--input", src, "--group", "source,lang",
+                "--out", out)
+    rows = r["rows"]
+    assert rows and all("n_docs" in x and "dup_frac" in x for x in rows)
+    assert sum(x["n_docs"] for x in rows) == 500
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.num_rows == len(rows)
