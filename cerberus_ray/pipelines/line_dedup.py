@@ -53,7 +53,7 @@ import ray
 from ..determinism import hash_strings
 
 __all__ = ["duplicated_line_set", "cut_duplicated_lines",
-           "line_dedup_report"]
+           "cut_within_doc_repeats", "line_dedup_report"]
 
 #: unit → (arrow splitter kwargs, pandas split pattern, rejoin separator).
 #: 'line' splits on every newline; 'paragraph' on blank lines (the
@@ -227,3 +227,46 @@ def line_dedup_report(ds, *, text_col: str = "text",
         "chars_before": pa.array([int(before["chars"])], pa.int64()),
         "chars_after": pa.array([int(after["chars"])], pa.int64()),
     })
+
+
+def cut_within_doc_repeats(ds, *, text_col: str = "text",
+                           unit: str = "line"):
+    """WITHIN-document repeat removal: keep the first occurrence of each
+    repeated line/paragraph inside a document, drop the rest (C4's
+    within-page duplicate-line cleanup; complements the corpus-wide
+    ``cut_duplicated_lines`` whose ``min_docs`` counts DISTINCT docs).
+
+    Stateless streamed pass — no driver state, no shuffle: repeats are a
+    per-row property. Blank units are structure, never candidates;
+    untouched docs pass through byte-identically; rewritten docs re-join
+    with the unit's canonical separator."""
+    if unit not in _UNITS:
+        raise ValueError(f"unknown unit {unit!r}")
+    upat, uregex, usep = _UNITS[unit]
+
+    def cut(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        s = pd.Series(texts, dtype=object).fillna("")
+        parts = (s.str.split(upat, regex=True) if uregex
+                 else s.str.split(upat))
+        ex = parts.explode()
+        doc_idx = ex.index.to_numpy(dtype=np.int64)
+        raw = ex.to_numpy(dtype=object)
+        stripped = ex.str.strip().to_numpy(dtype=object)
+        h = hash_strings(stripped)
+        dup = (pd.DataFrame({"d": doc_idx, "h": h})
+               .duplicated(["d", "h"]).to_numpy())
+        hit = dup & (stripped != "")
+        if not hit.any():
+            return b
+        touched = np.zeros(len(texts), dtype=bool)
+        touched[doc_idx[hit]] = True
+        kept = ~hit
+        new_texts = texts.astype(object)
+        for di in np.flatnonzero(touched):
+            sel = doc_idx == di
+            new_texts[di] = usep.join(raw[sel & kept])
+        i = b.schema.get_field_index(text_col)
+        return b.set_column(i, text_col, pa.array(new_texts, pa.string()))
+
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)

@@ -206,3 +206,27 @@ def test_paragraph_report(ray_session):
                           unit="paragraph").to_pandas()
     assert int(r["dup_lines"].iloc[0]) == 1
     assert int(r["chars_after"].iloc[0]) < int(r["chars_before"].iloc[0])
+
+
+def test_within_doc_repeats_cut(ray_session):
+    from cerberus_ray.pipelines.line_dedup import cut_within_doc_repeats
+
+    df = pd.DataFrame([
+        {"doc_id": "a", "text": "one\ntwo\none\nthree\ntwo\nfour"},
+        {"doc_id": "b", "text": "unique\nlines\nonly"},
+        {"doc_id": "c", "text": "x\n\n\nx\n  x  \ny"},  # strip-normalized repeats
+    ])
+    out = (cut_within_doc_repeats(rd.from_pandas(df, override_num_blocks=2))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc["a", "text"] == "one\ntwo\nthree\nfour"
+    assert out.loc["b", "text"] == "unique\nlines\nonly"  # byte-exact
+    # 'x', '  x  ' match on stripped content; blanks survive as structure
+    assert out.loc["c", "text"] == "x\n\n\ny"
+    # paragraph granularity
+    df2 = pd.DataFrame([{"doc_id": "p",
+                         "text": "para one\nline two\n\npara one\nline two\n\nend"}])
+    o2 = (cut_within_doc_repeats(rd.from_pandas(df2), unit="paragraph")
+          .to_pandas())
+    assert o2["text"].iloc[0] == "para one\nline two\n\nend"
+    with pytest.raises(ValueError):
+        cut_within_doc_repeats(rd.from_pandas(df), unit="word")
