@@ -194,6 +194,17 @@ def q_length_bucket_report(sf_dir: str) -> pa.Table:
     return length_bucket_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_funnel_report(sf_dir: str) -> pa.Table:
+    """Ordered conversion funnel view → click → purchase over the events
+    table (extras surface; DuckDB strict-sequence parity asserted in
+    tests/test_funnel.py)."""
+    from .funnel import funnel_counts
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def q_ann_index_report(sf_dir: str) -> pa.Table:
     """Persisted-IVF ANN index (extras surface): build the on-disk index
     over the embeddings table, probe it with the first 5 vectors, and
@@ -1112,6 +1123,7 @@ QUERIES = {
     "html_strip_report": q_html_strip_report,
     "corpus_datasheet": q_corpus_datasheet,
     "ann_index_report": q_ann_index_report,
+    "funnel_report": q_funnel_report,
     "domain_blocklist_report": q_domain_blocklist_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,
