@@ -205,6 +205,15 @@ def q_funnel_report(sf_dir: str) -> pa.Table:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_retention_report(sf_dir: str) -> pa.Table:
+    """Weekly retention cohorts over the events table (extras surface;
+    DuckDB distinct-(user, week) parity in tests/test_funnel.py)."""
+    from .funnel import retention_cohorts
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ev, max_weeks=8)
+
+
 def q_ann_index_report(sf_dir: str) -> pa.Table:
     """Persisted-IVF ANN index (extras surface): build the on-disk index
     over the embeddings table, probe it with the first 5 vectors, and
@@ -1124,6 +1133,7 @@ QUERIES = {
     "corpus_datasheet": q_corpus_datasheet,
     "ann_index_report": q_ann_index_report,
     "funnel_report": q_funnel_report,
+    "retention_report": q_retention_report,
     "domain_blocklist_report": q_domain_blocklist_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,

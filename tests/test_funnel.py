@@ -79,3 +79,59 @@ def test_duckdb_parity_sf0001(ray_session):
     # funnel counts are non-increasing
     n = mine["n_users"].tolist()
     assert all(a >= b for a, b in zip(n, n[1:]))
+
+
+# ---- retention cohorts ----------------------------------------------------
+
+
+def test_retention_hand_case(ray_session):
+    from cerberus_ray.pipelines.funnel import retention_cohorts
+
+    base = pd.Timestamp("2024-01-01")  # a Monday, ISO 2024-W01
+    rows = [
+        # u1 active weeks 0, 1, 3
+        (1, base), (1, base + pd.Timedelta(days=8)),
+        (1, base + pd.Timedelta(days=22)),
+        # u2 active week 0 only (two events, one distinct week)
+        (2, base + pd.Timedelta(days=2)), (2, base + pd.Timedelta(days=3)),
+        # u3 first seen week 1, returns week 2
+        (3, base + pd.Timedelta(days=7)), (3, base + pd.Timedelta(days=14)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = retention_cohorts(rd.from_pandas(df, override_num_blocks=2)) \
+        .to_pandas()
+    rec = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert rec == {(202401, 0): 2, (202401, 1): 1, (202401, 3): 1,
+                   (202402, 0): 1, (202402, 1): 1}
+
+
+def test_retention_duckdb_parity_sf0001(ray_session):
+    from cerberus_ray.pipelines.training_queries import q_retention_report
+
+    sf = "/root/testdata/sf0.001"
+    mine = q_retention_report(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    orc = con.execute("""
+        WITH w AS (
+          SELECT DISTINCT user_id,
+                 CAST(isoyear(ts)*100 + week(ts) AS BIGINT) AS wk,
+                 CAST(floor(epoch(date_trunc('week', ts))/604800)
+                      AS BIGINT) AS wi
+          FROM events),
+        f AS (SELECT user_id, MIN(wi) AS fwi, MIN(wk) AS fwk
+              FROM w GROUP BY user_id)
+        SELECT f.fwk AS cohort_week,
+               CAST(w.wi - f.fwi AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        FROM w JOIN f USING (user_id)
+        WHERE w.wi - f.fwi <= 8
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetch_df()
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    # cohort size (offset 0) is the max of each cohort's row
+    for cw, g in mine.groupby("cohort_week"):
+        assert g.loc[g["week_offset"] == 0, "n_users"].iloc[0] == \
+            g["n_users"].max()
