@@ -135,3 +135,68 @@ def test_retention_duckdb_parity_sf0001(ray_session):
     for cw, g in mine.groupby("cohort_week"):
         assert g.loc[g["week_offset"] == 0, "n_users"].iloc[0] == \
             g["n_users"].max()
+
+
+# ---- randomized-reference properties ---------------------------------------
+
+
+def _funnel_reference(df, stages):
+    """Per-user Python reference: sequential strict-after min scan."""
+    counts = [0] * len(stages)
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        prev = None
+        for k, st in enumerate(stages):
+            hits = g[(g["event_type"] == st)
+                     & (g["ts"] > prev if prev is not None
+                        else g["ts"] == g["ts"])]
+            if not len(hits):
+                break
+            prev = hits["ts"].min()
+            counts[k] += 1
+    return counts
+
+
+def test_funnel_matches_reference_on_random_streams(ray_session):
+    rng = np.random.default_rng(33)
+    stages = ["view", "click", "purchase"]
+    for trial in range(3):
+        n = 400
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 60, n),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "error"], n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s")})
+        df = df.drop_duplicates(["user_id", "ts"])  # unambiguous ordering
+        out = funnel_counts(
+            rd.from_pandas(df, override_num_blocks=4), stages,
+            n_buckets=7).to_pandas()
+        assert out["n_users"].tolist() == _funnel_reference(df, stages), trial
+
+
+def test_retention_matches_reference_on_random_streams(ray_session):
+    from cerberus_ray.pipelines.funnel import retention_cohorts
+
+    rng = np.random.default_rng(44)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(rng.integers(0, 120, n), unit="D")})
+    out = retention_cohorts(rd.from_pandas(df, override_num_blocks=4),
+                            max_weeks=30).to_pandas()
+    # reference: distinct (user, Monday-week) pairs
+    ref_rows = {}
+    for u, g in df.groupby("user_id"):
+        mon = (g["ts"] - pd.to_timedelta(g["ts"].dt.weekday, unit="D")) \
+            .dt.normalize()
+        wi = sorted(set(mon.astype("int64") // (7 * 24 * 3600 * 10**9)))
+        iso = g.loc[mon.idxmin(), "ts"].isocalendar()
+        first_iso = g["ts"].min().isocalendar()
+        cohort = first_iso.year * 100 + first_iso.week
+        for w in wi:
+            off = w - wi[0]
+            if off <= 30:
+                ref_rows[(cohort, off)] = ref_rows.get((cohort, off), 0) + 1
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == ref_rows
