@@ -149,3 +149,137 @@ def probe_ivf_index(index_dir: str, query_vecs: np.ndarray, *,
                 .groupby("query_id", as_index=False).head(k)
                 .reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# product quantization — the 100-TB storage path for the vector payload
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(ds, *, m: int = 4, n_codes: int = 256,
+                       vec_col: str = "embedding", seed: int = 42,
+                       sample_rows: int = 20_000, iters: int = 10
+                       ) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011): the
+    unit-normalized vector splits into ``m`` subspaces, each k-means'd to
+    ``n_codes`` centroids on a seeded sample. → (m, n_codes, d/m)
+    float32. Deterministic: strided init + fixed iteration count, same
+    contract as ``train_ivf_centroids``."""
+    from .similarity import _mat, _unit
+
+    n = ds.count()
+    if n > sample_rows:
+        frac = min(1.0, (sample_rows * 1.25) / n)
+        sample = (ds.random_sample(frac, seed=seed)
+                  .limit(sample_rows).to_pandas())
+        if len(sample) < max(n_codes, sample_rows // 4):
+            sample = ds.limit(sample_rows).to_pandas()
+    else:
+        sample = ds.limit(sample_rows).to_pandas()
+    x = _unit(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        k = min(n_codes, len(xs))
+        stride = max(len(xs) // k, 1)
+        c = xs[::stride][:k].copy()
+        if k < n_codes:  # tiny sample: pad by repeating
+            c = np.concatenate([c] * (n_codes // k + 1))[:n_codes]
+        for _ in range(iters):
+            # squared-L2 assignment, vectorized
+            d2 = ((xs ** 2).sum(1)[:, None] - 2 * xs @ c.T
+                  + (c ** 2).sum(1)[None, :])
+            assign = np.argmin(d2, axis=1)
+            for ci in range(n_codes):
+                members = xs[assign == ci]
+                if len(members):
+                    c[ci] = members.mean(axis=0)
+        books[j] = c
+    return books.astype(np.float32)
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """→ Dataset (vec_id, code: list<uint8> of length m) — ~d×4/m-fold
+    smaller than the float payload. One streamed pass, codebooks
+    broadcast once."""
+    import ray
+
+    from .similarity import _mat, _unit
+
+    bref = ray.put(codebooks.astype(np.float64))
+
+    def enc(b: pa.Table) -> pa.Table:
+        books = ray.get(bref)
+        m_, k_, sub = books.shape
+        e = _unit(_mat(b[vec_col]))
+        codes = np.empty((len(e), m_), dtype=np.uint8)
+        for j in range(m_):
+            xs = e[:, j * sub:(j + 1) * sub]
+            c = books[j]
+            d2 = ((xs ** 2).sum(1)[:, None] - 2 * xs @ c.T
+                  + (c ** 2).sum(1)[None, :])
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.Table.from_pydict({
+            "vec_id": b[id_col],
+            "code": pa.array([row.tobytes() for row in codes],
+                             pa.binary())})
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_topk(codes_ds, codebooks: np.ndarray, query_vecs: np.ndarray, *,
+            k: int = 10) -> pa.Table:
+    """Asymmetric-distance top-k over PQ codes: per query, an (m ×
+    n_codes) inner-product lookup table against the UNQUANTIZED query;
+    per code, the score is m table gathers + a sum — no float vectors
+    ever leave storage. Per-block partial top-k → tiny driver merge.
+    → (query_id, vec_id, sim) with sim = approximate cosine."""
+    import ray
+
+    from .similarity import _unit
+
+    q = _unit(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    m_, k_, sub = codebooks.shape
+    # lut[qi, j, code] = <q_sub, codeword>
+    lut = np.einsum("qjs,jcs->qjc",
+                    q.reshape(len(q), m_, sub),
+                    codebooks.astype(np.float64))
+    qref = ray.put(lut)
+
+    def partial(b: pa.Table) -> pa.Table:
+        tables = ray.get(qref)  # (nq, m, n_codes)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        raw = b["code"].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.Table.from_pydict({
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64())})
+        codes = np.frombuffer(b"".join(raw), dtype=np.uint8) \
+            .reshape(len(ids), -1)
+        rows = []
+        for qi in range(tables.shape[0]):
+            # gather per subspace: sum_j lut[qi, j, codes[:, j]]
+            sims = tables[qi, np.arange(codes.shape[1])[None, :],
+                          codes].sum(axis=1)
+            kk = min(k, len(ids))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            rows.append(pd.DataFrame({"query_id": qi, "vec_id": ids[top],
+                                      "sim": np.round(sims[top], 4)}))
+        return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
+
+    parts = codes_ds.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return pa.Table.from_pydict({"query_id": pa.array([], pa.int64()),
+                                     "vec_id": pa.array([], pa.int64()),
+                                     "sim": pa.array([], pa.float64())})
+    out = (parts.sort_values(["query_id", "sim", "vec_id"],
+                             ascending=[True, False, True])
+                .groupby("query_id", as_index=False).head(k)
+                .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
