@@ -45,31 +45,51 @@ class IndexParamsMismatch(ValueError):
 
 def build_ivf_index(ds, out_dir: str, *, n_lists: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 42) -> str:
+                    seed: int = 42, pq_m: int | None = None,
+                    pq_codes: int = 256) -> str:
     """Fit the quantizer and persist (list_id-sorted rows + centroids +
-    manifest) under ``out_dir``. Returns ``out_dir``."""
+    manifest) under ``out_dir``. With ``pq_m`` set this is an IVF-PQ
+    index (Jégou et al. 2011): rows store ``pq_m`` uint8 codes instead
+    of the float vector — the 100-TB storage path — plus a codebooks
+    parquet; probes then score by asymmetric distance. Returns
+    ``out_dir``."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     cents = train_ivf_centroids(ds, n_lists=n_lists, vec_col=vec_col,
                                 seed=seed)
-    cref = ray.put(cents)
+    books = (train_pq_codebooks(ds, m=pq_m, n_codes=pq_codes,
+                                vec_col=vec_col, seed=seed)
+             if pq_m else None)
+    cref = ray.put((cents, books))
 
     def assign(b: pa.Table) -> pa.Table:
-        cs = ray.get(cref)
+        cs, bk = ray.get(cref)
         ids = b[id_col].to_numpy(zero_copy_only=False)
         e = _unit(_mat(b[vec_col]))
         lid = np.argmax(e @ cs.T, axis=1).astype(np.int32)
-        return pa.Table.from_pydict({
-            "list_id": pa.array(lid, pa.int32()),
-            "vec_id": pa.array(ids, pa.int64()),
-            "vec": pa.array([v.astype(np.float32) for v in e],
-                            pa.list_(pa.float32()))})
+        cols = {"list_id": pa.array(lid, pa.int32()),
+                "vec_id": pa.array(ids, pa.int64())}
+        if bk is None:
+            cols["vec"] = pa.array([v.astype(np.float32) for v in e],
+                                   pa.list_(pa.float32()))
+        else:
+            m_, k_, sub = bk.shape
+            codes = np.empty((len(e), m_), dtype=np.uint8)
+            bkd = bk.astype(np.float64)
+            for j in range(m_):
+                xs = e[:, j * sub:(j + 1) * sub]
+                c = bkd[j]
+                d2 = ((xs ** 2).sum(1)[:, None] - 2 * xs @ c.T
+                      + (c ** 2).sum(1)[None, :])
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            cols["code"] = pa.array([row.tobytes() for row in codes],
+                                    pa.binary())
+        return pa.Table.from_pydict(cols)
 
     rows = ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
     os.makedirs(out_dir, exist_ok=True)
-    import pyarrow.parquet as pq
-
     rows.sort("list_id").write_parquet(os.path.join(out_dir, "lists"))
     dim = cents.shape[1]
     pq.write_table(
@@ -77,9 +97,12 @@ def build_ivf_index(ds, out_dir: str, *, n_lists: int = 16,
                   "centroid": pa.array([c.astype(np.float32) for c in cents],
                                        pa.list_(pa.float32()))}),
         os.path.join(out_dir, "centroids.parquet"))
+    if books is not None:
+        np.save(os.path.join(out_dir, "pq_codebooks.npy"), books)
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump({"n_lists": n_lists, "seed": seed, "dim": int(dim),
-                   "id_col": id_col, "vec_col": vec_col}, f)
+                   "id_col": id_col, "vec_col": vec_col,
+                   "pq_m": pq_m, "pq_codes": pq_codes if pq_m else None}, f)
     return out_dir
 
 
@@ -105,10 +128,16 @@ def probe_ivf_index(index_dir: str, query_vecs: np.ndarray, *,
     q = _unit(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
     wanted = np.unique(probe_lists)
-    qref = ray.put((q, probe_lists, np.sort(wanted)))
+    lut = None
+    if man.get("pq_m"):
+        books = np.load(os.path.join(index_dir, "pq_codebooks.npy"))
+        m_, k_, sub = books.shape
+        lut = np.einsum("qjs,jcs->qjc", q.reshape(len(q), m_, sub),
+                        books.astype(np.float64))
+    qref = ray.put((q, probe_lists, np.sort(wanted), lut))
 
     def partial(b: pa.Table) -> pa.Table:
-        qm, probes, keep = ray.get(qref)
+        qm, probes, keep, tables = ray.get(qref)
         lid = b["list_id"].to_numpy(zero_copy_only=False)
         pos = np.clip(np.searchsorted(keep, lid), 0, len(keep) - 1)
         m = keep[pos] == lid
@@ -121,13 +150,24 @@ def probe_ivf_index(index_dir: str, query_vecs: np.ndarray, *,
         sub = b.filter(pa.array(m))
         ids = sub["vec_id"].to_numpy(zero_copy_only=False)
         assign = sub["list_id"].to_numpy(zero_copy_only=False)
-        e = _mat(sub["vec"])  # stored unit-normalized
+        if tables is None:
+            e = _mat(sub["vec"])  # stored unit-normalized
+        else:
+            raw = sub["code"].to_numpy(zero_copy_only=False)
+            codes = (np.frombuffer(b"".join(raw), dtype=np.uint8)
+                     .reshape(len(ids), -1) if len(ids) else
+                     np.empty((0, tables.shape[1]), dtype=np.uint8))
         rows = []
         for qi in range(qm.shape[0]):
             mask = np.isin(assign, probes[qi])
             if not mask.any():
                 continue
-            sims = e[mask] @ qm[qi]
+            if tables is None:
+                sims = e[mask] @ qm[qi]
+            else:
+                cm = codes[mask]
+                sims = tables[qi, np.arange(cm.shape[1])[None, :],
+                              cm].sum(axis=1)
             sel = ids[mask]
             kk = min(k, len(sel))
             top = np.argpartition(-sims, kk - 1)[:kk]

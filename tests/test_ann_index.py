@@ -143,3 +143,33 @@ def test_pq_deterministic_and_validates(ray_session):
     assert ca["code"].tolist() == cb["code"].tolist()
     with pytest.raises(ValueError, match="divisible"):
         train_pq_codebooks(ds, m=5)
+
+
+def test_ivfpq_index_end_to_end(ray_session, tmp_path):
+    """IVF-PQ: uint8 codes in the persisted lists, ADC probe scoring,
+    recall close to the float-vector index."""
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.ann_index import (build_ivf_index,
+                                                  probe_ivf_index)
+
+    df = vectors(800)
+    d = str(tmp_path / "ivfpq")
+    build_ivf_index(rd.from_pandas(df, override_num_blocks=4), d,
+                    n_lists=8, seed=42, pq_m=8, pq_codes=256)
+    import pyarrow.parquet as pq
+
+    lists = pq.read_table(str(tmp_path / "ivfpq" / "lists"))
+    assert "code" in lists.column_names and "vec" not in lists.column_names
+    rng = np.random.default_rng(6)
+    q = rng.normal(size=(6, 16))
+    exact = brute_force_topk(rd.from_pandas(df), q, k=5).to_pandas()
+    approx = probe_ivf_index(d, q, k=5, n_probe=4,
+                             expect={"pq_m": 8}).to_pandas()
+    hits = tot = 0
+    for qi in range(6):
+        truth = set(exact[exact["query_id"] == qi]["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert hits / tot >= 0.7  # PQ adds quantization loss on top of IVF
