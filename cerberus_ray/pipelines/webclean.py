@@ -134,3 +134,31 @@ def drop_blocklisted(ds, domains: Sequence[str], *, text_col: str = "text"):
         return b.filter(pc.invert(_hit_mask(b[text_col], doms)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: Invisible / zero-width code points that survive naive text cleaning
+#: and poison tokenizers (obfuscation, word-joining, watermark tricks):
+#: removed outright. Exotic space separators normalize to ASCII space.
+INVISIBLE_RE = ("[\u200b\u200c\u200d\u2060\ufeff\u00ad"
+                "\u180e\u034f\u2061-\u2064]")
+EXOTIC_SPACE_RE = "[\u00a0\u2000-\u200a\u202f\u205f\u3000\u1680]"
+
+
+def strip_invisible_array(arr):
+    """Remove zero-width/invisible code points and normalize exotic
+    Unicode spaces to ASCII space (RE2 end-to-end; the DuckDB oracle
+    runs the same two regexp_replace steps — byte-exact parity in
+    tests/test_webclean.py)."""
+    s = pc.fill_null(arr, "")
+    s = pc.replace_substring_regex(s, INVISIBLE_RE, "")
+    return pc.replace_substring_regex(s, EXOTIC_SPACE_RE, " ")
+
+
+def strip_invisible(ds, *, text_col: str = "text"):
+    """One streamed vectorized pass; schema unchanged."""
+
+    def run(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index(text_col)
+        return b.set_column(i, text_col, strip_invisible_array(b[text_col]))
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)

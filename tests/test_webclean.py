@@ -153,3 +153,54 @@ def test_reports_sf0001(ray_session):
     assert got["tracker-b.example"] == int((ids % 53 == 0).sum())
     # deterministic rerun
     pd.testing.assert_frame_equal(b, q_domain_blocklist_report(sf).to_pandas())
+
+
+# ---- invisible-character hygiene -------------------------------------------
+
+
+def test_strip_invisible_vectors():
+    from cerberus_ray.pipelines.webclean import strip_invisible_array
+
+    dirty = [
+        "zero​width‌join‍",          # ZWSP/ZWNJ/ZWJ
+        "﻿BOM prefix",
+        "soft­hyphen",
+        "nb space and em-space",
+        "ideographic　space",
+        "clean ascii stays",
+        None,
+    ]
+    out = strip_invisible_array(pa.array(dirty, pa.string())).to_pylist()
+    assert out[0] == "zerowidthjoin"
+    assert out[1] == "BOM prefix"
+    assert out[2] == "softhyphen"
+    assert out[3] == "nb space and em-space"
+    assert out[4] == "ideographic space"
+    assert out[5] == "clean ascii stays"
+    assert out[6] == ""
+
+
+def test_strip_invisible_duckdb_parity():
+    from cerberus_ray.pipelines.webclean import (EXOTIC_SPACE_RE,
+                                                 INVISIBLE_RE,
+                                                 strip_invisible_array)
+
+    dirty = ["a​ b c", "﻿x y‍z", "plain", None,
+             "⁠  　mix"]
+    con = duckdb.connect()
+    con.register("d", pa.table({"t": pa.array(dirty, pa.string())}))
+    expr = (f"regexp_replace(regexp_replace(COALESCE(t,''), "
+            f"'{INVISIBLE_RE}', '', 'g'), '{EXOTIC_SPACE_RE}', ' ', 'g')")
+    orc = con.execute(f"SELECT {expr} AS s FROM d").fetch_df()["s"].tolist()
+    mine = strip_invisible_array(pa.array(dirty, pa.string())).to_pylist()
+    assert mine == orc
+
+
+def test_strip_invisible_dataset(ray_session):
+    from cerberus_ray.pipelines.webclean import strip_invisible
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["a​b", "plain"]})
+    out = strip_invisible(rd.from_pandas(df)).to_pandas()
+    assert out["text"].tolist() == ["ab", "plain"]
+    assert list(out.columns) == ["doc_id", "text"]
