@@ -194,6 +194,16 @@ def q_length_bucket_report(sf_dir: str) -> pa.Table:
     return length_bucket_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_skew_report(sf_dir: str) -> pa.Table:
+    """Key-skew diagnostic over events.user_id (extras surface): the
+    pre-shuffle planning probe — DuckDB count parity + numpy reference
+    in tests/test_skew_report.py."""
+    from ..stages.skew import key_skew_report
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return key_skew_report(ev, "user_id")
+
+
 def q_funnel_report(sf_dir: str) -> pa.Table:
     """Ordered conversion funnel view → click → purchase over the events
     table (extras surface; DuckDB strict-sequence parity asserted in
@@ -1134,6 +1144,7 @@ QUERIES = {
     "ann_index_report": q_ann_index_report,
     "funnel_report": q_funnel_report,
     "retention_report": q_retention_report,
+    "skew_report": q_skew_report,
     "domain_blocklist_report": q_domain_blocklist_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,
