@@ -135,3 +135,93 @@ def tfidf_topk(ds, *, key_col: str = "doc_id", text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def bm25_topk(ds, query: str, *, k: int = 10, k1: float = 1.2,
+              b: float = 0.75, key_col: str = "doc_id",
+              text_col: str = "text") -> pa.Table:
+    """BM25 full-text retrieval (Robertson & Zaragoza 2009, the Lucene
+    idf variant): top-k documents for a whitespace-tokenized query.
+
+    Only the QUERY'S terms need corpus statistics, so the fit pass is
+    O(#query-terms) per block — per-block partials carry (per-term
+    containing-doc counts, Σ doc length, #docs) and the driver merges a
+    handful of scalars. The score pass broadcasts the tiny (terms, idf)
+    table and emits per-block partial top-k; the driver merges
+    #blocks × k rows. → (doc_id, score) by (score desc, doc_id asc).
+    """
+    q_terms = sorted({t for t in query.lower().split() if t})
+    empty = pa.Table.from_pydict({"doc_id": pa.array([], pa.string()),
+                                  "score": pa.array([], pa.float64())})
+    if not q_terms:
+        return empty
+    qt = np.array(q_terms, dtype=object)
+
+    def stats(bt: pa.Table) -> pa.Table:
+        pairs = _doc_token_pairs(bt, key_col, text_col)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(bt[text_col], "")), r"\s+")
+        flat = pc.list_flatten(toks)
+        total_len = int(pc.sum(pc.cast(
+            pc.not_equal(flat, ""), pa.int64())).as_py() or 0)
+        hit = pairs[pairs["token"].isin(q_terms)]
+        dfs = hit.groupby("token")["doc"].nunique()
+        return pa.Table.from_pydict({
+            "term": pa.array(q_terms, pa.string()),
+            "df": pa.array(dfs.reindex(q_terms).fillna(0)
+                           .to_numpy(dtype=np.int64)),
+            "toks": pa.array([total_len] * len(q_terms), pa.int64()),
+            "docs": pa.array([bt.num_rows] * len(q_terms), pa.int64())})
+
+    sp = ds.map_batches(stats, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    if not len(sp):
+        return empty
+    g = sp.groupby("term")["df"].sum()
+    n_docs = int(sp.groupby("term")["docs"].sum().iloc[0])
+    total_tokens = int(sp.groupby("term")["toks"].sum().iloc[0])
+    if n_docs == 0:
+        return empty
+    avgdl = max(total_tokens / n_docs, 1e-9)
+    dfv = g.reindex(q_terms).fillna(0).to_numpy(dtype=np.float64)
+    idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+    ref = ray.put((qt, idf, avgdl))
+
+    def score(bt: pa.Table) -> pa.Table:
+        terms, idfv, adl = ray.get(ref)
+        pairs = _doc_token_pairs(bt, key_col, text_col)
+        keys = pc.cast(bt[key_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        raw = bt[key_col].to_numpy(zero_copy_only=False)
+        dl = (pairs.groupby("doc")["tf"].sum()
+              .reindex(raw).fillna(0).to_numpy(dtype=np.float64))
+        hit = pairs[pairs["token"].isin(terms)]
+        if not len(hit):
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64())})
+        pos = np.searchsorted(terms, hit["token"].to_numpy(dtype=object))
+        tf = hit["tf"].to_numpy(dtype=np.float64)
+        # doc length per hit row (map through the ordered raw-key frame)
+        dl_map = dict(zip(raw, dl))
+        dls = np.array([dl_map[d] for d in hit["doc"]], dtype=np.float64)
+        s = (idfv[pos] * tf * (k1 + 1)
+             / (tf + k1 * (1 - b + b * dls / adl)))
+        out = (pd.DataFrame({"doc": hit["doc"].to_numpy(), "s": s})
+               .groupby("doc", as_index=False)["s"].sum())
+        key_map = dict(zip(raw, keys))
+        out["doc_id"] = out["doc"].map(key_map)
+        out["score"] = np.round(out["s"], 4)
+        out = (out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(k))
+        return pa.Table.from_pandas(out[["doc_id", "score"]],
+                                    preserve_index=False)
+
+    parts = ds.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return empty
+    out = (parts.sort_values(["score", "doc_id"],
+                             ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

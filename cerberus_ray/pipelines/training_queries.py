@@ -194,6 +194,16 @@ def q_length_bucket_report(sf_dir: str) -> pa.Table:
     return length_bucket_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_bm25_search(sf_dir: str) -> pa.Table:
+    """BM25 retrieval over the documents table (extras surface): top-10
+    docs for a fixed query — pandas-reference parity and partition
+    invariance asserted in tests/test_tfidf.py."""
+    from .tfidf import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]),
+                     "hash join table scan", k=10)
+
+
 def q_skew_report(sf_dir: str) -> pa.Table:
     """Key-skew diagnostic over events.user_id (extras surface): the
     pre-shuffle planning probe — DuckDB count parity + numpy reference
@@ -1145,6 +1155,7 @@ QUERIES = {
     "funnel_report": q_funnel_report,
     "retention_report": q_retention_report,
     "skew_report": q_skew_report,
+    "bm25_search": q_bm25_search,
     "domain_blocklist_report": q_domain_blocklist_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "doc_chunks": q_doc_chunks,

@@ -7,6 +7,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from cerberus_ray.pipelines.tfidf import fit_df, tfidf_topk
@@ -83,3 +84,76 @@ def test_sf0001_pin(ray_session):
     out2 = tfidf_topk(ds, k=1).to_pandas()
     assert out.sort_values("doc_id").reset_index(drop=True).equals(
         out2.sort_values("doc_id").reset_index(drop=True))
+
+
+# ---- BM25 retrieval ---------------------------------------------------------
+
+
+def _bm25_reference(df, query, k1=1.2, b=0.75):
+    import math
+    terms = sorted({t for t in query.lower().split() if t})
+    docs = {r.doc_id: (r.text or "").lower().split()
+            for r in df.itertuples()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / max(n, 1)
+    dfc = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    idf = {t: math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1)
+           for t in terms}
+    scores = {}
+    for did, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf:
+                s += idf[t] * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            scores[did] = round(s, 4)
+    return scores
+
+
+def _bm25_corpus():
+    rows = [
+        {"doc_id": "d1", "text": "hash join over the orders table"},
+        {"doc_id": "d2", "text": "hash hash hash everywhere hash"},
+        {"doc_id": "d3", "text": "sort merge join strategy"},
+        {"doc_id": "d4", "text": "completely unrelated text about dogs"},
+        {"doc_id": "d5", "text": "table scan then hash join table scan"},
+        {"doc_id": "d6", "text": ""},
+    ]
+    # filler docs so idf is meaningful
+    for i in range(40):
+        rows.append({"doc_id": f"f{i:02d}",
+                     "text": f"filler words number {i} nothing relevant"})
+    return pd.DataFrame(rows)
+
+
+def test_bm25_matches_reference(ray_session):
+    from cerberus_ray.pipelines.tfidf import bm25_topk
+
+    df = _bm25_corpus()
+    q = "hash join table"
+    out = bm25_topk(rd.from_pandas(df, override_num_blocks=4), q,
+                    k=10).to_pandas()
+    ref = _bm25_reference(df, q)
+    got = dict(zip(out["doc_id"], out["score"]))
+    want = dict(sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=2e-4), d
+    # the multi-term match outranks the unrelated and empty docs
+    assert out["doc_id"].iloc[0] in ("d1", "d5")
+    assert "d4" not in set(out["doc_id"]) or got.get("d4", 0) == 0
+
+
+def test_bm25_partition_invariance_and_edges(ray_session):
+    from cerberus_ray.pipelines.tfidf import bm25_topk
+
+    df = _bm25_corpus()
+    a = bm25_topk(rd.from_pandas(df, override_num_blocks=2),
+                  "hash join", k=5).to_pandas()
+    b = bm25_topk(rd.from_pandas(df, override_num_blocks=9),
+                  "hash join", k=5).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert bm25_topk(rd.from_pandas(df), "", k=5).num_rows == 0
+    assert bm25_topk(rd.from_pandas(df), "zzz_absent", k=5).num_rows == 0
