@@ -859,6 +859,18 @@ def q_events_weekly_drift(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_event_rate_anomalies(sf_dir: str) -> pa.Table:
+    """Event-rate anomaly scan (extras surface): hourly per-type counts
+    with zero-filled gaps, flagging buckets beyond 3 sigma of the type's
+    mean rate — the alerting-granularity companion of the weekly drift
+    check."""
+    from ..stages.drift import event_rate_anomalies
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_type"])
+    return event_rate_anomalies(ds)
+
+
 def q_tfidf_report(sf_dir: str) -> pa.Table:
     """TF-IDF keyword extraction (extras surface): each document's top
     term by tf·idf; returns the 10 lowest doc_ids' rank-1 rows
@@ -1178,6 +1190,7 @@ QUERIES = {
     "semantic_dedup_report": q_semantic_dedup_report,
     "tfidf_report": q_tfidf_report,
     "events_weekly_drift": q_events_weekly_drift,
+    "event_rate_anomalies": q_event_rate_anomalies,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
 }

@@ -314,3 +314,76 @@ def consecutive_window_drift(profiles: dict, *, psi_threshold: float = 0.2,
         "metric": pa.array([r[3] for r in rows], pa.string()),
         "value": pa.array([r[4] for r in rows], pa.float64()),
         "drifted": pa.array([r[5] for r in rows], pa.bool_())})
+
+
+def event_rate_anomalies(events_ds, *, type_col: str = "event_type",
+                         ts_col: str = "ts", z_thresh: float = 3.0,
+                         freq_s: int = 3600) -> pa.Table:
+    """Rate-spike detection: bucket events into fixed windows (default
+    hourly) per type, fill the GAPS with zero counts (a silent outage is
+    as anomalous as a spike), and flag buckets whose count deviates from
+    the type's mean by more than ``z_thresh`` sigma. The monitoring
+    counterpart of the distribution-drift checks — same grounding
+    (weekly-report deltas, `cerberus/reports.py:19-35`) at alerting
+    granularity.
+
+    Ray shape: one streamed pass of per-block (type, bucket, n) hash
+    aggregates; the driver merges O(#types × #buckets) rows — the bucket
+    universe is time-domain-bounded (1 year of hours = 8.8k per type).
+    Gap filling and the z-scan are vectorized on the merged frame.
+
+    → (event_type, bucket_ts, n_events, mean, std, z) for flagged
+    buckets, sorted by (event_type, bucket_ts).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.floor_temporal(b[ts_col], unit="hour")
+                         if freq_s == 3600 else
+                         pc.cast(pc.cast(b[ts_col], pa.int64())
+                                 // (freq_s * 1_000_000)
+                                 * (freq_s * 1_000_000), pa.timestamp("us")),
+                         pa.timestamp("us"))
+        t = pa.Table.from_arrays([b[type_col], bucket],
+                                 names=["t", "bkt"])
+        g = t.group_by(["t", "bkt"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays([g["t"], g["bkt"], g["count_all"]],
+                                    names=["t", "bkt", "n"])
+
+    pdf = events_ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    empty = pa.Table.from_pydict({
+        "event_type": pa.array([], pa.string()),
+        "bucket_ts": pa.array([], pa.timestamp("us")),
+        "n_events": pa.array([], pa.int64()),
+        "mean": pa.array([], pa.float64()),
+        "std": pa.array([], pa.float64()),
+        "z": pa.array([], pa.float64())})
+    if not len(pdf):
+        return empty
+    g = pdf.groupby(["t", "bkt"], as_index=False)["n"].sum()
+    out_rows = []
+    for typ, sub in g.groupby("t"):
+        sub = sub.set_index("bkt")["n"]
+        full = sub.reindex(pd.date_range(sub.index.min(), sub.index.max(),
+                                         freq=f"{freq_s}s"), fill_value=0)
+        mu = float(full.mean())
+        sd = float(full.std(ddof=0))
+        if sd == 0:
+            continue
+        z = (full - mu) / sd
+        hits = full[np.abs(z) > z_thresh]
+        for ts, n in hits.items():
+            out_rows.append((typ, ts, int(n), round(mu, 4), round(sd, 4),
+                             round(float((n - mu) / sd), 4)))
+    if not out_rows:
+        return empty
+    out_rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.Table.from_pydict({
+        "event_type": pa.array([r[0] for r in out_rows], pa.string()),
+        "bucket_ts": pa.array([r[1] for r in out_rows], pa.timestamp("us")),
+        "n_events": pa.array([r[2] for r in out_rows], pa.int64()),
+        "mean": pa.array([r[3] for r in out_rows], pa.float64()),
+        "std": pa.array([r[4] for r in out_rows], pa.float64()),
+        "z": pa.array([r[5] for r in out_rows], pa.float64())})

@@ -91,3 +91,59 @@ def test_events_table_profiles(ray_session):
     v = drift_violations(a, b).to_pandas()
     # same generator both halves → no numeric drift; no new categories
     assert "drift-new-category" not in set(v["rule"])
+
+
+# --- event-rate anomalies (hourly z-scan with gap fill) ---------------
+
+def _rate_frame(spike_h=None, gap_h=None):
+    """48 hours: 'click' steady at 60/h with an optional spike hour
+    (300 events) or silent hour (entirely absent); 'view' steady 30/h."""
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for h in range(48):
+        t0 = base + pd.Timedelta(hours=h)
+        n_click = 300 if h == spike_h else (0 if h == gap_h else 60)
+        for i in range(n_click):
+            rows.append(("click", t0 + pd.Timedelta(seconds=i * 10)))
+        for i in range(30):
+            rows.append(("view", t0 + pd.Timedelta(seconds=i * 100)))
+    return pd.DataFrame(rows, columns=["event_type", "ts"])
+
+
+def test_event_rate_spike_flagged(ray_session):
+    from cerberus_ray.stages.drift import event_rate_anomalies
+
+    out = event_rate_anomalies(
+        rd.from_pandas(_rate_frame(spike_h=20),
+                       override_num_blocks=8)).to_pandas()
+    spike = out[out["n_events"] == 300]
+    assert len(spike) == 1 and spike["z"].iloc[0] > 3
+    assert pd.to_datetime(spike["bucket_ts"]).iloc[0].hour == 20
+    # steady 'view' series never flags
+    assert (out["event_type"] == "view").sum() == 0
+    # sorted by (type, bucket)
+    assert list(out["event_type"]) == sorted(out["event_type"])
+
+
+def test_event_rate_gap_zero_filled_and_flagged(ray_session):
+    from cerberus_ray.stages.drift import event_rate_anomalies
+
+    out = event_rate_anomalies(
+        rd.from_pandas(_rate_frame(gap_h=30),
+                       override_num_blocks=8)).to_pandas()
+    gap = out[out["n_events"] == 0]
+    # the absent hour was reconstructed by gap fill and flagged negative
+    assert len(gap) == 1 and gap["z"].iloc[0] < -3
+    assert gap["event_type"].iloc[0] == "click"
+
+
+def test_event_rate_constant_series_empty(ray_session):
+    from cerberus_ray.stages.drift import event_rate_anomalies
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_type": ["click"] * 240,
+        "ts": [base + pd.Timedelta(hours=h, minutes=m * 6)
+               for h in range(24) for m in range(10)]})
+    out = event_rate_anomalies(rd.from_pandas(df))
+    assert out.num_rows == 0
