@@ -41,6 +41,119 @@ import pyarrow.compute as pc
 from ..determinism import hash_strings
 
 
+def temperature_weights(counts: Dict[str, int], alpha: float = 0.3
+                        ) -> Dict[str, float]:
+    """Exponential-smoothing mixture rates (multilingual-LM recipe,
+    Conneau & Lample 2019 / XLM-R): given observed per-source sizes
+    ``c_i``, the target sampling distribution is ``q_i ∝ p_i^alpha``
+    where ``p_i = c_i / Σc``. Realizing q by per-source resampling needs
+    rate_i ∝ q_i / p_i; rates are normalized so ``max(rate) == 1.0``
+    when downsampling-only (pass the dict to :func:`sample_by_source`),
+    or left unnormalized>1 for :func:`resample_by_rate` upsampling.
+
+    alpha=1 reproduces the natural distribution (all rates 1);
+    alpha=0 targets the uniform mixture (rate ∝ 1/p_i). Pure driver
+    math over O(#sources) scalars.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    srcs = sorted(counts)
+    c = np.array([counts[s] for s in srcs], dtype=np.float64)
+    if (c <= 0).any():
+        raise ValueError("source counts must be positive")
+    p = c / c.sum()
+    q = p ** alpha
+    q /= q.sum()
+    rate = q / p
+    rate /= rate.max()
+    return {s: float(r) for s, r in zip(srcs, rate)}
+
+
+def source_counts(ds, *, source_col: str = "source") -> Dict[str, int]:
+    """Exact per-source row counts in one streamed pass: per-block hash
+    aggregates, driver merges O(#sources × #blocks) tiny partials (the
+    source domain is catalog-bounded)."""
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select([source_col]).group_by([source_col])
+             .aggregate([([], "count_all")]))
+        return pa.Table.from_arrays([g[source_col], g["count_all"]],
+                                    names=["s", "n"])
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    if not len(pdf):
+        return {}
+    g = pdf.groupby("s")["n"].sum()
+    return {str(s): int(n) for s, n in g.items()}
+
+
+def resample_by_rate(ds, rates: Dict[str, float], *,
+                     source_col: str = "source", key_col: str = "doc_id",
+                     seed: int = 42, default_rate: float = 1.0):
+    """Resample each source at ``rates[source]`` ≥ 0, ALLOWING
+    upsampling: a rate of 2.5 emits 2 deterministic copies of every row
+    plus a third for the 50% of keys whose (seed, key) draw lands under
+    the fraction. Output gains a ``copy_ix`` int32 column (0-based copy
+    ordinal) so downstream keys stay unique: (key, copy_ix).
+
+    Epoch-style oversampling of scarce sources is how temperature
+    mixtures are realized without dropping the big sources to slivers.
+    Stateless streamed pass — replication is block-local ``take`` on a
+    vectorized repeat index; no shuffle, no driver state.
+    """
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {s!r} must be >= 0, got {r}")
+
+    def rep(b: pa.Table) -> pa.Table:
+        src = b[source_col].to_numpy(zero_copy_only=False)
+        rate = np.array([rates.get(s, default_rate) for s in src],
+                        dtype=np.float64)
+        whole = np.floor(rate).astype(np.int64)
+        frac = rate - whole
+        keys = pc.cast(b[key_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        u = (hash_strings(np.char.add(keys.astype(str), f"|tmix{seed}"))
+             .astype(np.float64) / 2.0 ** 64)
+        n_copies = whole + (u < frac)
+        idx = np.repeat(np.arange(len(src)), n_copies)
+        out = b.take(pa.array(idx, pa.int64()))
+        starts = np.cumsum(n_copies) - n_copies
+        copy_ix = np.arange(len(idx)) - np.repeat(starts, n_copies)
+        return out.append_column("copy_ix",
+                                 pa.array(copy_ix, pa.int32()))
+
+    return ds.map_batches(rep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def sample_by_temperature(ds, *, alpha: float = 0.3,
+                          source_col: str = "source",
+                          key_col: str = "doc_id", seed: int = 42,
+                          upsample: bool = False):
+    """End-to-end temperature mixing: one counting pass → rates →
+    streamed resample. With ``upsample=False`` the largest-rate source
+    keeps everything and the rest downsample (`sample_by_source`);
+    with ``upsample=True`` rates are rescaled so the LARGEST source
+    keeps rate 1.0 and scarce sources replicate above 1
+    (`resample_by_rate`).
+
+    Returns (dataset, rates) so callers can log the realized mixture.
+    """
+    counts = source_counts(ds, source_col=source_col)
+    if not counts:
+        return ds, {}
+    rates = temperature_weights(counts, alpha)
+    if upsample:
+        big = max(counts, key=counts.get)
+        scale = 1.0 / rates[big]
+        rates = {s: r * scale for s, r in rates.items()}
+        return (resample_by_rate(ds, rates, source_col=source_col,
+                                 key_col=key_col, seed=seed), rates)
+    return (sample_by_source(ds, rates, source_col=source_col,
+                             key_col=key_col, seed=seed), rates)
+
+
 def sample_by_source(ds, weights: Dict[str, float], *,
                      source_col: str = "source", key_col: str = "doc_id",
                      seed: int = 42, default_weight: float = 1.0):

@@ -414,6 +414,26 @@ def q_corpus_mixing_report(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_temperature_mixing_report(sf_dir: str) -> pa.Table:
+    """Temperature-smoothed mixture (extras surface): α=0.3 exponential
+    smoothing over the documents table's source distribution — natural
+    count, computed rate and kept count per source (downsample mode)."""
+    from ..stages.groupagg import grouped_agg
+    from .mixing import sample_by_temperature, source_counts
+
+    docs = _docs(sf_dir, ["doc_id", "source"]).materialize()
+    natural = source_counts(docs)
+    kept_ds, rates = sample_by_temperature(docs, alpha=0.3)
+    g = grouped_agg(kept_ds, ["source"], {"n_kept": ("", "count")})
+    kept = dict(zip(g["source"], g["n_kept"]))
+    srcs = sorted(natural)
+    return pa.Table.from_pydict({
+        "source": srcs,
+        "n_natural": [int(natural[s]) for s in srcs],
+        "rate": [round(rates[s], 6) for s in srcs],
+        "n_kept": [int(kept.get(s, 0)) for s in srcs]})
+
+
 def q_doc_chunks(sf_dir: str) -> pa.Table:
     """Context-window chunking report (extras surface): chunk the
     documents table at 64 tokens / 8 overlap → (n_docs_chunked,
@@ -1170,6 +1190,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "domain_blocklist_report": q_domain_blocklist_report,
     "corpus_mixing_report": q_corpus_mixing_report,
+    "temperature_mixing_report": q_temperature_mixing_report,
     "doc_chunks": q_doc_chunks,
     "seq_packing_report": q_seq_packing_report,
     "repeated_substring_report": q_repeated_substring_report,

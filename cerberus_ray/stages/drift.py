@@ -318,14 +318,21 @@ def consecutive_window_drift(profiles: dict, *, psi_threshold: float = 0.2,
 
 def event_rate_anomalies(events_ds, *, type_col: str = "event_type",
                          ts_col: str = "ts", z_thresh: float = 3.0,
-                         freq_s: int = 3600) -> pa.Table:
+                         freq_s: int = 3600, robust: bool = False
+                         ) -> pa.Table:
     """Rate-spike detection: bucket events into fixed windows (default
     hourly) per type, fill the GAPS with zero counts (a silent outage is
     as anomalous as a spike), and flag buckets whose count deviates from
-    the type's mean by more than ``z_thresh`` sigma. The monitoring
+    the type's center by more than ``z_thresh`` sigma. The monitoring
     counterpart of the distribution-drift checks — same grounding
     (weekly-report deltas, `cerberus/reports.py:19-35`) at alerting
     granularity.
+
+    ``robust=True`` scores against median/MAD (scaled 1.4826) instead of
+    mean/std — a large spike inflates the std enough to mask a
+    concurrent outage in the same series; median/MAD is insensitive to
+    the anomalies being hunted (reported columns keep their names:
+    mean=median, std=scaled MAD).
 
     Ray shape: one streamed pass of per-block (type, bucket, n) hash
     aggregates; the driver merges O(#types × #buckets) rows — the bucket
@@ -368,8 +375,17 @@ def event_rate_anomalies(events_ds, *, type_col: str = "event_type",
         sub = sub.set_index("bkt")["n"]
         full = sub.reindex(pd.date_range(sub.index.min(), sub.index.max(),
                                          freq=f"{freq_s}s"), fill_value=0)
-        mu = float(full.mean())
-        sd = float(full.std(ddof=0))
+        if robust:
+            mu = float(full.median())
+            sd = 1.4826 * float((full - mu).abs().median())
+            if sd == 0 and mu > 0:
+                # MAD degenerates to 0 when most buckets are identical
+                # (steady series); counts are Poisson-ish, so √median is
+                # the natural scale floor
+                sd = max(mu ** 0.5, 1.0)
+        else:
+            mu = float(full.mean())
+            sd = float(full.std(ddof=0))
         if sd == 0:
             continue
         z = (full - mu) / sd

@@ -147,3 +147,17 @@ def test_event_rate_constant_series_empty(ray_session):
                for h in range(24) for m in range(10)]})
     out = event_rate_anomalies(rd.from_pandas(df))
     assert out.num_rows == 0
+
+
+def test_event_rate_robust_catches_masked_gap(ray_session):
+    """A 300-event spike inflates the std enough that the mean/std scan
+    misses a concurrent outage hour; median/MAD flags both."""
+    from cerberus_ray.stages.drift import event_rate_anomalies
+
+    frame = _rate_frame(spike_h=20, gap_h=30)
+    ds = rd.from_pandas(frame, override_num_blocks=8)
+    classic = event_rate_anomalies(ds).to_pandas()
+    assert (classic["n_events"] == 0).sum() == 0      # gap masked
+    robust = event_rate_anomalies(ds, robust=True).to_pandas()
+    assert (robust["n_events"] == 300).sum() == 1     # spike still flagged
+    assert (robust["n_events"] == 0).sum() == 1       # gap now flagged

@@ -132,3 +132,91 @@ def test_length_buckets_duckdb_token_parity(ray_session):
     # deterministic rerun
     again = q_length_bucket_report(sf).to_pandas()
     pd.testing.assert_frame_equal(mine, again)
+
+
+# --- temperature mixing (exponential smoothing, XLM-R recipe) ---------
+
+def test_temperature_weights_math():
+    from cerberus_ray.pipelines.mixing import temperature_weights
+
+    counts = {"web": 800, "books": 100, "code": 100}
+    # alpha=1 → natural distribution → all rates 1
+    r1 = temperature_weights(counts, alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+    # alpha=0 → uniform target: rate ∝ 1/p, scarce sources keep all
+    r0 = temperature_weights(counts, alpha=0.0)
+    assert abs(r0["books"] - 1.0) < 1e-12 and abs(r0["code"] - 1.0) < 1e-12
+    assert abs(r0["web"] - 100 / 800) < 1e-12
+    # alpha=0.5: rate_i ∝ p_i^-0.5 → web keeps sqrt(0.1/0.8)
+    r5 = temperature_weights(counts, alpha=0.5)
+    assert abs(r5["web"] - (0.1 / 0.8) ** 0.5) < 1e-12
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_weights(counts, alpha=1.5)
+    with _pt.raises(ValueError):
+        temperature_weights({"a": 0}, alpha=0.5)
+
+
+def test_source_counts_partition_invariant(ray_session):
+    from cerberus_ray.pipelines.mixing import source_counts
+
+    df = corpus()
+    expect = df.groupby("source").size().to_dict()
+    for blocks in (1, 7):
+        got = source_counts(rd.from_pandas(df, override_num_blocks=blocks))
+        assert got == {str(k): int(v) for k, v in expect.items()}
+
+
+def test_sample_by_temperature_downsample(ray_session):
+    from cerberus_ray.pipelines.mixing import sample_by_temperature
+
+    df = corpus(6000)
+    out, rates = sample_by_temperature(rd.from_pandas(df), alpha=0.3)
+    kept = out.to_pandas().groupby("source").size()
+    n_by = df.groupby("source").size()
+    # scarcest source keeps everything (rate normalized to max=1)
+    assert rates["code"] == 1.0 and kept["code"] == n_by["code"]
+    # realized keep fractions track the computed rates
+    for s in ("web", "books"):
+        assert abs(kept[s] / n_by[s] - rates[s]) < 0.05
+    # smoothing flattens: web share shrinks vs natural, code share grows
+    assert kept["web"] / kept.sum() < n_by["web"] / n_by.sum()
+    assert kept["code"] / kept.sum() > n_by["code"] / n_by.sum()
+
+
+def test_resample_upsample_replicates(ray_session):
+    from cerberus_ray.pipelines.mixing import resample_by_rate
+
+    df = corpus(2000)
+    out = resample_by_rate(rd.from_pandas(df, override_num_blocks=5),
+                           {"code": 2.5, "web": 1.0, "books": 1.0}
+                           ).to_pandas()
+    code = out[out["source"] == "code"]
+    n_code = (df["source"] == "code").sum()
+    # every code row appears 2 or 3 times; expectation 2.5
+    per = code.groupby("doc_id").size()
+    assert set(per.unique()) <= {2, 3}
+    assert abs(len(code) / n_code - 2.5) < 0.2
+    # copy_ix makes (doc_id, copy_ix) unique across the whole output
+    assert not out.duplicated(["doc_id", "copy_ix"]).any()
+    # deterministic + partition-invariant
+    out2 = resample_by_rate(rd.from_pandas(df, override_num_blocks=1),
+                            {"code": 2.5, "web": 1.0, "books": 1.0}
+                            ).to_pandas()
+    a = out.sort_values(["doc_id", "copy_ix"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "copy_ix"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sample_by_temperature_upsample_mode(ray_session):
+    from cerberus_ray.pipelines.mixing import sample_by_temperature
+
+    df = corpus(6000)
+    out, rates = sample_by_temperature(
+        rd.from_pandas(df), alpha=0.3, upsample=True)
+    kept = out.to_pandas().groupby("source").size()
+    n_by = df.groupby("source").size()
+    # the LARGEST source keeps everything; scarce sources replicate >1×
+    assert abs(rates["web"] - 1.0) < 1e-12
+    assert kept["web"] == n_by["web"]
+    assert rates["code"] > 1.0 and kept["code"] > n_by["code"]
