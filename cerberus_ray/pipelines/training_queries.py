@@ -414,6 +414,27 @@ def q_corpus_mixing_report(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_c4_clean_report(sf_dir: str) -> pa.Table:
+    """C4 line-cleanup census (extras surface): the Raffel et al. 2020
+    §2.2 retention rules over the documents table. The synthetic corpus
+    has no sentence structure, so the query deterministically shapes it
+    first — every 8th word ends a period-terminated line (RE2 backref
+    replace, vectorized) — then reports docs/lines in+kept and per-gate
+    page drops."""
+    from .webclean import c4_clean_stats
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("text")
+        shaped = pc.replace_substring_regex(
+            pc.fill_null(b["text"], ""),
+            r"((?:\S+ ){7}\S+) ", "\\1.\n")
+        return b.set_column(i, "text", shaped)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_lines, batch_format="pyarrow", zero_copy_batch=True)
+    return c4_clean_stats(ds)
+
+
 def q_temperature_mixing_report(sf_dir: str) -> pa.Table:
     """Temperature-smoothed mixture (extras surface): α=0.3 exponential
     smoothing over the documents table's source distribution — natural
@@ -1191,6 +1212,7 @@ QUERIES = {
     "domain_blocklist_report": q_domain_blocklist_report,
     "corpus_mixing_report": q_corpus_mixing_report,
     "temperature_mixing_report": q_temperature_mixing_report,
+    "c4_clean_report": q_c4_clean_report,
     "doc_chunks": q_doc_chunks,
     "seq_packing_report": q_seq_packing_report,
     "repeated_substring_report": q_repeated_substring_report,

@@ -136,6 +136,116 @@ def drop_blocklisted(ds, domains: Sequence[str], *, text_col: str = "text"):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: C4 line-retention rules (Raffel et al. 2020 §2.2), shared verbatim
+#: with the DuckDB oracle (both engines evaluate RE2). A line survives
+#: iff (trimmed) it ends in terminal punctuation, has ≥ C4_MIN_WORDS
+#: words, and does not mention javascript; a PAGE survives iff it has
+#: none of the drop phrases, no curly brace (code), and ≥
+#: C4_MIN_SENTENCES terminal marks AFTER line cleaning.
+C4_TRIM_RE = r"^\s+|\s+$"
+C4_TERMINAL_PUNCT_RE = "[.!?\"']$"
+C4_WORD_RE = r"\S+"
+C4_LINE_DROP_RE = r"(?i)javascript"
+C4_PAGE_DROP_RE = r"(?i)lorem ipsum"
+C4_SENTENCE_MARK_RE = r"[.!?]"
+C4_MIN_WORDS = 3
+C4_MIN_SENTENCES = 5
+
+
+def c4_line_clean_array(arr, *, min_words: int = C4_MIN_WORDS) -> pa.Array:
+    """C4 line filter on one Arrow string array: split each document on
+    newlines, keep the lines passing the retention rules, rejoin with
+    newlines (a fully-dropped document becomes ""). Vectorized
+    end-to-end: one split, flat RE2 predicates over every line of the
+    batch at once, and an offsets rebuild — no per-row Python."""
+    s = pc.fill_null(arr, "")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    lines = pc.split_pattern(s, "\n")
+    flat = pc.list_flatten(lines)
+    parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    trimmed = pc.replace_substring_regex(flat, C4_TRIM_RE, "")
+    keep = pc.and_(
+        pc.and_(pc.match_substring_regex(trimmed, C4_TERMINAL_PUNCT_RE),
+                pc.greater_equal(
+                    pc.count_substring_regex(trimmed, C4_WORD_RE),
+                    min_words)),
+        pc.invert(pc.match_substring_regex(flat, C4_LINE_DROP_RE)))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    kept_flat = flat.filter(keep)
+    counts = np.bincount(parent[keep_np], minlength=len(s))
+    offsets = np.zeros(len(s) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    rebuilt = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       kept_flat)
+    return pc.binary_join(rebuilt, "\n")
+
+
+def c4_clean(ds, *, text_col: str = "text",
+             min_words: int = C4_MIN_WORDS,
+             min_sentences: int = C4_MIN_SENTENCES):
+    """Full C4 cleanup: line filter + page gates. Replaces ``text_col``
+    with the line-cleaned text and drops pages that mention a drop
+    phrase, contain a curly brace, or retain fewer than
+    ``min_sentences`` sentences. One stateless streamed pass."""
+
+    def run(b: pa.Table) -> pa.Table:
+        orig = pc.fill_null(b[text_col], "")
+        cleaned = c4_line_clean_array(orig, min_words=min_words)
+        keep = pc.and_(
+            pc.and_(pc.invert(pc.match_substring_regex(orig,
+                                                       C4_PAGE_DROP_RE)),
+                    pc.invert(pc.match_substring(orig, "{"))),
+            pc.greater_equal(
+                pc.count_substring_regex(cleaned, C4_SENTENCE_MARK_RE),
+                min_sentences))
+        i = b.schema.get_field_index(text_col)
+        return b.set_column(i, text_col, cleaned).filter(keep)
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def c4_clean_stats(ds, *, text_col: str = "text",
+                   min_words: int = C4_MIN_WORDS,
+                   min_sentences: int = C4_MIN_SENTENCES) -> pa.Table:
+    """Cleanup census in one streamed pass: per-block partial sums of
+    docs/lines in+kept and per-gate page drops, merged on the driver
+    (O(#blocks) 7-int rows). Gates are counted independently (a page can
+    trip several); docs_kept applies them all, matching
+    :func:`c4_clean`."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        orig = pc.fill_null(b[text_col], "")
+        if isinstance(orig, pa.ChunkedArray):
+            orig = orig.combine_chunks()
+        lines = pc.split_pattern(orig, "\n")
+        cleaned = c4_line_clean_array(orig, min_words=min_words)
+        lorem = pc.match_substring_regex(orig, C4_PAGE_DROP_RE)
+        brace = pc.match_substring(orig, "{")
+        few = pc.less(pc.count_substring_regex(cleaned,
+                                               C4_SENTENCE_MARK_RE),
+                      min_sentences)
+        kept = pc.and_(pc.and_(pc.invert(lorem), pc.invert(brace)),
+                       pc.invert(few))
+        def n(mask):
+            return pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        return pa.Table.from_pydict({
+            "docs_in": [b.num_rows],
+            "docs_kept": [n(kept)],
+            "lines_in": [pc.sum(pc.list_value_length(lines)).as_py() or 0],
+            "lines_kept": [int(pc.sum(
+                pc.count_substring(cleaned, "\n")).as_py() or 0)
+                + n(pc.not_equal(cleaned, ""))],
+            "drop_phrase": [n(lorem)],
+            "drop_brace": [n(brace)],
+            "drop_few_sentences": [n(few)]})
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return pa.Table.from_pydict(
+        {c: [int(pdf[c].sum())] for c in pdf.columns})
+
+
 #: Invisible / zero-width code points that survive naive text cleaning
 #: and poison tokenizers (obfuscation, word-joining, watermark tricks):
 #: removed outright. Exotic space separators normalize to ASCII space.

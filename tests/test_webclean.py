@@ -204,3 +204,110 @@ def test_strip_invisible_dataset(ray_session):
     out = strip_invisible(rd.from_pandas(df)).to_pandas()
     assert out["text"].tolist() == ["ab", "plain"]
     assert list(out.columns) == ["doc_id", "text"]
+
+
+
+# --- C4 line-level cleanup (Raffel et al. 2020 §2.2) ------------------
+
+C4_DOCS = [
+    # kept lines must end in terminal punct, have >=3 words, no js
+    "This is a good sentence.\nshort line\nAnother fine sentence here!\n"
+    "Enable javascript to continue.\nno terminal punctuation here\n"
+    'He said "stop".',
+    # page gates
+    "Lorem Ipsum dolor sit amet. One. Two. Three. Four. Five sentences.",
+    "function f() { return 1; } This page has code. A. B. C. D. E.",
+    "Only two sentences survive here. Second one right here.",
+    "A good doc. With plenty. Of sentences. To pass. The gate easily.",
+    "",
+    None,
+    "   \t  \n  ",
+]
+
+
+def test_c4_line_clean_hand_vectors():
+    from cerberus_ray.pipelines.webclean import c4_line_clean_array
+
+    out = c4_line_clean_array(pa.array(C4_DOCS, pa.string())).to_pylist()
+    assert out[0] == ("This is a good sentence.\n"
+                      "Another fine sentence here!\n"
+                      'He said "stop".')
+    # trailing-whitespace lines still match terminal punct after trim
+    assert c4_line_clean_array(
+        pa.array(["Ends with punct.   "], pa.string())).to_pylist() == [
+        "Ends with punct.   "]  # original line bytes preserved
+    assert out[5] == "" and out[6] == "" and out[7] == ""
+
+
+def test_c4_clean_page_gates(ray_session):
+    from cerberus_ray.pipelines.webclean import c4_clean
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(C4_DOCS))],
+                       "text": C4_DOCS})
+    kept = c4_clean(rd.from_pandas(df, override_num_blocks=3)).to_pandas()
+    ids = set(kept["doc_id"])
+    assert "d1" not in ids          # lorem ipsum
+    assert "d2" not in ids          # curly brace
+    assert "d3" not in ids          # < 5 sentences
+    assert "d4" in ids              # passes everything
+    assert "d0" not in ids          # only 3 sentences survive line filter
+    # surviving text is the line-cleaned text
+    assert kept[kept["doc_id"] == "d4"]["text"].iloc[0] == C4_DOCS[4]
+
+
+def test_c4_duckdb_parity(ray_session):
+    """Byte-exact line-filter parity: DuckDB list_filter runs the SAME
+    RE2 predicates interpolated from the module constants."""
+    from cerberus_ray.pipelines.webclean import (
+        C4_LINE_DROP_RE, C4_MIN_WORDS, C4_TERMINAL_PUNCT_RE, C4_TRIM_RE,
+        C4_WORD_RE, c4_line_clean_array)
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    # synthesize line structure: break each doc into pseudo-lines
+    docs["text"] = (docs["text"].str.replace(". ", ".\n", regex=False)
+                    .str.replace(" the ", "\nthe ", regex=False))
+    got = c4_line_clean_array(
+        pa.array(docs["text"].tolist(), pa.string())).to_pylist()
+    con = duckdb.connect()
+    con.register("docs", docs)
+    punct = C4_TERMINAL_PUNCT_RE.replace("'", "''")
+    # COALESCE: DuckDB's array_to_string of an EMPTY list is NULL; the
+    # engine contract for a fully-dropped document is ""
+    sql = f"""
+        SELECT COALESCE(array_to_string(list_filter(string_split(text, chr(10)),
+            x -> regexp_matches(regexp_replace(x, '{C4_TRIM_RE}', '', 'g'),
+                                '{punct}')
+                 AND len(regexp_extract_all(
+                        regexp_replace(x, '{C4_TRIM_RE}', '', 'g'),
+                        '{C4_WORD_RE}')) >= {C4_MIN_WORDS}
+                 AND NOT regexp_matches(x, '{C4_LINE_DROP_RE}')),
+            chr(10)), '') AS clean
+        FROM docs ORDER BY doc_id
+    """
+    want = [r[0] for r in
+            con.execute(sql.replace("FROM docs ORDER BY doc_id",
+                                    "FROM docs")).fetchall()]
+    assert got == want
+
+
+def test_c4_clean_stats(ray_session):
+    from cerberus_ray.pipelines.webclean import c4_clean, c4_clean_stats
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(C4_DOCS))],
+                       "text": C4_DOCS})
+    ds = rd.from_pandas(df, override_num_blocks=3)
+    st = c4_clean_stats(ds).to_pandas().iloc[0]
+    kept = c4_clean(ds).to_pandas()
+    assert st["docs_in"] == len(C4_DOCS)
+    assert st["docs_kept"] == len(kept)
+    assert st["drop_phrase"] == 1 and st["drop_brace"] == 1
+    # lines_kept equals the total line count of the cleaned texts
+    from cerberus_ray.pipelines.webclean import c4_line_clean_array
+    cl = c4_line_clean_array(pa.array(C4_DOCS, pa.string())).to_pylist()
+    assert st["lines_kept"] == sum(len(c.split("\n")) if c else 0
+                                   for c in cl)
+    # partition invariance
+    st1 = c4_clean_stats(rd.from_pandas(df, override_num_blocks=1)
+                         ).to_pandas().iloc[0]
+    assert (st1 == st).all()
