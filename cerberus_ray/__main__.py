@@ -91,6 +91,7 @@ def cmd_corpus(args) -> int:
                               benchmark_ds=bench, mixing_weights=mix,
                               cut_ngram=args.cut_ngram,
                               strip_markup=args.strip_markup,
+                              c4_rules=args.c4_rules,
                               blocklist=blocklist, reference_ds=ref,
                               ppl_keep=ppl_keep)
     print(json.dumps({
@@ -191,6 +192,9 @@ def main(argv=None) -> int:
                    help="remove cross-doc duplicated >=N-token passages")
     c.add_argument("--strip-markup", action="store_true",
                    help="run the HTML strip chain before the gate")
+    c.add_argument("--c4-rules", action="store_true",
+                   help="apply C4 line filters + page gates after "
+                        "markup strip")
     c.add_argument("--blocklist", default=None,
                    help="comma-separated bad domains to drop on mention")
     c.add_argument("--reference", default=None,

@@ -73,13 +73,16 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           source_col: str = "source",
                           cut_ngram: Optional[int] = None,
                           strip_markup: bool = False,
+                          c4_rules: bool = False,
                           blocklist=None,
                           reference_ds=None,
                           ppl_keep=None,
                           lang_col: str = "lang") -> CorpusReport:
     """Optional hygiene/shaping stages extend the funnel when supplied:
     ``strip_markup`` runs the HTML strip chain as stage 0 (webclean),
-    ``blocklist`` drops documents mentioning blocklisted domains before
+    ``c4_rules`` applies the C4 line filters + page gates (Raffel et
+    al. 2020 §2.2) after markup strip, ``blocklist`` drops documents
+    mentioning blocklisted domains before
     the quality gate, ``benchmark_ds`` inserts a decontamination
     drop-filter (n-gram overlap vs the held-out set) after the quality
     gate, ``cut_ngram`` removes cross-doc duplicated ≥n-token passages
@@ -98,11 +101,15 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
         from ..pipelines.webclean import strip_html
 
         docs_ds = strip_html(docs_ds, text_col=text_col)
+    if c4_rules:
+        from ..pipelines.webclean import c4_clean
+
+        docs_ds = c4_clean(docs_ds, text_col=text_col)
     if blocklist:
         from ..pipelines.webclean import drop_blocklisted
 
         docs_ds = drop_blocklisted(docs_ds, blocklist, text_col=text_col)
-    if strip_markup or blocklist:
+    if strip_markup or c4_rules or blocklist:
         docs_ds = docs_ds.materialize()
 
     n_input = docs_ds.count()
@@ -135,6 +142,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                       and m.get("benchmark_fingerprint") == bench_fp
                       and m.get("reference_fingerprint") == ref_fp
                       and m.get("strip_markup") == strip_markup
+                      and m.get("c4_rules", False) == c4_rules
                       and m.get("ppl_keep") == (sorted(ppl_keep)
                                                 if ppl_keep else None)
                       and m.get("blocklist") == block_key
@@ -294,6 +302,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             "benchmark_fingerprint": bench_fp,
             "reference_fingerprint": ref_fp,
             "strip_markup": strip_markup,
+            "c4_rules": c4_rules,
             "blocklist": block_key,
             "ppl_keep": sorted(ppl_keep) if ppl_keep else None,
             "cut_ngram": cut_ngram,

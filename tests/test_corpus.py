@@ -283,3 +283,52 @@ def test_corpus_ppl_gate(ray_session, tmp_path):
         ppl_keep=("head",))
     assert not r3.stats.get("resumed")
     assert r3.n_quality_pass < r.n_quality_pass
+
+
+def test_corpus_c4_rules_stage(ray_session, tmp_path):
+    """c4_rules applies the C4 line filters + page gates as a front-door
+    stage: pages with drop phrases or too few sentences vanish before
+    the count, javascript lines are cut from surviving docs, and the
+    knob keys the resume manifest."""
+    def shape(t):
+        w = t.split()
+        return "\n".join(" ".join(w[i:i + 4]) + "."
+                         for i in range(0, len(w), 4))
+
+    df = corpus_df()
+    df["text"] = df["text"].map(shape)   # period-terminated 4-word lines
+    df = pd.concat([df, pd.DataFrame([
+        # page gate: drop phrase
+        {"doc_id": "lorem1",
+         "text": shape(" ".join(f"tok{i}" for i in range(24)))
+                 + "\nlorem ipsum filler."},
+        # line filter: the javascript line is cut, the page survives
+        {"doc_id": "jsdoc",
+         "text": shape(" ".join(f"word{i}" for i in range(24)))
+                 + "\nEnable javascript to proceed."},
+    ])], ignore_index=True)
+    out = str(tmp_path / "c4corpus")
+    r = build_training_corpus(rd.from_pandas(df), out_dir=out,
+                              near_threshold=0.5, bands=32,
+                              min_rows_per_file=1000, c4_rules=True)
+    # 47 in: junk2 (3 lines → <5 sentences) and lorem1 gone pre-count
+    assert r.n_input == 45
+    assert r.n_quality_pass == 44          # junk1 fails the quality gate
+    assert r.n_after_exact_dedup == 43     # dup2 merges into dup1
+    assert r.n_after_near_dedup == 42      # near1 merges too
+    written = pq.read_table(os.path.join(out, "data")).to_pandas()
+    ids = set(written["doc_id"])
+    assert "lorem1" not in ids and "junk2" not in ids
+    assert "jsdoc" in ids
+    js_text = written[written["doc_id"] == "jsdoc"]["text"].iloc[0]
+    assert "javascript" not in js_text.lower()
+    assert js_text.endswith("word23.")    # clean lines byte-preserved
+    # resume honors the knob: same call resumes, flipping it rebuilds
+    r2 = build_training_corpus(rd.from_pandas(df), out_dir=out,
+                               near_threshold=0.5, bands=32,
+                               min_rows_per_file=1000, c4_rules=True)
+    assert r2.stats.get("resumed") is True
+    r3 = build_training_corpus(rd.from_pandas(df), out_dir=out,
+                               near_threshold=0.5, bands=32,
+                               min_rows_per_file=1000)
+    assert not r3.stats.get("resumed")
