@@ -313,32 +313,33 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
                            n_rows_hint: int = 0) -> pa.Table:
     """→ (doc_id_a, doc_id_b, jaccard_est) pairs with est. Jaccard ≥ threshold.
 
-    Two streaming passes, nothing materialized in the object store:
+    In-bucket pairs + signature-estimated Jaccard finish on the driver
+    in both modes (candidate pairs are rare by construction). The
+    planner (mirroring duplicate_key_counts) picks how the LSH bucket
+    structure is built:
 
-    1. shingle→minhash→band-hash per batch, FUSED with a per-block
-       distinct bucket count — the pass emits only (bucket, count)
-       partial rows (16 B each, at most bands×rows-per-block).
-    2. a second pass recomputes signatures per batch and emits
-       (bucket, key, sig) rows ONLY for members of duplicated buckets —
-       signatures for non-candidates never leave the worker.
-
-    Then in-bucket pairs + signature-estimated Jaccard on the driver
-    (candidate pairs are rare by construction).
-
-    Pass-1 merge mode (planner, mirroring duplicate_key_counts):
-
-    - 'driver' (≤ ~1M docs): per-block (bucket, count) partials merge on
-      the driver — no shuffle; driver holds O(docs × bands) 16-B rows.
-    - 'shuffle' (beyond): distributed ``groupby(bucket).sum`` — only the
-      DUPLICATED buckets (rare) ever reach the driver, so driver memory
-      is O(duplicate buckets), not O(docs × bands). The 10^9+ path.
+    - 'driver' (≤ ~1M docs): signatures are computed ONCE in a single
+      distributed pass whose per-doc (key, sig, buckets) rows stream to
+      the driver — n × ~(8k + 16·bands) bytes, ~1.2 GB at the band edge
+      — where bucket counting and member selection are vectorized
+      numpy. One dataset execution total: at small/medium inputs the
+      fixed cost of each extra Ray execution dominates the compute.
+    - 'shuffle' (beyond): two streaming passes, nothing leaves the
+      workers but partials. Pass 1 fuses shingle→minhash→band-hash with
+      a per-block distinct bucket count and a distributed
+      ``groupby(bucket).sum`` so only DUPLICATED buckets (rare) reach
+      the driver; pass 2 recomputes signatures and emits (bucket, key,
+      sig) rows ONLY for members of duplicated buckets. Driver memory
+      is O(duplicate buckets + candidate members), never
+      O(docs × bands). The 10^9+ path.
     Both modes are output-identical (agreement-tested).
     """
     import ray
 
+    expected_rows = 0
     if mode == "auto":
-        n = n_rows_hint or ds.count()
-        mode = "driver" if n <= 1_000_000 else "shuffle"
+        expected_rows = n_rows_hint or ds.count()
+        mode = "driver" if expected_rows <= 1_000_000 else "shuffle"
     if mode not in ("driver", "shuffle"):
         raise ValueError(f"unknown minhash pass-1 mode: {mode!r}")
 
@@ -352,19 +353,61 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
                   ^ (np.tile(np.arange(bands, dtype=np.int64), n) << np.int64(56)))
         return keys, sigs, bucket  # bucket is flat (n*bands,) row-major
 
-    # pass 1: per-block distinct bucket counts (fused — no intermediate)
-    def bucket_counts(batch: pa.Table) -> pa.Table:
-        _, _, bucket = _sig_buckets(batch)
-        t = pa.Table.from_pydict({"bucket": pa.array(bucket)})
-        return t.group_by("bucket").aggregate([([], "count_all")])
-
-    bc_ds = ds.map_batches(bucket_counts, batch_format="pyarrow",
-                           zero_copy_batch=True)
     empty = pa.Table.from_pydict(
         {"doc_id_a": pa.array([], pa.string()),
          "doc_id_b": pa.array([], pa.string()),
          "jaccard_est": pa.array([], pa.float64())})
-    if mode == "shuffle":
+
+    if mode == "driver":
+        # ONE Ray execution: per-doc (key, sig, buckets) rows stream to
+        # the driver; bucket counting, member selection and pair
+        # estimation are local vectorized numpy from here. At small-to-
+        # medium inputs each extra dataset execution costs far more than
+        # this compute, and at the 1M-doc band edge the table is ~1.2 GB
+        # — well inside driver memory. Beyond lives 'shuffle'.
+        def sig_table(batch: pa.Table) -> pa.Table:
+            keys, sigs, bucket = _sig_buckets(batch)
+            return pa.Table.from_pydict({
+                "key": pa.array(keys, pa.string()),
+                "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+                "buckets": pa.FixedSizeListArray.from_arrays(
+                    pa.array(bucket, pa.int64()), bands)})
+
+        refs = ds.map_batches(sig_table, batch_format="pyarrow",
+                              zero_copy_batch=True).to_arrow_refs()
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        if not tables:
+            return empty
+        tbl = pa.concat_tables(tables)
+        if expected_rows and tbl.num_rows != expected_rows:
+            raise RuntimeError(
+                f"minhash driver plan collected {tbl.num_rows} signature "
+                f"rows for {expected_rows} input docs — a block was lost")
+        keys_np = tbl["key"].to_numpy(zero_copy_only=False)
+        sig_list = tbl["sig"].to_pylist()
+        bucket_flat = pc.list_flatten(tbl["buckets"]).to_numpy(
+            zero_copy_only=False)
+        uniq, cnt = np.unique(bucket_flat, return_counts=True)
+        dup_buckets = uniq[cnt > 1]
+        if not len(dup_buckets):
+            return empty
+        pos = np.clip(np.searchsorted(dup_buckets, bucket_flat),
+                      0, len(dup_buckets) - 1)
+        hit = dup_buckets[pos] == bucket_flat
+        doc_idx = np.repeat(np.arange(len(keys_np)), bands)[hit]
+        mem = pd.DataFrame({"bucket": bucket_flat[hit],
+                            "key": keys_np[doc_idx],
+                            "sig": [sig_list[i] for i in doc_idx]})
+    else:
+        # pass 1: per-block distinct bucket counts, fused with the
+        # signature computation — no intermediate leaves the worker
+        def bucket_counts(batch: pa.Table) -> pa.Table:
+            _, _, bucket = _sig_buckets(batch)
+            t = pa.Table.from_pydict({"bucket": pa.array(bucket)})
+            return t.group_by("bucket").aggregate([([], "count_all")])
+
+        bc_ds = ds.map_batches(bucket_counts, batch_format="pyarrow",
+                               zero_copy_batch=True)
         merged = bc_ds.groupby("bucket").sum("count_all")
 
         def dup_only(t: pa.Table) -> pa.Table:
@@ -378,37 +421,30 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
         if "bucket" not in dup.columns or not len(dup):
             return empty
         dup_buckets = np.sort(dup["bucket"].to_numpy().astype(np.int64))
-    else:
-        bc = bc_ds.to_pandas()
-        if "bucket" not in bc.columns or not len(bc):
+        if len(dup_buckets) == 0:
             return empty
-        g = bc.groupby("bucket")["count_all"].sum()
-        dup_buckets = np.sort(np.asarray(g[g > 1].index.to_numpy(),
-                                         dtype=np.int64))
-    if len(dup_buckets) == 0:
-        return empty
-    bref = ray.put(dup_buckets)
+        bref = ray.put(dup_buckets)
 
-    # pass 2: (bucket, key, sig) for members of duplicated buckets only
-    def members(batch: pa.Table) -> pa.Table:
-        db = ray.get(bref)
-        keys, sigs, bucket = _sig_buckets(batch)
-        pos = np.clip(np.searchsorted(db, bucket), 0, len(db) - 1)
-        hit = db[pos] == bucket
-        if not hit.any():
-            return pa.Table.from_pydict(
-                {"bucket": pa.array([], pa.int64()),
-                 "key": pa.array([], pa.string()),
-                 "sig": pa.array([], pa.binary())})
-        doc_idx = np.repeat(np.arange(len(keys)), bands)[hit]
-        return pa.Table.from_pydict({
-            "bucket": pa.array(bucket[hit]),
-            "key": pa.array(keys[doc_idx], type=pa.string()),
-            "sig": pa.array([sigs[i].tobytes() for i in doc_idx],
-                            type=pa.binary())})
+        # pass 2: (bucket, key, sig) for members of duplicated buckets
+        def members(batch: pa.Table) -> pa.Table:
+            db = ray.get(bref)
+            keys, sigs, bucket = _sig_buckets(batch)
+            pos = np.clip(np.searchsorted(db, bucket), 0, len(db) - 1)
+            hit = db[pos] == bucket
+            if not hit.any():
+                return pa.Table.from_pydict(
+                    {"bucket": pa.array([], pa.int64()),
+                     "key": pa.array([], pa.string()),
+                     "sig": pa.array([], pa.binary())})
+            doc_idx = np.repeat(np.arange(len(keys)), bands)[hit]
+            return pa.Table.from_pydict({
+                "bucket": pa.array(bucket[hit]),
+                "key": pa.array(keys[doc_idx], type=pa.string()),
+                "sig": pa.array([sigs[i].tobytes() for i in doc_idx],
+                                type=pa.binary())})
 
-    mem = ds.map_batches(members, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas()
+        mem = ds.map_batches(members, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
 
     # in-bucket pairs (vectorized per bucket group on the driver)
     sig_lookup = dict(zip(mem["key"], mem["sig"]))
