@@ -585,12 +585,24 @@ def _rec_pairs(keys: np.ndarray, sh: np.ndarray, positions: np.ndarray,
 def simhash_near_dup_pairs(ds, *, text_col: str = "text",
                            key_col: str = "doc_id",
                            max_hamming: int = 3,
-                           hot_bucket_cap: int = 256) -> pa.Table:
+                           hot_bucket_cap: int = 256,
+                           mode: str = "auto",
+                           n_rows_hint: int = 0) -> pa.Table:
     """→ (doc_id_a, doc_id_b, hamming) pairs with distance ≤ max_hamming.
 
     4 chunk tables of (chunk16, key, simhash) → groupby chunk value →
     pair + verify. max_hamming ≤ 3 guarantees recall (pigeonhole over
     4 chunks).
+
+    Bucket-grouping mode (planner, mirroring minhash_near_dup_pairs):
+
+    - 'driver' (≤ ~250k docs): the 4n (key, chunk, sim) rows — 28 B each
+      — stream to the driver in one execution; multi-member buckets are
+      grouped and paired locally. Band edge keeps the per-bucket kernel
+      call count well under the 4×65536 bucket universe.
+    - 'shuffle' (beyond): distributed ``groupby(chunk_id, chunk)`` +
+      ``map_groups`` — the 10^9 path; driver sees only candidate pairs.
+    Output-identical (agreement-tested).
 
     Hot buckets: a 16-bit chunk universe caps the bucket count at 4×65536,
     so bucket occupancy grows linearly with corpus size. Buckets larger
@@ -600,6 +612,11 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
     — and the pair kernel is a vectorized XOR byte-popcount matrix, never
     a Python pair loop. Worst case (many identical fingerprints) emits
     the true all-pairs answer blockwise."""
+    if mode == "auto":
+        n = n_rows_hint or ds.count()
+        mode = "driver" if n <= 250_000 else "shuffle"
+    if mode not in ("driver", "shuffle"):
+        raise ValueError(f"unknown simhash mode: {mode!r}")
 
     def rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
@@ -639,8 +656,23 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
                              "b": np.array(B, dtype=object),
                              "ha": np.array(H, dtype="int64")})
 
-    cand = r.groupby(["chunk_id", "chunk"]).map_groups(pairs, batch_format="pandas")
-    pdf = cand.to_pandas()
+    if mode == "driver":
+        rows_pdf = r.to_pandas()
+        if len(rows_pdf) == 0:  # empty Dataset drops its schema
+            rows_pdf = pd.DataFrame({"key": pd.Series(dtype=object),
+                                     "chunk_id": pd.Series(dtype="int32"),
+                                     "chunk": pd.Series(dtype="int64"),
+                                     "sim": pd.Series(dtype="int64")})
+        multi = rows_pdf[rows_pdf.duplicated(["chunk_id", "chunk"],
+                                             keep=False)]
+        frames = [pairs(g) for _, g in multi.groupby(["chunk_id", "chunk"],
+                                                     sort=False)]
+        pdf = (pd.concat(frames, ignore_index=True) if frames
+               else pairs(rows_pdf.iloc[:0]))
+    else:
+        cand = r.groupby(["chunk_id", "chunk"]).map_groups(
+            pairs, batch_format="pandas")
+        pdf = cand.to_pandas()
     if len(pdf) == 0:
         return pa.Table.from_pydict(
             {"doc_id_a": pa.array([], pa.string()),

@@ -21,12 +21,42 @@ except ImportError:
     HAVE_LANCE = False
 
 
+#: Target bytes per input block when sizing reads by data volume.
+_TARGET_BLOCK_BYTES = 8 << 20
+
+
+def _size_blocks(path: str) -> Optional[int]:
+    """Blocks ∝ data, not CPUs: Ray's default read parallelism follows
+    the cluster CPU count, which over-splits small inputs (64 blocks for
+    a 5 MB file ⇒ ~13 ms fixed cost per block per execution dominates).
+    Estimate block count from the input's byte size at
+    ``_TARGET_BLOCK_BYTES``/block with a floor of 8; return None (defer
+    to Ray) for large inputs or unreadable paths — at scale Ray's
+    row-group-based splitting is already proportional to data."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            size = sum(e.stat().st_size for e in os.scandir(path)
+                       if e.is_file())
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return None
+    est = max(8, -(-size // _TARGET_BLOCK_BYTES))
+    return est if est < 64 else None
+
+
 def read_table(path: str, *, columns: Optional[Sequence[str]] = None,
                filter=None, **kwargs) -> "rd.Dataset":
     """Read a logical table as a Ray Dataset with column/predicate pushdown."""
     if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
         return rd.read_lance(path, columns=list(columns) if columns else None,
                              **kwargs)
+    if "override_num_blocks" not in kwargs:
+        est = _size_blocks(path)
+        if est is not None:
+            kwargs["override_num_blocks"] = est
     return rd.read_parquet(path, columns=list(columns) if columns else None,
                            filter=filter, **kwargs)
 

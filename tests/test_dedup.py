@@ -364,3 +364,14 @@ def test_cross_dedup_duckdb_parity_sf0001(ray_session):
     assert int(mine["n_input"].iloc[0]) == int(orc["n_input"].iloc[0])
     assert int(mine["n_ref_distinct"].iloc[0]) == int(orc["n_ref_distinct"].iloc[0])
     assert int(mine["n_kept"].iloc[0]) == int(orc["n_kept"].iloc[0])
+
+
+def test_simhash_mode_agreement(ds):
+    """driver vs shuffle bucket grouping must be output-identical (the
+    planner's contract, mirroring minhash pass-1)."""
+    drv = DD.simhash_near_dup_pairs(ds, max_hamming=3, mode="driver")
+    shf = DD.simhash_near_dup_pairs(ds, max_hamming=3, mode="shuffle")
+    assert drv.equals(shf)
+    assert drv.num_rows > 0
+    with pytest.raises(ValueError):
+        DD.simhash_near_dup_pairs(ds, mode="bogus")
