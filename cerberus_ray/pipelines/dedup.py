@@ -657,18 +657,60 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
                              "ha": np.array(H, dtype="int64")})
 
     if mode == "driver":
+        # One execution collects the 4n (key, chunk, sim) rows; bucket
+        # pairing is then fully vectorized — a single lexsort + np.unique
+        # builds the bucket index, and candidate pairs from all buckets of
+        # one SIZE are hamming-tested in one XOR-popcount pass (Python
+        # iterates only over distinct bucket sizes, ≤ hot_bucket_cap of
+        # them, plus rare hot buckets). Replaces a per-bucket pandas loop
+        # that cost ~1 ms × #buckets.
         rows_pdf = r.to_pandas()
         if len(rows_pdf) == 0:  # empty Dataset drops its schema
             rows_pdf = pd.DataFrame({"key": pd.Series(dtype=object),
                                      "chunk_id": pd.Series(dtype="int32"),
                                      "chunk": pd.Series(dtype="int64"),
                                      "sim": pd.Series(dtype="int64")})
-        multi = rows_pdf[rows_pdf.duplicated(["chunk_id", "chunk"],
-                                             keep=False)]
-        frames = [pairs(g) for _, g in multi.groupby(["chunk_id", "chunk"],
-                                                     sort=False)]
-        pdf = (pd.concat(frames, ignore_index=True) if frames
-               else pairs(rows_pdf.iloc[:0]))
+        key_arr = rows_pdf["key"].to_numpy()
+        cid = rows_pdf["chunk_id"].to_numpy().astype(np.int64)
+        sim_arr = rows_pdf["sim"].to_numpy().view(np.uint64)
+        bucket = cid * np.int64(65536) + rows_pdf["chunk"].to_numpy()
+        order = np.lexsort((key_arr, bucket))
+        bucket, key_arr = bucket[order], key_arr[order]
+        sim_arr, cid = sim_arr[order], cid[order]
+        keep = np.ones(len(bucket), dtype=bool)
+        keep[1:] = ~((bucket[1:] == bucket[:-1])
+                     & (key_arr[1:] == key_arr[:-1]))
+        bucket, key_arr = bucket[keep], key_arr[keep]
+        sim_arr, cid = sim_arr[keep], cid[keep]
+        _, starts, counts = np.unique(bucket, return_index=True,
+                                      return_counts=True)
+        A: list = []
+        B: list = []
+        H: list = []
+        small = (counts >= 2) & (counts <= hot_bucket_cap)
+        for s in np.unique(counts[small]):
+            st = starts[small & (counts == s)]
+            idx = st[:, None] + np.arange(int(s))
+            iu, ju = np.triu_indices(int(s), 1)
+            ii, jj = idx[:, iu].ravel(), idx[:, ju].ravel()
+            x = sim_arr[ii] ^ sim_arr[jj]
+            d = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(
+                axis=1, dtype=np.int64)
+            hit = d <= max_hamming
+            A.extend(key_arr[ii[hit]])
+            B.extend(key_arr[jj[hit]])
+            H.extend(d[hit].tolist())
+        for bi in np.nonzero(counts > hot_bucket_cap)[0]:
+            o, s = int(starts[bi]), int(counts[bi])
+            c = int(cid[o])
+            free = np.array([p for p in range(64)
+                             if not 16 * c <= p < 16 * (c + 1)],
+                            dtype=np.int64)
+            _rec_pairs(key_arr[o:o + s], sim_arr[o:o + s], free,
+                       max_hamming, hot_bucket_cap, A, B, H)
+        pdf = pd.DataFrame({"a": np.array(A, dtype=object),
+                            "b": np.array(B, dtype=object),
+                            "ha": np.array(H, dtype="int64")})
     else:
         cand = r.groupby(["chunk_id", "chunk"]).map_groups(
             pairs, batch_format="pandas")
@@ -678,9 +720,10 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
             {"doc_id_a": pa.array([], pa.string()),
              "doc_id_b": pa.array([], pa.string()),
              "hamming": pa.array([], pa.int64())})
-    pdf = (pdf.drop_duplicates(["a", "b"])
+    pdf = (pdf.sort_values(["a", "b", "ha"], kind="stable")
+              .drop_duplicates(["a", "b"])
               .rename(columns={"a": "doc_id_a", "b": "doc_id_b", "ha": "hamming"})
-              .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+              .reset_index(drop=True))
     pdf["hamming"] = pdf["hamming"].astype("int64")
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
