@@ -446,29 +446,50 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
         mem = ds.map_batches(members, batch_format="pyarrow",
                              zero_copy_batch=True).to_pandas()
 
-    # in-bucket pairs (vectorized per bucket group on the driver)
-    sig_lookup = dict(zip(mem["key"], mem["sig"]))
-    A, B = [], []
-    for _, grp in mem.groupby("bucket"):
-        grp = grp.sort_values("key").drop_duplicates("key")
-        if len(grp) < 2:
-            continue
-        ks = grp["key"].tolist()
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                A.append(ks[i]); B.append(ks[j])
-    if not A:
+    # in-bucket pairs — fully vectorized: one lexsort + np.unique builds
+    # the bucket index, pair indices expand per distinct bucket SIZE
+    # (Python iterates over sizes, not buckets), and signatures gather
+    # from one (n, k) matrix. Replaces a per-bucket pandas loop that
+    # cost ~0.7 ms × #duplicated buckets.
+    if len(mem) == 0:
         return empty
-    pdf = pd.DataFrame({"a": A, "b": B}).drop_duplicates(["a", "b"])
-    sa = np.stack([np.frombuffer(sig_lookup[x], dtype=np.uint64)
-                   for x in pdf["a"]])
-    sb = np.stack([np.frombuffer(sig_lookup[x], dtype=np.uint64)
-                   for x in pdf["b"]])
-    jac = (sa == sb).mean(axis=1)
-    keep = jac >= threshold
-    out = pd.DataFrame({"doc_id_a": pdf["a"].to_numpy()[keep],
-                        "doc_id_b": pdf["b"].to_numpy()[keep],
-                        "jaccard_est": jac[keep].round(4)})
+    key_np = mem["key"].to_numpy()
+    bucket_np = mem["bucket"].to_numpy().astype(np.int64)
+    sig_bytes = list(mem["sig"])
+    order = np.lexsort((key_np, bucket_np))
+    bucket_np, key_np = bucket_np[order], key_np[order]
+    sig_mat = np.frombuffer(b"".join(sig_bytes[i] for i in order),
+                            dtype=np.uint64).reshape(len(order), k)
+    keep_r = np.ones(len(bucket_np), dtype=bool)
+    keep_r[1:] = ~((bucket_np[1:] == bucket_np[:-1])
+                   & (key_np[1:] == key_np[:-1]))
+    bucket_np, key_np = bucket_np[keep_r], key_np[keep_r]
+    sig_mat = sig_mat[keep_r]
+    _, starts, counts = np.unique(bucket_np, return_index=True,
+                                  return_counts=True)
+    II: list = []
+    JJ: list = []
+    for s in np.unique(counts[counts >= 2]):
+        st = starts[counts == s]
+        idx = st[:, None] + np.arange(int(s))
+        iu, ju = np.triu_indices(int(s), 1)
+        II.append(idx[:, iu].ravel())
+        JJ.append(idx[:, ju].ravel())
+    if not II:
+        return empty
+    ii, jj = np.concatenate(II), np.concatenate(JJ)
+    # dedupe pairs on key identity (a pair surfaces once per shared band)
+    ukeys, kid = np.unique(key_np, return_inverse=True)
+    pid = kid[ii].astype(np.int64) * np.int64(len(ukeys)) + kid[jj]
+    _, sel = np.unique(pid, return_index=True)
+    ii, jj = ii[sel], jj[sel]
+    jac = (sig_mat[ii] == sig_mat[jj]).mean(axis=1)
+    keepj = jac >= threshold
+    if not keepj.any():
+        return empty
+    out = pd.DataFrame({"doc_id_a": key_np[ii[keepj]],
+                        "doc_id_b": key_np[jj[keepj]],
+                        "jaccard_est": jac[keepj].round(4)})
     out = out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
