@@ -340,10 +340,14 @@ def docs_dataset(cfg: GenConfig, *, parallelism: int = -1,
     return ds.map_batches(make, batch_format="numpy", batch_size=65536)
 
 
-def media_dataset(cfg: GenConfig):
+def media_dataset(cfg: GenConfig, *, blocks: int = 8):
+    """Media catalog as a Dataset. from_arrow yields ONE block, which
+    pins any downstream actor-pool stage (e.g. MediaDecoder) to a single
+    task — split so decode parallelism matches the pool."""
     import ray.data as rd
 
-    return rd.from_arrow(gen_media_catalog(cfg))
+    ds = rd.from_arrow(gen_media_catalog(cfg))
+    return ds.repartition(blocks) if cfg.n_media >= blocks * 8 else ds
 
 
 def write_fixture(cfg: GenConfig, out_dir: str) -> None:
