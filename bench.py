@@ -108,8 +108,10 @@ def run_flagship_bench() -> dict:
 
     results = {}
     # fixed block count for BOTH cpu levels: per-block overhead is real
-    # (scheduling + driver collection), so blocks ∝ data, not cpus
-    NB = 64
+    # (scheduling + driver collection), so blocks ∝ data, not cpus.
+    # 32 measured best for the 3.2M-doc input on this host (A/B vs 24/48/
+    # 64: 2.3-2.75s vs 3.0-3.9s — 4 concurrent stages x fewer tasks)
+    NB = int(os.environ.get("GRAFT_BENCH_BLOCKS", "32"))
 
     def _read(columns=None):
         return rd.read_parquet(DOCS_CACHE, columns=columns,
