@@ -124,8 +124,7 @@ def q_doc_token_stats(sf_dir: str) -> pa.Table:
 
 
 def q_doc_quality(sf_dir: str) -> pa.Table:
-    out = TX.score_text(_docs(sf_dir, ["doc_id", "text"]),
-                        concurrency=2).to_pandas()
+    out = TX.score_text(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
                                 preserve_index=False)
 
@@ -136,7 +135,7 @@ def q_doc_langid(sf_dir: str) -> pa.Table:
     the partial-combine + driver-merge plan (no all-to-all)."""
     from ..stages.groupagg import grouped_agg
 
-    scored = TX.lang_id(_docs(sf_dir, ["lang", "text"]), concurrency=2)
+    scored = TX.lang_id(_docs(sf_dir, ["lang", "text"]))
     g = grouped_agg(scored, ["lang", "lang_pred"], {"n": ("", "count")})
     g = g.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
     return pa.Table.from_pandas(g[["lang", "lang_pred", "n"]],
@@ -705,9 +704,7 @@ def q_nb_quality_report(sf_dir: str) -> pa.Table:
     docs = _docs(sf_dir, ["doc_id", "text"])
     keep = docs.map_batches(lambda df: df.assign(_orig=df["text"]),
                             batch_format="pandas")
-    # concurrency < session cores: an actor pool sized to ALL cores
-    # starves its upstream tasks (documented deadlock)
-    scored = score_text(keep, concurrency=2)
+    scored = score_text(keep)
 
     def lab(df: pd.DataFrame) -> pd.DataFrame:
         # the synthetic table passes the Gopher gate wholesale, so the
