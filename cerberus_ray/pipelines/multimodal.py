@@ -224,14 +224,33 @@ class MediaDecoder:
             schema=MEDIA_FEATURES_SCHEMA)
 
 
+_DECODER_SINGLETON: dict = {}
+
+
 def decode_media(ds, *, concurrency: int = 2, batch_size: int = 256,
-                 num_cpus: float = 1, feature_dim: int = 8):
-    """Decode/feature-extract as an actor pool. Small batch_size by design:
-    media rows are big; batch × concurrency must fit worker heap."""
-    return ds.map_batches(
-        MediaDecoder, fn_constructor_kwargs={"feature_dim": feature_dim},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=num_cpus)
+                 num_cpus: float = 1, feature_dim: int = 8,
+                 actors: bool = False):
+    """Decode/feature-extract. Small batch_size by design: media rows are
+    big; batch × concurrency must fit worker heap. Default is a TASK
+    pool with a per-worker decoder singleton — MediaDecoder's setup is
+    two attribute assignments, so an actor pool only pays startup per
+    execution; actors=True restores the pool for decoders whose setup
+    loads real codec state."""
+    if actors:
+        return ds.map_batches(
+            MediaDecoder, fn_constructor_kwargs={"feature_dim": feature_dim},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=num_cpus)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        dec = _DECODER_SINGLETON.get(feature_dim)
+        if dec is None:
+            dec = _DECODER_SINGLETON[feature_dim] = MediaDecoder(
+                feature_dim=feature_dim)
+        return dec(batch)
+
+    return ds.map_batches(decode, batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 class ImageResizer:

@@ -157,10 +157,7 @@ def q_media_features(sf_dir: str) -> pa.Table:
     n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(
         sf_dir.rstrip("/").rsplit("/", 1)[-1], 500)
     media = media_dataset(GenConfig(n_docs=1, n_media=n))
-    # num_cpus=0.5 keeps pool_size × num_cpus below the 4-CPU test
-    # session's core count (a full-width pool starves upstream tasks)
-    feats = MM.decode_media(MM.synthesize_payloads(media), concurrency=4,
-                            num_cpus=0.5)
+    feats = MM.decode_media(MM.synthesize_payloads(media))
     pdf = feats.to_pandas().drop(columns=["feature"])
     return pa.Table.from_pandas(pdf.sort_values("media_ref").reset_index(drop=True),
                                 preserve_index=False)
