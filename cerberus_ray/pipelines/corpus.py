@@ -166,16 +166,16 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                     out_dir=out_dir, stats={"resumed": True})
 
     # 1. quality gate — the TextScorer heuristics applied inline, keeping
-    # the original columns (stage is an actor-pool class: regexes and
-    # stopword sets compiled once per actor)
+    # the original columns (task-pool stage with a per-worker scorer
+    # singleton: the scorer's setup is a frozenset assignment, so an
+    # actor pool would only add startup cost per execution)
     import pandas as pd
 
-    from ..pipelines.text import TextScorer
+    from ..pipelines.text import _score_batch
 
-    class Gate(TextScorer):
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            stats = super().__call__(b.copy())
-            return b[stats["quality_pass"].to_numpy()]
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        stats = _score_batch(b.copy())
+        return b[stats["quality_pass"].to_numpy()]
 
     # Each stage is materialized once so the funnel counts and the next
     # stage share one execution — without this, every count() re-runs the
@@ -183,9 +183,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     # petabyte scale the parquet sink is the materialization boundary
     # instead (counts come from file metadata); here the object store
     # holds it and spills as needed.
-    kept_text = docs_ds.map_batches(Gate, batch_format="pandas",
-                                    concurrency=quality_concurrency,
-                                    num_cpus=0.5)
+    kept_text = docs_ds.map_batches(gate, batch_format="pandas")
     # optional 1b. benchmark decontamination (eval-set hygiene)
     if benchmark_ds is not None:
         from ..pipelines.decontaminate import drop_contaminated

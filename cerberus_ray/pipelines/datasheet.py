@@ -32,29 +32,27 @@ def corpus_datasheet(ds, *, text_col: str = "text",
                      quality_concurrency: int = 2) -> pa.Table:
     """→ (group_cols..., n_docs, n_tokens, n_chars, n_distinct_text,
     dup_frac, pct_quality_pass) sorted by group_cols."""
-    from .text import TextScorer
+    from .text import _score_batch
 
     gcols = list(group_cols)
 
-    class Partials(TextScorer):
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            texts = batch[text_col].fillna("")
-            md5 = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-            stats = super().__call__(
-                batch.rename(columns={text_col: "text"})
-                if text_col != "text" else batch)
-            g = stats.assign(_md5=md5).groupby(gcols, as_index=False).agg(
-                n_docs=("n_tokens", "size"),
-                n_tokens=("n_tokens", "sum"),
-                n_chars=("n_chars", "sum"),
-                n_pass=("quality_pass", "sum"),
-                _md5s=("_md5", lambda s: sorted(set(s))))
-            return g
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        # task-pool stage (scorer setup is trivial; see text.score_text)
+        texts = batch[text_col].fillna("")
+        md5 = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        stats = _score_batch(
+            batch.rename(columns={text_col: "text"})
+            if text_col != "text" else batch)
+        g = stats.assign(_md5=md5).groupby(gcols, as_index=False).agg(
+            n_docs=("n_tokens", "size"),
+            n_tokens=("n_tokens", "sum"),
+            n_chars=("n_chars", "sum"),
+            n_pass=("quality_pass", "sum"),
+            _md5s=("_md5", lambda s: sorted(set(s))))
+        return g
 
-    parts = ds.map_batches(Partials, batch_format="pandas",
-                           batch_size=2048,
-                           concurrency=quality_concurrency,
-                           num_cpus=0.5).to_pandas()
+    parts = ds.map_batches(partials, batch_format="pandas",
+                           batch_size=2048).to_pandas()
     if not len(parts):
         return pa.Table.from_pydict(
             {c: pa.array([], pa.string()) for c in gcols}
