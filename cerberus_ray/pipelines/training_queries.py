@@ -1351,20 +1351,28 @@ ORACLE_SQL = {
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         ORDER BY 1
     """,
+    # embeddings are FLOAT[]; without the DOUBLE[] cast DuckDB's
+    # list_cosine_similarity computes in float32 and the rounded float32
+    # can't represent the 4-dp decimal exactly (≈1e-8 off the engine's
+    # float64 value) — cast makes both sides bit-identical doubles
     "ann_topk_cosine": """
-        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
-               ROUND(list_cosine_similarity(embedding, (SELECT e FROM q)), 4) AS sim
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT e FROM q)), 4) AS sim
         FROM embeddings WHERE vec_id <> 0
         ORDER BY sim DESC, vec_id LIMIT 10
     """,
     "knn_join_top3": """
         SELECT query_id, vec_id, sim FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-                   ROUND(list_cosine_similarity(b.embedding, a.embedding), 4) AS sim,
+                   ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                CAST(a.embedding AS DOUBLE[])), 4) AS sim,
                    ROW_NUMBER() OVER (
                        PARTITION BY a.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(b.embedding, a.embedding), 4) DESC,
+                       ORDER BY ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                             CAST(a.embedding AS DOUBLE[])), 4) DESC,
                                 b.vec_id) AS rn
             FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
             WHERE a.vec_id < 10)
