@@ -375,3 +375,65 @@ def test_simhash_mode_agreement(ds):
     assert drv.num_rows > 0
     with pytest.raises(ValueError):
         DD.simhash_near_dup_pairs(ds, mode="bogus")
+
+
+def _bigger_corpus(n_extra: int = 120):
+    """corpus() plus mutated BASE clones — denser near-dup structure so
+    the brute-force references exercise multi-member buckets."""
+    rng = np.random.default_rng(7)
+    base_words = BASE.split()
+    rows = [dict(r) for r in corpus().to_dict("records")]
+    for i in range(n_extra):
+        w = list(base_words)
+        for _ in range(int(rng.integers(0, 3))):  # 0-2 word edits
+            w[int(rng.integers(0, len(w)))] = f"tok{int(rng.integers(100))}"
+        rows.append({"doc_id": f"m{i:03d}", "text": " ".join(w)})
+    return pd.DataFrame(rows)
+
+
+def test_simhash_matches_bruteforce_reference(ray_session):
+    """Independent O(n²) oracle for the vectorized bucket-pairing tail:
+    4-chunk pigeonhole at max_hamming ≤ 3 guarantees every qualifying
+    pair shares a chunk, and the verify step keeps exactly hamming ≤ h —
+    so the engine output must EQUAL all-pairs brute force."""
+    df = _bigger_corpus()
+    sh = DD.simhash64(df["text"].to_numpy(dtype=object))
+    keys = df["doc_id"].to_numpy()
+    expected = set()
+    for i in range(len(keys)):
+        x = sh[i] ^ sh[i + 1:]
+        d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                          axis=1).sum(axis=1)
+        for j in np.nonzero(d <= 3)[0]:
+            a, b = sorted((keys[i], keys[i + 1 + j]))
+            expected.add((a, b, int(d[j])))
+    got = DD.simhash_near_dup_pairs(rd.from_pandas(df), max_hamming=3)
+    got_set = set(zip(got["doc_id_a"].to_pylist(),
+                      got["doc_id_b"].to_pylist(),
+                      got["hamming"].to_pylist()))
+    assert got_set == expected
+    assert len(expected) > 50  # the fixture exercises real bucket fanout
+
+
+def test_minhash_matches_bruteforce_reference(ray_session):
+    """Independent O(n²) oracle: expected pairs = (share ≥1 of the 16
+    band hashes) AND (signature-estimated jaccard ≥ threshold), computed
+    directly from minhash_signatures/band_hashes."""
+    df = _bigger_corpus()
+    texts = df["text"].to_numpy(dtype=object)
+    keys = df["doc_id"].to_numpy()
+    sigs = DD.minhash_signatures(texts)
+    bh = DD.band_hashes(sigs)
+    expected = {}
+    for i in range(len(keys)):
+        share = (bh[i + 1:] == bh[i]).any(axis=1)
+        jac = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+        for j in np.nonzero(share & (jac >= 0.5))[0]:
+            a, b = sorted((keys[i], keys[i + 1 + j]))
+            expected[(a, b)] = round(float(jac[j]), 4)
+    got = DD.minhash_near_dup_pairs(rd.from_pandas(df), threshold=0.5)
+    got_map = {(a, b): j for a, b, j in zip(got["doc_id_a"].to_pylist(),
+                                            got["doc_id_b"].to_pylist(),
+                                            got["jaccard_est"].to_pylist())}
+    assert got_map == expected
+    assert len(expected) > 20
