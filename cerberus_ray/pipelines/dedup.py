@@ -621,8 +621,10 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
       — stream to the driver in one execution; multi-member buckets are
       grouped and paired locally. Band edge keeps the per-bucket kernel
       call count well under the 4×65536 bucket universe.
-    - 'shuffle' (beyond): distributed ``groupby(chunk_id, chunk)`` +
-      ``map_groups`` — the 10^9 path; driver sees only candidate pairs.
+    - 'shuffle' (beyond): whole (chunk_id, chunk) buckets co-locate by
+      hash (keyed_apply) and the SAME vectorized kernel runs once per
+      hash bucket — the 10^9 path pays O(n_buckets) Python calls, not
+      O(#LSH buckets); the driver sees only candidate pairs.
     Output-identical (agreement-tested).
 
     Hot buckets: a 16-bit chunk universe caps the bucket count at 4×65536,
@@ -657,40 +659,13 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
 
     r = ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("key").drop_duplicates("key")
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=object),
-                                 "b": pd.Series(dtype=object),
-                                 "ha": pd.Series(dtype="int64")})
-        ks = g["key"].to_numpy()
-        sh = g["sim"].to_numpy().view(np.uint64)
-        cid = int(g["chunk_id"].iloc[0])
-        free = np.array([p for p in range(64)
-                         if not 16 * cid <= p < 16 * (cid + 1)],
-                        dtype=np.int64)
-        A: list = []
-        B: list = []
-        H: list = []
-        _rec_pairs(ks, sh, free, max_hamming, hot_bucket_cap, A, B, H)
-        return pd.DataFrame({"a": np.array(A, dtype=object),
-                             "b": np.array(B, dtype=object),
-                             "ha": np.array(H, dtype="int64")})
-
-    if mode == "driver":
-        # One execution collects the 4n (key, chunk, sim) rows; bucket
-        # pairing is then fully vectorized — a single lexsort + np.unique
-        # builds the bucket index, and candidate pairs from all buckets of
-        # one SIZE are hamming-tested in one XOR-popcount pass (Python
-        # iterates only over distinct bucket sizes, ≤ hot_bucket_cap of
-        # them, plus rare hot buckets). Replaces a per-bucket pandas loop
-        # that cost ~1 ms × #buckets.
-        rows_pdf = r.to_pandas()
-        if len(rows_pdf) == 0:  # empty Dataset drops its schema
-            rows_pdf = pd.DataFrame({"key": pd.Series(dtype=object),
-                                     "chunk_id": pd.Series(dtype="int32"),
-                                     "chunk": pd.Series(dtype="int64"),
-                                     "sim": pd.Series(dtype="int64")})
+    def pair_frame(rows_pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized bucket pairing over a (key, chunk_id, chunk, sim)
+        frame holding WHOLE buckets: one lexsort + np.unique builds the
+        bucket index, candidate pairs from all buckets of one SIZE are
+        hamming-tested in one XOR-popcount pass (Python iterates only
+        over distinct bucket sizes plus rare hot buckets). Replaces a
+        per-bucket pandas loop that cost ~1 ms × #buckets."""
         key_arr = rows_pdf["key"].to_numpy()
         cid = rows_pdf["chunk_id"].to_numpy().astype(np.int64)
         sim_arr = rows_pdf["sim"].to_numpy().view(np.uint64)
@@ -729,12 +704,36 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
                             dtype=np.int64)
             _rec_pairs(key_arr[o:o + s], sim_arr[o:o + s], free,
                        max_hamming, hot_bucket_cap, A, B, H)
-        pdf = pd.DataFrame({"a": np.array(A, dtype=object),
-                            "b": np.array(B, dtype=object),
-                            "ha": np.array(H, dtype="int64")})
+        return pd.DataFrame({"a": np.array(A, dtype=object),
+                             "b": np.array(B, dtype=object),
+                             "ha": np.array(H, dtype="int64")})
+
+    if mode == "driver":
+        rows_pdf = r.to_pandas()
+        if len(rows_pdf) == 0:  # empty Dataset drops its schema
+            rows_pdf = pd.DataFrame({"key": pd.Series(dtype=object),
+                                     "chunk_id": pd.Series(dtype="int32"),
+                                     "chunk": pd.Series(dtype="int64"),
+                                     "sim": pd.Series(dtype="int64")})
+        pdf = pair_frame(rows_pdf)
     else:
-        cand = r.groupby(["chunk_id", "chunk"]).map_groups(
-            pairs, batch_format="pandas")
+        # distributed: co-locate whole (chunk_id, chunk) buckets by hash
+        # and run the SAME vectorized kernel once per hash bucket —
+        # Python invocations drop from O(#LSH buckets) to O(n_buckets)
+        # (keyed_apply; the keyed-window execution shape)
+        from ..stages.keyed_window import keyed_apply
+
+        def add_bucket64(b: pa.Table) -> pa.Table:
+            bk = (pc.cast(b["chunk_id"], pa.int64()).to_numpy(
+                      zero_copy_only=False) * np.int64(65536)
+                  + b["chunk"].to_numpy(zero_copy_only=False))
+            return b.append_column("bucket64", pa.array(bk, pa.int64()))
+
+        rb = r.map_batches(add_bucket64, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        cand = keyed_apply(rb, "bucket64",
+                           lambda g: pair_frame(g.drop(columns=["bucket64"])),
+                           n_buckets=64)
         pdf = cand.to_pandas()
     if len(pdf) == 0:
         return pa.Table.from_pydict(
