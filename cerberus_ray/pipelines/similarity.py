@@ -327,27 +327,42 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
             return []
         return [(ids[iu[0][m]], ids[iu[1][m]], np.round(sv[m], 4))]
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized multi-bucket kernel: lexsort + np.unique bucket
+        index; Python touches only multi-member buckets (rare), each a
+        numpy slice into the verify matmul. Runs once per HASH bucket
+        via keyed_apply — O(n_buckets) interpreter calls, not O(#LSH
+        buckets) map_groups invocations (the 10^9 path)."""
+        empty_f = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                "id_b": pd.Series(dtype="int64"),
+                                "sim": pd.Series(dtype="float64")})
         if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")})
-        g = g.sort_values("id").drop_duplicates("id")
+            return empty_f
+        bk = g["bucket"].to_numpy()
         ids = g["id"].to_numpy()
-        e = np.stack(g["vec"].to_numpy()).astype(np.float64)
-        found = _verify(ids, e, 0)
+        vecs = g["vec"].to_numpy()
+        order = np.lexsort((ids, bk))
+        bk, ids, vecs = bk[order], ids[order], vecs[order]
+        keep = np.ones(len(bk), dtype=bool)
+        keep[1:] = ~((bk[1:] == bk[:-1]) & (ids[1:] == ids[:-1]))
+        bk, ids, vecs = bk[keep], ids[keep], vecs[keep]
+        _, starts, counts = np.unique(bk, return_index=True,
+                                      return_counts=True)
+        found = []
+        for bi in np.nonzero(counts >= 2)[0]:
+            o, s = int(starts[bi]), int(counts[bi])
+            e = np.stack(vecs[o:o + s]).astype(np.float64)
+            found.extend(_verify(ids[o:o + s], e, 0))
         if not found:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")})
+            return empty_f
         return pd.DataFrame({
             "id_a": np.concatenate([t[0] for t in found]),
             "id_b": np.concatenate([t[1] for t in found]),
             "sim": np.concatenate([t[2] for t in found])})
 
-    out = r.groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+    from ..stages.keyed_window import keyed_apply
+
+    out = keyed_apply(r, "bucket", bucket_pairs, n_buckets=64).to_pandas()
     if len(out) == 0:
         return pa.Table.from_pydict({"id_a": pa.array([], pa.int64()),
                                      "id_b": pa.array([], pa.int64()),
