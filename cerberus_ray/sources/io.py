@@ -37,8 +37,15 @@ def _size_blocks(path: str) -> Optional[int]:
 
     try:
         if os.path.isdir(path):
-            size = sum(e.stat().st_size for e in os.scandir(path)
-                       if e.is_file())
+            # recursive: partitioned outputs nest key=value directories —
+            # counting only top-level files would undercount and pin a
+            # large dataset to the floor block count
+            size = 0
+            for root, _, files in os.walk(path):
+                for f in files:
+                    size += os.path.getsize(os.path.join(root, f))
+                    if size >= 64 * _TARGET_BLOCK_BYTES:
+                        return None  # big enough — defer to Ray early
         else:
             size = os.path.getsize(path)
     except OSError:
