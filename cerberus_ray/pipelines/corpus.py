@@ -183,7 +183,9 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     # petabyte scale the parquet sink is the materialization boundary
     # instead (counts come from file metadata); here the object store
     # holds it and spills as needed.
-    kept_text = docs_ds.map_batches(gate, batch_format="pandas")
+    gate_kw = ({"concurrency": quality_concurrency}
+               if quality_concurrency else {})
+    kept_text = docs_ds.map_batches(gate, batch_format="pandas", **gate_kw)
     # optional 1b. benchmark decontamination (eval-set hygiene)
     if benchmark_ds is not None:
         from ..pipelines.decontaminate import drop_contaminated
@@ -263,10 +265,12 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             exact = cut_duplicated_substrings(
                 exact, dup_h, text_col=text_col, n=cut_ngram).materialize()
 
-    # 3. near-dedup (LSH → connected components → keep cluster min)
+    # 3. near-dedup (LSH → connected components → keep cluster min);
+    # n_rows_hint = the count already taken above, so the mode planner
+    # doesn't re-execute the (computed) dataset for its own count()
     deduped, clusters = dedup_near_keep_first(
         exact, text_col=text_col, key_col=key_col,
-        threshold=near_threshold, bands=bands)
+        threshold=near_threshold, bands=bands, n_rows_hint=int(n_exact))
     # optional 3b. domain mixing (deterministic per-source sampling)
     if mixing_weights:
         from ..pipelines.mixing import sample_by_source

@@ -51,8 +51,10 @@ def corpus_datasheet(ds, *, text_col: str = "text",
             _md5s=("_md5", lambda s: sorted(set(s))))
         return g
 
+    pkw = ({"concurrency": quality_concurrency}
+           if quality_concurrency else {})
     parts = ds.map_batches(partials, batch_format="pandas",
-                           batch_size=2048).to_pandas()
+                           batch_size=2048, **pkw).to_pandas()
     if not len(parts):
         return pa.Table.from_pydict(
             {c: pa.array([], pa.string()) for c in gcols}

@@ -453,31 +453,18 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
     # cost ~0.7 ms × #duplicated buckets.
     if len(mem) == 0:
         return empty
+    from ..stages.keyed_window import bucket_pair_indices, bucket_runs
+
     key_np = mem["key"].to_numpy()
     bucket_np = mem["bucket"].to_numpy().astype(np.int64)
-    sig_bytes = list(mem["sig"])
-    order = np.lexsort((key_np, bucket_np))
-    bucket_np, key_np = bucket_np[order], key_np[order]
-    sig_mat = np.frombuffer(b"".join(sig_bytes[i] for i in order),
-                            dtype=np.uint64).reshape(len(order), k)
-    keep_r = np.ones(len(bucket_np), dtype=bool)
-    keep_r[1:] = ~((bucket_np[1:] == bucket_np[:-1])
-                   & (key_np[1:] == key_np[:-1]))
-    bucket_np, key_np = bucket_np[keep_r], key_np[keep_r]
-    sig_mat = sig_mat[keep_r]
-    _, starts, counts = np.unique(bucket_np, return_index=True,
-                                  return_counts=True)
-    II: list = []
-    JJ: list = []
-    for s in np.unique(counts[counts >= 2]):
-        st = starts[counts == s]
-        idx = st[:, None] + np.arange(int(s))
-        iu, ju = np.triu_indices(int(s), 1)
-        II.append(idx[:, iu].ravel())
-        JJ.append(idx[:, ju].ravel())
-    if not II:
+    sig_bytes = np.array(list(mem["sig"]), dtype=object)
+    key_np, (sig_bytes,), starts, counts = bucket_runs(
+        bucket_np, key_np, sig_bytes)
+    sig_mat = np.frombuffer(b"".join(sig_bytes), dtype=np.uint64).reshape(
+        len(sig_bytes), k)
+    ii, jj = bucket_pair_indices(starts, counts, cap=int(counts.max()))
+    if not len(ii):
         return empty
-    ii, jj = np.concatenate(II), np.concatenate(JJ)
     # dedupe pairs on key identity (a pair surfaces once per shared band)
     ukeys, kid = np.unique(key_np, return_inverse=True)
     pid = kid[ii].astype(np.int64) * np.int64(len(ukeys)) + kid[jj]
@@ -608,7 +595,8 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
                            max_hamming: int = 3,
                            hot_bucket_cap: int = 256,
                            mode: str = "auto",
-                           n_rows_hint: int = 0) -> pa.Table:
+                           n_rows_hint: int = 0,
+                           shuffle_buckets: int = 64) -> pa.Table:
     """→ (doc_id_a, doc_id_b, hamming) pairs with distance ≤ max_hamming.
 
     4 chunk tables of (chunk16, key, simhash) → groupby chunk value →
@@ -625,7 +613,13 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
       hash (keyed_apply) and the SAME vectorized kernel runs once per
       hash bucket — the 10^9 path pays O(n_buckets) Python calls, not
       O(#LSH buckets); the driver sees only candidate pairs.
-    Output-identical (agreement-tested).
+      ``shuffle_buckets`` sizes the partitions (one bucket = one kernel
+      call AND one worker-heap residency: pick ≈ total_rows /
+      rows-per-heap; a 100-TB run raises it proportionally).
+    Output-identical (agreement-tested). ``n_rows_hint`` skips the
+    planner's ``ds.count()`` — thread it when the count is known, since
+    count() on a non-metadata-backed (computed) Dataset re-executes the
+    upstream pipeline.
 
     Hot buckets: a 16-bit chunk universe caps the bucket count at 4×65536,
     so bucket occupancy grows linearly with corpus size. Buckets larger
@@ -666,29 +660,19 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
         hamming-tested in one XOR-popcount pass (Python iterates only
         over distinct bucket sizes plus rare hot buckets). Replaces a
         per-bucket pandas loop that cost ~1 ms × #buckets."""
+        from ..stages.keyed_window import bucket_pair_indices, bucket_runs
+
         key_arr = rows_pdf["key"].to_numpy()
         cid = rows_pdf["chunk_id"].to_numpy().astype(np.int64)
         sim_arr = rows_pdf["sim"].to_numpy().view(np.uint64)
         bucket = cid * np.int64(65536) + rows_pdf["chunk"].to_numpy()
-        order = np.lexsort((key_arr, bucket))
-        bucket, key_arr = bucket[order], key_arr[order]
-        sim_arr, cid = sim_arr[order], cid[order]
-        keep = np.ones(len(bucket), dtype=bool)
-        keep[1:] = ~((bucket[1:] == bucket[:-1])
-                     & (key_arr[1:] == key_arr[:-1]))
-        bucket, key_arr = bucket[keep], key_arr[keep]
-        sim_arr, cid = sim_arr[keep], cid[keep]
-        _, starts, counts = np.unique(bucket, return_index=True,
-                                      return_counts=True)
+        key_arr, (sim_arr, cid), starts, counts = bucket_runs(
+            bucket, key_arr, sim_arr, cid)
         A: list = []
         B: list = []
         H: list = []
-        small = (counts >= 2) & (counts <= hot_bucket_cap)
-        for s in np.unique(counts[small]):
-            st = starts[small & (counts == s)]
-            idx = st[:, None] + np.arange(int(s))
-            iu, ju = np.triu_indices(int(s), 1)
-            ii, jj = idx[:, iu].ravel(), idx[:, ju].ravel()
+        ii, jj = bucket_pair_indices(starts, counts, cap=hot_bucket_cap)
+        if len(ii):
             x = sim_arr[ii] ^ sim_arr[jj]
             d = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(
                 axis=1, dtype=np.int64)
@@ -733,7 +717,7 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
                            zero_copy_batch=True)
         cand = keyed_apply(rb, "bucket64",
                            lambda g: pair_frame(g.drop(columns=["bucket64"])),
-                           n_buckets=64)
+                           n_buckets=shuffle_buckets)
         pdf = cand.to_pandas()
     if len(pdf) == 0:
         return pa.Table.from_pydict(

@@ -28,6 +28,8 @@ idiom (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -227,20 +229,21 @@ class MediaDecoder:
 _DECODER_SINGLETON: dict = {}
 
 
-def decode_media(ds, *, concurrency: int = 2, batch_size: int = 256,
-                 num_cpus: float = 1, feature_dim: int = 8,
-                 actors: bool = False):
+def decode_media(ds, *, concurrency: Optional[int] = None,
+                 batch_size: int = 256, num_cpus: float = 1,
+                 feature_dim: int = 8, actors: bool = False):
     """Decode/feature-extract. Small batch_size by design: media rows are
-    big; batch × concurrency must fit worker heap. Default is a TASK
-    pool with a per-worker decoder singleton — MediaDecoder's setup is
-    two attribute assignments, so an actor pool only pays startup per
-    execution; actors=True restores the pool for decoders whose setup
-    loads real codec state."""
+    big; batch × concurrency must fit worker heap — pass ``concurrency``
+    to cap in-flight tasks when payloads are large (None lets Ray
+    schedule by CPU). Default is a TASK pool with a per-worker decoder
+    singleton — MediaDecoder's setup is two attribute assignments, so an
+    actor pool only pays startup per execution; actors=True restores the
+    pool for decoders whose setup loads real codec state."""
     if actors:
         return ds.map_batches(
             MediaDecoder, fn_constructor_kwargs={"feature_dim": feature_dim},
             batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency, num_cpus=num_cpus)
+            concurrency=concurrency or 2, num_cpus=num_cpus)
 
     def decode(batch: pa.Table) -> pa.Table:
         dec = _DECODER_SINGLETON.get(feature_dim)
@@ -249,8 +252,9 @@ def decode_media(ds, *, concurrency: int = 2, batch_size: int = 256,
                 feature_dim=feature_dim)
         return dec(batch)
 
+    kw = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(decode, batch_format="pyarrow",
-                          batch_size=batch_size)
+                          batch_size=batch_size, num_cpus=num_cpus, **kw)
 
 
 class ImageResizer:

@@ -263,7 +263,8 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              seed: int = 42, dim: Optional[int] = None,
                              n_tables: int = 3,
-                             max_bucket: int = 2048) -> pa.Table:
+                             max_bucket: int = 2048,
+                             shuffle_buckets: int = 64) -> pa.Table:
     """→ (id_a, id_b, sim) pairs with cosine ≥ threshold.
 
     n_tables independent LSH tables; each vector lands in one bucket per
@@ -338,16 +339,12 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
                                 "sim": pd.Series(dtype="float64")})
         if len(g) < 2:
             return empty_f
+        from ..stages.keyed_window import bucket_runs
+
         bk = g["bucket"].to_numpy()
         ids = g["id"].to_numpy()
         vecs = g["vec"].to_numpy()
-        order = np.lexsort((ids, bk))
-        bk, ids, vecs = bk[order], ids[order], vecs[order]
-        keep = np.ones(len(bk), dtype=bool)
-        keep[1:] = ~((bk[1:] == bk[:-1]) & (ids[1:] == ids[:-1]))
-        bk, ids, vecs = bk[keep], ids[keep], vecs[keep]
-        _, starts, counts = np.unique(bk, return_index=True,
-                                      return_counts=True)
+        ids, (vecs,), starts, counts = bucket_runs(bk, ids, vecs)
         found = []
         for bi in np.nonzero(counts >= 2)[0]:
             o, s = int(starts[bi]), int(counts[bi])
@@ -362,7 +359,10 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
 
     from ..stages.keyed_window import keyed_apply
 
-    out = keyed_apply(r, "bucket", bucket_pairs, n_buckets=64).to_pandas()
+    # shuffle_buckets sizes the keyed partitions (one bucket = one kernel
+    # call and one worker-heap residency; raise proportionally at scale)
+    out = keyed_apply(r, "bucket", bucket_pairs,
+                      n_buckets=shuffle_buckets).to_pandas()
     if len(out) == 0:
         return pa.Table.from_pydict({"id_a": pa.array([], pa.int64()),
                                      "id_b": pa.array([], pa.int64()),

@@ -127,20 +127,24 @@ def _langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return li(batch)
 
 
-def score_text(ds, *, concurrency: int = 4, batch_size: int = 2048,
+def score_text(ds, *, concurrency=None, batch_size: int = 2048,
                num_cpus: float = 1, actors: bool = False):
     """Quality/stat scoring. Default is a TASK pool with a per-worker
     singleton: TextScorer's setup cost is one frozenset assignment, so
     an actor pool would pay ~1s of actor-process startup per execution
     for nothing (measured: kernel 0.3s, actor-pool query 1.6s). Pass
     actors=True for the ST2 actor-pool form — the right shape once
-    setup means loading a model or compiling many patterns."""
+    setup means loading a model or compiling many patterns.
+    ``concurrency`` caps in-flight tasks in BOTH forms (None = schedule
+    by CPU in the task form)."""
     if actors:
         return ds.map_batches(TextScorer, batch_format="pandas",
                               batch_size=batch_size,
-                              concurrency=concurrency, num_cpus=num_cpus)
+                              concurrency=concurrency or 4,
+                              num_cpus=num_cpus)
+    kw = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(_score_batch, batch_format="pandas",
-                          batch_size=batch_size)
+                          batch_size=batch_size, **kw)
 
 
 class LangId:
@@ -195,16 +199,19 @@ class LangId:
         return batch
 
 
-def lang_id(ds, *, concurrency: int = 4, batch_size: int = 2048,
+def lang_id(ds, *, concurrency=None, batch_size: int = 2048,
             num_cpus: float = 1, actors: bool = False):
     """Language ID. Task pool by default (see score_text for why);
-    actors=True restores the actor-pool form."""
+    actors=True restores the actor-pool form; ``concurrency`` caps
+    in-flight tasks in both forms."""
     if actors:
         return ds.map_batches(LangId, batch_format="pandas",
                               batch_size=batch_size,
-                              concurrency=concurrency, num_cpus=num_cpus)
+                              concurrency=concurrency or 4,
+                              num_cpus=num_cpus)
+    kw = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(_langid_batch, batch_format="pandas",
-                          batch_size=batch_size)
+                          batch_size=batch_size, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -68,3 +68,42 @@ def keyed_apply(ds, key_col: str, fn: Callable[[pd.DataFrame], pd.DataFrame],
 def group_boundary_mask(keys: pd.Series) -> np.ndarray:
     """True at the first row of each key run (input sorted by key)."""
     return keys.ne(keys.shift()).to_numpy()
+
+
+def bucket_runs(bucket: np.ndarray, key: np.ndarray, *cols: np.ndarray):
+    """Shared bucket-index scaffold for the vectorized pair kernels
+    (MinHash / SimHash / embedding near-dup): lexsort by (bucket, key),
+    drop duplicate (bucket, key) rows, index the bucket runs.
+
+    → (key_sorted, cols_sorted tuple, starts, counts); rows of one
+    bucket are contiguous, keys ascending within the bucket (so pair
+    (i < j) ⇒ key_i < key_j after the dedup)."""
+    order = np.lexsort((key, bucket))
+    bucket, key = bucket[order], key[order]
+    out = tuple(c[order] for c in cols)
+    keep = np.ones(len(bucket), dtype=bool)
+    keep[1:] = ~((bucket[1:] == bucket[:-1]) & (key[1:] == key[:-1]))
+    bucket, key = bucket[keep], key[keep]
+    out = tuple(c[keep] for c in out)
+    _, starts, counts = np.unique(bucket, return_index=True,
+                                  return_counts=True)
+    return key, out, starts, counts
+
+
+def bucket_pair_indices(starts: np.ndarray, counts: np.ndarray,
+                        cap: int) -> tuple:
+    """All intra-bucket (i < j) index pairs for buckets with
+    2 ≤ size ≤ cap, expanded per distinct bucket SIZE (Python iterates
+    over sizes, not buckets). → (ii, jj) global row indices."""
+    II: list = []
+    JJ: list = []
+    small = (counts >= 2) & (counts <= cap)
+    for s in np.unique(counts[small]):
+        st = starts[small & (counts == s)]
+        idx = st[:, None] + np.arange(int(s))
+        iu, ju = np.triu_indices(int(s), 1)
+        II.append(idx[:, iu].ravel())
+        JJ.append(idx[:, ju].ravel())
+    if not II:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    return np.concatenate(II), np.concatenate(JJ)
