@@ -923,6 +923,25 @@ def q_tfidf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_dsir_report(sf_dir: str) -> pa.Table:
+    """DSIR importance resampling (extras surface): select 50 documents
+    from the full corpus whose hashed n-gram profile matches the German
+    subset (the target), near-zero temperature → hard top-k by weight.
+    Returns per-language selected counts (deterministic; the 'de' row
+    should dominate — asserted in tests/test_dsir_query.py)."""
+    from .dsir import dsir_select
+
+    raw = _docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
+    target = raw.filter(lambda r: r["lang"] == "de").materialize()
+    sel = dsir_select(raw, target, 50, seed=42,
+                      temperature=0.01).to_pandas()
+    out = (sel.groupby("lang", as_index=False).size()
+           .rename(columns={"size": "n_selected"})
+           .sort_values("lang").reset_index(drop=True))
+    out["n_selected"] = out["n_selected"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_semantic_dedup_report(sf_dir: str) -> pa.Table:
     """Semantic-dedup funnel (extras surface): SemDeDup-style k-means +
     within-cluster cosine pruning over the embeddings table."""
@@ -1228,6 +1247,7 @@ QUERIES = {
     "token_budget_report": q_token_budget_report,
     "emb_outlier_report": q_emb_outlier_report,
     "semantic_dedup_report": q_semantic_dedup_report,
+    "dsir_report": q_dsir_report,
     "tfidf_report": q_tfidf_report,
     "events_weekly_drift": q_events_weekly_drift,
     "event_rate_anomalies": q_event_rate_anomalies,
