@@ -923,6 +923,23 @@ def q_tfidf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_pca_report(sf_dir: str) -> pa.Table:
+    """Distributed exact PCA fit over the embeddings table (extras
+    surface): the 8-component spectrum — eigenvalue and explained-
+    variance ratio per component (rounded; deterministic)."""
+    import numpy as np
+
+    from .pca import fit_pca
+
+    m = fit_pca(_emb(sf_dir).materialize(), n_components=8)
+    return pa.Table.from_pydict({
+        "component": pa.array(np.arange(8, dtype=np.int64)),
+        "explained_variance": pa.array(
+            np.round(m.explained_variance, 6)),
+        "explained_variance_ratio": pa.array(
+            np.round(m.explained_variance_ratio, 6))})
+
+
 def q_dsir_report(sf_dir: str) -> pa.Table:
     """DSIR importance resampling (extras surface): select 50 documents
     from the full corpus whose hashed n-gram profile matches the German
@@ -1248,6 +1265,7 @@ QUERIES = {
     "emb_outlier_report": q_emb_outlier_report,
     "semantic_dedup_report": q_semantic_dedup_report,
     "dsir_report": q_dsir_report,
+    "pca_report": q_pca_report,
     "tfidf_report": q_tfidf_report,
     "events_weekly_drift": q_events_weekly_drift,
     "event_rate_anomalies": q_event_rate_anomalies,
