@@ -30,6 +30,7 @@ import re
 from typing import List, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -272,3 +273,111 @@ def strip_invisible(ds, *, text_col: str = "text"):
         return b.set_column(i, text_col, strip_invisible_array(b[text_col]))
 
     return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: Query parameters that identify a click, not a resource — the standard
+#: tracking families dropped by public crawl-dedup practice (two pages
+#: differing only in utm_* ARE the same page). Matched as a full param
+#: (name, optionally =value).
+TRACKING_PARAM_RE = (r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|"
+                     r"ref|ref_src)(=.*)?$")
+
+_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+           r"(?P<host>[^/?#]*)(?P<path>[^?]*)(?P<q>\?.*)?$")
+
+
+def canonicalize_url_array(arr) -> pa.Array:
+    """Canonicalize absolute ``scheme://host`` URLs so that trivially
+    distinct spellings of the same resource hash identically (the key
+    normalization BEFORE any URL-level dedup):
+
+    - trim surrounding whitespace; strip the ``#fragment``
+    - lowercase scheme and host; strip a trailing host dot
+    - strip the scheme's default port (http:80 / https:443)
+    - empty path → ``/``
+    - query: drop empty and tracking parameters
+      (:data:`TRACKING_PARAM_RE`), byte-sort the survivors, rejoin;
+      an emptied query drops its ``?``
+
+    Strings that don't parse as absolute URLs (and nulls) pass through
+    unchanged. Vectorized: one RE2 extract + string kernels; the only
+    per-URL work is the param sort/rejoin, restricted to rows that HAVE
+    a query."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    orig = arr
+    s = pc.utf8_trim_whitespace(pc.fill_null(arr, ""))
+    s = pc.replace_substring_regex(s, r"#.*$", "")
+    ex = pc.extract_regex(s, _URL_RE)
+    valid = ex.is_valid().to_numpy(zero_copy_only=False)
+    scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(ex, "host"))
+    host = pc.replace_substring_regex(host, r"\.$", "")
+    host = pc.if_else(pc.equal(scheme, "http"),
+                      pc.replace_substring_regex(host, r":80$", ""),
+                      pc.if_else(pc.equal(scheme, "https"),
+                                 pc.replace_substring_regex(host, r":443$", ""),
+                                 host))
+    path = pc.struct_field(ex, "path")
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+
+    # query params: flatten → drop empty/tracking → byte-sort per URL
+    rawq = pc.replace_substring_regex(
+        pc.fill_null(pc.struct_field(ex, "q"), ""), r"^\?", "")
+    qcanon = np.full(len(s), "", dtype=object)
+    has_q = pc.not_equal(rawq, "").to_numpy(zero_copy_only=False) & valid
+    if has_q.any():
+        qi = np.flatnonzero(has_q)
+        parts = pc.split_pattern(rawq.take(pa.array(qi)), "&")
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        keep = pc.and_(pc.not_equal(flat, ""),
+                       pc.invert(pc.match_substring_regex(
+                           flat, TRACKING_PARAM_RE)))
+        km = keep.to_numpy(zero_copy_only=False)
+        vals = np.asarray(flat.to_numpy(zero_copy_only=False)[km],
+                          dtype="U")
+        par = parents[km]
+        order = np.lexsort((vals, par))  # byte order within each URL
+        joined = (pd.Series(vals[order])
+                  .groupby(par[order]).agg("&".join))
+        qcanon[qi[joined.index.to_numpy()]] = joined.to_numpy()
+    qarr = pa.array(qcanon, pa.string())
+
+    rest = pc.binary_join_element_wise(host, path, "")
+    rest = pc.if_else(pc.equal(qarr, ""), rest,
+                      pc.binary_join_element_wise(rest, qarr, "?"))
+    canon = pc.binary_join_element_wise(scheme, rest, "://")
+    return pc.if_else(pa.array(valid), canon, orig)
+
+
+def canonicalize_urls(ds, *, url_col: str = "url",
+                      out_col: str | None = None):
+    """One streamed vectorized pass; appends ``out_col`` (default:
+    rewrite ``url_col`` in place)."""
+
+    def run(b: pa.Table) -> pa.Table:
+        out = canonicalize_url_array(b[url_col])
+        if out_col and out_col != url_col:
+            return b.append_column(out_col, out)
+        i = b.schema.get_field_index(url_col)
+        return b.set_column(i, url_col, out)
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def canonical_url_dup_report(ds, *, url_col: str = "url",
+                             mode: str = "auto") -> pa.Table:
+    """(canonical_url, n) for every canonical URL appearing more than
+    once — canonicalize (streamed) then the engine's standard
+    duplicate-key planner (`stages/uniqueness.duplicate_key_counts`:
+    driver/cms/shuffle modes, driver structures bounded by distinct
+    keys). The URL-level exact-dedup front door of crawl pipelines."""
+    from ..stages.uniqueness import duplicate_key_counts
+
+    canon = canonicalize_urls(ds, url_col=url_col,
+                              out_col="canonical_url")
+    out = duplicate_key_counts(canon.select_columns(["canonical_url"]),
+                               ["canonical_url"], mode=mode)
+    return out
