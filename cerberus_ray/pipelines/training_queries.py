@@ -923,6 +923,24 @@ def q_tfidf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_orders_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP subtotals (extras surface): orders totals by
+    (status, priority) plus per-status and grand-total levels — the
+    SQL GROUP BY ROLLUP shape from one streamed finest-level pass.
+    DuckDB-parity-tested in tests/test_rollup.py."""
+    from ..sources.io import read_table
+    from ..stages.groupagg import rollup_agg
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderstatus", "o_orderpriority",
+                             "o_totalprice"])
+    out = rollup_agg(ds, ["o_orderstatus", "o_orderpriority"],
+                     {"total": ("o_totalprice", "sum"),
+                      "n": ("o_totalprice", "count")}, grouping_id=True)
+    out["total"] = out["total"].astype("float64").round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_pca_report(sf_dir: str) -> pa.Table:
     """Distributed exact PCA fit over the embeddings table (extras
     surface): the 8-component spectrum — eigenvalue and explained-
@@ -1266,6 +1284,7 @@ QUERIES = {
     "semantic_dedup_report": q_semantic_dedup_report,
     "dsir_report": q_dsir_report,
     "pca_report": q_pca_report,
+    "orders_rollup": q_orders_rollup,
     "tfidf_report": q_tfidf_report,
     "events_weekly_drift": q_events_weekly_drift,
     "event_rate_anomalies": q_event_rate_anomalies,

@@ -133,3 +133,111 @@ def approx_quantiles_by_group(ds, group_col: str, value_col: str, *,
             round(float(acc[g].quantile(q)), round_digits)
             for g in sorted(acc)]
     return pd.DataFrame(rows)
+
+
+def _rollup_levels(cols: Sequence[str]) -> List[Tuple[str, ...]]:
+    return [tuple(cols[:i]) for i in range(len(cols), -1, -1)]
+
+
+def _cube_levels(cols: Sequence[str]) -> List[Tuple[str, ...]]:
+    from itertools import combinations
+
+    out: List[Tuple[str, ...]] = []
+    for r in range(len(cols), -1, -1):
+        out.extend(combinations(cols, r))
+    return out
+
+
+def rollup_agg(ds, group_cols: Sequence[str],
+               aggs: Dict[str, Tuple[str, str]], *, cube: bool = False,
+               grouping_id: bool = False) -> pd.DataFrame:
+    """SQL ``GROUP BY ROLLUP`` (or ``CUBE``) — the finest level plus
+    every coarser subtotal level up to the grand total, rolled-up group
+    columns emitted as SQL NULLs.
+
+    One streamed partial pass at the FINEST granularity (the same
+    per-block pyarrow hash aggregate as :func:`grouped_agg`); every
+    coarser level is then an exact driver-side re-aggregation of those
+    partials — count/sum re-sum, min/max re-extremize, mean re-derives
+    from its (sum, non-null count) partials — so the data is read ONCE
+    and the driver cost is #levels × (#blocks × #finest-groups) tiny
+    rows, bounded by the group domain like every other
+    bounded-cardinality aggregate in this module.
+
+    ``grouping_id=True`` appends the SQL GROUPING_ID bitmask (first
+    group column = most significant bit; 1 = rolled up), which
+    disambiguates subtotal rows from genuine NULL group values.
+    """
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    pa_aggs: List[Tuple[str, str]] = []
+    need_count = False
+    for out_col, (col, fn) in aggs.items():
+        if fn == "count":
+            need_count = True
+        elif fn == "mean":
+            pa_aggs.append((col, "sum"))
+            pa_aggs.append((col, "count"))
+        elif fn in ("sum", "min", "max"):
+            pa_aggs.append((col, fn))
+        else:
+            raise ValueError(f"unsupported agg {fn!r}")
+    pa_aggs = sorted(set(pa_aggs))
+    if need_count:
+        pa_aggs.append(([], "count_all"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(group_cols).aggregate(pa_aggs)
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    out_cols = group_cols + list(aggs) + (["grouping_id"] if grouping_id
+                                          else [])
+    if not len(pdf):
+        return pd.DataFrame({c: [] for c in out_cols})
+
+    merge_plan = {}
+    for col, fn in pa_aggs:
+        if fn == "count_all":
+            merge_plan["count_all"] = "sum"
+        else:
+            merge_plan[f"{col}_{fn}"] = ("sum" if fn in ("sum", "count")
+                                         else fn)
+
+    levels = (_cube_levels(group_cols) if cube
+              else _rollup_levels(group_cols))
+    frames = []
+    for lv in levels:
+        if lv:
+            g = pdf.groupby(list(lv), as_index=False,
+                            dropna=False).agg(merge_plan)
+        else:  # grand total
+            g = pdf.agg(merge_plan).to_frame().T
+        row = pd.DataFrame(index=g.index)
+        for c in group_cols:
+            row[c] = g[c] if c in lv else None
+        for out_col, (col, fn) in aggs.items():
+            if fn == "count":
+                row[out_col] = g["count_all"].astype("int64")
+            elif fn == "mean":
+                row[out_col] = (g[f"{col}_sum"]
+                                / g[f"{col}_count"].replace(0, pd.NA))
+            elif fn == "sum":
+                row[out_col] = g[f"{col}_sum"]
+            else:
+                row[out_col] = g[f"{col}_{fn}"]
+        if grouping_id:
+            gid = sum(1 << (len(group_cols) - 1 - i)
+                      for i, c in enumerate(group_cols) if c not in lv)
+            row["grouping_id"] = gid
+        frames.append(row)
+    out = pd.concat(frames, ignore_index=True)
+    sort_cols = (["grouping_id"] if grouping_id else []) + group_cols
+    if not grouping_id:
+        # deterministic order without the bitmask: coarser levels last
+        out["_nulls"] = out[group_cols].isna().sum(axis=1)
+        sort_cols = ["_nulls"] + group_cols
+    out = (out.sort_values(sort_cols, na_position="last",
+                           kind="mergesort").reset_index(drop=True))
+    return out.drop(columns=["_nulls"]) if not grouping_id else out
