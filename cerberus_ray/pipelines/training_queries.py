@@ -689,6 +689,36 @@ def q_numeric_outlier_report(sf_dir: str) -> pa.Table:
         "n_iqr": pa.array([int(i)], pa.int64())})
 
 
+def q_winsorize_report(sf_dir: str) -> pa.Table:
+    """Winsorization audit (extras surface): z-score fences over the
+    skewed events.value column plus the clip counts a winsorize pass
+    would apply, and a verification that the clipped stream respects
+    the fences. Mean/std fences are exact (order-independent sums), so
+    the report is deterministic across block layouts."""
+    from ..stages.outliers import numeric_fences, winsorize, winsorize_report
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "value"]).materialize()
+    fen = numeric_fences(ev, ["value"], method="zscore", k=3.0)
+    rep = winsorize_report(ev, ["value"], method="zscore", k=3.0)
+    clipped = winsorize(ev, ["value"], fences=fen)
+    lo, hi = fen["value"]
+    mm = clipped.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "mn": pa.array([float(np.nanmin(
+                b["value"].to_numpy(zero_copy_only=False)))]),
+            "mx": pa.array([float(np.nanmax(
+                b["value"].to_numpy(zero_copy_only=False)))])}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    in_fence = bool(mm["mn"].min() >= lo - 1e-9
+                    and mm["mx"].max() <= hi + 1e-9)
+    return pa.Table.from_pydict({
+        "col": rep["col"], "lo": rep["lo"], "hi": rep["hi"],
+        "n_below": rep["n_below"], "n_above": rep["n_above"],
+        "clipped_in_fence": pa.array([in_fence] * rep.num_rows,
+                                     pa.bool_())})
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1272,6 +1302,7 @@ QUERIES = {
     "doc_pii_redact": q_doc_pii_redact,
     "nb_quality_report": q_nb_quality_report,
     "numeric_outlier_report": q_numeric_outlier_report,
+    "winsorize_report": q_winsorize_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,

@@ -33,7 +33,8 @@ import ray
 from ..schema import VIOLATIONS
 from .drift import NumericProfile, profile_dataset
 
-__all__ = ["numeric_fences", "numeric_outlier_violations"]
+__all__ = ["numeric_fences", "numeric_outlier_violations", "winsorize",
+           "winsorize_report"]
 
 
 def numeric_fences(ds, cols: Sequence[str], *, method: str = "zscore",
@@ -102,3 +103,66 @@ def numeric_outlier_violations(ds, cols: Sequence[str], *,
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def winsorize(ds, cols: Sequence[str], *, method: str = "zscore",
+              k: float = 3.0,
+              fences: Dict[str, Tuple[float, float]] | None = None):
+    """Clip each column to its distribution-derived fence (winsorization
+    — the NORMALIZE counterpart of :func:`numeric_outlier_violations`,
+    which flags): values below/above the fence become the fence, nulls
+    stay null, everything else is untouched. Output columns are float64
+    (a clipped int has no integer home). One profile pass for the fences
+    (unless passed in precomputed), then one streamed clip pass with the
+    O(#cols) fence dict broadcast once."""
+    fen = fences if fences is not None else numeric_fences(
+        ds, cols, method=method, k=k)
+    ref = ray.put(fen)
+
+    def clip(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for c, (lo, hi) in ray.get(ref).items():
+            col = b[c]
+            nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+            x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            y = np.clip(x, lo, hi)  # NaN passes through untouched
+            b = b.set_column(b.schema.get_field_index(c), c,
+                             pa.array(y, pa.float64(), from_pandas=False,
+                                      mask=nulls))
+        return b
+
+    return ds.map_batches(clip, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def winsorize_report(ds, cols: Sequence[str], *, method: str = "zscore",
+                     k: float = 3.0) -> pa.Table:
+    """→ (col, lo, hi, n_below, n_above): what a :func:`winsorize` with
+    the same parameters would clip. Per-block count partials, O(#cols)
+    driver merge."""
+    fen = numeric_fences(ds, cols, method=method, k=k)
+    ref = ray.put(fen)
+    order = list(fen)
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        lo_n, hi_n = [], []
+        for c in order:
+            lo, hi = f[c]
+            x = b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            lo_n.append(int(np.count_nonzero(~np.isnan(x) & (x < lo))))
+            hi_n.append(int(np.count_nonzero(~np.isnan(x) & (x > hi))))
+        return pa.Table.from_pydict({
+            "col": pa.array(order, pa.string()),
+            "n_below": pa.array(lo_n, pa.int64()),
+            "n_above": pa.array(hi_n, pa.int64())})
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    g = pdf.groupby("col", sort=False).sum().reindex(order)
+    return pa.Table.from_pydict({
+        "col": pa.array(order, pa.string()),
+        "lo": pa.array([fen[c][0] for c in order], pa.float64()),
+        "hi": pa.array([fen[c][1] for c in order], pa.float64()),
+        "n_below": pa.array(g["n_below"].to_numpy(dtype=np.int64)),
+        "n_above": pa.array(g["n_above"].to_numpy(dtype=np.int64))})
