@@ -719,6 +719,39 @@ def q_winsorize_report(sf_dir: str) -> pa.Table:
                                      pa.bool_())})
 
 
+def q_window_report(sf_dir: str) -> pa.Table:
+    """Generic window-function surface (extras surface): per-user
+    ROW_NUMBER / LAG / running-SUM / RANK over the event stream in one
+    keyed exchange, rolled up per event_type so the report stays small
+    and deterministic (sums in integer cents — order-independent)."""
+    from ..stages.window_fns import window_columns
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "event_type", "ts",
+                             "value"])
+    w = window_columns(ev, "user_id", ["ts", "event_id"],
+                       {"rn": ("row_number",),
+                        "prev_ts": ("lag", "ts", 1),
+                        "run_value": ("cumsum", "value"),
+                        "r_v": ("rank", "value")})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            is_first=(df["rn"] == 1).astype(np.int64),
+            run_cents=np.round(df["run_value"].to_numpy() * 100)
+                .astype(np.int64),
+            rank_sum=df["r_v"].astype(np.int64))
+        g = df.groupby("event_type", sort=False).agg(
+            n_rows=("event_id", "size"), n_first=("is_first", "sum"),
+            run_cents=("run_cents", "sum"), rank_sum=("rank_sum", "sum"))
+        return g.reset_index()
+
+    pdf = w.map_batches(partial, batch_format="pandas").to_pandas()
+    g = (pdf.groupby("event_type", as_index=False).sum()
+         .sort_values("event_type").reset_index(drop=True))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1303,6 +1336,7 @@ QUERIES = {
     "nb_quality_report": q_nb_quality_report,
     "numeric_outlier_report": q_numeric_outlier_report,
     "winsorize_report": q_winsorize_report,
+    "window_report": q_window_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
