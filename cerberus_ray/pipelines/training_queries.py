@@ -752,6 +752,23 @@ def q_window_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def q_pivot_report(sf_dir: str) -> pa.Table:
+    """Pivot surface (extras surface): month × event_type matrix of
+    summed event values — SQL conditional aggregation reshaped wide.
+    Cells rounded to cents so the report is block-layout deterministic."""
+    from ..stages.pivot import pivot
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts", "value"])
+    ev = ev.map_batches(
+        lambda df: df.assign(month=df["ts"].dt.strftime("%Y-%m"))
+        [["month", "event_type", "value"]], batch_format="pandas")
+    wide = pivot(ev, ["month"], "event_type", "value", "sum")
+    for c in wide.columns[1:]:
+        wide[c] = np.round(wide[c].to_numpy(dtype="float64"), 2)
+    return pa.Table.from_pandas(wide, preserve_index=False)
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1337,6 +1354,7 @@ QUERIES = {
     "numeric_outlier_report": q_numeric_outlier_report,
     "winsorize_report": q_winsorize_report,
     "window_report": q_window_report,
+    "pivot_report": q_pivot_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
