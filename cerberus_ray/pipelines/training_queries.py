@@ -769,6 +769,32 @@ def q_pivot_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(wide, preserve_index=False)
 
 
+def q_setops_report(sf_dir: str) -> pa.Table:
+    """Set-operation surface (extras surface): distinct custkey algebra
+    between the customer and orders tables — |A ∩ B|, |A \\ B|, |B \\ A|,
+    |A ∪ B| — one row, exact, deterministic."""
+    from ..stages.setops import (except_distinct, intersect_distinct,
+                                 union_distinct)
+
+    def custkeys(path, col):
+        ds = read_table(path, columns=[col])
+        return ds.map_batches(
+            lambda df: df.rename(columns={col: "custkey"}),
+            batch_format="pandas")
+
+    a = custkeys(f"{sf_dir}/customer.parquet", "c_custkey")
+    b = custkeys(f"{sf_dir}/orders.parquet", "o_custkey")
+    return pa.Table.from_pydict({
+        "n_intersect": pa.array([len(intersect_distinct(a, b, ["custkey"]))],
+                                pa.int64()),
+        "n_cust_only": pa.array([len(except_distinct(a, b, ["custkey"]))],
+                                pa.int64()),
+        "n_order_only": pa.array([len(except_distinct(b, a, ["custkey"]))],
+                                 pa.int64()),
+        "n_union": pa.array([len(union_distinct(a, b, ["custkey"]))],
+                            pa.int64())})
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1355,6 +1381,7 @@ QUERIES = {
     "winsorize_report": q_winsorize_report,
     "window_report": q_window_report,
     "pivot_report": q_pivot_report,
+    "setops_report": q_setops_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
