@@ -795,6 +795,29 @@ def q_setops_report(sf_dir: str) -> pa.Table:
                             pa.int64())})
 
 
+def q_pagerank_report(sf_dir: str) -> pa.Table:
+    """Link-graph centrality (extras surface): PageRank over the
+    per-user event-type transition graph — edges are (previous type →
+    type) within each user's time-ordered stream (window LAG), ranks
+    from the driver-mode power iteration. Deterministic: fixed damping,
+    tight tolerance, ranks rounded to 12 decimals."""
+    from ..stages.window_fns import window_columns
+    from .pagerank import pagerank
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+    w = window_columns(ev, "user_id", ["ts", "event_id"],
+                       {"prev_type": ("lag", "event_type", 1)})
+    edges = w.map_batches(
+        lambda df: df.loc[df["prev_type"].notna(),
+                          ["prev_type", "event_type"]]
+        .rename(columns={"prev_type": "src", "event_type": "dst"}),
+        batch_format="pandas")
+    ranks = pagerank(edges, damping=0.85, tol=1e-12, max_rounds=500)
+    ranks["rank"] = np.round(ranks["rank"].to_numpy(), 12)
+    return pa.Table.from_pandas(ranks, preserve_index=False)
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1382,6 +1405,7 @@ QUERIES = {
     "window_report": q_window_report,
     "pivot_report": q_pivot_report,
     "setops_report": q_setops_report,
+    "pagerank_report": q_pagerank_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
