@@ -818,6 +818,48 @@ def q_pagerank_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(ranks, preserve_index=False)
 
 
+def q_collocation_report(sf_dir: str) -> pa.Table:
+    """Collocation mining (extras surface): top adjacent-bigram PMI over
+    the documents table (Church-Hanks measure, min-count gated).
+    Deterministic: exact integer counts, ties broken on (w1, w2), PMI
+    rounded to 10 decimals."""
+    from .cooccurrence import pmi_top_k
+
+    docs = _docs(sf_dir, ["text"])
+    out = pmi_top_k(docs, "text", k=15, min_count=5)
+    out["pmi"] = np.round(out["pmi"].to_numpy(dtype=np.float64), 10)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_resample_report(sf_dir: str) -> pa.Table:
+    """Gap-fill surface (extras surface): every user's event-value
+    series resampled onto a daily grid with as-of forward-fill, rolled
+    up to one row (grid size, exact-hit count, staleness total) so the
+    report stays small and deterministic."""
+    from ..stages.resample import resample_ffill
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda df: df.assign(  # unit-safe epoch seconds (ts is [ms] here)
+            epoch=(df["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1))
+        [["user_id", "epoch", "value"]], batch_format="pandas")
+    grid = resample_ffill(ev, "user_id", "epoch", ["value"], freq=86400)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_rows": [len(df)],
+            "n_exact": [int((df["age"] == 0).sum())],
+            "stale_s": [int(df["age"].sum())],
+            "value_cents": [int(np.round(df["value"].to_numpy()
+                                         * 100).sum())]})
+
+    pdf = grid.map_batches(partial, batch_format="pandas").to_pandas()
+    return pa.Table.from_pydict({
+        c: pa.array([int(pdf[c].sum())], pa.int64())
+        for c in ("n_rows", "n_exact", "stale_s", "value_cents")})
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1406,6 +1448,8 @@ QUERIES = {
     "pivot_report": q_pivot_report,
     "setops_report": q_setops_report,
     "pagerank_report": q_pagerank_report,
+    "collocation_report": q_collocation_report,
+    "resample_report": q_resample_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,

@@ -1,0 +1,86 @@
+"""Per-key time-series resampling onto a regular grid with as-of
+forward-fill — the gap-filling step before windowed feature extraction
+(SQL shape: per-key ``generate_series`` grid ``ASOF LEFT JOIN`` the
+observations).
+
+Execution shape: one ``keyed_apply`` hash exchange co-locates every
+observation of a key, then a single vectorized kernel per bucket builds
+all grid rows (``np.repeat``/``arange``, no per-key Python) and fills
+them with one ``pd.merge_asof(..., by=key)`` — the C-level multi-key
+as-of merge. Grid bounds default to each key's own [min, max] span
+(``start``/``end`` pin a global window instead). Output rows carry the
+grid timestamp, the filled value columns, and ``age`` — seconds since
+the observation that filled the row (0 on exact hits; the staleness
+signal downstream quality gates cut on).
+
+Timestamps are treated as int64 epoch seconds (cast first; a datetime
+column divides cleanly by ``freq`` after ``.astype('int64') // 10**9``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .keyed_window import keyed_apply
+
+__all__ = ["resample_ffill"]
+
+
+def resample_ffill(ds, key_col: str, ts_col: str,
+                   value_cols: Sequence[str], *, freq: int,
+                   start: Optional[int] = None, end: Optional[int] = None,
+                   n_buckets: int = 32):
+    """→ Dataset (key, ts, *value_cols, age): one row per key per grid
+    tick, each filled with the key's latest observation at or before the
+    tick. Ticks are the multiples of ``freq`` (global alignment) from
+    the key's first observation (or ``start``, whichever is later — a
+    tick before the first observation has nothing to fill it) through
+    the key's last observation (or ``end``, which may extend past it —
+    the last observation persists)."""
+    if freq <= 0:
+        raise ValueError("freq must be a positive number of seconds")
+    value_cols = list(value_cols)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, key_col],
+                          kind="mergesort").reset_index(drop=True)
+        g[ts_col] = g[ts_col].astype(np.int64)
+        b = g.groupby(key_col, sort=False)[ts_col].agg(["min", "max"])
+        mn = b["min"].to_numpy(dtype=np.int64)
+        mx = b["max"].to_numpy(dtype=np.int64)
+        lo = (mn + freq - 1) // freq * freq  # first fillable tick
+        if start is not None:
+            lo = np.maximum(lo, (int(start) + freq - 1) // freq * freq)
+        hi = mx if end is None else np.full_like(mx, int(end))
+        counts = np.maximum(0, (hi - lo) // freq + 1)
+        if counts.sum() == 0:
+            out = pd.DataFrame({key_col: [], "ts": []})
+            for c in value_cols:
+                out[c] = []
+            out["age"] = []
+            return out
+        keys = np.repeat(b.index.to_numpy(), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offs = (np.arange(int(counts.sum()), dtype=np.int64)
+                - np.repeat(starts, counts))  # 0..count-1 per key, no loop
+        ticks = np.repeat(lo, counts) + offs * freq
+        grid = pd.DataFrame({key_col: keys, "ts": ticks}).sort_values(
+            ["ts", key_col], kind="mergesort")
+        obs = g[[key_col, ts_col] + value_cols].rename(
+            columns={ts_col: "ts"})
+        filled = pd.merge_asof(grid, obs, on="ts", by=key_col,
+                               direction="backward",
+                               suffixes=("", "_obs"))
+        # merge_asof leaves the obs ts implicit; recover staleness via a
+        # second as-of on the ts column itself
+        obs_ts = obs[[key_col, "ts"]].assign(_src_ts=obs["ts"])
+        age_src = pd.merge_asof(grid, obs_ts, on="ts", by=key_col,
+                                direction="backward")["_src_ts"]
+        filled["age"] = (filled["ts"] - age_src).astype(np.int64)
+        return (filled.sort_values([key_col, "ts"], kind="mergesort")
+                .reset_index(drop=True))
+
+    return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)

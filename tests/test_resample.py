@@ -1,0 +1,99 @@
+"""Resample/gap-fill: DuckDB generate_series + ASOF JOIN parity, hand
+vectors, staleness ages, window pinning, partition invariance."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from cerberus_ray.stages.resample import resample_ffill
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frame():
+    rng = np.random.default_rng(21)
+    rows = []
+    for k in range(12):
+        n = rng.integers(3, 15)
+        ts = np.sort(rng.choice(np.arange(0, 2000), size=n, replace=False))
+        for t in ts:
+            rows.append((f"k{k:02d}", int(t), float(rng.integers(0, 100))))
+    return pd.DataFrame(rows, columns=["key", "t", "v"])
+
+
+ASOF_SQL = """
+WITH b AS (
+  SELECT key, CAST(ceil(MIN(t) / {f}.0) * {f} AS BIGINT) AS lo,
+         MAX(t) AS hi
+  FROM df GROUP BY key
+),
+g AS (SELECT CAST(unnest(generate_series(0, 4000, {f})) AS BIGINT) AS ts),
+grid AS (
+  SELECT b.key, g.ts FROM b JOIN g ON g.ts BETWEEN b.lo AND b.hi
+)
+SELECT grid.key AS key, grid.ts AS ts, df.v AS v,
+       grid.ts - df.t AS age
+FROM grid ASOF LEFT JOIN df
+  ON grid.key = df.key AND grid.ts >= df.t
+ORDER BY grid.key, grid.ts
+"""
+
+
+def _norm(df):
+    return df.sort_values(["key", "ts"]).reset_index(drop=True)
+
+
+def test_duckdb_asof_parity(ray_session):
+    df = _frame()
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    got = _norm(resample_ffill(ds, "key", "t", ["v"], freq=60,
+                               n_buckets=5).to_pandas())
+    want = duckdb.sql(ASOF_SQL.format(f=60)).fetchdf()
+    want = _norm(want).astype({"ts": "int64", "age": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["key", "ts", "v", "age"]], want[["key", "ts", "v", "age"]])
+
+
+def test_hand_vector_and_age(ray_session):
+    df = pd.DataFrame({"key": ["a"] * 3, "t": [5, 10, 27],
+                       "v": [1.0, 2.0, 3.0]})
+    got = (resample_ffill(rd.from_pandas(df), "key", "t", ["v"], freq=10)
+           .to_pandas().sort_values("ts").reset_index(drop=True))
+    # ticks 10, 20 (27 not a tick; first tick ceil(5/10)*10=10)
+    assert got["ts"].tolist() == [10, 20]
+    assert got["v"].tolist() == [2.0, 2.0]
+    assert got["age"].tolist() == [0, 10]
+
+
+def test_pinned_window_extends_last_obs(ray_session):
+    df = pd.DataFrame({"key": ["a", "a", "b"], "t": [0, 10, 35],
+                       "v": [1.0, 2.0, 9.0]})
+    got = (resample_ffill(rd.from_pandas(df), "key", "t", ["v"], freq=10,
+                          end=50).to_pandas())
+    a = got[got["key"] == "a"].sort_values("ts")
+    assert a["ts"].tolist() == [0, 10, 20, 30, 40, 50]
+    assert a["v"].tolist() == [1.0, 2.0, 2.0, 2.0, 2.0, 2.0]
+    b = got[got["key"] == "b"].sort_values("ts")
+    # b's first obs at 35 → first tick 40; ticks before it not emitted
+    assert b["ts"].tolist() == [40, 50]
+    assert b["age"].tolist() == [5, 15]
+
+
+def test_partition_invariance(ray_session):
+    df = _frame()
+    outs = []
+    for blocks, buckets in ((2, 3), (7, 11)):
+        ds = rd.from_pandas(df, override_num_blocks=blocks)
+        outs.append(_norm(resample_ffill(
+            ds, "key", "t", ["v"], freq=45,
+            n_buckets=buckets).to_pandas()))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_bad_freq(ray_session):
+    with pytest.raises(ValueError, match="freq"):
+        resample_ffill(rd.from_pandas(pd.DataFrame({
+            "key": ["a"], "t": [1], "v": [1.0]})), "key", "t", ["v"],
+            freq=0)
