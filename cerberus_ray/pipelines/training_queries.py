@@ -860,6 +860,25 @@ def q_resample_report(sf_dir: str) -> pa.Table:
         for c in ("n_rows", "n_exact", "stale_s", "value_cents")})
 
 
+def q_fuzzyjoin_report(sf_dir: str) -> pa.Table:
+    """Fuzzy-join surface (extras surface): nation names matched against
+    a deterministically corrupted copy (third character deleted) at
+    Levenshtein k=1 — every name must recover its corrupted twin
+    (FastSS blocking is full-recall). Output: the matched pairs."""
+    from .fuzzyjoin import fuzzy_join
+
+    left = read_table(f"{sf_dir}/nation.parquet", columns=["n_name"])
+    left = left.map_batches(
+        lambda df: df.rename(columns={"n_name": "name"}),
+        batch_format="pandas")
+    right = left.map_batches(
+        lambda df: df.assign(name=df["name"].str.slice(0, 2)
+                             + df["name"].str.slice(3)),
+        batch_format="pandas")
+    out = fuzzy_join(left, right, "name", k=1)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1450,6 +1469,7 @@ QUERIES = {
     "pagerank_report": q_pagerank_report,
     "collocation_report": q_collocation_report,
     "resample_report": q_resample_report,
+    "fuzzyjoin_report": q_fuzzyjoin_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
