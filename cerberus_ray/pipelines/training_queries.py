@@ -879,6 +879,46 @@ def q_fuzzyjoin_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_standardize_report(sf_dir: str) -> pa.Table:
+    """Feature-scaling surface (extras surface): events.value scaled by
+    zscore and minmax; reports the scaled stream's moments (≈0/1) and
+    bounds (0/1) plus the stats pass's (center, scale). Sums are
+    order-independent merges of per-block partials rounded at 9
+    decimals."""
+    from ..stages.outliers import scaling_stats, standardize
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "value"]).materialize()
+    rows = []
+    for method in ("zscore", "minmax"):
+        st = scaling_stats(ev, ["value"], method=method)
+        scaled = standardize(ev, ["value"], stats=st)
+        mom = scaled.map_batches(
+            lambda b: pa.Table.from_pydict({
+                "n": pa.array([b.num_rows], pa.int64()),
+                "s": pa.array([float(np.nansum(
+                    b["value"].to_numpy(zero_copy_only=False)))]),
+                "s2": pa.array([float(np.nansum(
+                    b["value"].to_numpy(zero_copy_only=False) ** 2))]),
+                "mn": pa.array([float(np.nanmin(
+                    b["value"].to_numpy(zero_copy_only=False)))]),
+                "mx": pa.array([float(np.nanmax(
+                    b["value"].to_numpy(zero_copy_only=False)))])}),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        n = int(mom["n"].sum())
+        mean = mom["s"].sum() / n
+        var = mom["s2"].sum() / n - mean * mean
+        rows.append({
+            "method": method,
+            "center": round(float(st["value"][0]), 9),
+            "scale": round(float(st["value"][1]), 9),
+            "scaled_mean": round(float(mean), 9),
+            "scaled_std": round(float(max(var, 0.0) ** 0.5), 9),
+            "scaled_min": round(float(mom["mn"].min()), 9),
+            "scaled_max": round(float(mom["mx"].max()), 9)})
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1470,6 +1510,7 @@ QUERIES = {
     "collocation_report": q_collocation_report,
     "resample_report": q_resample_report,
     "fuzzyjoin_report": q_fuzzyjoin_report,
+    "standardize_report": q_standardize_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,

@@ -34,7 +34,7 @@ from ..schema import VIOLATIONS
 from .drift import NumericProfile, profile_dataset
 
 __all__ = ["numeric_fences", "numeric_outlier_violations", "winsorize",
-           "winsorize_report"]
+           "winsorize_report", "scaling_stats", "standardize"]
 
 
 def numeric_fences(ds, cols: Sequence[str], *, method: str = "zscore",
@@ -166,3 +166,83 @@ def winsorize_report(ds, cols: Sequence[str], *, method: str = "zscore",
         "hi": pa.array([fen[c][1] for c in order], pa.float64()),
         "n_below": pa.array(g["n_below"].to_numpy(dtype=np.int64)),
         "n_above": pa.array(g["n_above"].to_numpy(dtype=np.int64))})
+
+
+def scaling_stats(ds, cols: Sequence[str], *,
+                  method: str = "zscore") -> Dict[str, Tuple[float, float]]:
+    """→ {col: (center, scale)} for :func:`standardize`.
+
+    ``zscore``: (mean, population σ) — exact from the mergeable moment
+    profile. ``robust``: (median, IQR) from the t-digest (approximate,
+    outlier-insensitive — the sklearn RobustScaler recipe). ``minmax``:
+    (min, max − min) from an EXACT per-block min/max partial pass (the
+    t-digest's q(0)/q(1) are centroid means, not true extremes)."""
+    cols = list(cols)
+    if method in ("zscore", "robust"):
+        prof = profile_dataset(ds, numeric=cols)
+        out: Dict[str, Tuple[float, float]] = {}
+        for c in cols:
+            p = prof.columns.get(c)
+            if not isinstance(p, NumericProfile) or not p.count:
+                out[c] = (0.0, 0.0)
+            elif method == "zscore":
+                mean = p.total / p.count
+                var = max(p.total_sq / p.count - mean * mean, 0.0)
+                out[c] = (mean, var ** 0.5)
+            else:
+                q1, med, q3 = (float(p.digest.quantile(q))
+                               for q in (0.25, 0.5, 0.75))
+                out[c] = (med, q3 - q1)
+        return out
+    if method != "minmax":
+        raise ValueError(f"unknown method {method!r}")
+
+    def mm(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lo, hi = [], []
+        for c in cols:
+            s = pc.min_max(b[c])
+            lo.append(s["min"].as_py())
+            hi.append(s["max"].as_py())
+        return pa.Table.from_pydict({
+            "col": pa.array(list(cols), pa.string()),
+            "lo": pa.array([float("inf") if v is None else float(v)
+                            for v in lo], pa.float64()),
+            "hi": pa.array([float("-inf") if v is None else float(v)
+                            for v in hi], pa.float64())})
+
+    pdf = ds.map_batches(mm, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    g = pdf.groupby("col").agg(lo=("lo", "min"), hi=("hi", "max"))
+    out = {}
+    for c in cols:
+        lo, hi = float(g.loc[c, "lo"]), float(g.loc[c, "hi"])
+        out[c] = (0.0, 0.0) if not np.isfinite(lo) else (lo, hi - lo)
+    return out
+
+
+def standardize(ds, cols: Sequence[str], *, method: str = "zscore",
+                stats: Dict[str, Tuple[float, float]] | None = None):
+    """Feature scaling: replace each column with ``(x − center) / scale``
+    (float64; nulls stay null; a degenerate column — constant, empty —
+    has scale 0 and maps to 0.0, the sklearn convention). One stats pass
+    (unless precomputed) + one streamed transform with the O(#cols)
+    stats dict broadcast once."""
+    st = stats if stats is not None else scaling_stats(ds, cols,
+                                                       method=method)
+    ref = ray.put(st)
+
+    def scale(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for c, (center, sc) in ray.get(ref).items():
+            col = b[c]
+            nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+            x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            y = (x - center) / sc if sc else np.zeros_like(x)
+            b = b.set_column(b.schema.get_field_index(c), c,
+                             pa.array(y, pa.float64(), from_pandas=False,
+                                      mask=nulls))
+        return b
+
+    return ds.map_batches(scale, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -50,6 +50,9 @@ WINDOW_KINDS = {
     "cummax": (True, False),
     "cummin": (True, False),
     "delta": (True, False),  # src - LAG(src, 1): the adjacent-step diff
+    "ntile": (True, True),   # ("ntile", n) — n buckets in window order
+    "percent_rank": (True, False),
+    "cume_dist": (True, False),
 }
 
 
@@ -78,7 +81,10 @@ def window_columns(ds, key_col: str, order_cols: Sequence[str],
          "nxt":   ("lead", "value", 2),
          "run":   ("cumsum", "value"),        # running sum, null-skipping
          "peak":  ("cummax", "value"),
-         "step":  ("delta", "value")}         # value - lag(value, 1)
+         "step":  ("delta", "value"),         # value - lag(value, 1)
+         "tile":  ("ntile", 4),               # NTILE(4) in window order
+         "pr":    ("percent_rank", "value"),
+         "cd":    ("cume_dist", "value")}
 
     Output preserves every input column; row order within the result is
     partition-grouped (not globally sorted — sort downstream if needed).
@@ -112,6 +118,25 @@ def window_columns(ds, key_col: str, order_cols: Sequence[str],
                 g[out] = gb[spec[1]].cummin()
             elif kind == "delta":
                 g[out] = g[spec[1]] - gb[spec[1]].shift(1)
+            elif kind == "ntile":
+                n_t = int(spec[1])
+                rn = gb.cumcount().to_numpy()
+                sz = gb[order_cols[0]].transform("size").to_numpy()
+                q, r = sz // n_t, sz % n_t
+                cut = r * (q + 1)
+                g[out] = np.where(
+                    rn < cut, rn // np.maximum(q + 1, 1),
+                    r + (rn - cut) // np.maximum(q, 1)).astype(
+                        np.int64) + 1
+            elif kind == "percent_rank":
+                rnk = gb[spec[1]].rank(method="min").to_numpy()
+                sz = gb[order_cols[0]].transform("size").to_numpy()
+                g[out] = np.where(sz > 1, (rnk - 1) / np.maximum(
+                    sz - 1, 1), 0.0)
+            elif kind == "cume_dist":
+                rnk = gb[spec[1]].rank(method="max").to_numpy()
+                sz = gb[order_cols[0]].transform("size").to_numpy()
+                g[out] = rnk / sz
         return g
 
     return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)

@@ -35,6 +35,9 @@ SPECS = {
     "step_ts": ("delta", "ts"),
     "r_ts": ("rank", "ts"),
     "dr_ts": ("dense_rank", "ts"),
+    "tile4": ("ntile", 4),
+    "pr_ts": ("percent_rank", "ts"),
+    "cd_ts": ("cume_dist", "ts"),
 }
 
 SQL = """
@@ -50,7 +53,10 @@ SELECT k, ts, rid, v,
            AS floor_ts,
        ts - LAG(ts, 1) OVER w AS step_ts,
        RANK() OVER (PARTITION BY k ORDER BY ts) AS r_ts,
-       DENSE_RANK() OVER (PARTITION BY k ORDER BY ts) AS dr_ts
+       DENSE_RANK() OVER (PARTITION BY k ORDER BY ts) AS dr_ts,
+       NTILE(4) OVER w AS tile4,
+       PERCENT_RANK() OVER (PARTITION BY k ORDER BY ts) AS pr_ts,
+       CUME_DIST() OVER (PARTITION BY k ORDER BY ts) AS cd_ts
 FROM df
 WINDOW w AS (PARTITION BY k ORDER BY ts, rid)
 """
