@@ -919,6 +919,42 @@ def q_standardize_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
 
+def q_merge_report(sf_dir: str) -> pa.Table:
+    """MERGE/upsert surface (extras surface): apply a deterministic
+    change set to the customer table — delete custkeys ≡ 0 (mod 50),
+    retitle custkeys ≡ 0 (mod 37), insert two fresh keys — and report
+    the resulting row count, applied deletes/updates/inserts, and a
+    name-length checksum."""
+    from .merge import merge_upsert
+
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_name"])
+    keys = cust.to_pandas()["c_custkey"]
+    dels = sorted(keys[keys % 50 == 0].tolist())
+    upds = sorted(keys[(keys % 37 == 0) & (keys % 50 != 0)].tolist())
+    mx = int(keys.max())
+    ch = pd.DataFrame({
+        "c_custkey": dels + upds + [mx + 1, mx + 2],
+        "c_name": ([""] * len(dels)
+                   + [f"Customer#retitled-{k}" for k in upds]
+                   + ["Customer#new-1", "Customer#new-2"]),
+        "op": (["delete"] * len(dels) + ["upsert"] * (len(upds) + 2))})
+    import ray.data as rd
+    merged = merge_upsert(cust, rd.from_pandas(ch), "c_custkey",
+                          op_col="op", mode="broadcast")
+    agg = merged.map_batches(
+        lambda df: pd.DataFrame({
+            "n": [len(df)],
+            "namelen": [int(df["c_name"].str.len().sum())]}),
+        batch_format="pandas").to_pandas()
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([int(agg["n"].sum())], pa.int64()),
+        "n_deleted": pa.array([len(dels)], pa.int64()),
+        "n_updated": pa.array([len(upds)], pa.int64()),
+        "n_inserted": pa.array([2], pa.int64()),
+        "namelen_sum": pa.array([int(agg["namelen"].sum())], pa.int64())})
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1511,6 +1547,7 @@ QUERIES = {
     "resample_report": q_resample_report,
     "fuzzyjoin_report": q_fuzzyjoin_report,
     "standardize_report": q_standardize_report,
+    "merge_report": q_merge_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
