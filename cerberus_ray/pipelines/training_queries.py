@@ -955,6 +955,58 @@ def q_merge_report(sf_dir: str) -> pa.Table:
         "namelen_sum": pa.array([int(agg["namelen"].sum())], pa.int64())})
 
 
+def q_interval_join_report(sf_dir: str) -> pa.Table:
+    """Interval-join surface (extras surface): per-user purchase
+    look-back windows [ts−1h, ts] interval-joined with click points —
+    how many clicks fall inside some purchase's trailing hour. Rolled
+    up to one deterministic row."""
+    from ..stages.interval_join import interval_join
+
+    def side(event_type):
+        ds = read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "event_type",
+                                 "ts"])
+        return ds.map_batches(
+            lambda df, et=event_type: df[df["event_type"] == et].assign(
+                epoch=(df.loc[df["event_type"] == et, "ts"]
+                       - pd.Timestamp(0)) // pd.Timedelta(seconds=1))
+            [["event_id", "user_id", "epoch"]], batch_format="pandas")
+
+    purchases = side("purchase").map_batches(
+        lambda df: df.assign(w_start=df["epoch"] - 3600,
+                             w_end=df["epoch"])
+        [["event_id", "user_id", "w_start", "w_end"]],
+        batch_format="pandas")
+    clicks = side("click").map_batches(
+        lambda df: df.assign(c_start=df["epoch"], c_end=df["epoch"])
+        [["event_id", "user_id", "c_start", "c_end"]],
+        batch_format="pandas")
+    pairs = interval_join(purchases, clicks, on="user_id",
+                          left_start="w_start", left_end="w_end",
+                          right_start="c_start", right_end="c_end")
+    # per-block unique-id partials (long form), exact distinct on the
+    # driver — bounded by the matched-event count
+    parts = pairs.map_batches(
+        lambda df: pd.concat([
+            pd.DataFrame({"kind": "n", "id": [str(len(df))]}),
+            pd.DataFrame({"kind": "p",
+                          "id": df["event_id"].unique().astype(str)}),
+            pd.DataFrame({"kind": "c",
+                          "id": df["event_id_r"].unique().astype(str)})],
+            ignore_index=True), batch_format="pandas").to_pandas()
+    if not len(parts):
+        n_pairs = n_p = n_c = 0
+    else:
+        n_pairs = int(parts.loc[parts["kind"] == "n", "id"]
+                      .astype(int).sum())
+        n_p = parts.loc[parts["kind"] == "p", "id"].nunique()
+        n_c = parts.loc[parts["kind"] == "c", "id"].nunique()
+    return pa.Table.from_pydict({
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "n_purchases_hit": pa.array([int(n_p)], pa.int64()),
+        "n_clicks_used": pa.array([int(n_c)], pa.int64())})
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1548,6 +1600,7 @@ QUERIES = {
     "fuzzyjoin_report": q_fuzzyjoin_report,
     "standardize_report": q_standardize_report,
     "merge_report": q_merge_report,
+    "interval_join_report": q_interval_join_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
