@@ -1007,6 +1007,22 @@ def q_interval_join_report(sf_dir: str) -> pa.Table:
         "n_clicks_used": pa.array([int(n_c)], pa.int64())})
 
 
+def q_corr_report(sf_dir: str) -> pa.Table:
+    """Column-statistics surface (extras surface): pairwise-complete
+    Pearson correlation matrix over the lineitem money columns, melted
+    to long form, 10-decimal rounding for determinism."""
+    from ..stages.stats import corr_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    m = corr_matrix(read_table(f"{sf_dir}/lineitem.parquet",
+                               columns=cols), cols)
+    long = (m.reset_index(names="x").melt("x", var_name="y",
+                                          value_name="r")
+            .sort_values(["x", "y"]).reset_index(drop=True))
+    long["r"] = np.round(long["r"].to_numpy(dtype=np.float64), 10)
+    return pa.Table.from_pandas(long, preserve_index=False)
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1601,6 +1617,7 @@ QUERIES = {
     "standardize_report": q_standardize_report,
     "merge_report": q_merge_report,
     "interval_join_report": q_interval_join_report,
+    "corr_report": q_corr_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,

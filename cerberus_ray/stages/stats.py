@@ -1,0 +1,82 @@
+"""Distributed column statistics: exact Pearson correlation / covariance
+matrices over numeric columns — the feature-audit step before training
+(collinearity checks, leakage screens).
+
+Null semantics match SQL ``CORR(x, y)``: each PAIR uses exactly the rows
+where BOTH columns are non-null (pairwise deletion), not listwise — so
+the result is bit-comparable to DuckDB per pair.
+
+Execution shape: one streamed pass; each block contributes five k×k
+mergeable matrices computed as dense matmuls over the null-masked block
+(M = non-null mask, X0 = values with nulls zeroed):
+
+    n  = Mᵀ M          pair counts
+    sx = X0ᵀ M         Σx over the pair's complete rows (and its
+                       transpose is Σy)
+    sxy = X0ᵀ X0       Σxy
+    sx2 = (X0²)ᵀ M     Σx² (transpose: Σy²)
+
+The driver sums O(#blocks) such matrices — k² floats each, bounded by
+the column count, never the row count — and finishes the algebra:
+``corr = (n·Σxy − Σx·Σy) / √(n·Σx² − Σx²ᵖ) √(n·Σy² − Σy²ᵖ)``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["corr_matrix", "cov_matrix"]
+
+
+def _moment_partials(ds, cols: List[str]) -> List[np.ndarray]:
+    k = len(cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        M = (~np.isnan(X)).astype(np.float64)
+        X0 = np.where(np.isnan(X), 0.0, X)
+        mats = np.stack([M.T @ M, X0.T @ M, X0.T @ X0,
+                         (X0 * X0).T @ M])
+        return pa.Table.from_pydict(
+            {"flat": pa.array([mats.ravel().tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    acc = np.zeros((4, k, k))
+    for blob in parts["flat"]:
+        acc += np.frombuffer(blob, dtype=np.float64).reshape(4, k, k)
+    return list(acc)
+
+
+def corr_matrix(ds, cols: Sequence[str]) -> pd.DataFrame:
+    """→ k×k DataFrame (index/columns = ``cols``) of pairwise-complete
+    Pearson correlations; a pair with <2 complete rows or zero variance
+    is NaN (SQL CORR returns NULL there)."""
+    cols = list(cols)
+    n, sx, sxy, sx2 = _moment_partials(ds, cols)
+    sy, sy2 = sx.T, sx2.T
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov_n = n * sxy - sx * sy
+        var_x = n * sx2 - sx * sx
+        var_y = n * sy2 - sy * sy
+        r = cov_n / np.sqrt(var_x * var_y)
+        r = np.where((n >= 2) & (var_x > 0) & (var_y > 0), r, np.nan)
+    return pd.DataFrame(r, index=cols, columns=cols)
+
+
+def cov_matrix(ds, cols: Sequence[str], *, ddof: int = 1) -> pd.DataFrame:
+    """→ k×k pairwise-complete covariance (sample by default, ddof=1 —
+    SQL COVAR_SAMP; ddof=0 for COVAR_POP)."""
+    cols = list(cols)
+    n, sx, sxy, _ = _moment_partials(ds, cols)
+    sy = sx.T
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c = (sxy - sx * sy / n) / (n - ddof)
+        c = np.where(n > ddof, c, np.nan)
+    return pd.DataFrame(c, index=cols, columns=cols)

@@ -1,0 +1,86 @@
+"""Correlation/covariance matrices: DuckDB CORR/COVAR parity with
+pairwise nulls, pandas cross-check, degenerate columns, real table."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from cerberus_ray.stages.stats import corr_matrix, cov_matrix
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frame():
+    rng = np.random.default_rng(41)
+    n = 400
+    a = rng.normal(0, 1, n)
+    df = pd.DataFrame({
+        "a": a,
+        "b": 2 * a + rng.normal(0, 0.5, n),
+        "c": rng.normal(5, 3, n),
+        "const": np.full(n, 3.0)})
+    df.loc[rng.choice(n, 30, replace=False), "a"] = np.nan
+    df.loc[rng.choice(n, 25, replace=False), "b"] = np.nan
+    df.loc[rng.choice(n, 20, replace=False), "c"] = np.nan
+    return df
+
+
+def test_corr_matches_duckdb_pairwise(ray_session):
+    df = _frame()
+    ds = rd.from_pandas(df, override_num_blocks=5)
+    got = corr_matrix(ds, ["a", "b", "c", "const"])
+    for x in ("a", "b", "c"):
+        for y in ("a", "b", "c"):
+            want = duckdb.sql(
+                f"SELECT corr({x}, {y}) FROM df").fetchone()[0]
+            np.testing.assert_allclose(got.loc[x, y], want, rtol=1e-10,
+                                       err_msg=f"{x},{y}")
+    # zero-variance column → NULL in SQL, NaN here
+    assert np.isnan(got.loc["const", "a"])
+    assert duckdb.sql("SELECT corr(const, a) FROM df").fetchone()[0] is None
+
+
+def test_cov_matches_duckdb(ray_session):
+    df = _frame()
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    got_s = cov_matrix(ds, ["a", "b", "c"], ddof=1)
+    got_p = cov_matrix(ds, ["a", "b", "c"], ddof=0)
+    for x in ("a", "b", "c"):
+        for y in ("a", "b", "c"):
+            ws = duckdb.sql(
+                f"SELECT covar_samp({x}, {y}) FROM df").fetchone()[0]
+            wp = duckdb.sql(
+                f"SELECT covar_pop({x}, {y}) FROM df").fetchone()[0]
+            np.testing.assert_allclose(got_s.loc[x, y], ws, rtol=1e-10)
+            np.testing.assert_allclose(got_p.loc[x, y], wp, rtol=1e-10)
+
+
+def test_pandas_crosscheck_and_structure(ray_session):
+    df = _frame()[["a", "b", "c"]]
+    ds = rd.from_pandas(df, override_num_blocks=3)
+    got = corr_matrix(ds, ["a", "b", "c"])
+    want = df.corr()  # pandas default is exactly pairwise-complete
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.diag(got.to_numpy()), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(got.to_numpy(), got.to_numpy().T,
+                               rtol=1e-12)
+    assert got.loc["a", "b"] > 0.9  # planted linear relation
+
+
+def test_real_table(ray_session):
+    from cerberus_ray.sources.io import read_table
+
+    ds = read_table(f"{SF}/lineitem.parquet",
+                    columns=["l_quantity", "l_extendedprice",
+                             "l_discount"])
+    got = corr_matrix(ds, ["l_quantity", "l_extendedprice", "l_discount"])
+    want = duckdb.sql(f"""
+        SELECT corr(l_quantity, l_extendedprice),
+               corr(l_quantity, l_discount)
+        FROM read_parquet('{SF}/lineitem.parquet')""").fetchone()
+    np.testing.assert_allclose(
+        got.loc["l_quantity", "l_extendedprice"], want[0], rtol=1e-10)
+    np.testing.assert_allclose(
+        got.loc["l_quantity", "l_discount"], want[1], rtol=1e-10)
