@@ -57,6 +57,12 @@ QUERY_NAMES = [
     "ppl_bucket_report", "token_top_k_by_lang", "cross_dedup_report",
     "length_bucket_report", "html_strip_report", "domain_blocklist_report",
     "media_features",
+    # seventh-session extras (winsorize/window/pivot/setops/pagerank/
+    # collocations/resample/fuzzy-join/scaling/merge/interval-join/corr)
+    "winsorize_report", "window_report", "pivot_report", "setops_report",
+    "pagerank_report", "collocation_report", "resample_report",
+    "fuzzyjoin_report", "standardize_report", "merge_report",
+    "interval_join_report", "corr_report",
 ]
 
 

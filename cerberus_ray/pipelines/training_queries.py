@@ -778,21 +778,24 @@ def q_setops_report(sf_dir: str) -> pa.Table:
 
     def custkeys(path, col):
         ds = read_table(path, columns=[col])
+        # materialize: four set ops consume each side; lazy lineage
+        # would re-scan per op (2.2 s → sub-second at sf0.1)
         return ds.map_batches(
             lambda df: df.rename(columns={col: "custkey"}),
-            batch_format="pandas")
+            batch_format="pandas").materialize()
 
     a = custkeys(f"{sf_dir}/customer.parquet", "c_custkey")
     b = custkeys(f"{sf_dir}/orders.parquet", "o_custkey")
+    k = ["custkey"]
     return pa.Table.from_pydict({
-        "n_intersect": pa.array([len(intersect_distinct(a, b, ["custkey"]))],
-                                pa.int64()),
-        "n_cust_only": pa.array([len(except_distinct(a, b, ["custkey"]))],
-                                pa.int64()),
-        "n_order_only": pa.array([len(except_distinct(b, a, ["custkey"]))],
-                                 pa.int64()),
-        "n_union": pa.array([len(union_distinct(a, b, ["custkey"]))],
-                            pa.int64())})
+        "n_intersect": pa.array(
+            [len(intersect_distinct(a, b, k, mode="driver"))], pa.int64()),
+        "n_cust_only": pa.array(
+            [len(except_distinct(a, b, k, mode="driver"))], pa.int64()),
+        "n_order_only": pa.array(
+            [len(except_distinct(b, a, k, mode="driver"))], pa.int64()),
+        "n_union": pa.array(
+            [len(union_distinct(a, b, k, mode="driver"))], pa.int64())})
 
 
 def q_pagerank_report(sf_dir: str) -> pa.Table:
@@ -1021,6 +1024,21 @@ def q_corr_report(sf_dir: str) -> pa.Table:
             .sort_values(["x", "y"]).reset_index(drop=True))
     long["r"] = np.round(long["r"].to_numpy(dtype=np.float64), 10)
     return pa.Table.from_pandas(long, preserve_index=False)
+
+
+def q_regression_report(sf_dir: str) -> pa.Table:
+    """Grouped-OLS surface (extras surface): REGR_SLOPE/INTERCEPT/R2 of
+    extendedprice on quantity per returnflag, 8-decimal rounding."""
+    from ..stages.stats import grouped_regression
+
+    out = grouped_regression(
+        read_table(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_returnflag", "l_quantity",
+                            "l_extendedprice"]),
+        ["l_returnflag"], "l_quantity", "l_extendedprice")
+    for c in ("slope", "intercept", "r2"):
+        out[c] = np.round(out[c].to_numpy(dtype=np.float64), 8)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
@@ -1618,6 +1636,7 @@ QUERIES = {
     "merge_report": q_merge_report,
     "interval_join_report": q_interval_join_report,
     "corr_report": q_corr_report,
+    "regression_report": q_regression_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,

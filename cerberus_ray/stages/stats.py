@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["corr_matrix", "cov_matrix"]
+__all__ = ["corr_matrix", "cov_matrix", "grouped_regression"]
 
 
 def _moment_partials(ds, cols: List[str]) -> List[np.ndarray]:
@@ -80,3 +80,55 @@ def cov_matrix(ds, cols: Sequence[str], *, ddof: int = 1) -> pd.DataFrame:
         c = (sxy - sx * sy / n) / (n - ddof)
         c = np.where(n > ddof, c, np.nan)
     return pd.DataFrame(c, index=cols, columns=cols)
+
+
+def grouped_regression(ds, group_cols: Sequence[str], x: str,
+                       y: str) -> pd.DataFrame:
+    """Per-group ordinary least squares of ``y`` on ``x`` — SQL's
+    ``REGR_SLOPE / REGR_INTERCEPT / REGR_R2 / REGR_COUNT`` family, same
+    null semantics (a row counts only when BOTH x and y are non-null).
+
+    → DataFrame (group cols..., n, slope, intercept, r2), sorted by
+    group. One streamed pass of per-block grouped moment partials
+    (n, Σx, Σy, Σxy, Σx², Σy² — a pandas hash aggregate per block), then
+    an O(#groups × #blocks) driver merge — bounded by the group domain,
+    the same contract as ``groupagg.grouped_agg``. A group with <2 rows
+    or zero x-variance gets NaN slope/intercept (SQL returns NULL);
+    r2 is additionally NaN when y has zero variance."""
+    group_cols = list(group_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[x].notna() & df[y].notna()
+        d = df.loc[m, group_cols].copy()
+        xv = df.loc[m, x].astype(np.float64)
+        yv = df.loc[m, y].astype(np.float64)
+        d["_n"] = 1
+        d["_sx"] = xv
+        d["_sy"] = yv
+        d["_sxy"] = xv * yv
+        d["_sx2"] = xv * xv
+        d["_sy2"] = yv * yv
+        return (d.groupby(group_cols, sort=False, dropna=False)
+                .sum().reset_index())
+
+    pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({c: [] for c in group_cols
+                             + ["n", "slope", "intercept", "r2"]})
+    g = pdf.groupby(group_cols, dropna=False).sum().reset_index()
+    n = g["_n"].to_numpy(dtype=np.float64)
+    sx, sy = g["_sx"].to_numpy(), g["_sy"].to_numpy()
+    sxy, sx2, sy2 = (g["_sxy"].to_numpy(), g["_sx2"].to_numpy(),
+                     g["_sy2"].to_numpy())
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var_x = n * sx2 - sx * sx
+        var_y = n * sy2 - sy * sy
+        cov = n * sxy - sx * sy
+        slope = np.where(var_x > 0, cov / var_x, np.nan)
+        intercept = np.where(var_x > 0, (sy - slope * sx) / n, np.nan)
+        r2 = np.where((var_x > 0) & (var_y > 0),
+                      (cov * cov) / (var_x * var_y), np.nan)
+    out = g[group_cols].copy()
+    out["n"] = g["_n"].astype("int64")
+    out["slope"], out["intercept"], out["r2"] = slope, intercept, r2
+    return out.sort_values(group_cols).reset_index(drop=True)

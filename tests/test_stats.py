@@ -84,3 +84,58 @@ def test_real_table(ray_session):
         got.loc["l_quantity", "l_extendedprice"], want[0], rtol=1e-10)
     np.testing.assert_allclose(
         got.loc["l_quantity", "l_discount"], want[1], rtol=1e-10)
+
+
+def test_grouped_regression_duckdb_parity(ray_session):
+    from cerberus_ray.stages.stats import grouped_regression
+
+    rng = np.random.default_rng(47)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.choice(["p", "q", "r"], n),
+        "x": rng.normal(0, 2, n)})
+    df["y"] = 3.0 * df["x"] + rng.normal(0, 1, n) + \
+        df["g"].map({"p": 0, "q": 5, "r": -2})
+    df.loc[rng.choice(n, 40, replace=False), "x"] = np.nan
+    df.loc[rng.choice(n, 30, replace=False), "y"] = np.nan
+    # a single-row group and a zero-x-variance group
+    df = pd.concat([df, pd.DataFrame({
+        "g": ["solo", "flat", "flat", "flat"],
+        "x": [1.0, 7.0, 7.0, 7.0], "y": [2.0, 1.0, 2.0, 3.0]})],
+        ignore_index=True)
+    ds = rd.from_pandas(df, override_num_blocks=5)
+    got = grouped_regression(ds, ["g"], "x", "y").set_index("g")
+    want = duckdb.sql("""
+        SELECT g, regr_count(y, x) AS n, regr_slope(y, x) AS slope,
+               regr_intercept(y, x) AS intercept, regr_r2(y, x) AS r2
+        FROM df GROUP BY g ORDER BY g
+    """).fetchdf().set_index("g")
+    assert got.index.tolist() == want.index.tolist()
+    np.testing.assert_array_equal(got["n"].to_numpy(),
+                                  want["n"].to_numpy(dtype="int64"))
+    for c in ("slope", "intercept", "r2"):
+        np.testing.assert_allclose(got[c].to_numpy(),
+                                   want[c].to_numpy(dtype="float64"),
+                                   rtol=1e-9, equal_nan=True, err_msg=c)
+    assert np.isnan(got.loc["solo", "slope"])
+    assert np.isnan(got.loc["flat", "slope"])
+    assert abs(got.loc["p", "slope"] - 3.0) < 0.3
+
+
+def test_grouped_regression_real_table(ray_session):
+    from cerberus_ray.sources.io import read_table
+    from cerberus_ray.stages.stats import grouped_regression
+
+    ds = read_table(f"{SF}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    got = grouped_regression(ds, ["l_returnflag"], "l_quantity",
+                             "l_extendedprice").set_index("l_returnflag")
+    want = duckdb.sql(f"""
+        SELECT l_returnflag,
+               regr_slope(l_extendedprice, l_quantity) AS slope
+        FROM read_parquet('{SF}/lineitem.parquet')
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """).fetchdf().set_index("l_returnflag")
+    np.testing.assert_allclose(got["slope"].to_numpy(),
+                               want["slope"].to_numpy(), rtol=1e-9)
