@@ -207,3 +207,145 @@ def bucket_by_perplexity(docs_ds, *, text_col: str = "text",
 
     return scored.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def fit_bigram(ds, *, text_col: str = "text", vocab_size: int = 50_000,
+               bigram_size: int = 200_000):
+    """Bigram model over the unigram vocabulary → (unigram model,
+    sorted bigram key array 'h\\x1ew', bigram counts, sorted history
+    array, history totals).
+
+    One extra streamed pass beyond the unigram fit: per-block (h, w, n)
+    hash-aggregate partials with both tokens already mapped into
+    vocab-or-OOV (so the key domain is bounded by the vocabulary, not
+    the corpus). The driver merges the partials, keeps context totals
+    c(h·) over ALL observed bigrams (exact — computed before any
+    truncation), then truncates the (h, w) table to the top
+    ``bigram_size`` pairs; a truncated pair scores through the unigram
+    interpolation term, never silently as zero probability."""
+    toks, logp, oov_logp = fit_unigram(ds, text_col=text_col,
+                                       vocab_size=vocab_size)
+    import ray
+
+    vref = ray.put(toks)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        vt = ray.get(vref)
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        hs: list = []
+        ws: list = []
+        for t in texts:
+            ts = (t or "").lower().split()
+            if len(ts) < 2:
+                continue
+            arr = np.array(ts, dtype=object)
+            if len(vt):
+                pos = np.clip(np.searchsorted(vt, arr), 0, len(vt) - 1)
+                arr = np.where(vt[pos] == arr, arr, "\x1dOOV")
+            hs.append(arr[:-1])
+            ws.append(arr[1:])
+        if not hs:
+            return pa.Table.from_pydict({
+                "h": pa.array([], pa.string()),
+                "w": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())})
+        g = (pd.DataFrame({"h": np.concatenate(hs),
+                           "w": np.concatenate(ws)})
+             .groupby(["h", "w"], sort=False).size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pdf = ds.map_batches(pair_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if not len(pdf):
+        empty = np.array([], dtype=object)
+        return ((toks, logp, oov_logp), empty,
+                np.array([], dtype=np.float64), empty,
+                np.array([], dtype=np.float64))
+    g = pdf.groupby(["h", "w"], as_index=False)["n"].sum()
+    ctx = g.groupby("h")["n"].sum()  # exact c(h·), pre-truncation
+    g = g.sort_values(["n", "h", "w"],
+                      ascending=[False, True, True]).head(bigram_size)
+    key = (g["h"] + "\x1f" + g["w"]).to_numpy(dtype=object)
+    cnt = g["n"].to_numpy(dtype=np.float64)
+    order = np.argsort(key)
+    h_arr = np.sort(ctx.index.to_numpy(dtype=object))
+    h_tot = ctx.reindex(h_arr).to_numpy(dtype=np.float64)
+    return ((toks, logp, oov_logp), key[order], cnt[order], h_arr, h_tot)
+
+
+def score_perplexity_bigram(docs_ds, *, text_col: str = "text",
+                            key_col: str = "doc_id",
+                            vocab_size: int = 50_000,
+                            bigram_size: int = 200_000,
+                            lam: float = 0.7, reference_ds=None):
+    """→ Dataset (doc_id, n_tokens, xent, ppl): interpolated bigram
+    perplexity — ``p(w|h) = λ·c(h,w)/c(h·) + (1−λ)·p_uni(w)`` (Jelinek-
+    Mercer smoothing; the unigram term guarantees nonzero mass, so
+    truncated/unseen bigrams degrade gracefully). A document's first
+    token scores on the unigram term alone. λ=0 reproduces the unigram
+    scorer exactly (agreement-tested)."""
+    if not 0.0 <= lam < 1.0:
+        raise ValueError("lam must be in [0, 1)")
+    import ray
+
+    model = fit_bigram(reference_ds if reference_ds is not None
+                       else docs_ds, text_col=text_col,
+                       vocab_size=vocab_size, bigram_size=bigram_size)
+    ref = ray.put(model)
+
+    def score(b: pa.Table) -> pa.Table:
+        (vt, vl, oov), bkey, bcnt, harr, htot = ray.get(ref)
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        flat: list = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        firsts = []
+        at = 0
+        for i, t in enumerate(texts):
+            ts = (t or "").lower().split()
+            counts[i] = len(ts)
+            if ts:
+                firsts.append(at)
+            at += len(ts)
+            flat.extend(ts)
+        n_flat = len(flat)
+        if n_flat and len(vt):
+            arr = np.array(flat, dtype=object)
+            pos = np.clip(np.searchsorted(vt, arr), 0, len(vt) - 1)
+            hit = vt[pos] == arr
+            p_uni = np.exp2(np.where(hit, vl[pos], oov))
+            mapped = np.where(hit, arr, "\x1dOOV")
+            # bigram term for every position with a same-doc predecessor
+            p_bi = np.zeros(n_flat)
+            if n_flat > 1 and len(bkey):
+                pk = mapped[:-1] + "\x1f" + mapped[1:]
+                bp = np.clip(np.searchsorted(bkey, pk), 0, len(bkey) - 1)
+                bhit = bkey[bp] == pk
+                hp = np.clip(np.searchsorted(harr, mapped[:-1]), 0,
+                             max(len(harr) - 1, 0))
+                hh = harr[hp] == mapped[:-1] if len(harr) else \
+                    np.zeros(n_flat - 1, dtype=bool)
+                denom = np.where(hh, htot[hp], np.inf) if len(harr) \
+                    else np.full(n_flat - 1, np.inf)
+                p_bi[1:] = np.where(bhit, bcnt[bp], 0.0) / denom
+            p = lam * p_bi + (1.0 - lam) * p_uni
+            # doc-initial tokens: unigram only (no history)
+            fidx = np.array(firsts, dtype=np.int64)
+            p[fidx] = p_uni[fidx]
+            lp = np.log2(p)
+        else:
+            lp = np.full(n_flat, oov, dtype=np.float64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        sums = np.zeros(len(counts), dtype=np.float64)
+        nz = counts > 0
+        if lp.size and nz.any():
+            sums[nz] = np.add.reduceat(lp, starts[nz])
+        xent = np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
+        return pa.Table.from_arrays(
+            [pc.cast(b[key_col], pa.string()), pa.array(counts),
+             pa.array(np.round(xent, 4)),
+             pa.array(np.round(np.exp2(xent), 2))],
+            names=["doc_id", "n_tokens", "xent", "ppl"])
+
+    return docs_ds.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -1041,6 +1041,46 @@ def q_regression_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_histogram_report(sf_dir: str) -> pa.Table:
+    """Histogram surface (extras surface): exact 12-bin equi-width
+    histogram of events.value with auto (exact min/max) bounds."""
+    from ..stages.stats import histogram
+
+    out = histogram(read_table(f"{sf_dir}/events.parquet",
+                               columns=["value"]), "value", bins=12)
+    for c in ("lo", "hi"):
+        out[c] = np.round(out[c].to_numpy(dtype=np.float64), 6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_bigram_ppl_report(sf_dir: str) -> pa.Table:
+    """Interpolated bigram-LM surface (extras surface): corpus-fit
+    Jelinek-Mercer bigram perplexity over the documents table, rolled
+    up per token-count decile band — plus the unigram comparison (the
+    bigram model must fit the corpus at least as tightly on average)."""
+    from ..stages.groupagg import grouped_agg
+    from .lm_score import score_perplexity, score_perplexity_bigram
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    bi = score_perplexity_bigram(docs, lam=0.7)
+    uni = score_perplexity(docs)
+
+    def roll(ds_):
+        g = grouped_agg(ds_.map_batches(
+            lambda df: df.assign(band=np.minimum(
+                df["n_tokens"] // 100, 4).astype("int64")),
+            batch_format="pandas"), ["band"],
+            {"n_docs": ("", "count"), "mean_xent": ("xent", "mean")})
+        g["mean_xent"] = np.round(g["mean_xent"].to_numpy(), 6)
+        return g
+
+    gb, gu = roll(bi), roll(uni)
+    out = gb.merge(gu, on="band", suffixes=("_bi", "_uni"))
+    out = out.rename(columns={"n_docs_bi": "n_docs"}).drop(
+        columns=["n_docs_uni"]).sort_values("band").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1637,6 +1677,8 @@ QUERIES = {
     "interval_join_report": q_interval_join_report,
     "corr_report": q_corr_report,
     "regression_report": q_regression_report,
+    "histogram_report": q_histogram_report,
+    "bigram_ppl_report": q_bigram_ppl_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,

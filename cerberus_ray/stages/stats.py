@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["corr_matrix", "cov_matrix", "grouped_regression"]
+__all__ = ["corr_matrix", "cov_matrix", "grouped_regression", "histogram"]
 
 
 def _moment_partials(ds, cols: List[str]) -> List[np.ndarray]:
@@ -132,3 +132,52 @@ def grouped_regression(ds, group_cols: Sequence[str], x: str,
     out["n"] = g["_n"].astype("int64")
     out["slope"], out["intercept"], out["r2"] = slope, intercept, r2
     return out.sort_values(group_cols).reset_index(drop=True)
+
+
+def histogram(ds, col: str, *, bins: int = 20,
+              lo: float | None = None,
+              hi: float | None = None) -> pd.DataFrame:
+    """Exact equi-width histogram → (bin, lo, hi, n): per-block
+    ``np.histogram`` partials over fixed edges, O(#blocks × bins) driver
+    merge. Bounds default to the column's exact min/max (one extremes
+    pass); values outside explicit bounds clamp into the edge bins
+    (SQL ``width_bucket`` under/overflow buckets folded in, so Σn =
+    non-null row count either way). Nulls are excluded."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if lo is None or hi is None:
+        mm = ds.map_batches(
+            lambda b: pa.Table.from_pydict({
+                "lo": pa.array([_np_min(b[col])]),
+                "hi": pa.array([_np_max(b[col])])}),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        lo = float(mm["lo"].min()) if lo is None else lo
+        hi = float(mm["hi"].max()) if hi is None else hi
+    if not np.isfinite(lo) or not np.isfinite(hi) or hi <= lo:
+        hi = lo + 1.0  # degenerate/empty column: one bin
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        counts, _ = np.histogram(np.clip(x, lo, hi), bins=edges)
+        return pa.Table.from_pydict({"n": pa.array(counts, pa.int64())})
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    n = (pdf["n"].to_numpy(dtype=np.int64).reshape(-1, bins).sum(axis=0)
+         if len(pdf) else np.zeros(bins, dtype=np.int64))
+    return pd.DataFrame({"bin": np.arange(bins, dtype=np.int64),
+                         "lo": edges[:-1], "hi": edges[1:], "n": n})
+
+
+def _np_min(arr) -> float:
+    x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    x = x[~np.isnan(x)]
+    return float(x.min()) if len(x) else float("inf")
+
+
+def _np_max(arr) -> float:
+    x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    x = x[~np.isnan(x)]
+    return float(x.max()) if len(x) else float("-inf")

@@ -139,3 +139,43 @@ def test_grouped_regression_real_table(ray_session):
     """).fetchdf().set_index("l_returnflag")
     np.testing.assert_allclose(got["slope"].to_numpy(),
                                want["slope"].to_numpy(), rtol=1e-9)
+
+
+def test_histogram_duckdb_parity(ray_session):
+    from cerberus_ray.stages.stats import histogram
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({"v": rng.normal(50, 20, 1000)})
+    df.loc[rng.choice(1000, 50, replace=False), "v"] = np.nan
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    lo, hi, bins = 0.0, 100.0, 10
+    got = histogram(ds, "v", bins=bins, lo=lo, hi=hi)
+    # oracle: explicit equi-width bucket math (this DuckDB has no
+    # width_bucket), under/overflow folded into the edge bins
+    w = (hi - lo) / bins
+    want = duckdb.sql(f"""
+        SELECT LEAST(GREATEST(CAST(floor((v - {lo}) / {w}) AS BIGINT),
+                              0), {bins - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM df WHERE v IS NOT NULL GROUP BY 1 ORDER BY 1
+    """).fetchdf()
+    merged = got.merge(want, on="bin", how="left",
+                       suffixes=("", "_want")).fillna({"n_want": 0})
+    # np.histogram puts x == edge into the LEFT bin for the last edge
+    # only; width_bucket's half-open bins agree except at exact edges,
+    # which have measure zero for continuous draws
+    np.testing.assert_array_equal(merged["n"].to_numpy(),
+                                  merged["n_want"].to_numpy(dtype="int64"))
+    assert got["n"].sum() == df["v"].notna().sum()
+
+
+def test_histogram_auto_bounds_and_degenerate(ray_session):
+    from cerberus_ray.stages.stats import histogram
+
+    df = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0]})
+    got = histogram(rd.from_pandas(df), "v", bins=3)
+    assert got["n"].sum() == 4
+    assert got["lo"].iloc[0] == 1.0 and got["hi"].iloc[-1] == 4.0
+    const = histogram(rd.from_pandas(pd.DataFrame({"v": [5.0] * 7})),
+                      "v", bins=4)
+    assert const["n"].sum() == 7
