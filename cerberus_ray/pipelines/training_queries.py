@@ -1081,6 +1081,23 @@ def q_bigram_ppl_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_chi2_report(sf_dir: str) -> pa.Table:
+    """Categorical-association surface (extras surface): chi-square
+    independence of orders.o_orderstatus × o_orderpriority, one row
+    (chi2, dof, n, cramers_v) rounded for determinism."""
+    from ..stages.stats import chi2_independence
+
+    r = chi2_independence(
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderstatus", "o_orderpriority"]),
+        "o_orderstatus", "o_orderpriority")
+    return pa.Table.from_pydict({
+        "chi2": pa.array([round(r["chi2"], 8)], pa.float64()),
+        "dof": pa.array([r["dof"]], pa.int64()),
+        "n": pa.array([r["n"]], pa.int64()),
+        "cramers_v": pa.array([round(r["cramers_v"], 8)], pa.float64())})
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1679,6 +1696,7 @@ QUERIES = {
     "regression_report": q_regression_report,
     "histogram_report": q_histogram_report,
     "bigram_ppl_report": q_bigram_ppl_report,
+    "chi2_report": q_chi2_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,

@@ -29,7 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["corr_matrix", "cov_matrix", "grouped_regression", "histogram"]
+__all__ = ["corr_matrix", "cov_matrix", "grouped_regression", "histogram",
+           "chi2_independence"]
 
 
 def _moment_partials(ds, cols: List[str]) -> List[np.ndarray]:
@@ -181,3 +182,48 @@ def _np_max(arr) -> float:
     x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
     x = x[~np.isnan(x)]
     return float(x.max()) if len(x) else float("-inf")
+
+
+def chi2_independence(ds, col_a: str, col_b: str, *,
+                      max_levels: int = 1000) -> dict:
+    """Pearson chi-square test of independence between two categorical
+    columns → {"chi2", "dof", "n", "cramers_v", "table"} (the
+    contingency table as a DataFrame). No p-value (no scipy in the
+    stack); compare chi2 against the chi-square critical value for
+    ``dof`` externally, or rank associations by Cramér's V directly.
+
+    One streamed pass of per-block (a, b, n) hash-aggregate partials —
+    bounded by the LEVEL domain, not the data (guarded by
+    ``max_levels`` per column against accidental high-cardinality
+    inputs). Rows with a null in either column are excluded (SQL
+    cross-tab convention)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[col_a, col_b]].dropna()
+        return (d.groupby([col_a, col_b], sort=False).size()
+                .reset_index(name="n"))
+
+    pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(pdf):
+        return {"chi2": float("nan"), "dof": 0, "n": 0,
+                "cramers_v": float("nan"),
+                "table": pd.DataFrame()}
+    g = pdf.groupby([col_a, col_b], as_index=False)["n"].sum()
+    tab = g.pivot_table(index=col_a, columns=col_b, values="n",
+                        aggfunc="first").fillna(0.0)
+    if len(tab.index) > max_levels or len(tab.columns) > max_levels:
+        raise ValueError(
+            f"contingency table {len(tab.index)}×{len(tab.columns)} "
+            f"exceeds max_levels={max_levels} — bucket the column first")
+    obs = tab.to_numpy(dtype=np.float64)
+    n = obs.sum()
+    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cells = np.where(exp > 0, (obs - exp) ** 2 / exp, 0.0)
+    chi2 = float(cells.sum())
+    r, c = obs.shape
+    dof = (r - 1) * (c - 1)
+    k = min(r - 1, c - 1)
+    v = float(np.sqrt(chi2 / (n * k))) if n > 0 and k > 0 else float("nan")
+    return {"chi2": chi2, "dof": int(dof), "n": int(n),
+            "cramers_v": v, "table": tab}

@@ -179,3 +179,40 @@ def test_histogram_auto_bounds_and_degenerate(ray_session):
     const = histogram(rd.from_pandas(pd.DataFrame({"v": [5.0] * 7})),
                       "v", bins=4)
     assert const["n"].sum() == 7
+
+
+def test_chi2_independence(ray_session):
+    from cerberus_ray.stages.stats import chi2_independence
+
+    rng = np.random.default_rng(59)
+    n = 2000
+    a = rng.choice(["x", "y", "z"], n)
+    # b depends on a for half the rows → real association
+    b = np.where(rng.random(n) < 0.5,
+                 np.char.add(a, "_dep"),
+                 rng.choice(["p_dep", "q_dep"], n))
+    df = pd.DataFrame({"a": a, "b": b})
+    df.loc[rng.choice(n, 40, replace=False), "a"] = None
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    got = chi2_independence(ds, "a", "b")
+    # slow reference on the same frame
+    d = df.dropna()
+    tab = pd.crosstab(d["a"], d["b"]).to_numpy(dtype=float)
+    exp = np.outer(tab.sum(1), tab.sum(0)) / tab.sum()
+    want = float((((tab - exp) ** 2) / exp).sum())
+    np.testing.assert_allclose(got["chi2"], want, rtol=1e-10)
+    assert got["dof"] == (tab.shape[0] - 1) * (tab.shape[1] - 1)
+    assert got["n"] == len(d)
+    assert got["cramers_v"] > 0.3  # planted dependence
+
+    # independent columns → tiny V
+    df2 = pd.DataFrame({"a": rng.choice(["x", "y"], n),
+                        "b": rng.choice(["p", "q"], n)})
+    got2 = chi2_independence(rd.from_pandas(df2), "a", "b")
+    assert got2["cramers_v"] < 0.08
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_levels"):
+        chi2_independence(rd.from_pandas(pd.DataFrame({
+            "a": [str(i) for i in range(30)],
+            "b": ["c"] * 30})), "a", "b", max_levels=10)
