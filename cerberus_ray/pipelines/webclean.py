@@ -381,3 +381,57 @@ def canonical_url_dup_report(ds, *, url_col: str = "url",
     out = duplicate_key_counts(canon.select_columns(["canonical_url"]),
                                ["canonical_url"], mode=mode)
     return out
+
+
+#: combining-mark block stripped by accent folding after NFKD
+#: decomposition (the classic Latin diacritic fold: café→cafe, ü→u)
+_COMBINING_RE = "[̀-ͯ]"
+
+
+def normalize_unicode_array(arr, *, form: str = "NFKC",
+                            strip_accents: bool = False,
+                            casefold: bool = False) -> pa.Array:
+    """Unicode-normalize a string array — the canonicalization step
+    before exact/near dedup (two byte-distinct encodings of 'café' must
+    hash identically). ``form`` ∈ NFC/NFKC/NFD/NFKD via pandas'
+    C-backed ``str.normalize``; ``strip_accents`` folds Latin
+    diacritics (NFKD + combining-mark removal, then recomposition to
+    the requested form); ``casefold`` applies full Unicode casefolding
+    (ß→ss — strictly stronger than lower())."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown form {form!r}")
+    import pandas as pd
+
+    s = pd.Series(arr.to_pandas() if hasattr(arr, "to_pandas") else arr)
+    nulls = s.isna()
+    s = s.fillna("")
+    if strip_accents:
+        s = (s.str.normalize("NFKD")
+             .str.replace(_COMBINING_RE, "", regex=True))
+    s = s.str.normalize(form)
+    if casefold:
+        s = s.str.casefold()
+    out = s.to_numpy(dtype=object)
+    out[nulls.to_numpy()] = None
+    return pa.array(out, pa.string())
+
+
+def normalize_unicode(ds, *, text_col: str = "text",
+                      out_col: str | None = None, form: str = "NFKC",
+                      strip_accents: bool = False,
+                      casefold: bool = False):
+    """Streamed per-batch Unicode normalization (→ Dataset; in-place on
+    ``text_col`` unless ``out_col`` names a new column)."""
+    dest = out_col or text_col
+
+    def fn(b: pa.Table) -> pa.Table:
+        norm = normalize_unicode_array(
+            b[text_col], form=form, strip_accents=strip_accents,
+            casefold=casefold)
+        if dest in b.schema.names:
+            return b.set_column(b.schema.get_field_index(dest), dest,
+                                norm)
+        return b.append_column(dest, norm)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)

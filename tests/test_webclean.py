@@ -311,3 +311,57 @@ def test_c4_clean_stats(ray_session):
     st1 = c4_clean_stats(rd.from_pandas(df, override_num_blocks=1)
                          ).to_pandas().iloc[0]
     assert (st1 == st).all()
+
+
+def test_normalize_unicode_forms(ray_session):
+    import pyarrow as pa
+
+    from cerberus_ray.pipelines.webclean import normalize_unicode_array
+
+    import unicodedata
+    decomposed = "café"           # e + combining acute
+    composed = "café"              # é precomposed
+    ligature = "ﬁne"                    # U+FB01 ligature fi
+    arr = pa.array([decomposed, composed, ligature, "STRASSE", "ß", None])
+    nfc = normalize_unicode_array(arr, form="NFC").to_pylist()
+    assert nfc[0] == nfc[1] == composed  # byte-identical after NFC
+    assert nfc[2] == ligature            # NFC keeps compat ligature
+    nfkc = normalize_unicode_array(arr, form="NFKC").to_pylist()
+    assert nfkc[2] == "fine"             # NFKC folds it
+    assert nfkc[5] is None
+    # reference cross-check against unicodedata on every value
+    for got, src in zip(nfkc[:5], arr.to_pylist()[:5]):
+        assert got == unicodedata.normalize("NFKC", src)
+
+
+def test_normalize_accent_fold_and_casefold(ray_session):
+    import pyarrow as pa
+
+    from cerberus_ray.pipelines.webclean import normalize_unicode_array
+
+    arr = pa.array(["café", "naïve Über", "ß", "São_Paulo"])
+    folded = normalize_unicode_array(arr, strip_accents=True,
+                                     casefold=True).to_pylist()
+    assert folded == ["cafe", "naive uber", "ss", "sao_paulo"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown form"):
+        normalize_unicode_array(arr, form="NFX")
+
+
+def test_normalize_unicode_dataset_dedup_effect(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.dedup import exact_dup_stats
+    from cerberus_ray.pipelines.webclean import normalize_unicode
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": ["café society", "café society", "other"]})
+    ds = rd.from_pandas(df)
+    before = exact_dup_stats(ds)
+    norm = normalize_unicode(ds, form="NFC")
+    after = exact_dup_stats(norm)
+    # the two encodings of 'café society' collapse only after NFC
+    assert int(before["n_unique"][0].as_py()) == 3
+    assert int(after["n_unique"][0].as_py()) == 2
