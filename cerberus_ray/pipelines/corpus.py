@@ -73,6 +73,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           source_col: str = "source",
                           cut_ngram: Optional[int] = None,
                           strip_markup: bool = False,
+                          normalize_unicode: Optional[str] = None,
                           c4_rules: bool = False,
                           blocklist=None,
                           reference_ds=None,
@@ -80,6 +81,9 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           lang_col: str = "lang") -> CorpusReport:
     """Optional hygiene/shaping stages extend the funnel when supplied:
     ``strip_markup`` runs the HTML strip chain as stage 0 (webclean),
+    ``normalize_unicode`` (a form name, e.g. ``"NFKC"``) canonicalizes
+    the text right after markup strip so byte-distinct encodings of the
+    same content collapse in BOTH dedup stages,
     ``c4_rules`` applies the C4 line filters + page gates (Raffel et
     al. 2020 §2.2) after markup strip, ``blocklist`` drops documents
     mentioning blocklisted domains before
@@ -101,6 +105,11 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
         from ..pipelines.webclean import strip_html
 
         docs_ds = strip_html(docs_ds, text_col=text_col)
+    if normalize_unicode:
+        from ..pipelines.webclean import normalize_unicode as _uni_stage
+
+        docs_ds = _uni_stage(docs_ds, text_col=text_col,
+                             form=normalize_unicode)
     if c4_rules:
         from ..pipelines.webclean import c4_clean
 
@@ -109,7 +118,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
         from ..pipelines.webclean import drop_blocklisted
 
         docs_ds = drop_blocklisted(docs_ds, blocklist, text_col=text_col)
-    if strip_markup or c4_rules or blocklist:
+    if strip_markup or normalize_unicode or c4_rules or blocklist:
         docs_ds = docs_ds.materialize()
 
     n_input = docs_ds.count()
@@ -143,6 +152,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                       and m.get("reference_fingerprint") == ref_fp
                       and m.get("strip_markup") == strip_markup
                       and m.get("c4_rules", False) == c4_rules
+                      and m.get("normalize_unicode") == normalize_unicode
                       and m.get("ppl_keep") == (sorted(ppl_keep)
                                                 if ppl_keep else None)
                       and m.get("blocklist") == block_key
@@ -305,6 +315,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             "reference_fingerprint": ref_fp,
             "strip_markup": strip_markup,
             "c4_rules": c4_rules,
+            "normalize_unicode": normalize_unicode,
             "blocklist": block_key,
             "ppl_keep": sorted(ppl_keep) if ppl_keep else None,
             "cut_ngram": cut_ngram,

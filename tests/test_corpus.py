@@ -332,3 +332,37 @@ def test_corpus_c4_rules_stage(ray_session, tmp_path):
                                near_threshold=0.5, bands=32,
                                min_rows_per_file=1000)
     assert not r3.stats.get("resumed")
+
+
+def test_unicode_normalize_knob_collapses_encodings(ray_session, tmp_path):
+    """Byte-distinct encodings of identical content survive the default
+    funnel as distinct docs but collapse in exact dedup once the
+    normalize_unicode knob canonicalizes them; the manifest keys the
+    knob, so a changed form invalidates resume."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.corpus import build_training_corpus
+
+    base = ("a perfectly reasonable quality document with enough words "
+            "to pass the gate and some more text to be safe here")
+    df = pd.DataFrame({
+        "doc_id": ["d1", "d2", "d3"],
+        "text": [base + " café society",   # decomposed é
+                 base + " café society",    # precomposed é
+                 base + " entirely different tail content"],
+        "lang": ["en"] * 3, "source": ["w"] * 3})
+    ds = rd.from_pandas(df)
+    plain = build_training_corpus(ds, out_dir=None)
+    normed = build_training_corpus(ds, out_dir=None,
+                                   normalize_unicode="NFC")
+    assert plain.n_after_exact_dedup == 3
+    assert normed.n_after_exact_dedup == 2
+
+    out = str(tmp_path / "corpus_uni")
+    r1 = build_training_corpus(ds, out_dir=out, normalize_unicode="NFC")
+    r2 = build_training_corpus(ds, out_dir=out, normalize_unicode="NFC")
+    assert r2.stats.get("resumed") is True
+    r3 = build_training_corpus(ds, out_dir=out, normalize_unicode=None)
+    assert not r3.stats.get("resumed")
+    assert r1.n_after_exact_dedup == 2 and r3.n_after_exact_dedup == 3
