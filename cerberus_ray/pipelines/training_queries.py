@@ -1098,6 +1098,17 @@ def q_chi2_report(sf_dir: str) -> pa.Table:
         "cramers_v": pa.array([round(r["cramers_v"], 8)], pa.float64())})
 
 
+def q_doc_cluster_report(sf_dir: str) -> pa.Table:
+    """Text-clustering surface (extras surface): hashed-TF spherical
+    k-means over the documents table; per-cluster sizes and top tokens."""
+    from .doc_cluster import cluster_documents
+
+    _, summary = cluster_documents(
+        _docs(sf_dir, ["doc_id", "text"]), n_clusters=5,
+        n_features=512, top_tokens=5)
+    return pa.Table.from_pandas(summary, preserve_index=False)
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1697,6 +1708,7 @@ QUERIES = {
     "histogram_report": q_histogram_report,
     "bigram_ppl_report": q_bigram_ppl_report,
     "chi2_report": q_chi2_report,
+    "doc_cluster_report": q_doc_cluster_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
