@@ -187,6 +187,12 @@ def train_ivf_centroids(ds, *, n_lists: int = 16, vec_col: str = "embedding",
     else:
         sample = ds.limit(sample_rows).to_pandas()
     x = _unit(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    # lexsort the sample rows: limit()/to_pandas deliver blocks in
+    # ARRIVAL order, so without this the strided init (and every
+    # downstream centroid consumer) varies run to run on multi-block
+    # inputs. With the full-table sample (n ≤ sample_rows — every test
+    # and driver path) this makes the fit fully order-independent.
+    x = x[np.lexsort(x.T[::-1])]
     # deterministic init: evenly strided sample rows
     stride = max(len(x) // n_lists, 1)
     c = x[::stride][:n_lists].copy()

@@ -160,8 +160,11 @@ def test_sf0001_report_pin(ray_session):
     # pinned on the deterministic sf0.001 table (τ matches the injected
     # near-dup band — see q_semantic_dedup_report)
     assert d["n_input"] == [500]
-    assert d["n_pruned"] == [4]
-    assert d["n_kept"] == [496]
+    # 5 with the order-independent (lexsorted-sample) centroid init;
+    # was 4 under the arrival-order init — within-cluster pruning
+    # recall legitimately shifts with the clustering
+    assert d["n_pruned"] == [5]
+    assert d["n_kept"] == [495]
     # determinism: same call → identical table
     rep2 = semantic_dedup_report(ds, threshold=0.45, n_clusters=8)
     assert rep.equals(rep2)
