@@ -1109,6 +1109,18 @@ def q_doc_cluster_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(summary, preserve_index=False)
 
 
+def q_completeness_report(sf_dir: str) -> pa.Table:
+    """Profiling surface (extras surface): per-column completeness /
+    distinct / typed min-max over the orders table (exact path)."""
+    from ..stages.stats import completeness_report
+
+    out = completeness_report(
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                            "o_totalprice", "o_orderdate"]))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_nb_quality_report(sf_dir: str) -> pa.Table:
     """Model-based quality filter (extras surface): fit the Naive Bayes
     classifier on TextScorer's heuristic gate as weak labels (the public
@@ -1709,6 +1721,7 @@ QUERIES = {
     "bigram_ppl_report": q_bigram_ppl_report,
     "chi2_report": q_chi2_report,
     "doc_cluster_report": q_doc_cluster_report,
+    "completeness_report": q_completeness_report,
     "split_report": q_split_report,
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,

@@ -130,3 +130,14 @@ def write_table(ds: "rd.Dataset", path: str, **kwargs) -> None:
         ds.write_lance(path, **kwargs)
         return
     ds.write_parquet(path, **kwargs)
+
+
+def write_partitioned(ds: "rd.Dataset", path: str, by, **kwargs) -> None:
+    """Hive-partitioned parquet write (``path/col=value/…``) — the
+    resumable/prunable sink layout: a rerun can skip finished partition
+    directories, and :func:`read_table` over the root pushes partition
+    filters into directory pruning (tested). ``by`` is a column name or
+    list of names; prefer bounded-cardinality keys (source, lang, date
+    bucket) — one directory per distinct tuple."""
+    cols = [by] if isinstance(by, str) else list(by)
+    ds.write_parquet(path, partition_cols=cols, **kwargs)

@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["corr_matrix", "cov_matrix", "grouped_regression", "histogram",
-           "chi2_independence"]
+           "chi2_independence", "completeness_report"]
 
 
 def _moment_partials(ds, cols: List[str]) -> List[np.ndarray]:
@@ -227,3 +227,100 @@ def chi2_independence(ds, col_a: str, col_b: str, *,
     v = float(np.sqrt(chi2 / (n * k))) if n > 0 and k > 0 else float("nan")
     return {"chi2": chi2, "dof": int(dof), "n": int(n),
             "cramers_v": v, "table": tab}
+
+
+def completeness_report(ds, cols: Sequence[str] | None = None, *,
+                        approx_distinct: bool = False) -> pd.DataFrame:
+    """Per-column data-quality summary → (col, n, n_null, null_frac,
+    n_distinct, min, max): the profiling table a validation run leads
+    with. One streamed pass of per-column partials: counts and typed
+    min/max merge exactly (numeric/temporal columns merge on a float
+    sort key, strings lexicographically); distinct counts are exact via
+    per-block distinct-value partials, or ±2%-HLL with
+    ``approx_distinct=True`` (KB of driver state — the 10^9-distinct
+    path). Min/max are None for all-null or non-orderable columns."""
+    import pyarrow.compute as pc
+
+    from ..state.hll import HyperLogLog
+
+    cols = list(cols) if cols is not None else list(ds.schema().names)
+
+    def _key_disp(scalar, typ):
+        v = scalar.as_py()
+        if v is None:
+            return None, None
+        if (pa.types.is_integer(typ) or pa.types.is_floating(typ)
+                or pa.types.is_boolean(typ) or pa.types.is_decimal(typ)):
+            return float(v), str(v)
+        if pa.types.is_temporal(typ):
+            return float(pa.scalar(v, typ).cast(pa.int64()).as_py()), str(v)
+        return None, str(v)  # lexicographic merge on the display string
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("col", "n", "n_null", "mn_key", "mn",
+                               "mx_key", "mx", "distinct")}
+        for c in cols:
+            arr = b[c]
+            out["col"].append(c)
+            out["n"].append(b.num_rows)
+            out["n_null"].append(arr.null_count)
+            try:
+                mm = pc.min_max(arr)
+                mn_k, mn_d = _key_disp(mm["min"], arr.type)
+                mx_k, mx_d = _key_disp(mm["max"], arr.type)
+            except pa.ArrowNotImplementedError:
+                mn_k = mn_d = mx_k = mx_d = None
+            out["mn_key"].append(mn_k)
+            out["mn"].append(mn_d)
+            out["mx_key"].append(mx_k)
+            out["mx"].append(mx_d)
+            vals = pc.cast(arr.drop_null(), pa.string())
+            if approx_distinct:
+                h = HyperLogLog()
+                h.update_strings(vals.to_numpy(zero_copy_only=False))
+                out["distinct"].append(h.to_bytes().hex())
+            else:
+                u = vals.unique().to_pylist()
+                out["distinct"].append("\x1f".join(sorted(u)))
+        return pa.Table.from_pydict({
+            "col": pa.array(out["col"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "n_null": pa.array(out["n_null"], pa.int64()),
+            "mn_key": pa.array(out["mn_key"], pa.float64()),
+            "mn": pa.array(out["mn"], pa.string()),
+            "mx_key": pa.array(out["mx_key"], pa.float64()),
+            "mx": pa.array(out["mx"], pa.string()),
+            "distinct": pa.array(out["distinct"], pa.string())})
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    rows = []
+    for c in cols:
+        sub = pdf[pdf["col"] == c]
+        n = int(sub["n"].sum())
+        n_null = int(sub["n_null"].sum())
+        has_key = sub["mn_key"].notna()
+        if has_key.any():  # numeric/temporal: merge on the sort key
+            mn = sub.loc[sub["mn_key"].idxmin(), "mn"]                 if sub["mn_key"].notna().any() else None
+            mx = sub.loc[sub["mx_key"].idxmax(), "mx"]
+        else:  # strings: lexicographic on the display value
+            mns = sub["mn"].dropna()
+            mxs = sub["mx"].dropna()
+            mn = mns.min() if len(mns) else None
+            mx = mxs.max() if len(mxs) else None
+        if approx_distinct:
+            acc = HyperLogLog()
+            for d in sub["distinct"]:
+                acc.merge_bytes(bytes.fromhex(d))
+            nd = int(round(acc.estimate()))
+        else:
+            seen: set = set()
+            for d in sub["distinct"]:
+                if d:
+                    seen.update(d.split("\x1f"))
+            nd = len(seen)
+        rows.append({
+            "col": c, "n": n, "n_null": n_null,
+            "null_frac": round(n_null / n, 6) if n else 0.0,
+            "n_distinct": nd, "min": mn, "max": mx})
+    return pd.DataFrame(rows)

@@ -87,3 +87,35 @@ def test_pipeline_result_format_independent(ray_session, tmp_path):
         read_table(f"{SF}/documents.parquet",
                    columns=["doc_id", "text", "lang"])).to_pandas()
     assert a.equals(b)
+
+
+def test_write_partitioned_layout_and_pruned_read(ray_session, tmp_path):
+    """Hive layout on disk, partition values recoverable on read, and a
+    partition filter prunes to the right subset."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.sources.io import read_table, write_partitioned
+
+    df = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(60)],
+        "lang": ["en", "de", "fr"] * 20,
+        "x": range(60)})
+    out = str(tmp_path / "part")
+    write_partitioned(rd.from_pandas(df, override_num_blocks=3), out,
+                      "lang")
+    assert sorted(p for p in os.listdir(out) if p.startswith("lang=")) \
+        == ["lang=de", "lang=en", "lang=fr"]
+    back = read_table(out).to_pandas()
+    assert len(back) == 60 and set(back["lang"]) == {"en", "de", "fr"}
+    # partition-pruned read: the de directory only (path-level pruning —
+    # row filters bind against the FILE schema, which hive layout strips
+    # the partition column from, so pruning must happen on the path)
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    de = read_table(out, partition_filter=PathPartitionFilter.of(
+        lambda kv: kv["lang"] == "de", style="hive")).to_pandas()
+    assert len(de) == 20 and set(de["lang"]) == {"de"}
+    assert sorted(de["x"])[:3] == [1, 4, 7]

@@ -216,3 +216,41 @@ def test_chi2_independence(ray_session):
         chi2_independence(rd.from_pandas(pd.DataFrame({
             "a": [str(i) for i in range(30)],
             "b": ["c"] * 30})), "a", "b", max_levels=10)
+
+
+def test_completeness_report(ray_session):
+    from cerberus_ray.stages.stats import completeness_report
+
+    rng = np.random.default_rng(71)
+    n = 800
+    df = pd.DataFrame({
+        "i": rng.integers(0, 1000, n),          # "9" vs "10" trap
+        "f": rng.normal(0, 1, n),
+        "s": rng.choice(["apple", "pear", "zebra", None], n),
+        "t": pd.to_datetime("2024-01-01")
+             + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+    })
+    df.loc[rng.choice(n, 60, replace=False), "f"] = np.nan
+    ds = rd.from_pandas(df, override_num_blocks=5)
+    got = completeness_report(ds).set_index("col")
+    want = duckdb.sql("""
+        SELECT COUNT(*) n,
+               SUM(CASE WHEN f IS NULL THEN 1 ELSE 0 END) fn,
+               COUNT(DISTINCT i) di, COUNT(DISTINCT s) dsx,
+               MIN(i) mi, MAX(i) ma, MIN(s) ms, MAX(s) mxs
+        FROM df""").fetchone()
+    assert got.loc["i", "n"] == want[0]
+    assert got.loc["f", "n_null"] == want[1]
+    assert got.loc["i", "n_distinct"] == want[2]
+    assert got.loc["s", "n_distinct"] == want[3]
+    # typed min/max: numeric merge, not lexicographic
+    assert int(got.loc["i", "min"]) == want[4]
+    assert int(got.loc["i", "max"]) == want[5]
+    assert got.loc["s", "min"] == want[6]
+    assert got.loc["s", "max"] == want[7]
+    assert got.loc["t", "min"] == str(df["t"].min())
+    assert abs(got.loc["f", "null_frac"] - 60 / n) < 1e-9
+
+    # HLL path within 3% of exact
+    approx = completeness_report(ds, approx_distinct=True).set_index("col")
+    assert abs(approx.loc["i", "n_distinct"] - want[2]) / want[2] < 0.03
