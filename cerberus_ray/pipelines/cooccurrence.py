@@ -87,8 +87,7 @@ def pmi_top_k(ds, text_col: str = "text", *, k: int = 20,
     the min-count gate suppresses the rare-pair PMI inflation).
     Unigram/bigram totals come from the same streamed pass family;
     ties break on (w1, w2)."""
-    pairs = adjacent_pair_counts(ds, text_col, min_count=min_count,
-                                 mode=mode)
+    pairs = adjacent_pair_counts(ds, text_col, min_count=1, mode=mode)
 
     def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].fillna("").str.lower().str.split().explode()
@@ -98,7 +97,10 @@ def pmi_top_k(ds, text_col: str = "text", *, k: int = 20,
     uni = (ds.map_batches(uni_partial, batch_format="pandas").to_pandas()
            .groupby("w")["n"].sum())
     n_tokens = float(uni.sum())
+    # denominators over ALL adjacent pairs — filtering before the total
+    # would inflate every p(ab) by total/filtered
     n_pairs = float(pairs["n"].sum()) if len(pairs) else 0.0
+    pairs = pairs[pairs["n"] >= min_count].reset_index(drop=True)
     if not len(pairs) or n_pairs == 0:
         return pd.DataFrame({"w1": [], "w2": [], "n": [], "pmi": []})
     p_ab = pairs["n"].to_numpy(dtype=np.float64) / n_pairs

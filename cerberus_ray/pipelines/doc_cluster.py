@@ -12,11 +12,15 @@ Execution shape:
    state anywhere).
 2. centroid fit reuses ``similarity.train_ivf_centroids`` (deterministic
    seeded-sample spherical k-means) on the vector column.
-3. ``cluster_documents``: one assignment pass with the (k, B) centroid
-   matrix broadcast once — per batch a single matmul-argmax — plus, in
-   the SAME pass, per-(cluster, token) count partials for the cluster
-   summaries; the driver merges O(#blocks × #clusters × top-k-ish)
-   token rows (vocab-bounded, Zipf-truncated per block).
+3. ``cluster_documents``: an assignment pass with the (k, B) centroid
+   matrix broadcast once — per batch a single matmul-argmax — and a
+   separate summary pass whose per-(cluster, token) count partials the
+   driver merges (O(#blocks × #clusters × top-k-ish) rows, vocab-
+   bounded). Two passes over the text by design: the assignment table
+   and the token summaries have different shapes, and re-hashing a
+   batch is cheaper than exchanging tokens keyed by cluster. The
+   assignments Dataset is materialized so consuming it doesn't run the
+   matmul a third time.
 
 → (assignments Dataset (key, cluster), summary DataFrame (cluster,
 n_docs, top_tokens)).
@@ -102,7 +106,7 @@ def cluster_documents(ds, *, text_col: str = "text",
             "cluster": pa.array(lab)})
 
     assignments = ds.map_batches(assign, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+                                 zero_copy_batch=True).materialize()
 
     def summarize(b: pa.Table) -> pa.Table:
         """Partial rows: token=None rows carry per-cluster doc counts,

@@ -277,7 +277,8 @@ def score_perplexity_bigram(docs_ds, *, text_col: str = "text",
                             key_col: str = "doc_id",
                             vocab_size: int = 50_000,
                             bigram_size: int = 200_000,
-                            lam: float = 0.7, reference_ds=None):
+                            lam: float = 0.7, reference_ds=None,
+                            model=None):
     """→ Dataset (doc_id, n_tokens, xent, ppl): interpolated bigram
     perplexity — ``p(w|h) = λ·c(h,w)/c(h·) + (1−λ)·p_uni(w)`` (Jelinek-
     Mercer smoothing; the unigram term guarantees nonzero mass, so
@@ -288,9 +289,11 @@ def score_perplexity_bigram(docs_ds, *, text_col: str = "text",
         raise ValueError("lam must be in [0, 1)")
     import ray
 
-    model = fit_bigram(reference_ds if reference_ds is not None
-                       else docs_ds, text_col=text_col,
-                       vocab_size=vocab_size, bigram_size=bigram_size)
+    if model is None:  # pass a fit_bigram(...) result to score several
+        model = fit_bigram(  # lambdas / corpora off ONE fit
+            reference_ds if reference_ds is not None else docs_ds,
+            text_col=text_col, vocab_size=vocab_size,
+            bigram_size=bigram_size)
     ref = ray.put(model)
 
     def score(b: pa.Table) -> pa.Table:

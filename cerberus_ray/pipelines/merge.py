@@ -44,7 +44,10 @@ def _winners(ch: pd.DataFrame, key: str, op_col: Optional[str],
     without a version column, or version ties, raise)."""
     if version_col is not None:
         mx = ch.groupby(key)[version_col].transform("max")
-        top = ch[ch[version_col] == mx]
+        # a key whose versions are ALL null: a single row is an
+        # unambiguous winner; several rows are an unresolvable tie
+        nullmax = mx.isna()
+        top = ch[(ch[version_col] == mx) | nullmax]
         if top.duplicated(key).any():
             raise ValueError("unresolvable version tie in change set")
         return top

@@ -53,7 +53,10 @@ def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
              max_rounds: int = 100, mode: str = "driver") -> pd.DataFrame:
     """→ (node, rank) for every node appearing as an endpoint, ranks
     summing to 1. Parallel edges count once per occurrence (weighted by
-    multiplicity), matching the adjacency-matrix formulation."""
+    multiplicity), matching the adjacency-matrix formulation. Edges
+    with a null endpoint are dropped (a null node is not addressable)."""
+    edges_ds = edges_ds.map_batches(
+        lambda df: df.dropna(subset=[src, dst]), batch_format="pandas")
     if mode == "driver":
         return _driver(edges_ds, src, dst, damping, tol, max_rounds)
     if mode == "shuffle":

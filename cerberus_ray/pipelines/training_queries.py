@@ -1059,11 +1059,12 @@ def q_bigram_ppl_report(sf_dir: str) -> pa.Table:
     up per token-count decile band — plus the unigram comparison (the
     bigram model must fit the corpus at least as tightly on average)."""
     from ..stages.groupagg import grouped_agg
-    from .lm_score import score_perplexity, score_perplexity_bigram
+    from .lm_score import fit_bigram, score_perplexity_bigram
 
     docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
-    bi = score_perplexity_bigram(docs, lam=0.7)
-    uni = score_perplexity(docs)
+    model = fit_bigram(docs)  # one fit feeds both scorers
+    bi = score_perplexity_bigram(docs, lam=0.7, model=model)
+    uni = score_perplexity_bigram(docs, lam=0.0, model=model)
 
     def roll(ds_):
         g = grouped_agg(ds_.map_batches(

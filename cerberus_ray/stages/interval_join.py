@@ -58,6 +58,12 @@ def interval_join(left_ds, right_ds, *, on: Optional[str] = None,
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
+            # drop null-bounded intervals up front: SQL range predicates
+            # on NULL are false, and a NaN reaching gmin/gmax/band would
+            # poison the whole bucket's shifted sweep
+            bounds = ([left_start, left_end] if side == 0
+                      else [right_start, right_end])
+            df = df.dropna(subset=bounds)
             out = df.rename(columns=ren) if side else df.copy()
             for c in unified:
                 if c not in out.columns:

@@ -64,6 +64,14 @@ def _encode_key(t: pa.Table, cols: List[str]) -> pa.Table:
     parts = []
     for c in cols:
         s = pc.cast(t[c], pa.string())
+        # escape before joining: a value containing the field separator
+        # (or equal to the null sentinel) must not collide with a
+        # different tuple — escaping is injective, so tuple identity is
+        # preserved ("\x1e"->"\x1e\x1e" first, then "\x1f"->"\x1eF")
+        s = pc.replace_substring(s, pattern="\x1e",
+                                 replacement="\x1e\x1e")
+        s = pc.replace_substring(s, pattern="\x1f",
+                                 replacement="\x1eF")
         parts.append(pc.coalesce(s, _NULL))
     key = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
         *parts, "\x1f")

@@ -154,8 +154,10 @@ def histogram(ds, col: str, *, bins: int = 20,
             batch_format="pyarrow", zero_copy_batch=True).to_pandas()
         lo = float(mm["lo"].min()) if lo is None else lo
         hi = float(mm["hi"].max()) if hi is None else hi
-    if not np.isfinite(lo) or not np.isfinite(hi) or hi <= lo:
-        hi = lo + 1.0  # degenerate/empty column: one bin
+    if not np.isfinite(lo) or not np.isfinite(hi):
+        lo, hi = 0.0, 1.0  # all-null/empty column: a real one-bin range
+    elif hi <= lo:
+        hi = lo + 1.0  # constant column: one bin
     edges = np.linspace(lo, hi, bins + 1)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -274,14 +276,22 @@ def completeness_report(ds, cols: Sequence[str] | None = None, *,
             out["mn"].append(mn_d)
             out["mx_key"].append(mx_k)
             out["mx"].append(mx_d)
-            vals = pc.cast(arr.drop_null(), pa.string())
+            try:
+                vals = pc.cast(arr.drop_null(), pa.string())
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                out["distinct"].append(None)  # nested type: counts only
+                continue
             if approx_distinct:
                 h = HyperLogLog()
                 h.update_strings(vals.to_numpy(zero_copy_only=False))
-                out["distinct"].append(h.to_bytes().hex())
+                out["distinct"].append("h" + h.to_bytes().hex())
             else:
-                u = vals.unique().to_pylist()
-                out["distinct"].append("\x1f".join(sorted(u)))
+                # escape so a value containing the separator (or an
+                # empty string) can't corrupt the distinct merge;
+                # escaping is injective, so distinctness is preserved
+                u = [v.replace("\x1e", "\x1e\x1e").replace(
+                    "\x1f", "\x1eF") for v in vals.unique().to_pylist()]
+                out["distinct"].append("v" + "\x1f".join(sorted(u)))
         return pa.Table.from_pydict({
             "col": pa.array(out["col"], pa.string()),
             "n": pa.array(out["n"], pa.int64()),
@@ -308,16 +318,19 @@ def completeness_report(ds, cols: Sequence[str] | None = None, *,
             mxs = sub["mx"].dropna()
             mn = mns.min() if len(mns) else None
             mx = mxs.max() if len(mxs) else None
-        if approx_distinct:
+        ds_col = sub["distinct"].dropna()
+        if len(ds_col) < len(sub):
+            nd = None  # nested/uncastable type: counts only
+        elif approx_distinct:
             acc = HyperLogLog()
-            for d in sub["distinct"]:
-                acc.merge_bytes(bytes.fromhex(d))
+            for d in ds_col:
+                acc.merge_bytes(bytes.fromhex(d[1:]))
             nd = int(round(acc.estimate()))
         else:
             seen: set = set()
-            for d in sub["distinct"]:
-                if d:
-                    seen.update(d.split("\x1f"))
+            for d in ds_col:
+                if len(d) > 1:
+                    seen.update(d[1:].split("\x1f"))
             nd = len(seen)
         rows.append({
             "col": c, "n": n, "n_null": n_null,

@@ -90,3 +90,19 @@ def test_pmi_reference(ray_session):
     want = np.log2((pairs[("san", "francisco")] / n_pair)
                    / ((uni["san"] / n_tok) * (uni["francisco"] / n_tok)))
     np.testing.assert_allclose(float(got.iloc[0]["pmi"]), want, rtol=1e-12)
+
+
+def test_pmi_denominator_uses_unfiltered_totals(ray_session):
+    """min_count gates which pairs are REPORTED, not the probability
+    denominators (regression: filtered totals inflated every PMI)."""
+    docs = ["a b"] * 10 + ["c d"] * 2 + ["e f"]  # 'e f' below min_count
+    ds = rd.from_pandas(pd.DataFrame({"text": docs}))
+    got = pmi_top_k(ds, "text", k=5, min_count=2)
+    toks = [w for d in docs for w in d.split()]
+    uni = pd.Series(toks).value_counts()
+    n_tok = uni.sum()
+    n_pair = 13.0  # ALL adjacent pairs, incl. the filtered 'e f'
+    want = np.log2((10 / n_pair) / ((uni["a"] / n_tok) * (uni["b"] / n_tok)))
+    row = got[(got["w1"] == "a") & (got["w2"] == "b")]
+    np.testing.assert_allclose(float(row["pmi"].iloc[0]), want, rtol=1e-12)
+    assert not ((got["w1"] == "e") & (got["w2"] == "f")).any()

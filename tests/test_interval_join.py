@@ -96,3 +96,15 @@ def test_partition_invariance_and_how_guard(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     with pytest.raises(ValueError, match="unknown how"):
         interval_join(rd.from_pandas(L), rd.from_pandas(R), how="cross")
+
+
+def test_null_bounds_dropped_not_poisoning(ray_session):
+    """One null-bounded row must not NaN-poison its bucket's sweep."""
+    L = pd.DataFrame({"k": [1, 1], "lid": [0, 1],
+                      "start": [10.0, np.nan], "end": [20.0, np.nan]})
+    R = pd.DataFrame({"k": [1, 1], "rid": [0, 1],
+                      "start": [15.0, np.nan], "end": [25.0, np.nan]})
+    got = interval_join(rd.from_pandas(L), rd.from_pandas(R), on="k",
+                        left_start="start", left_end="end",
+                        right_start="start", right_end="end").to_pandas()
+    assert got[["lid", "rid"]].values.tolist() == [[0, 0]]

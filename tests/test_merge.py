@@ -91,3 +91,20 @@ def test_empty_changes(ray_session):
     got = _norm(merge_upsert(base, ch, "id",
                              mode="broadcast").to_pandas())
     pd.testing.assert_frame_equal(got, _norm(_base()))
+
+
+def test_all_null_version_single_row_wins(ray_session):
+    base = rd.from_pandas(_base())
+    ch = rd.from_pandas(pd.DataFrame({
+        "id": [1], "val": ["ONLY"], "score": [1.0],
+        "ver": [np.nan]}))
+    got = _norm(merge_upsert(base, ch, "id", version_col="ver",
+                             mode="broadcast").to_pandas())
+    assert got.loc[got["id"] == 1, "val"].iloc[0] == "ONLY"
+    # several all-null-version rows for one key: unresolvable
+    ch2 = rd.from_pandas(pd.DataFrame({
+        "id": [1, 1], "val": ["A", "B"], "score": [0.0, 1.0],
+        "ver": [np.nan, np.nan]}))
+    with pytest.raises(Exception, match="tie"):
+        merge_upsert(base, ch2, "id", version_col="ver",
+                     mode="broadcast").to_pandas()

@@ -91,3 +91,11 @@ def test_larger_random_graph_matches_exact(ray_session):
     np.testing.assert_allclose(
         got.set_index("node").loc[nodes, "rank"].to_numpy(), want,
         atol=1e-9)
+
+
+def test_null_endpoints_dropped(ray_session):
+    df = pd.DataFrame({"src": ["a", "b", None], "dst": ["b", None, "a"]})
+    got = pagerank(rd.from_pandas(df), damping=0.5, tol=1e-10,
+                   max_rounds=200)
+    assert got["node"].tolist() == ["a", "b"]
+    assert abs(got["rank"].sum() - 1.0) < 1e-12

@@ -96,3 +96,26 @@ def test_bad_mode(ray_session):
     a, b = rd.from_pandas(fa), rd.from_pandas(fb)
     with pytest.raises(ValueError, match="unknown mode"):
         intersect_distinct(a, b, ["s"], mode="nope")
+
+
+def test_separator_collision_modes_agree(ray_session):
+    """Values containing the key separator must not merge distinct
+    tuples in shuffle mode (escaping regression test)."""
+    fa = pd.DataFrame({"c1": ["x\x1fy", "\x1eNULL\x1e"],
+                       "c2": ["z", "w"]})
+    fb = pd.DataFrame({"c1": ["x", None], "c2": ["y\x1fz", "w"]})
+    a, b = rd.from_pandas(fa), rd.from_pandas(fb)
+    def nz(df):
+        return (df.astype(str).sort_values(["c1", "c2"])
+                .reset_index(drop=True))
+
+    for op, fn in [("intersect", intersect_distinct),
+                   ("except", except_distinct),
+                   ("union", union_distinct)]:
+        d = nz(fn(a, b, ["c1", "c2"], mode="driver"))
+        s = nz(fn(a, b, ["c1", "c2"], mode="shuffle"))
+        assert len(d) == len(s), op
+        assert d.values.tolist() == s.values.tolist(), op
+    # and the would-collide tuples are NOT an intersect match
+    assert len(intersect_distinct(a, b, ["c1", "c2"],
+                                  mode="shuffle")) == 0

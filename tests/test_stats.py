@@ -254,3 +254,27 @@ def test_completeness_report(ray_session):
     # HLL path within 3% of exact
     approx = completeness_report(ds, approx_distinct=True).set_index("col")
     assert abs(approx.loc["i", "n_distinct"] - want[2]) / want[2] < 0.03
+
+
+def test_histogram_all_null_column(ray_session):
+    from cerberus_ray.stages.stats import histogram
+
+    df = pd.DataFrame({"v": [np.nan] * 10})
+    got = histogram(rd.from_pandas(df), "v", bins=4)
+    assert got["n"].sum() == 0
+    assert np.isfinite(got["lo"]).all() and np.isfinite(got["hi"]).all()
+
+
+def test_completeness_nested_and_edge_values(ray_session):
+    from cerberus_ray.stages.stats import completeness_report
+
+    df = pd.DataFrame({
+        "s": ["", "", "a\x1fb", "a", None],
+        "emb": [[1.0, 2.0]] * 5})
+    got = completeness_report(rd.from_pandas(df)).set_index("col")
+    # nested column: counts only, no crash
+    assert got.loc["emb", "n"] == 5
+    assert pd.isna(got.loc["emb", "n_distinct"])
+    # empty string counts as a distinct value; \x1f value not split
+    assert got.loc["s", "n_distinct"] == 3
+    assert got.loc["s", "n_null"] == 1
