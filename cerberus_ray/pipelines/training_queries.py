@@ -203,6 +203,25 @@ def q_bm25_search(sf_dir: str) -> pa.Table:
                      "hash join table scan", k=10)
 
 
+def q_hybrid_search_report(sf_dir: str) -> pa.Table:
+    """BM25 + embedding-ANN hybrid retrieval fused by reciprocal-rank
+    fusion (extras surface): top-10 fused docs for a fixed text query and
+    the vec_id=0 probe vector — closed-form RRF math, DuckDB parity and
+    determinism asserted in tests/test_retrieval.py."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .retrieval import hybrid_search
+
+    qvec = np.asarray(pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"],
+        filters=[("vec_id", "=", 0)])["embedding"].to_pylist()[0])
+    return hybrid_search(_docs(sf_dir, ["doc_id", "text"]),
+                         read_table(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"]),
+                         "hash join table scan", qvec, k=10)
+
+
 def q_skew_report(sf_dir: str) -> pa.Table:
     """Key-skew diagnostic over events.user_id (extras surface): the
     pre-shuffle planning probe — DuckDB count parity + numpy reference
@@ -1741,6 +1760,7 @@ QUERIES = {
     "event_rate_anomalies": q_event_rate_anomalies,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
+    "hybrid_search_report": q_hybrid_search_report,
 }
 
 def _stopword_sql(lang: str) -> str:
