@@ -29,8 +29,10 @@ from typing import Dict, Mapping, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 
-__all__ = ["rrf_fuse", "hybrid_search"]
+__all__ = ["rrf_fuse", "hybrid_search", "mmr_rerank"]
 
 
 def rrf_fuse(ranked: Mapping[str, pa.Table], *, key_col: str = "doc_id",
@@ -120,3 +122,89 @@ def hybrid_search(docs_ds, emb_ds, query_text: str,
                            pa.string())})
     return rrf_fuse({"bm25": lex, "ann": ann_ids}, key_col="doc_id",
                     k_rrf=k_rrf, top_k=k, weights=weights)
+
+
+def mmr_rerank(emb_ds, query_vec: np.ndarray, *, k: int = 10,
+               candidates: int = 50, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               exclude_ids: Optional[np.ndarray] = None,
+               round_digits: int = 6) -> pa.Table:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick documents maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — relevance
+    traded against redundancy, the standard diversity re-rank after a
+    similarity retrieval pass (near-duplicate hits crowd out coverage).
+
+    Shape: the streamed pass is :func:`similarity.brute_force_topk`
+    (per-block matmul partial top-k); a candidate-only semi-join
+    (broadcast id set, ``pc.is_in`` filter) fetches the ≤``candidates``
+    surviving vectors, and the O(c²) greedy runs on the driver — tiny by
+    construction, an exchange would cost more than it moves.
+
+    → (rank, vec_id, relevance, redundancy, mmr_score) with rank 1..k.
+    Determinism: relevance reuses brute-force's rounded sims; pairwise
+    sims and mmr scores round to ``round_digits``; every argmax breaks
+    ties on the smaller id, so output is block-layout-invariant.
+    """
+    from .similarity import _mat, _unit, brute_force_topk
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cand = brute_force_topk(emb_ds, np.atleast_2d(query_vec),
+                            k=candidates, id_col=id_col, vec_col=vec_col,
+                            exclude_ids=exclude_ids)
+    empty = pa.Table.from_pydict({
+        "rank": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "relevance": pa.array([], pa.float64()),
+        "redundancy": pa.array([], pa.float64()),
+        "mmr_score": pa.array([], pa.float64())})
+    if cand.num_rows == 0:
+        return empty
+    cand_ids = np.asarray(cand["vec_id"].to_pylist(), dtype=np.int64)
+    rel_by_id = dict(zip(cand_ids.tolist(), cand["sim"].to_pylist()))
+    idset = ray.put(pa.array(np.sort(cand_ids)))
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[id_col], value_set=ray.get(idset))
+        return b.filter(mask).select([id_col, vec_col])
+
+    parts = [t for t in ray.get(
+        emb_ds.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    if not parts:
+        return empty
+    fetched = pa.concat_tables(parts)
+    ids = np.asarray(fetched[id_col].to_pylist(), dtype=np.int64)
+    # the id space may hold duplicates of a candidate id; keep first
+    order = np.argsort(ids, kind="stable")
+    ids, uniq_pos = ids[order], np.unique(ids[order], return_index=True)[1]
+    vecs = _unit(_mat(fetched[vec_col]))[order][uniq_pos]
+    ids = ids[uniq_pos]
+    pair = np.round(vecs @ vecs.T, round_digits)  # (c, c) pairwise cosine
+    rel = np.asarray([rel_by_id[int(i)] for i in ids], dtype=np.float64)
+
+    n = len(ids)
+    selected: list[int] = []
+    chosen = np.zeros(n, dtype=bool)
+    red_out, score_out = [], []
+    for _ in range(min(k, n)):
+        red = (np.max(pair[:, selected], axis=1)
+               if selected else np.zeros(n))
+        score = np.round(lam * rel - (1.0 - lam) * red, round_digits)
+        score[chosen] = -np.inf
+        best = np.min(np.flatnonzero(score == np.max(score)))  # ties → row
+        # rows are sorted by id, so min row index = smallest id
+        selected.append(best)
+        chosen[best] = True
+        red_out.append(0.0 if len(selected) == 1
+                       else float(np.round(red[best], round_digits)))
+        score_out.append(float(score[best]))
+    sel = np.asarray(selected)
+    return pa.Table.from_pydict({
+        "rank": pa.array(np.arange(1, len(sel) + 1), pa.int64()),
+        "vec_id": pa.array(ids[sel], pa.int64()),
+        "relevance": pa.array(rel[sel], pa.float64()),
+        "redundancy": pa.array(red_out, pa.float64()),
+        "mmr_score": pa.array(score_out, pa.float64())})

@@ -222,6 +222,23 @@ def q_hybrid_search_report(sf_dir: str) -> pa.Table:
                          "hash join table scan", qvec, k=10)
 
 
+def q_mmr_rerank_report(sf_dir: str) -> pa.Table:
+    """Maximal-Marginal-Relevance diverse top-10 for the vec_id=0 probe
+    vector (extras surface) — naive-reference parity, lam=1 ≡ brute
+    force, and determinism asserted in tests/test_retrieval.py."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .retrieval import mmr_rerank
+
+    qvec = np.asarray(pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"],
+        filters=[("vec_id", "=", 0)])["embedding"].to_pylist()[0])
+    return mmr_rerank(read_table(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"]),
+                      qvec, k=10, candidates=50, lam=0.7)
+
+
 def q_skew_report(sf_dir: str) -> pa.Table:
     """Key-skew diagnostic over events.user_id (extras surface): the
     pre-shuffle planning probe — DuckDB count parity + numpy reference
@@ -1761,6 +1778,7 @@ QUERIES = {
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,
+    "mmr_rerank_report": q_mmr_rerank_report,
 }
 
 def _stopword_sql(lang: str) -> str:
