@@ -63,6 +63,8 @@ QUERY_NAMES = [
     "pagerank_report", "collocation_report", "resample_report",
     "fuzzyjoin_report", "standardize_report", "merge_report",
     "interval_join_report", "corr_report",
+    # eighth-session extras (hybrid retrieval + MMR re-rank)
+    "hybrid_search_report", "mmr_rerank_report",
 ]
 
 
