@@ -239,6 +239,63 @@ def q_mmr_rerank_report(sf_dir: str) -> pa.Table:
                       qvec, k=10, candidates=50, lam=0.7)
 
 
+def q_zorder_layout_report(sf_dir: str) -> pa.Table:
+    """Z-order layout demo over events (extras surface): write the table
+    in natural vs Morton-interleaved (user_id, value) order, run the same
+    2-D range scan against both, and report row-group pruning measured
+    from parquet footers. Scan-result equality, DuckDB count parity and
+    the pruning win are asserted in tests/test_layout.py."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..stages.layout import (range_count, rowgroups_overlapping,
+                                 zorder_sort)
+
+    src = f"{sf_dir}/events.parquet"
+    ev = read_table(src, columns=["event_id", "user_id", "value"])
+    # predicate band: middle 20% of each column's range, bounds taken
+    # from the SOURCE footer stats (no data pass, deterministic)
+    md = pq.ParquetFile(src).metadata
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    lo, hi = {}, {}
+    for c in ("user_id", "value"):
+        mins = [md.row_group(g).column(idx[c]).statistics.min
+                for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx[c]).statistics.max
+                for g in range(md.num_row_groups)]
+        cmin, cmax = float(min(mins)), float(max(maxs))
+        lo[c] = cmin + 0.4 * (cmax - cmin)
+        hi[c] = cmin + 0.6 * (cmax - cmin)
+    preds = {c: (lo[c], hi[c]) for c in ("user_id", "value")}
+
+    base = os.path.join("/tmp", "cerberus_zorder",
+                        sf_dir.strip("/").replace("/", "_"))
+    nat, zod = os.path.join(base, "natural"), os.path.join(base, "zorder")
+    for p in (nat, zod):
+        shutil.rmtree(p, ignore_errors=True)
+    ev.repartition(16).write_parquet(nat)
+    zorder_sort(ev, ["user_id", "value"],
+                bits=8).repartition(16).write_parquet(zod)
+
+    n_nat, n_zod = range_count(nat, preds), range_count(zod, preds)
+    tot_n, hit_n = rowgroups_overlapping(nat, preds)
+    tot_z, hit_z = rowgroups_overlapping(zod, preds)
+    return pa.Table.from_pydict({
+        "n_match_natural": pa.array([n_nat], pa.int64()),
+        "n_match_zorder": pa.array([n_zod], pa.int64()),
+        "rg_total_natural": pa.array([tot_n], pa.int64()),
+        "rg_hit_natural": pa.array([hit_n], pa.int64()),
+        "rg_total_zorder": pa.array([tot_z], pa.int64()),
+        "rg_hit_zorder": pa.array([hit_z], pa.int64()),
+        "user_lo": pa.array([lo["user_id"]], pa.float64()),
+        "user_hi": pa.array([hi["user_id"]], pa.float64()),
+        "value_lo": pa.array([lo["value"]], pa.float64()),
+        "value_hi": pa.array([hi["value"]], pa.float64()),
+    })
+
+
 def q_skew_report(sf_dir: str) -> pa.Table:
     """Key-skew diagnostic over events.user_id (extras surface): the
     pre-shuffle planning probe — DuckDB count parity + numpy reference
@@ -1779,6 +1836,7 @@ QUERIES = {
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,
     "mmr_rerank_report": q_mmr_rerank_report,
+    "zorder_layout_report": q_zorder_layout_report,
 }
 
 def _stopword_sql(lang: str) -> str:
