@@ -420,6 +420,53 @@ def fingerprint_docs(ds, *, text_col: str = "text", key_col: str = "doc_id",
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def char_entropy(ds, *, text_col: str = "text", key_col: str = "doc_id"):
+    """→ Dataset (doc_id, n_chars, distinct_chars, entropy_bits): Shannon
+    entropy of each document's CHARACTER distribution — the classic
+    gibberish/boilerplate signal (keyboard mash and repeated padding sit
+    far below natural prose's ~4 bits/char; public corpus filters gate on
+    it next to the Gopher rules and `compression_ratio`, which measures
+    SEQUENCE redundancy rather than symbol spread).
+
+    H = log2(n) − (Σ_c count_c·log2(count_c))/n over unicode CODEPOINTS
+    (matching DuckDB's per-character `string_split(text, '')`, so the
+    oracle is exact); empty/null docs get H = 0. `entropy_bits` rounds
+    half-away to 4 dp (`_round4`, DuckDB ROUND semantics).
+
+    Vectorized per batch: every text in the batch is decoded once into a
+    single UTF-32 codepoint array, (doc, codepoint) pairs collapse with
+    one `np.unique`, and the per-doc reductions are `np.bincount` — no
+    per-document Python. Stateless, streams; the per-doc output rows make
+    it a map stage, never an exchange."""
+    import pyarrow.compute as pc
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b[text_col], "").to_pylist()
+        n_docs = len(texts)
+        lens = np.fromiter((len(t) for t in texts), np.int64, n_docs)
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.uint64)
+        doc = np.repeat(np.arange(n_docs, dtype=np.uint64), lens)
+        uk, counts = np.unique((doc << np.uint64(32)) | cp,
+                               return_counts=True)
+        udoc = (uk >> np.uint64(32)).astype(np.int64)
+        distinct = np.bincount(udoc, minlength=n_docs).astype(np.int64)
+        clogc = np.bincount(udoc, weights=counts * np.log2(counts),
+                            minlength=n_docs)
+        n = lens.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.where(lens > 0, np.log2(np.maximum(n, 1)) - clogc
+                         / np.maximum(n, 1), 0.0)
+        return pa.Table.from_pydict({
+            "doc_id": b[key_col],
+            "n_chars": pa.array(lens, pa.int64()),
+            "distinct_chars": pa.array(distinct, pa.int64()),
+            "entropy_bits": pa.array(_round4(pd.Series(h)), pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def compression_ratio(ds, *, text_col: str = "text",
                       key_col: str = "doc_id", level: int = 6,
                       round_digits: int = 4):

@@ -239,6 +239,28 @@ def q_mmr_rerank_report(sf_dir: str) -> pa.Table:
                       qvec, k=10, candidates=50, lam=0.7)
 
 
+def q_char_entropy_report(sf_dir: str) -> pa.Table:
+    """The 20 lowest character-entropy documents (extras surface) — the
+    gibberish/boilerplate screen. Block-local lowest-20 partials are a
+    lossless candidate filter for the global bottom-k, so the driver
+    merges ≤20 rows per block. DuckDB parity (per-codepoint split +
+    log2 entropy, bit-exact after shared 4-dp rounding) in
+    tests/test_char_entropy.py."""
+    from .text import char_entropy
+
+    ds = char_entropy(_docs(sf_dir, ["doc_id", "text"]))
+
+    def head(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["entropy_bits", "doc_id"]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(head, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = parts.sort_values(["entropy_bits", "doc_id"]).head(20)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_zorder_layout_report(sf_dir: str) -> pa.Table:
     """Z-order layout demo over events (extras surface): write the table
     in natural vs Morton-interleaved (user_id, value) order, run the same
@@ -1837,6 +1859,7 @@ QUERIES = {
     "hybrid_search_report": q_hybrid_search_report,
     "mmr_rerank_report": q_mmr_rerank_report,
     "zorder_layout_report": q_zorder_layout_report,
+    "char_entropy_report": q_char_entropy_report,
 }
 
 def _stopword_sql(lang: str) -> str:
