@@ -239,6 +239,27 @@ def q_mmr_rerank_report(sf_dir: str) -> pa.Table:
                       qvec, k=10, candidates=50, lam=0.7)
 
 
+def q_compaction_report(sf_dir: str) -> pa.Table:
+    """Small-file compaction demo (extras surface): fragment the
+    documents table into a hive layout with many small files per lang
+    partition, compact to ~1000-row files, and return the per-partition
+    summary. Row preservation, footer-only planning and marker-gated
+    resume are asserted in tests/test_compaction.py."""
+    import os
+    import shutil
+
+    from ..stages.compaction import compact_dataset
+
+    base = os.path.join("/tmp", "cerberus_compact",
+                        sf_dir.strip("/").replace("/", "_"))
+    src, out = os.path.join(base, "src"), os.path.join(base, "out")
+    for p in (src, out):
+        shutil.rmtree(p, ignore_errors=True)
+    _docs(sf_dir, ["doc_id", "lang", "n_chars"]).repartition(
+        24).write_parquet(src, partition_cols=["lang"])
+    return compact_dataset(src, out, target_rows_per_file=1000)
+
+
 def q_char_entropy_report(sf_dir: str) -> pa.Table:
     """The 20 lowest character-entropy documents (extras surface) — the
     gibberish/boilerplate screen. Block-local lowest-20 partials are a
@@ -1860,6 +1881,7 @@ QUERIES = {
     "mmr_rerank_report": q_mmr_rerank_report,
     "zorder_layout_report": q_zorder_layout_report,
     "char_entropy_report": q_char_entropy_report,
+    "compaction_report": q_compaction_report,
 }
 
 def _stopword_sql(lang: str) -> str:
