@@ -63,8 +63,10 @@ QUERY_NAMES = [
     "pagerank_report", "collocation_report", "resample_report",
     "fuzzyjoin_report", "standardize_report", "merge_report",
     "interval_join_report", "corr_report",
-    # eighth-session extras (hybrid retrieval + MMR re-rank)
+    # eighth-session extras (hybrid retrieval + MMR re-rank, storage
+    # layout + maintenance, entropy signal)
     "hybrid_search_report", "mmr_rerank_report",
+    "zorder_layout_report", "compaction_report", "char_entropy_report",
 ]
 
 
