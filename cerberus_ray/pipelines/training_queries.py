@@ -239,6 +239,57 @@ def q_mmr_rerank_report(sf_dir: str) -> pa.Table:
                       qvec, k=10, candidates=50, lam=0.7)
 
 
+def q_bloom_index_report(sf_dir: str) -> pa.Table:
+    """Per-file Bloom point-lookup index demo (extras surface): fragment
+    events into 16 files, index event_id, probe 20 present + 20 absent
+    keys through the saved/reloaded sidecar, and report candidate-file
+    fan-out and rows found. No-false-negative, layout-invariance and
+    parity guarantees are asserted in tests/test_file_index.py."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..stages.file_index import FileBloomIndex
+
+    base = os.path.join("/tmp", "cerberus_bloomidx",
+                        sf_dir.strip("/").replace("/", "_"))
+    src = os.path.join(base, "data")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    read_table(f"{sf_dir}/events.parquet",
+               columns=["event_id", "user_id", "value"]).repartition(
+        16).write_parquet(src)
+
+    idx = FileBloomIndex.build(src, "event_id", fpp=0.01)
+    sidecar = os.path.join(base, "event_id.bloomidx.parquet")
+    idx.save(sidecar)
+    idx = FileBloomIndex.load(sidecar)
+
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    i = {md.schema.column(j).path: j for j in range(md.num_columns)}
+    lo = min(md.row_group(g).column(i["event_id"]).statistics.min
+             for g in range(md.num_row_groups))
+    hi = max(md.row_group(g).column(i["event_id"]).statistics.max
+             for g in range(md.num_row_groups))
+    present = np.linspace(lo, hi, 20).astype(np.int64)
+    absent = np.arange(hi + 1_000_001, hi + 1_000_021, dtype=np.int64)
+
+    hit_p = float(np.mean([len(idx.files_for(k)) for k in present]))
+    hit_a = float(np.mean([len(idx.files_for(k)) for k in absent]))
+    rows_found = idx.lookup(present).count()
+    return pa.Table.from_pydict({
+        "files_total": pa.array([len(idx.blooms)], pa.int64()),
+        "rows_found": pa.array([rows_found], pa.int64()),
+        "n_probes": pa.array([len(present)], pa.int64()),
+        "mean_files_hit_present": pa.array([round(hit_p, 4)], pa.float64()),
+        "mean_files_hit_absent": pa.array([round(hit_a, 4)], pa.float64()),
+        "rows_found_absent": pa.array(
+            [idx.lookup(absent).count()], pa.int64()),
+    })
+
+
 def q_compaction_report(sf_dir: str) -> pa.Table:
     """Small-file compaction demo (extras surface): fragment the
     documents table into a hive layout with many small files per lang
@@ -1882,6 +1933,7 @@ QUERIES = {
     "zorder_layout_report": q_zorder_layout_report,
     "char_entropy_report": q_char_entropy_report,
     "compaction_report": q_compaction_report,
+    "bloom_index_report": q_bloom_index_report,
 }
 
 def _stopword_sql(lang: str) -> str:
