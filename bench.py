@@ -67,7 +67,7 @@ QUERY_NAMES = [
     # layout + maintenance, entropy signal)
     "hybrid_search_report", "mmr_rerank_report",
     "zorder_layout_report", "compaction_report", "char_entropy_report",
-    "bloom_index_report",
+    "bloom_index_report", "catalog_report",
 ]
 
 

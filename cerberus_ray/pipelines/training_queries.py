@@ -239,6 +239,17 @@ def q_mmr_rerank_report(sf_dir: str) -> pa.Table:
                       qvec, k=10, candidates=50, lam=0.7)
 
 
+def q_catalog_report(sf_dir: str) -> pa.Table:
+    """Footer-only catalog of the sf directory (extras surface): one row
+    per logical table with rows/bytes/files/row-groups/partition-keys/
+    schema signature — the SHOW TABLES discovery pass pipelines consult
+    before planning. DuckDB row-count parity + hive partition detection
+    in tests/test_catalog.py."""
+    from ..stages.catalog import catalog_report
+
+    return catalog_report(sf_dir)
+
+
 def q_bloom_index_report(sf_dir: str) -> pa.Table:
     """Per-file Bloom point-lookup index demo (extras surface): fragment
     events into 16 files, index event_id, probe 20 present + 20 absent
@@ -1934,6 +1945,7 @@ QUERIES = {
     "char_entropy_report": q_char_entropy_report,
     "compaction_report": q_compaction_report,
     "bloom_index_report": q_bloom_index_report,
+    "catalog_report": q_catalog_report,
 }
 
 def _stopword_sql(lang: str) -> str:

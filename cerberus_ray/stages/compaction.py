@@ -62,10 +62,19 @@ def plan_compaction(path: str, *, target_rows_per_file: int
 
 def compact_dataset(path: str, out_path: str, *,
                     target_rows_per_file: int = 1_000_000,
+                    sort_by: Optional[List[str]] = None,
                     resume: bool = True) -> pa.Table:
     """Compact every partition under ``path`` into ``out_path`` (same
     relative partition layout) and return the summary table
     (partition, files_before, files_after, rows, skipped).
+
+    ``sort_by`` additionally clusters each partition's rows on the given
+    columns while rewriting (lakehouse ``CLUSTER BY``): the sort is an
+    exchange scoped to ONE partition at a time, and the payoff is tight
+    per-file/row-group statistics on the sort columns — range scans over
+    the compacted layout prune (measure with
+    `layout.rowgroups_overlapping`). For multi-COLUMN locality in one
+    layout use `layout.zorder_sort` instead.
 
     ``resume=True`` skips partitions whose output already carries the
     success marker — rerunning after a failure redoes only unfinished
@@ -88,8 +97,10 @@ def compact_dataset(path: str, out_path: str, *,
 
             shutil.rmtree(dst, ignore_errors=True)
             src_dir = path if rel == "." else os.path.join(path, rel)
-            ds = read_table(src_dir).repartition(item["files_target"])
-            ds.write_parquet(dst)
+            ds = read_table(src_dir)
+            if sort_by:
+                ds = ds.sort(sort_by)
+            ds.repartition(item["files_target"]).write_parquet(dst)
             import pyarrow.parquet as pq
 
             written = sum(

@@ -62,6 +62,38 @@ def test_resume_skips_finished_partitions(ray_session, tmp_path):
     assert before == after  # untouched, not rewritten
 
 
+def test_sort_by_clusters_rows_for_pruning(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    from cerberus_ray.stages.layout import rowgroups_overlapping
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame({
+        "k": range(n),
+        "lang": [["en", "de", "fr"][i % 3] for i in range(n)],
+        "v": rng.permutation(n).astype("float64"),  # scattered in row order
+    })
+    src = str(tmp_path / "src")
+    rd.from_pandas(df).repartition(24).write_parquet(
+        src, partition_cols=["lang"])
+    plain, clustered = str(tmp_path / "plain"), str(tmp_path / "clus")
+    compact_dataset(src, plain, target_rows_per_file=250)
+    summary = compact_dataset(src, clustered, target_rows_per_file=250,
+                              sort_by=["v"]).to_pandas()
+    # clustering never changes the row set
+    for rel in summary["partition"]:
+        lang = rel.split("=")[1]
+        got = pq.read_table(os.path.join(clustered, rel)).to_pandas()
+        assert sorted(got["k"]) == sorted(df[df.lang == lang]["k"])
+    # ... but tightens v-statistics: a v-band scan prunes row groups
+    band = {"v": (1200.0, 1400.0)}
+    tot_p, hit_p = rowgroups_overlapping(plain, band)
+    tot_c, hit_c = rowgroups_overlapping(clustered, band)
+    assert hit_c / tot_c < hit_p / tot_p, (hit_c, tot_c, hit_p, tot_p)
+
+
 def test_flat_directory_compacts_as_one_partition(ray_session, tmp_path):
     import ray.data as rd
 
