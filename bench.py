@@ -68,6 +68,7 @@ QUERY_NAMES = [
     "hybrid_search_report", "mmr_rerank_report",
     "zorder_layout_report", "compaction_report", "char_entropy_report",
     "bloom_index_report", "catalog_report",
+    "q3_shipping_priority", "q10_returned_items",
 ]
 
 

@@ -1,0 +1,178 @@
+"""Classic multi-join analytical queries (TPC-H Q3/Q10 shapes) over the
+driver tables — the composition test for the engine's join planners:
+fact×fact native shuffle join, dimension/semi-filter broadcasts,
+map-side combined grouped aggregation, candidate-only attribute fetch.
+
+Revenue = Σ l_extendedprice·(1−l_discount) is computed in EXACT integer
+10⁻⁴ units: both money columns are 2-dp decimals, so
+``round(price·100) · round((1−disc)·100)`` is an exact int64 per row and
+the sum is order-independent — the same integer-units trick the engine
+uses for 2-dp window aggregates (events_rolling_1h), making DuckDB
+parity bit-exact at any scale factor. Final rounding to cents is integer
+``(sum + 50) // 100`` on BOTH sides (shared-kernel parity).
+
+Scale shape per query:
+- Q3: the selective sides are filtered AT THE READ (segment, date
+  cutoffs pushed into the parquet scan); the customer semi-filter uses
+  the broadcast-vs-native-join planner (`_BROADCAST_MAX_ROWS`, the same
+  dial as revenue_per_nation); orders⋈lineitem is fact×fact → native
+  hash-partitioned ``Dataset.join``; the grouped roll-up is map-side
+  combined with a driver merge bounded by the FILTERED order count
+  (beyond that band the swap is Ray's groupby, the engine convention).
+- Q10: fact×fact join as above; the top-k custkeys are resolved first
+  and customer/nation attributes are fetched CANDIDATE-ONLY (an `is_in`
+  semi-join over k keys) — never a full customer materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..sources.io import read_table
+from ..stages.groupagg import grouped_agg
+
+__all__ = ["q3_shipping_priority", "q10_returned_items"]
+
+#: same broadcast band as relational2 (a lookup side must fit every
+#: worker's heap to ship by value)
+_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _rev_e4(b: pa.Table) -> pa.Array:
+    """Exact per-row revenue in 10⁻⁴ currency units (int64)."""
+    price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+    disc = b["l_discount"].to_numpy(zero_copy_only=False)
+    p100 = np.rint(price * 100.0).astype(np.int64)
+    k100 = np.rint((1.0 - disc) * 100.0).astype(np.int64)
+    return pa.array(p100 * k100, pa.int64())
+
+
+def _cents(sum_e4: pd.Series) -> pd.Series:
+    """Integer half-up 10⁻⁴-units → currency (2 dp), order-independent
+    and shared verbatim with the oracle's ``(SUM(..)+50)//100``."""
+    return ((sum_e4.astype("int64") + 50) // 100) / 100.0
+
+
+def q3_shipping_priority(sf_dir: str, *, mode: str = "auto",
+                         segment: str = "BUILDING",
+                         cutoff: str = "1998-01-01",
+                         k: int = 10) -> pa.Table:
+    """Top-k unshipped-revenue orders for a market segment (Q3 shape):
+    customer ⋈ orders ⋈ lineitem with opposing date cutoffs, grouped by
+    order. → (l_orderkey, revenue, o_orderdate, o_orderpriority) ordered
+    by (revenue desc, o_orderdate, l_orderkey)."""
+    import pyarrow.dataset as pads
+
+    cut = pd.Timestamp(cutoff)
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey"],
+                      filter=pads.field("c_mktsegment") == segment)
+    if mode == "auto":
+        n = cust.count()
+        mode = "broadcast" if n <= _BROADCAST_MAX_ROWS else "shuffle"
+    if mode not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown join mode: {mode!r}")
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cut)
+    if mode == "broadcast":
+        keys = ray.put(pa.array(np.sort(
+            cust.to_pandas()["c_custkey"].to_numpy())))
+
+        def semi(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["o_custkey"],
+                                     value_set=ray.get(keys))).drop_columns(
+                ["o_custkey"])
+
+        orders = orders.map_batches(semi, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        # the join coalesces the key pair into the left name, so only
+        # o_custkey remains to drop
+        orders = orders.join(cust, join_type="inner", num_partitions=8,
+                             on=("o_custkey",), right_on=("c_custkey",)
+                             ).drop_columns(["o_custkey"])
+
+    def lane_proj(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b["l_orderkey"], _rev_e4(b)], names=["l_orderkey", "rev_e4"])
+
+    lane = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=pads.field("l_shipdate") > cut).map_batches(
+        lane_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = lane.join(orders, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    g = grouped_agg(joined,
+                    ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                    {"rev_sum": ("rev_e4", "sum")})
+    g["revenue"] = _cents(g.pop("rev_sum"))
+    g = g.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                      ascending=[False, True, True]).head(k)
+    out = g[["l_orderkey", "revenue", "o_orderdate",
+             "o_orderpriority"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q10_returned_items(sf_dir: str, *, date_lo: str = "1997-01-01",
+                       date_hi: str = "1997-07-01",
+                       k: int = 20) -> pa.Table:
+    """Top-k customers by revenue lost to returns in a date window (Q10
+    shape). → (c_custkey, c_name, revenue, c_acctbal, n_name) ordered by
+    (revenue desc, c_custkey). Customer/nation attributes are fetched
+    candidate-only AFTER the top-k is known."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    def lane_proj(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b["l_orderkey"], _rev_e4(b)], names=["l_orderkey", "rev_e4"])
+
+    lane = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R").map_batches(
+        lane_proj, batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
+                                             "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi)).drop_columns(["o_orderdate"])
+
+    joined = lane.join(orders, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    g = grouped_agg(joined, ["o_custkey"], {"rev_sum": ("rev_e4", "sum")})
+    g["revenue"] = _cents(g.pop("rev_sum"))
+    top = g.sort_values(["revenue", "o_custkey"],
+                        ascending=[False, True]).head(k)
+
+    # candidate-only attribute fetch: k keys, never the customer table
+    keyset = pa.array(np.sort(top["o_custkey"].to_numpy()))
+    cust = read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pads.field("c_custkey").isin(keyset.to_pylist())
+    ).to_pandas()
+    nation = read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey",
+                      right_on="n_nationkey", how="left")
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey",
+                    how="left")
+    out = out.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]],
+        preserve_index=False)

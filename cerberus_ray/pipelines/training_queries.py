@@ -239,6 +239,26 @@ def q_mmr_rerank_report(sf_dir: str) -> pa.Table:
                       qvec, k=10, candidates=50, lam=0.7)
 
 
+def q_q3_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-shape 3-table join (extras surface): top-10 unshipped
+    revenue orders for the BUILDING segment — filtered-at-the-read sides,
+    broadcast-vs-native customer semi-filter planner, fact×fact native
+    join, exact integer-units revenue. Bit-exact DuckDB parity + mode
+    agreement in tests/test_tpch_extra.py."""
+    from .tpch_extra import q3_shipping_priority
+
+    return q3_shipping_priority(sf_dir)
+
+
+def q_q10_returned_items(sf_dir: str) -> pa.Table:
+    """TPC-H Q10-shape 4-table join (extras surface): top-20 customers
+    by returned revenue in H1-1997 with candidate-only attribute fetch.
+    Bit-exact DuckDB parity in tests/test_tpch_extra.py."""
+    from .tpch_extra import q10_returned_items
+
+    return q10_returned_items(sf_dir)
+
+
 def q_catalog_report(sf_dir: str) -> pa.Table:
     """Footer-only catalog of the sf directory (extras surface): one row
     per logical table with rows/bytes/files/row-groups/partition-keys/
@@ -1946,6 +1966,8 @@ QUERIES = {
     "compaction_report": q_compaction_report,
     "bloom_index_report": q_bloom_index_report,
     "catalog_report": q_catalog_report,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q10_returned_items": q_q10_returned_items,
 }
 
 def _stopword_sql(lang: str) -> str:

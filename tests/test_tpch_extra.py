@@ -1,0 +1,82 @@
+"""TPC-H Q3/Q10-shape multi-join queries: bit-exact DuckDB parity via
+the shared integer-units revenue kernel, and broadcast/shuffle mode
+agreement for the Q3 customer semi-filter."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from cerberus_ray.pipelines.tpch_extra import (
+    q3_shipping_priority,
+    q10_returned_items,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: shared revenue kernel, interpolated into the SQL (exact int64 10^-4
+#: units; final cents via integer (sum+50)//100 — same as _cents)
+REV_E4 = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+          "CAST(ROUND((1 - l_discount) * 100) AS BIGINT)")
+CENTS = "((CAST(SUM({rev}) AS BIGINT) + 50) // 100) / 100.0"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "nation"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def test_q3_matches_duckdb(ray_session, con):
+    mine = q3_shipping_priority(SF_DIR).to_pandas()
+    theirs = con.execute(f"""
+        SELECT l_orderkey,
+               {CENTS.format(rev=REV_E4)} AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1998-01-01'
+          AND l_shipdate > DATE '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10""").df()
+    assert len(mine) == 10
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+
+
+def test_q3_modes_agree(ray_session):
+    b = q3_shipping_priority(SF_DIR, mode="broadcast").to_pandas()
+    s = q3_shipping_priority(SF_DIR, mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(b, s)
+    with pytest.raises(ValueError):
+        q3_shipping_priority(SF_DIR, mode="nope")
+
+
+def test_q10_matches_duckdb(ray_session, con):
+    mine = q10_returned_items(SF_DIR).to_pandas()
+    theirs = con.execute(f"""
+        SELECT c_custkey, c_name,
+               {CENTS.format(rev=REV_E4)} AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate < DATE '1997-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""").df()
+    assert len(mine) == 20
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+
+
+def test_q3_rerun_deterministic(ray_session):
+    a = q3_shipping_priority(SF_DIR).to_pandas()
+    b = q3_shipping_priority(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
