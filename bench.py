@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "zorder_layout_report", "compaction_report", "char_entropy_report",
     "bloom_index_report", "catalog_report",
     "q3_shipping_priority", "q10_returned_items",
+    "versioned_table_report",
 ]
 
 

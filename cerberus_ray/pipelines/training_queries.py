@@ -239,6 +239,33 @@ def q_mmr_rerank_report(sf_dir: str) -> pa.Table:
                       qvec, k=10, candidates=50, lam=0.7)
 
 
+def q_versioned_table_report(sf_dir: str) -> pa.Table:
+    """Versioned-table commit log demo (extras surface): commit the
+    English documents as v0, append the rest as v1, time-travel both
+    snapshots and return the history. Snapshot isolation, concurrent
+    claim failure and vacuum safety are asserted in
+    tests/test_versioned.py."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from ..sources.versioned import VersionedTable
+
+    root = os.path.join("/tmp", "cerberus_versioned",
+                        sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(root, ignore_errors=True)
+    t = VersionedTable(root)
+    docs = f"{sf_dir}/documents.parquet"
+    t.commit(read_table(docs, columns=["doc_id", "lang", "n_chars"],
+                        filter=pads.field("lang") == "en").repartition(4))
+    t.commit(read_table(docs, columns=["doc_id", "lang", "n_chars"],
+                        filter=pads.field("lang") != "en").repartition(4))
+    h = t.history().to_pandas()
+    h["rows_read_back"] = [t.read(v).count() for v in h["version"]]
+    return pa.Table.from_pandas(h, preserve_index=False)
+
+
 def q_q3_shipping_priority(sf_dir: str) -> pa.Table:
     """TPC-H Q3-shape 3-table join (extras surface): top-10 unshipped
     revenue orders for the BUILDING segment — filtered-at-the-read sides,
@@ -1968,6 +1995,7 @@ QUERIES = {
     "catalog_report": q_catalog_report,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q10_returned_items": q_q10_returned_items,
+    "versioned_table_report": q_versioned_table_report,
 }
 
 def _stopword_sql(lang: str) -> str:
