@@ -142,6 +142,36 @@ class VersionedTable:
             "rows": pa.array([m["rows"] for m in rows], pa.int64()),
         })
 
+    # -- table-format composition ------------------------------------------
+
+    def diff(self, version_a: int, version_b: int, *,
+             key_col: str, content_col: str, mode: str = "auto"):
+        """Change-data feed between two snapshots → Dataset
+        (key, status ∈ {added, removed, changed, unchanged}) — the
+        versioned-table face of `pipelines.snapshot_diff` (keys must be
+        unique per snapshot, the exact-dedup invariant)."""
+        from ..pipelines.snapshot_diff import snapshot_diff
+
+        return snapshot_diff(
+            self.read(version_a, columns=[key_col, content_col]),
+            self.read(version_b, columns=[key_col, content_col]),
+            key_col=key_col, text_col=content_col, mode=mode)
+
+    def merge_commit(self, changes_ds, key: str, *,
+                     op_col: Optional[str] = None,
+                     version_col: Optional[str] = None,
+                     mode: str = "auto") -> int:
+        """MERGE a change set into the latest snapshot and commit the
+        result as a new OVERWRITE version (upserts replace/insert,
+        deletes tombstone — `pipelines.merge.merge_upsert` semantics).
+        Time travel still reaches the pre-merge snapshot."""
+        from ..pipelines.merge import merge_upsert
+
+        merged = merge_upsert(self.read(), changes_ds, key,
+                              op_col=op_col, version_col=version_col,
+                              mode=mode)
+        return self.commit(merged, mode="overwrite")
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, *, keep_last: int = 1) -> List[str]:

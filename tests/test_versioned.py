@@ -93,6 +93,37 @@ def test_vacuum_keeps_reachable_files_only(table, ray_session):
     assert t2.read().count() == 20
 
 
+def test_diff_between_versions(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = VersionedTable(str(tmp_path / "d"))
+    a = pd.DataFrame({"k": ["a", "b", "c"], "body": ["1", "2", "3"]})
+    b = pd.DataFrame({"k": ["b", "c", "d"], "body": ["2", "CHANGED", "4"]})
+    t.commit(rd.from_pandas(a))
+    t.commit(rd.from_pandas(b), mode="overwrite")
+    d = (t.diff(0, 1, key_col="k", content_col="body").to_pandas()
+         .set_index("key")["status"])
+    assert d.to_dict() == {"a": "removed", "b": "unchanged",
+                           "c": "changed", "d": "added"}
+
+
+def test_merge_commit(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = VersionedTable(str(tmp_path / "m"))
+    t.commit(rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]})))
+    changes = rd.from_pandas(pd.DataFrame(
+        {"k": [2, 4], "v": [99.0, 40.0]}))
+    v = t.merge_commit(changes, "k")
+    got = (t.read(v).to_pandas().sort_values("k")
+           .reset_index(drop=True))
+    assert got["k"].tolist() == [1, 2, 3, 4]
+    assert got["v"].tolist() == [10.0, 99.0, 30.0, 40.0]
+    # pre-merge snapshot still reachable
+    assert sorted(t.read(0).to_pandas()["v"]) == [10.0, 20.0, 30.0]
+
+
 def test_read_pushdown(table):
     cols = table.read(columns=["k"]).schema().names
     assert cols == ["k"]
