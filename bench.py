@@ -70,6 +70,10 @@ QUERY_NAMES = [
     "bloom_index_report", "catalog_report",
     "q3_shipping_priority", "q10_returned_items",
     "versioned_table_report",
+    # ninth-session extras (SCD-2 intervals, Pareto frontier,
+    # SQL-auditable sampling, grouped mode)
+    "scd2_report", "skyline_report", "stratified_sample_report",
+    "mode_report",
 ]
 
 

@@ -1901,6 +1901,80 @@ def q_training_corpus_report(sf_dir: str) -> pa.Table:
         "n_after_near_dedup": [r.n_after_near_dedup]})
 
 
+def q_scd2_report(sf_dir: str) -> pa.Table:
+    """SCD Type-2 dimension build (extras surface): collapse the events
+    log into per-user event_type validity intervals and report the
+    interval census — full-table DuckDB LAG/LEAD parity lives in
+    tests/test_scd.py."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.scd import scd2_build
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+    scd = scd2_build(ev, "user_id", "event_type", "ts",
+                     tiebreak_col="event_id")
+    g = grouped_agg(scd, ["is_current"],
+                    {"n_intervals": ("", "count"),
+                     "max_version": ("version", "max")})
+    g["is_current"] = g["is_current"].astype(bool)
+    g = g.sort_values("is_current").reset_index(drop=True)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_skyline_report(sf_dir: str) -> pa.Table:
+    """Pareto frontier (extras surface): the parts that are skyline-
+    optimal under (min p_retailprice, min p_size) — per-block algebraic
+    frontier partials, no shuffle; DuckDB NOT EXISTS dominance parity in
+    tests/test_skyline.py."""
+    from .skyline import skyline2d
+
+    pt = read_table(f"{sf_dir}/part.parquet",
+                    columns=["p_retailprice", "p_size"])
+    out = skyline2d(pt, "p_retailprice", "p_size")
+    out["p_size"] = out["p_size"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_stratified_sample_report(sf_dir: str) -> pa.Table:
+    """SQL-auditable stratified sampling (extras surface): Knuth-
+    multiplicative hash gate per o_orderstatus stratum; reports per-
+    stratum sampled counts + an orderkey checksum. The exact row set is
+    re-derivable from the SQL predicate alone (tests/test_sampling.py)."""
+    from ..stages.groupagg import grouped_agg
+    from .sampling import stratified_sample
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderstatus"])
+    s = stratified_sample(orders, "o_orderkey", "o_orderstatus",
+                          {"F": 0.2, "O": 0.1, "P": 0.5})
+    g = grouped_agg(s, ["o_orderstatus"],
+                    {"n_sampled": ("", "count"),
+                     "key_sum": ("o_orderkey", "sum")})
+    g["key_sum"] = g["key_sum"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_mode_report(sf_dir: str) -> pa.Table:
+    """Grouped mode (extras surface): the modal hour-of-day per event
+    type (ties → smallest hour, deterministic on both engines) —
+    bounded-domain count partials + driver argmax; ROW_NUMBER-oracle
+    parity in tests/test_mode.py."""
+    from ..stages.groupagg import mode_by
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "hour": pc.cast(pc.hour(b["ts"]), pa.int64())})
+
+    out = mode_by(ev.map_batches(add_hour, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                  "event_type", "hour")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -1996,6 +2070,10 @@ QUERIES = {
     "q3_shipping_priority": q_q3_shipping_priority,
     "q10_returned_items": q_q10_returned_items,
     "versioned_table_report": q_versioned_table_report,
+    "scd2_report": q_scd2_report,
+    "skyline_report": q_skyline_report,
+    "stratified_sample_report": q_stratified_sample_report,
+    "mode_report": q_mode_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -79,6 +79,36 @@ def grouped_agg(ds, group_cols: Sequence[str],
     return out.sort_values(group_cols).reset_index(drop=True)
 
 
+def mode_by(ds, group_col: str, value_col: str) -> pd.DataFrame:
+    """Per-group modal value (most frequent; ties broken by SMALLEST
+    value so both engines are deterministic) → frame
+    (group_col, value_col, n).
+
+    Bounded by the (group × value) DOMAIN like every aggregate in this
+    module: per-block (group, value) count partials, driver merge,
+    vectorized argmax via a stable sort + drop_duplicates. The SQL
+    mirror is a counts CTE + ``ROW_NUMBER() OVER (PARTITION BY group
+    ORDER BY cnt DESC, value ASC) = 1`` (tests/test_mode.py) — DuckDB's
+    own ``mode()`` breaks ties arbitrarily, so the tie rule is explicit
+    on both sides.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by([group_col, value_col]).aggregate(
+            [([], "count_all")])
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({group_col: [], value_col: [], "n": []})
+    g = (pdf.groupby([group_col, value_col], as_index=False)
+         ["count_all"].sum())
+    g = g.sort_values([group_col, "count_all", value_col],
+                      ascending=[True, False, True], kind="mergesort")
+    out = g.drop_duplicates(group_col).rename(columns={"count_all": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def approx_quantiles_by_group(ds, group_col: str, value_col: str, *,
                               qs: Sequence[float] = (0.25, 0.5, 0.75),
                               compression: float = 200.0,
