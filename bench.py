@@ -73,7 +73,7 @@ QUERY_NAMES = [
     # ninth-session extras (SCD-2 intervals, Pareto frontier,
     # SQL-auditable sampling, grouped mode)
     "scd2_report", "skyline_report", "stratified_sample_report",
-    "mode_report",
+    "mode_report", "triangle_report", "weighted_sample_report",
 ]
 
 

@@ -66,6 +66,65 @@ def hash_sample(ds, key_col: str, frac: float):
                           zero_copy_batch=True)
 
 
+def weighted_sample_topk(ds, key_col: str, weight_col: str, k: int):
+    """Weighted sampling WITHOUT replacement, k rows, deterministic —
+    the Efraimidis–Spirakis A-ES scheme with the hash as the uniform
+    draw: score(r) = ln(u)/w where u = (h(key)+0.5)/2³² ∈ (0,1), keep
+    the k largest scores. Inclusion probability is proportional to
+    weight, the draw is pure in the key (retry/partition invariant),
+    and the whole selection is SQL-mirrorable (the same closed-form
+    ORDER BY ... LIMIT k — :func:`weighted_sample_sql`).
+
+    Distributed plan: top-k is algebraic (top-k of a union = top-k of
+    concatenated per-block top-ks), so each block reduces to ≤k rows in
+    ``map_batches`` and the driver merges O(#blocks × k). Rows with
+    weight ≤ 0 or NULL are excluded (zero mass). Ties (identical score)
+    break on the smaller key so both engines agree.
+
+    → pandas frame (key_col, weight_col, score) sorted by rank."""
+    import pandas as pd
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([key_col, weight_col]).drop_null()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = w > 0
+        keys, w = keys[ok], w[ok]
+        u = (key_hash_u32(keys).astype(np.float64) + 0.5) / M32
+        score = np.log(u) / w
+        if len(score) > k:
+            top = np.argpartition(-score, k - 1)[:k]
+            keys, w, score = keys[top], w[top], score[top]
+        return pa.Table.from_pydict({
+            key_col: pa.array(keys),
+            weight_col: pa.array(w, pa.float64()),
+            "score": pa.array(score, pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({key_col: [], weight_col: [], "score": []})
+    order = np.lexsort((parts[key_col].to_numpy(),
+                        -parts["score"].to_numpy()))
+    return parts.iloc[order[:k]].reset_index(drop=True)
+
+
+def weighted_sample_sql(src: str, key_col: str, weight_col: str,
+                        k: int) -> str:
+    """The DuckDB mirror of :func:`weighted_sample_topk` — selects the
+    identical k keys from the same table."""
+    h = (f"((CAST(({key_col}) % 4294967296 AS HUGEINT) * {KNUTH32}) "
+         f"% 4294967296)")
+    return (f"SELECT {key_col}, CAST({weight_col} AS DOUBLE) "
+            f"AS {weight_col}, "
+            f"ln(({h} + 0.5) / 4294967296.0) / ({weight_col}) AS score "
+            f"FROM {src} WHERE {weight_col} > 0 "
+            f"ORDER BY score DESC, {key_col} LIMIT {k}")
+
+
 def stratified_sample(ds, key_col: str, strata_col: str,
                       fracs: Dict[str, float], *,
                       default_frac: float = 0.0):

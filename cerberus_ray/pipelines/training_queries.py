@@ -2027,6 +2027,48 @@ def q_mode_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_triangle_report(sf_dir: str) -> pa.Table:
+    """Triangle counting (extras surface): degree-ordered wedge checking
+    over a deterministic pseudo-random graph derived from orders
+    (custkey ↔ 1+(orderkey mod 1500)); the SQL oracle re-derives the
+    same graph, so the count is parity-checked (tests/test_triangles.py,
+    incl. driver/shuffle mode agreement)."""
+    from .triangles import triangle_count
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": b["o_custkey"],
+            "dst": pa.array(1 + (ok % 1500), pa.int64())})
+
+    r = triangle_count(ds.map_batches(derive, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    return pa.Table.from_pydict({
+        "n_nodes": pa.array([r["n_nodes"]], pa.int64()),
+        "n_edges": pa.array([r["n_edges"]], pa.int64()),
+        "n_triangles": pa.array([r["n_triangles"]], pa.int64())})
+
+
+def q_weighted_sample_report(sf_dir: str) -> pa.Table:
+    """Weighted sampling without replacement (extras surface): the 50
+    orders drawn by the deterministic Efraimidis-Spirakis hash scheme
+    with o_totalprice as the weight — the exact selection is re-derived
+    by the SQL mirror (tests/test_sampling.py)."""
+    from .sampling import weighted_sample_topk
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_totalprice"])
+    s = weighted_sample_topk(ds, "o_orderkey", "o_totalprice", 50)
+    return pa.Table.from_pydict({
+        "n_selected": pa.array([len(s)], pa.int64()),
+        "key_sum": pa.array([int(s["o_orderkey"].sum())], pa.int64()),
+        "weight_sum": pa.array([round(float(s["o_totalprice"].sum()), 2)],
+                               pa.float64())})
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2126,6 +2168,8 @@ QUERIES = {
     "skyline_report": q_skyline_report,
     "stratified_sample_report": q_stratified_sample_report,
     "mode_report": q_mode_report,
+    "triangle_report": q_triangle_report,
+    "weighted_sample_report": q_weighted_sample_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -82,6 +82,47 @@ def test_partition_invariance(ray_session):
     assert abs(n - 1500) < 5 * np.sqrt(5000 * 0.3 * 0.7)
 
 
+def test_weighted_sample_sql_parity(ray_session):
+    from cerberus_ray.pipelines.sampling import (weighted_sample_sql,
+                                                 weighted_sample_topk)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    want = con.execute(weighted_sample_sql(
+        "orders", "o_orderkey", "o_totalprice", 50)).fetchdf()
+    ds = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    got = weighted_sample_topk(ds, "o_orderkey", "o_totalprice", 50)
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy(), rtol=1e-12)
+
+
+def test_weighted_sample_partition_invariance(ray_session):
+    from cerberus_ray.pipelines.sampling import weighted_sample_topk
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"k": np.arange(3000, dtype=np.int64),
+                       "w": rng.uniform(0.1, 10.0, 3000)})
+    outs = [weighted_sample_topk(rd.from_pandas(df, override_num_blocks=b),
+                                 "k", "w", 40)
+            for b in (1, 11)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # weight bias sanity: selected mean weight ≫ population mean
+    assert outs[0]["w"].mean() > df["w"].mean()
+
+
+def test_weighted_sample_excludes_nonpositive(ray_session):
+    from cerberus_ray.pipelines.sampling import weighted_sample_topk
+
+    df = pd.DataFrame({"k": [1, 2, 3, 4], "w": [1.0, 0.0, -2.0, 3.0]})
+    out = weighted_sample_topk(rd.from_pandas(df), "k", "w", 10)
+    assert set(out["k"]) == {1, 4}
+    with pytest.raises(ValueError):
+        weighted_sample_topk(rd.from_pandas(df), "k", "w", 0)
+
+
 def test_hash_matches_sql_formula():
     ks = np.array([0, 1, 2, 12345, 2**31, 2**32 - 1, 2**40 + 17],
                   dtype=np.int64)
