@@ -2069,6 +2069,33 @@ def q_weighted_sample_report(sf_dir: str) -> pa.Table:
                                pa.float64())})
 
 
+def q_global_rank_report(sf_dir: str) -> pa.Table:
+    """Global ORDER BY ranking (extras surface): ROW_NUMBER over all
+    orders by (totalprice DESC, orderkey) via the sort-mode offset plan,
+    plus PERCENT_RANK tie semantics over order priority via the
+    map-mode key lookup; returns the 5 top-ranked orders. DuckDB window
+    parity in tests/test_global_rank.py."""
+    from ..stages.global_rank import global_ranks_by_key, global_row_number
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice",
+                                 "o_orderpriority"])
+    rn = global_row_number(orders, ["o_totalprice", "o_orderkey"],
+                           descending=[True, False])
+    top = (rn.filter(lambda r: r["row_number"] <= 5).to_pandas()
+           .sort_values("row_number").reset_index(drop=True))
+    pr = (global_ranks_by_key(orders.select_columns(["o_orderpriority"]),
+                              ["o_orderpriority"]).to_pandas()
+          .drop_duplicates("o_orderpriority")
+          .sort_values("o_orderpriority"))
+    top["o_totalprice"] = top["o_totalprice"].round(2)
+    top["prio_pct_rank_max"] = round(
+        float(pr["percent_rank"].max()), 6)
+    return pa.Table.from_pandas(
+        top[["row_number", "o_orderkey", "o_totalprice",
+             "prio_pct_rank_max"]], preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2170,6 +2197,7 @@ QUERIES = {
     "mode_report": q_mode_report,
     "triangle_report": q_triangle_report,
     "weighted_sample_report": q_weighted_sample_report,
+    "global_rank_report": q_global_rank_report,
 }
 
 def _stopword_sql(lang: str) -> str:
