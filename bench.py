@@ -74,7 +74,8 @@ QUERY_NAMES = [
     # SQL-auditable sampling, grouped mode)
     "scd2_report", "skyline_report", "stratified_sample_report",
     "mode_report", "triangle_report", "weighted_sample_report",
-    "global_rank_report",
+    "global_rank_report", "entity_resolution_report",
+    "schema_union_report",
 ]
 
 

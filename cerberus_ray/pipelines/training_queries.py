@@ -2096,6 +2096,98 @@ def q_global_rank_report(sf_dir: str) -> pa.Table:
              "prio_pct_rank_max"]], preserve_index=False)
 
 
+def q_entity_resolution_report(sf_dir: str) -> pa.Table:
+    """Entity resolution (extras surface): plant a deterministic 1-char-
+    deletion typo row for every 5th part name, then recover the
+    duplicate identities via deletion-neighborhood blocking + exact
+    Levenshtein + connected components. Part names are long and mutually
+    distant, so every typo resolves to exactly its source — the report
+    asserts full recovery arithmetic (DuckDB pair parity in
+    tests/test_entity_resolution.py)."""
+    from .entity_resolution import resolve_entities
+    from .sampling import key_hash_u32
+
+    pt = read_table(f"{sf_dir}/part.parquet",
+                    columns=["p_partkey", "p_name"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        keys = b["p_partkey"].to_numpy(zero_copy_only=False)
+        names = b["p_name"].to_numpy(zero_copy_only=False)
+        sel = keys % 5 == 0
+        h = key_hash_u32(keys[sel])
+        typo_names = [
+            n[:int(x) % max(len(n), 1)] + n[int(x) % max(len(n), 1) + 1:]
+            for n, x in zip(names[sel], h)]
+        return pa.Table.from_pydict({
+            "p_partkey": pa.array(
+                np.concatenate([keys, -keys[sel]]), pa.int64()),
+            "p_name": pa.array(list(names) + typo_names, pa.string())})
+
+    dirty = pt.map_batches(plant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tagged, ents = resolve_entities(dirty, "p_partkey", "p_name", k=1)
+    out = tagged.to_pandas()
+    n_rows = len(out)
+    n_entities = out["canonical"].nunique()
+    sizes = out.groupby("canonical").size()
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "n_matched_values": pa.array([len(ents)], pa.int64()),
+        "n_entities": pa.array([int(n_entities)], pa.int64()),
+        "max_cluster": pa.array([int(sizes.max())], pa.int64())})
+
+
+def q_schema_union_report(sf_dir: str) -> pa.Table:
+    """Schema-evolution read (extras surface): materialize three
+    "generations" of the orders table under /tmp — columns added,
+    dropped and widened (int32→int64, float32→float64) — then stream
+    them back through ``read_union_by_name`` and report the unified
+    schema plus per-column null counts. DuckDB union_by_name parity in
+    tests/test_union_by_name.py."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pqt
+
+    from ..sources.union_by_name import read_union_by_name, unified_schema
+
+    t = pqt.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    n = t.num_rows
+    a, b = n // 3, 2 * n // 3
+    base = os.path.join("/tmp", "cerberus_union",
+                        sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    g1 = t.slice(0, a)
+    pqt.write_table(pa.table({
+        "o_orderkey": g1["o_orderkey"],
+        "o_custkey": g1["o_custkey"].cast(pa.int32())}),
+        os.path.join(base, "gen1.parquet"))
+    pqt.write_table(t.slice(a, b - a),
+                    os.path.join(base, "gen2.parquet"))
+    g3 = t.slice(b)
+    pqt.write_table(pa.table({
+        "o_totalprice": g3["o_totalprice"].cast(pa.float32()),
+        "o_orderkey": g3["o_orderkey"]}),
+        os.path.join(base, "gen3.parquet"))
+
+    sch = unified_schema(base)
+    ds = read_union_by_name(base)
+    nulls = ds.map_batches(
+        lambda bt: pa.Table.from_pydict({
+            c: pa.array([bt[c].null_count], pa.int64())
+            for c in sch.names}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas().sum()
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([ds.count()], pa.int64()),
+        "schema_sig": pa.array(
+            [";".join(f"{f.name}:{f.type}" for f in sch)], pa.string()),
+        "nulls_custkey": pa.array([int(nulls["o_custkey"])], pa.int64()),
+        "nulls_totalprice": pa.array([int(nulls["o_totalprice"])],
+                                     pa.int64())})
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2198,6 +2290,8 @@ QUERIES = {
     "triangle_report": q_triangle_report,
     "weighted_sample_report": q_weighted_sample_report,
     "global_rank_report": q_global_rank_report,
+    "entity_resolution_report": q_entity_resolution_report,
+    "schema_union_report": q_schema_union_report,
 }
 
 def _stopword_sql(lang: str) -> str:
