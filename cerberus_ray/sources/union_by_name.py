@@ -81,8 +81,6 @@ def read_union_by_name(path: str, *, columns: List[str] | None = None):
     cast up, columns ordered per :func:`unified_schema`. One streamed
     read per file (no mid-pipeline materialization); ``columns`` prunes
     the unified schema (files still read only their own columns)."""
-    import ray.data as rd
-
     target = unified_schema(path)
     if columns is not None:
         target = pa.schema([(c, target.field(c).type) for c in columns])
@@ -100,13 +98,18 @@ def read_union_by_name(path: str, *, columns: List[str] | None = None):
                 cols.append(pa.nulls(b.num_rows, typ))
         return pa.Table.from_arrays(cols, names=names)
 
+    from .io import read_table
+
     parts = []
     for f in _parquet_files(path):
         import pyarrow.parquet as pq
 
         have = [c for c in names if c in set(pq.read_schema(f).names)]
+        # read_table sizes blocks by bytes — Ray's default CPU-count
+        # parallelism over-splits small generation files (measured 5.2 s
+        # vs 0.6 s for three 50k-row files at 32 CPUs)
         parts.append(
-            rd.read_parquet(f, columns=have or None)
+            read_table(f, columns=have or None)
             .map_batches(align, batch_format="pyarrow",
                          zero_copy_batch=True))
     ds = parts[0]

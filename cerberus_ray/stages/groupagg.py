@@ -180,10 +180,11 @@ def _cube_levels(cols: Sequence[str]) -> List[Tuple[str, ...]]:
 
 def rollup_agg(ds, group_cols: Sequence[str],
                aggs: Dict[str, Tuple[str, str]], *, cube: bool = False,
-               grouping_id: bool = False) -> pd.DataFrame:
-    """SQL ``GROUP BY ROLLUP`` (or ``CUBE``) — the finest level plus
-    every coarser subtotal level up to the grand total, rolled-up group
-    columns emitted as SQL NULLs.
+               grouping_id: bool = False,
+               sets: Sequence[Sequence[str]] | None = None) -> pd.DataFrame:
+    """SQL ``GROUP BY ROLLUP`` (or ``CUBE``, or arbitrary ``GROUPING
+    SETS`` via ``sets=[("a","b"), ("a",), ()]``) — the requested
+    subtotal levels, rolled-up group columns emitted as SQL NULLs.
 
     One streamed partial pass at the FINEST granularity (the same
     per-block pyarrow hash aggregate as :func:`grouped_agg`); every
@@ -235,8 +236,20 @@ def rollup_agg(ds, group_cols: Sequence[str],
             merge_plan[f"{col}_{fn}"] = ("sum" if fn in ("sum", "count")
                                          else fn)
 
-    levels = (_cube_levels(group_cols) if cube
-              else _rollup_levels(group_cols))
+    if sets is not None:
+        levels = []
+        for s in sets:
+            t = tuple(s)
+            unknown = set(t) - set(group_cols)
+            if unknown:
+                raise ValueError(f"grouping set {t} has columns not in "
+                                 f"group_cols: {sorted(unknown)}")
+            levels.append(t)
+        if not levels:
+            raise ValueError("sets must contain at least one grouping set")
+    else:
+        levels = (_cube_levels(group_cols) if cube
+                  else _rollup_levels(group_cols))
     frames = []
     for lv in levels:
         if lv:

@@ -88,6 +88,23 @@ def test_orders_rollup_matches_duckdb(ray_session):
             == _canon(want, cols, ["total", "n"]))
 
 
+def test_grouping_sets_duckdb_parity(ray_session):
+    df = _frame()
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    got = rollup_agg(ds, ["a", "b"], AGGS,
+                     sets=[("a", "b"), ("b",), ()])
+    want = duckdb.sql(
+        f"SELECT a, b, {AGG_SQL} FROM df "
+        f"GROUP BY GROUPING SETS ((a, b), (b), ())").fetchdf()
+    assert (_canon(got, ["a", "b"], list(AGGS))
+            == _canon(want, ["a", "b"], list(AGGS)))
+    assert len(got) == len(want)
+    with pytest.raises(ValueError):
+        rollup_agg(ds, ["a", "b"], AGGS, sets=[("zzz",)])
+    with pytest.raises(ValueError):
+        rollup_agg(ds, ["a", "b"], AGGS, sets=[])
+
+
 def test_empty_and_bad_args(ray_session):
     df = _frame().iloc[:0]
     ds = rd.from_pandas(_frame())
