@@ -75,7 +75,7 @@ QUERY_NAMES = [
     "scd2_report", "skyline_report", "stratified_sample_report",
     "mode_report", "triangle_report", "weighted_sample_report",
     "global_rank_report", "entity_resolution_report",
-    "schema_union_report",
+    "schema_union_report", "bucketed_join_report",
 ]
 
 

@@ -2188,6 +2188,38 @@ def q_schema_union_report(sf_dir: str) -> pa.Table:
                                      pa.int64())})
 
 
+def q_bucketed_join_report(sf_dir: str) -> pa.Table:
+    """Bucketed co-located join (extras surface): orders and customer
+    written once into matching hash-bucket layouts, then joined with NO
+    shuffle (one Ray task per bucket pair) and rolled up per nation.
+    DuckDB join parity + native-shuffle-join agreement in
+    tests/test_bucketed.py."""
+    import os
+    import shutil
+
+    from ..stages.bucketed import bucketed_join, write_bucketed
+    from ..stages.groupagg import grouped_agg
+
+    base = os.path.join("/tmp", "cerberus_bucketed",
+                        sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(base, ignore_errors=True)
+    a = write_bucketed(
+        read_table(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        os.path.join(base, "orders"), "o_custkey", n_buckets=8)
+    b = write_bucketed(
+        read_table(f"{sf_dir}/customer.parquet",
+                   columns=["c_custkey", "c_nationkey"]),
+        os.path.join(base, "customer"), "c_custkey", n_buckets=8)
+    joined = bucketed_join(a, b)
+    g = grouped_agg(joined, ["c_nationkey"],
+                    {"n_orders": ("", "count"),
+                     "revenue": ("o_totalprice", "sum")})
+    g["revenue"] = g["revenue"].astype("float64").round(2)
+    g["c_nationkey"] = g["c_nationkey"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2292,6 +2324,7 @@ QUERIES = {
     "global_rank_report": q_global_rank_report,
     "entity_resolution_report": q_entity_resolution_report,
     "schema_union_report": q_schema_union_report,
+    "bucketed_join_report": q_bucketed_join_report,
 }
 
 def _stopword_sql(lang: str) -> str:
