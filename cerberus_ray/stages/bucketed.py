@@ -137,3 +137,65 @@ def bucketed_join(path_a: str, path_b: str, *, how: str = "inner",
     # results stay in the object store — the driver holds only refs
     refs = [join_bucket.remote(i) for i in range(n)]
     return rd.from_arrow_refs(refs)
+
+
+def bucketed_groupby(path: str, aggs: dict, *,
+                     columns: Optional[List[str]] = None):
+    """Shuffle-free grouped aggregation over a bucketed layout: every
+    row of a key lives in one bucket, so a per-bucket pyarrow hash
+    aggregate is already GLOBALLY exact — no merge step, no exchange,
+    unlike the map-side-partial + driver-merge plan the un-bucketed
+    tables need (``groupagg.grouped_agg``). One Ray task per bucket;
+    → Dataset of final (key, agg...) rows.
+
+    ``aggs`` maps output column → (input column, fn) with fn ∈
+    {count, sum, mean, min, max} (count ignores its input column)."""
+    import ray
+    import ray.data as rd
+
+    m = _read_manifest(path)
+    key, n = m["key"], m["n_buckets"]
+    pa_aggs, renames = [], {}
+    for out_col, (col, fn) in aggs.items():
+        if fn == "count":
+            pa_aggs.append(([], "count_all"))
+            renames["count_all"] = out_col
+        elif fn in ("sum", "mean", "min", "max"):
+            pa_aggs.append((col, fn))
+            renames[f"{col}_{fn}"] = out_col
+        else:
+            raise ValueError(f"unsupported agg {fn!r}")
+
+    import pyarrow.parquet as pq
+
+    # driver-side footer schema (all buckets share the write schema) —
+    # lets empty/missing buckets emit typed empties so refs stream
+    # straight into a Dataset without a driver get
+    schema = None
+    for i in range(n):
+        d = os.path.join(path, f"bucket={i}")
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    schema = pq.read_schema(os.path.join(d, f))
+                    break
+        if schema is not None:
+            break
+    if schema is None:
+        return rd.from_items([])
+    if columns:
+        cols = ([key] if key not in columns else []) + list(columns)
+        schema = pa.schema([(c, schema.field(c).type) for c in cols])
+
+    @ray.remote
+    def agg_bucket(i: int) -> pa.Table:
+        import pyarrow.parquet as pqt
+
+        d = os.path.join(path, f"bucket={i}")
+        t = (pqt.read_table(d, columns=list(schema.names))
+             if os.path.isdir(d) else schema.empty_table())
+        out = t.group_by(key).aggregate(pa_aggs)
+        return out.rename_columns(
+            [renames.get(c, c) for c in out.column_names])
+
+    return rd.from_arrow_refs([agg_bucket.remote(i) for i in range(n)])

@@ -78,6 +78,32 @@ def test_empty_sides(tmp_path, ray_session):
     assert bucketed_join(e, f).count() == 0      # empty left
 
 
+def test_bucketed_groupby_duckdb_parity(lake, ray_session):
+    from cerberus_ray.stages.bucketed import bucketed_groupby
+
+    a, _ = lake
+    got = (bucketed_groupby(a, {"n": ("", "count"),
+                                "total": ("o_totalprice", "sum"),
+                                "avg_price": ("o_totalprice", "mean")})
+           .to_pandas().sort_values("o_custkey").reset_index(drop=True))
+    want = duckdb.sql(
+        f"SELECT o_custkey, CAST(COUNT(*) AS BIGINT) n, "
+        f"SUM(o_totalprice) total, AVG(o_totalprice) avg_price "
+        f"FROM read_parquet('{SF}/orders.parquet') "
+        f"GROUP BY o_custkey ORDER BY o_custkey").fetchdf()
+    assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    np.testing.assert_allclose(got["total"].to_numpy(),
+                               want["total"].to_numpy(), rtol=1e-12)
+    np.testing.assert_allclose(got["avg_price"].to_numpy(),
+                               want["avg_price"].to_numpy(), rtol=1e-12)
+    # keys never straddle buckets: the per-bucket aggregate is final —
+    # no key appears twice in the union
+    assert got["o_custkey"].is_unique
+    with pytest.raises(ValueError):
+        bucketed_groupby(a, {"m": ("o_totalprice", "median")})
+
+
 def test_matches_native_shuffle_join(lake, ray_session):
     a, b = lake
     got = bucketed_join(a, b)
