@@ -57,7 +57,39 @@ def _cents(sum_e4: pd.Series) -> pd.Series:
     return ((sum_e4.astype("int64") + 50) // 100) / 100.0
 
 
+def _attach_order_attrs(lane, orders, attr_cols):
+    """Broadcast path for the orders⋈lineitem fact join when the
+    FILTERED orders side fits the broadcast band: ship (sorted orderkey,
+    attrs) once via ``ray.put`` and attach per lineitem batch with one
+    searchsorted — no exchange. The planner picks this below
+    ``_BROADCAST_MAX_ROWS`` filtered orders (Q3's date cutoff / Q10's
+    window keep a fraction of orders); above the band the native
+    hash-partitioned join stays the plan (agreement-tested)."""
+    odf = orders.to_pandas()
+    order_keys = odf["o_orderkey"].to_numpy()
+    srt = np.argsort(order_keys, kind="mergesort")
+    payload = (order_keys[srt],
+               {c: odf[c].to_numpy()[srt] for c in attr_cols})
+    ref = ray.put(payload)
+
+    def attach(b: pa.Table) -> pa.Table:
+        keys, attrs = ray.get(ref)
+        lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lk)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        m = (keys[pos_c] == lk) if len(keys) else np.zeros(len(lk), bool)
+        cols = {"l_orderkey": pa.array(lk[m]),
+                "rev_e4": b["rev_e4"].filter(pa.array(m))}
+        for c in attr_cols:
+            cols[c] = pa.array(attrs[c][pos_c[m]])
+        return pa.Table.from_pydict(cols)
+
+    return lane.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q3_shipping_priority(sf_dir: str, *, mode: str = "auto",
+                         join_mode: str = "auto",
                          segment: str = "BUILDING",
                          cutoff: str = "1998-01-01",
                          k: int = 10) -> pa.Table:
@@ -111,8 +143,20 @@ def q3_shipping_priority(sf_dir: str, *, mode: str = "auto",
         filter=pads.field("l_shipdate") > cut).map_batches(
         lane_proj, batch_format="pyarrow", zero_copy_batch=True)
 
-    joined = lane.join(orders, join_type="inner", num_partitions=8,
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    if join_mode == "auto":
+        join_mode = ("broadcast"
+                     if orders.count() <= _BROADCAST_MAX_ROWS
+                     else "shuffle")
+    if join_mode == "broadcast":
+        # the filtered orders side fits the band: attach attrs by
+        # broadcast searchsorted instead of the fixed-cost exchange
+        joined = _attach_order_attrs(
+            lane, orders, ["o_orderdate", "o_orderpriority"])
+    elif join_mode == "shuffle":
+        joined = lane.join(orders, join_type="inner", num_partitions=8,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+    else:
+        raise ValueError(f"unknown join_mode: {join_mode!r}")
     g = grouped_agg(joined,
                     ["l_orderkey", "o_orderdate", "o_orderpriority"],
                     {"rev_sum": ("rev_e4", "sum")})
@@ -124,7 +168,8 @@ def q3_shipping_priority(sf_dir: str, *, mode: str = "auto",
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def q10_returned_items(sf_dir: str, *, date_lo: str = "1997-01-01",
+def q10_returned_items(sf_dir: str, *, join_mode: str = "auto",
+                       date_lo: str = "1997-01-01",
                        date_hi: str = "1997-07-01",
                        k: int = 20) -> pa.Table:
     """Top-k customers by revenue lost to returns in a date window (Q10
@@ -151,8 +196,17 @@ def q10_returned_items(sf_dir: str, *, date_lo: str = "1997-01-01",
         filter=(pads.field("o_orderdate") >= lo)
         & (pads.field("o_orderdate") < hi)).drop_columns(["o_orderdate"])
 
-    joined = lane.join(orders, join_type="inner", num_partitions=8,
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    if join_mode == "auto":
+        join_mode = ("broadcast"
+                     if orders.count() <= _BROADCAST_MAX_ROWS
+                     else "shuffle")
+    if join_mode == "broadcast":
+        joined = _attach_order_attrs(lane, orders, ["o_custkey"])
+    elif join_mode == "shuffle":
+        joined = lane.join(orders, join_type="inner", num_partitions=8,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+    else:
+        raise ValueError(f"unknown join_mode: {join_mode!r}")
     g = grouped_agg(joined, ["o_custkey"], {"rev_sum": ("rev_e4", "sum")})
     g["revenue"] = _cents(g.pop("rev_sum"))
     top = g.sort_values(["revenue", "o_custkey"],

@@ -56,6 +56,19 @@ def test_q3_modes_agree(ray_session):
         q3_shipping_priority(SF_DIR, mode="nope")
 
 
+def test_fact_join_modes_agree(ray_session):
+    b = q3_shipping_priority(SF_DIR, join_mode="broadcast").to_pandas()
+    s = q3_shipping_priority(SF_DIR, join_mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(b, s)
+    b10 = q10_returned_items(SF_DIR, join_mode="broadcast").to_pandas()
+    s10 = q10_returned_items(SF_DIR, join_mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(b10, s10)
+    with pytest.raises(ValueError):
+        q3_shipping_priority(SF_DIR, join_mode="nope")
+    with pytest.raises(ValueError):
+        q10_returned_items(SF_DIR, join_mode="nope")
+
+
 def test_q10_matches_duckdb(ray_session, con):
     mine = q10_returned_items(SF_DIR).to_pandas()
     theirs = con.execute(f"""
