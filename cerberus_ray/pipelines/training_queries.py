@@ -2220,6 +2220,22 @@ def q_bucketed_join_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def q_hopping_window_report(sf_dir: str) -> pa.Table:
+    """Hopping-window aggregate (extras surface): 1h windows every 15min
+    over events.value — each event feeds its 4 covering windows via
+    vectorized replication + bounded grouped partials; returns the 10
+    busiest windows. DuckDB unnest/list_transform parity in
+    tests/test_resample.py."""
+    from ..stages.resample import hopping_window_agg
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    g = hopping_window_agg(ev, "ts", "value", window_s=3600, hop_s=900)
+    g["total"] = g["total"].round(2)
+    top = (g.sort_values(["n", "win_start"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2325,6 +2341,7 @@ QUERIES = {
     "entity_resolution_report": q_entity_resolution_report,
     "schema_union_report": q_schema_union_report,
     "bucketed_join_report": q_bucketed_join_report,
+    "hopping_window_report": q_hopping_window_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -26,7 +26,54 @@ import pandas as pd
 
 from .keyed_window import keyed_apply
 
-__all__ = ["resample_ffill"]
+__all__ = ["resample_ffill", "hopping_window_agg"]
+
+
+def hopping_window_agg(ds, ts_col: str, value_col: str, *,
+                       window_s: int, hop_s: int):
+    """Overlapping (hopping) fixed windows: every event lands in the
+    ``window_s // hop_s`` windows that contain it, aggregated per
+    window start → pandas frame (win_start epoch-s int64, n, total).
+
+    The missing sibling of the tumbling (`events_hourly_windows`) and
+    per-event rolling (`events_rolling_1h`) shapes. One streamed pass:
+    each batch REPLICATES its rows k times vectorized (k = window/hop,
+    a small constant) and pre-aggregates per window start, so the
+    exchange volume is (#window-starts × #blocks) partials — bounded by
+    the TIME SPAN / hop, not by events (`groupagg` contract). SQL
+    mirror: unnest a constant-length list of the k covering starts
+    (DuckDB generate_series can't take lateral column args —
+    list_transform over a constant series instead; tests/test_resample).
+    """
+    import pyarrow as pa
+
+    from .groupagg import grouped_agg
+
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+
+    def expand(b: "pa.Table") -> "pa.Table":
+        t = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        unit = 10 ** 6 if pa.types.is_timestamp(b[ts_col].type) else 1
+        sec = t // unit
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        base = (sec // hop_s) * hop_s
+        # window starts covering each event: base - i*hop, i ∈ [0, k)
+        ws = (base[None, :] - (np.arange(k) * hop_s)[:, None]).ravel()
+        vv = np.tile(v, k)
+        return pa.Table.from_pydict({
+            "win_start": pa.array(ws, pa.int64()),
+            value_col: pa.array(vv)})
+
+    out = grouped_agg(
+        ds.map_batches(expand, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["win_start"],
+        {"n": ("", "count"), "total": (value_col, "sum")})
+    out["win_start"] = out["win_start"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("win_start").reset_index(drop=True)
 
 
 def resample_ffill(ds, key_col: str, ts_col: str,

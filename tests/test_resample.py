@@ -97,3 +97,54 @@ def test_bad_freq(ray_session):
         resample_ffill(rd.from_pandas(pd.DataFrame({
             "key": ["a"], "t": [1], "v": [1.0]})), "key", "t", ["v"],
             freq=0)
+
+
+def test_hopping_window_duckdb_parity(ray_session):
+    import duckdb
+    import numpy as np
+
+    from cerberus_ray.stages.resample import hopping_window_agg
+
+    sf = "/root/testdata/sf0.001"
+    win, hop = 3600, 900
+    k = win // hop
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(f"""
+        WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, value
+                   FROM events),
+        x AS (SELECT unnest(list_transform(range(0, {k}),
+                     i -> (sec // {hop}) * {hop} - i * {hop}))
+                     AS win_start, value FROM e)
+        SELECT win_start, CAST(COUNT(*) AS BIGINT) n, SUM(value) total
+        FROM x GROUP BY 1 ORDER BY 1""").fetchdf()
+    import ray.data as rd
+    ev = rd.read_parquet(f"{sf}/events.parquet", columns=["ts", "value"])
+    got = hopping_window_agg(ev, "ts", "value", window_s=win, hop_s=hop)
+    assert got["win_start"].tolist() == want["win_start"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    np.testing.assert_allclose(got["total"].to_numpy(),
+                               want["total"].to_numpy(), rtol=1e-9)
+    # every event appears in exactly k windows
+    n_events = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert got["n"].sum() == n_events * k
+
+
+def test_hopping_window_hand_vector(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.stages.resample import hopping_window_agg
+
+    # window 20, hop 10: event at t=25 covers starts {20, 10}
+    df = pd.DataFrame({"t": [25, 5], "v": [1.0, 2.0]})
+    got = hopping_window_agg(rd.from_pandas(df), "t", "v",
+                             window_s=20, hop_s=10)
+    assert got.values.tolist() == [
+        [-10, 1, 2.0], [0, 1, 2.0], [10, 1, 1.0], [20, 1, 1.0]]
+    import pytest
+
+    with pytest.raises(ValueError):
+        hopping_window_agg(rd.from_pandas(df), "t", "v",
+                           window_s=25, hop_s=10)
