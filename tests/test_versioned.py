@@ -124,6 +124,30 @@ def test_merge_commit(ray_session, tmp_path):
     assert sorted(t.read(0).to_pandas()["v"]) == [10.0, 20.0, 30.0]
 
 
+def test_microbatch_stream_ingestion(ray_session, tmp_path):
+    """Lakehouse loop: streaming micro-batches land as append commits —
+    each version is a consistent prefix of the stream, time travel
+    reaches every prior prefix, and a reader holding version v is
+    isolated from later appends."""
+    import ray.data as rd
+
+    t = VersionedTable(str(tmp_path / "stream"))
+    batches = [pd.DataFrame({"k": range(i * 10, (i + 1) * 10),
+                             "v": [float(i)] * 10}) for i in range(5)]
+    versions = [t.commit(rd.from_pandas(b)) for b in batches]
+    assert versions == [0, 1, 2, 3, 4]
+    # every snapshot = the exact stream prefix
+    for i, ver in enumerate(versions):
+        snap = t.read(ver).to_pandas()
+        assert len(snap) == (i + 1) * 10
+        assert set(snap["k"]) == set(range((i + 1) * 10))
+    # snapshot isolation: a reader pinned at v2 does not see batch 5
+    pinned = t.read(2)
+    t.commit(rd.from_pandas(pd.DataFrame({"k": [999], "v": [9.9]})))
+    assert pinned.count() == 30
+    assert t.read().count() == 51
+
+
 def test_read_pushdown(table):
     cols = table.read(columns=["k"]).schema().names
     assert cols == ["k"]
