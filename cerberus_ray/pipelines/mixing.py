@@ -35,6 +35,7 @@ import hashlib
 from typing import Dict, List
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -173,6 +174,90 @@ def sample_by_source(ds, weights: Dict[str, float], *,
         return b.filter(pa.array(u < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def domain_kl_weights(ds, *, domain_col: str = "source",
+                      text_col: str = "text", vocab_size: int = 50_000,
+                      eta: float = 1.0, smooth: float = 0.2):
+    """Diversity-preserving domain mixture reweighting → frame
+    (domain, n_tokens, kl_bits, weight), weights summing to 1.
+
+    Signal: KL(p_d ‖ q) in bits — how far each domain's unigram
+    distribution sits from the corpus mixture q (computed exactly over
+    the corpus top-``vocab_size`` vocabulary + one OOV bucket, add-one
+    smoothed). The update is the DoReMi exponentiated-gradient step
+    (Xie et al. 2023, public method): ``w_d ∝ exp(eta · excess_d)``
+    with uniform smoothing ``(1-smooth)·w + smooth/k`` — here with KL
+    as the excess term (the full DoReMi trains a proxy model for it;
+    this one-pass variant upweights domains the corpus-level
+    distribution serves worst, the same direction).
+
+    Plan: one footer-pruned pass for the shared vocab (`fit_unigram`),
+    one streamed pass of per-(domain, token-id) count partials —
+    bounded by #domains × (vocab_size+1), a DOMAIN quantity — then
+    driver math on the merged counts. No shuffle."""
+    import ray
+
+    from .lm_score import fit_unigram
+
+    toks, _logp, _oov = fit_unigram(ds, text_col=text_col,
+                                    vocab_size=vocab_size)
+    ref = ray.put(toks)
+    v = len(toks)
+
+    def partial(b: pa.Table) -> pa.Table:
+        vt = ray.get(ref)
+        doms = b[domain_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        out_d: list = []
+        out_i: list = []
+        for d, t in zip(doms, texts):
+            ts = (t or "").lower().split()
+            if not ts:
+                continue
+            arr = np.array(ts, dtype=object)
+            if v:
+                pos = np.clip(np.searchsorted(vt, arr), 0, v - 1)
+                ids = np.where(vt[pos] == arr, pos, v)  # v = OOV bucket
+            else:
+                ids = np.full(len(arr), v, dtype=np.int64)
+            out_d.append(np.full(len(ids), d, dtype=object))
+            out_i.append(ids)
+        if not out_i:
+            return pa.Table.from_pydict({
+                "d": pa.array([], pa.string()),
+                "tid": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())})
+        dd = np.concatenate(out_d)
+        ii = np.concatenate(out_i).astype(np.int64)
+        t = pa.table({"d": pa.array(dd, pa.string()),
+                      "tid": pa.array(ii, pa.int64())})
+        return t.group_by(["d", "tid"]).aggregate([([], "count_all")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"domain": [], "n_tokens": [],
+                             "kl_bits": [], "weight": []})
+    g = (parts.groupby(["d", "tid"], as_index=False)["count_all"].sum())
+    domains = sorted(g["d"].unique())
+    k = len(domains)
+    counts = np.ones((k, v + 1), dtype=np.float64)      # add-one smooth
+    di = {d: i for i, d in enumerate(domains)}
+    counts[g["d"].map(di).to_numpy(),
+           g["tid"].to_numpy()] += g["count_all"].to_numpy()
+    p = counts / counts.sum(axis=1, keepdims=True)
+    qc = counts.sum(axis=0)
+    q = qc / qc.sum()
+    kl = (p * np.log2(p / q[None, :])).sum(axis=1)
+    w = np.exp(eta * kl)
+    w = w / w.sum()
+    w = (1.0 - smooth) * w + smooth / k
+    n_tok = (counts - 1).sum(axis=1).astype(np.int64)
+    return pd.DataFrame({
+        "domain": domains, "n_tokens": n_tok,
+        "kl_bits": np.round(kl, 6),
+        "weight": np.round(w, 6)})
 
 
 def assign_splits(ds, ratios: Dict[str, float], *,

@@ -2236,6 +2236,19 @@ def q_hopping_window_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def q_doremi_report(sf_dir: str) -> pa.Table:
+    """Domain mixture reweighting (extras surface): per-language KL
+    divergence from the corpus unigram mixture → DoReMi-style
+    exponentiated-gradient weights (exact-reference math in
+    tests/test_doremi.py)."""
+    from .mixing import domain_kl_weights
+
+    out = domain_kl_weights(
+        _docs(sf_dir, ["lang", "text"]), domain_col="lang",
+        vocab_size=20_000, eta=1.0, smooth=0.2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2342,6 +2355,7 @@ QUERIES = {
     "schema_union_report": q_schema_union_report,
     "bucketed_join_report": q_bucketed_join_report,
     "hopping_window_report": q_hopping_window_report,
+    "doremi_report": q_doremi_report,
 }
 
 def _stopword_sql(lang: str) -> str:
