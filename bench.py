@@ -76,7 +76,7 @@ QUERY_NAMES = [
     "mode_report", "triangle_report", "weighted_sample_report",
     "global_rank_report", "entity_resolution_report",
     "schema_union_report", "bucketed_join_report",
-    "hopping_window_report", "doremi_report",
+    "hopping_window_report", "doremi_report", "k_anonymity_report",
 ]
 
 

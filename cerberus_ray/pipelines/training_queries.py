@@ -2249,6 +2249,29 @@ def q_doremi_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_k_anonymity_report(sf_dir: str) -> pa.Table:
+    """Small-group privacy census (extras surface): k-anonymity over the
+    (user_id, event_type) quasi-identifier plus l-diversity of the
+    event value bucket — DuckDB parity + mode agreement in
+    tests/test_privacy.py."""
+    from ..stages.privacy import k_anonymity_report
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"], "event_type": b["event_type"],
+            "vband": pa.array((np.floor_divide(v, 100.0)).astype(np.int64),
+                              pa.int64())})
+
+    return k_anonymity_report(
+        ev.map_batches(bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "event_type"], k=5, l=2, sensitive_col="vband")
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2356,6 +2379,7 @@ QUERIES = {
     "bucketed_join_report": q_bucketed_join_report,
     "hopping_window_report": q_hopping_window_report,
     "doremi_report": q_doremi_report,
+    "k_anonymity_report": q_k_anonymity_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -1,0 +1,111 @@
+"""Small-group privacy checks: k-anonymity and l-diversity over
+quasi-identifier combinations.
+
+A training-data release leaks identity when a quasi-identifier
+combination (e.g. user × event-type × coarse location) isolates fewer
+than ``k`` rows — the Sweeney k-anonymity criterion (public method);
+l-diversity additionally requires ≥ ``l`` distinct SENSITIVE values
+inside each group so a small group doesn't reveal the sensitive
+attribute by unanimity.
+
+Scale shape: unlike the dedup family (which only surfaces groups with
+count ≥ 2), here the SINGLETONS are the violators, so the full group
+census is needed. Two wired modes, the module's usual planner
+convention:
+
+- ``driver``: per-block pyarrow hash-aggregate partials → driver merge
+  — one row per distinct combo, the documented bound (right when the
+  quasi-identifier domain is bounded: enum × enum × bucket).
+- ``shuffle``: map-side combined partials → ``groupby(combo)`` sum —
+  the path when combos approach row count (near-unique identifiers are
+  exactly the risky case at 10¹² rows).
+
+Both modes agreement-tested; counts DuckDB-parity-tested
+(tests/test_privacy.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+#: above this many input rows the auto planner stops trusting the
+#: driver-side distinct-combo merge
+DRIVER_ROW_LIMIT = 5_000_000
+
+
+def _group_counts(ds, cols: List[str], mode: str, distinct_col=None):
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(cols).aggregate([([], "count_all")])
+
+    if mode == "driver":
+        pdf = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+        if not len(pdf):
+            return pdf
+        plan = {"count_all": "sum"}
+        g = pdf.groupby(cols, as_index=False, dropna=False).agg(plan)
+        if distinct_col:
+            # distinct counts don't sum across blocks — re-derive from
+            # distinct (combo, value) pairs, still one streamed pass
+            def pairs(b: pa.Table) -> pa.Table:
+                return (b.select(cols + [distinct_col])
+                        .group_by(cols + [distinct_col])
+                        .aggregate([]))
+
+            pp = ds.map_batches(pairs, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+            nd = (pp.drop_duplicates(cols + [distinct_col])
+                  .groupby(cols, as_index=False, dropna=False)
+                  .size().rename(columns={"size": "n_distinct"}))
+            g = g.merge(nd, on=cols, how="left")
+        return g.rename(columns={"count_all": "n"})
+    if mode == "shuffle":
+        from ray.data.aggregate import Count
+
+        agg = ds.groupby(cols).aggregate(Count())
+        pdf = agg.to_pandas().rename(columns={"count()": "n"})
+        if distinct_col:
+            dd = (ds.groupby(cols + [distinct_col]).aggregate(Count())
+                  .groupby(cols).aggregate(Count()).to_pandas())
+            dd = dd.rename(columns={"count()": "n_distinct"})
+            pdf = pdf.merge(dd, on=cols, how="left")
+        return pdf
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def k_anonymity_report(ds, quasi_cols: Sequence[str], *, k: int = 5,
+                       l: Optional[int] = None,
+                       sensitive_col: Optional[str] = None,
+                       mode: str = "auto") -> pa.Table:
+    """→ one-row summary: (n_rows, n_groups, n_groups_below_k,
+    n_rows_at_risk, min_group_size [, n_groups_below_l]). ``l`` with
+    ``sensitive_col`` adds the l-diversity census."""
+    quasi_cols = list(quasi_cols)
+    if (l is None) != (sensitive_col is None):
+        raise ValueError("l and sensitive_col come together")
+    if mode == "auto":
+        mode = ("driver" if ds.count() <= DRIVER_ROW_LIMIT else "shuffle")
+    g = _group_counts(ds, quasi_cols, mode,
+                      distinct_col=sensitive_col)
+    if not len(g):
+        cols = {"n_rows": [0], "n_groups": [0], "n_groups_below_k": [0],
+                "n_rows_at_risk": [0], "min_group_size": [0]}
+        if l is not None:
+            cols["n_groups_below_l"] = [0]
+        return pa.Table.from_pydict(cols)
+    below = g[g["n"] < k]
+    out = {
+        "n_rows": pa.array([int(g["n"].sum())], pa.int64()),
+        "n_groups": pa.array([len(g)], pa.int64()),
+        "n_groups_below_k": pa.array([len(below)], pa.int64()),
+        "n_rows_at_risk": pa.array([int(below["n"].sum())], pa.int64()),
+        "min_group_size": pa.array([int(g["n"].min())], pa.int64()),
+    }
+    if l is not None:
+        out["n_groups_below_l"] = pa.array(
+            [int((g["n_distinct"] < l).sum())], pa.int64())
+    return pa.Table.from_pydict(out)

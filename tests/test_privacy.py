@@ -1,0 +1,81 @@
+"""k-anonymity / l-diversity census: DuckDB parity, driver/shuffle
+agreement, hand-built violations, guards."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from cerberus_ray.stages.privacy import k_anonymity_report
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_duckdb_parity_events(ray_session):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    k = 5
+    want = con.execute(f"""
+        WITH g AS (SELECT user_id, event_type, COUNT(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT COUNT(*) AS n_groups,
+               CAST(COALESCE(SUM(CASE WHEN n < {k} THEN 1 END), 0)
+                    AS BIGINT) AS below,
+               CAST(COALESCE(SUM(CASE WHEN n < {k} THEN n END), 0)
+                    AS BIGINT) AS at_risk,
+               MIN(n) AS mn, CAST(SUM(n) AS BIGINT) AS total
+        FROM g""").fetchone()
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    got = k_anonymity_report(ev, ["user_id", "event_type"],
+                             k=k).to_pydict()
+    assert got["n_groups"][0] == want[0]
+    assert got["n_groups_below_k"][0] == want[1]
+    assert got["n_rows_at_risk"][0] == want[2]
+    assert got["min_group_size"][0] == want[3]
+    assert got["n_rows"][0] == want[4]
+
+
+def test_mode_agreement(ray_session):
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    a = k_anonymity_report(ev, ["user_id", "event_type"], k=3,
+                           mode="driver").to_pydict()
+    b = k_anonymity_report(ev, ["user_id", "event_type"], k=3,
+                           mode="shuffle").to_pydict()
+    assert a == b
+
+
+def test_l_diversity_hand_case(ray_session):
+    # group (a): 3 rows, all sensitive 'x' → below l=2;
+    # group (b): 3 rows, sensitive {x, y} → diverse enough
+    df = pd.DataFrame({"q": list("aaabbb"),
+                       "s": ["x", "x", "x", "x", "y", "y"]})
+    got = k_anonymity_report(rd.from_pandas(df, override_num_blocks=2),
+                             ["q"], k=2, l=2,
+                             sensitive_col="s").to_pydict()
+    assert got["n_groups"][0] == 2
+    assert got["n_groups_below_k"][0] == 0
+    assert got["n_groups_below_l"][0] == 1
+
+
+def test_l_diversity_mode_agreement(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"q": rng.choice(list("pqrs"), 300),
+                       "s": rng.choice(list("uvw"), 300)})
+    kw = dict(k=50, l=3, sensitive_col="s")
+    a = k_anonymity_report(rd.from_pandas(df, override_num_blocks=4),
+                           ["q"], mode="driver", **kw).to_pydict()
+    b = k_anonymity_report(rd.from_pandas(df, override_num_blocks=4),
+                           ["q"], mode="shuffle", **kw).to_pydict()
+    assert a == b
+
+
+def test_guards(ray_session):
+    df = pd.DataFrame({"q": ["a"], "s": ["x"]})
+    with pytest.raises(ValueError):
+        k_anonymity_report(rd.from_pandas(df), ["q"], l=2)
+    with pytest.raises(ValueError):
+        k_anonymity_report(rd.from_pandas(df), ["q"], mode="nope")
