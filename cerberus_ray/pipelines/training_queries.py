@@ -2272,6 +2272,19 @@ def q_k_anonymity_report(sf_dir: str) -> pa.Table:
         ["user_id", "event_type"], k=5, l=2, sensitive_col="vband")
 
 
+def q_coreset_report(sf_dir: str) -> pa.Table:
+    """Greedy k-center coreset (extras surface): the 12 most mutually
+    diverse embedding rows (Gonzalez farthest-point, cosine) with the
+    non-increasing radius sequence — numpy-reference agreement in
+    tests/test_coreset.py."""
+    from .coreset import k_center_select
+
+    out = k_center_select(_emb(sf_dir), k=12)
+    out["radius"] = [round(r, 6) if np.isfinite(r) else -1.0
+                     for r in out["radius"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2380,6 +2393,7 @@ QUERIES = {
     "hopping_window_report": q_hopping_window_report,
     "doremi_report": q_doremi_report,
     "k_anonymity_report": q_k_anonymity_report,
+    "coreset_report": q_coreset_report,
 }
 
 def _stopword_sql(lang: str) -> str:
