@@ -2285,6 +2285,46 @@ def q_coreset_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_logreg_quality_report(sf_dir: str) -> pa.Table:
+    """Distributed logistic regression (extras surface): train the
+    gradient-based classifier on an inline token-presence weak label
+    (contains 'spark' — the testdata languages share one vocabulary, so
+    a token concept is the honest learnable target; both classes
+    present) and report per-class mean probability — the near-0 vs
+    near-1 separation shows the hashed features carry the concept —
+    plus train accuracy; numpy parity in tests/test_logreg.py."""
+    from ..stages.groupagg import grouped_agg
+    from .logreg import fit_logreg, score_logreg
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # weak label computed INLINE per batch (no driver id→label map)
+        label = pc.cast(pc.match_substring(
+            pc.coalesce(b["text"], ""), "spark"), pa.int64())
+        return b.append_column("label", label)
+
+    train = docs.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    model = fit_logreg(train, n_features=512, iters=8)
+    out = score_logreg(train, model, carry_cols=["label"])
+    g = grouped_agg(out, ["label"], {"mean_p": ("p", "mean"),
+                                     "n": ("", "count")})
+    g["mean_p"] = g["mean_p"].astype("float64").round(4)
+
+    def acc_part(b: pa.Table) -> pa.Table:
+        p = b["p"].to_numpy(zero_copy_only=False)
+        y = b["label"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "ok": pa.array([int(((p > 0.5) == (y == 1)).sum())],
+                           pa.int64()),
+            "n": pa.array([len(p)], pa.int64())})
+
+    ap = out.map_batches(acc_part, batch_format="pyarrow").to_pandas()
+    g["train_acc"] = round(float(ap["ok"].sum() / ap["n"].sum()), 4)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2394,6 +2434,7 @@ QUERIES = {
     "doremi_report": q_doremi_report,
     "k_anonymity_report": q_k_anonymity_report,
     "coreset_report": q_coreset_report,
+    "logreg_quality_report": q_logreg_quality_report,
 }
 
 def _stopword_sql(lang: str) -> str:
