@@ -77,7 +77,7 @@ QUERY_NAMES = [
     "global_rank_report", "entity_resolution_report",
     "schema_union_report", "bucketed_join_report",
     "hopping_window_report", "doremi_report", "k_anonymity_report",
-    "coreset_report", "logreg_quality_report",
+    "coreset_report", "logreg_quality_report", "ols_report",
 ]
 
 

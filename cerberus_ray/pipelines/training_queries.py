@@ -2325,6 +2325,31 @@ def q_logreg_quality_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def q_ols_report(sf_dir: str) -> pa.Table:
+    """Multivariate OLS (extras surface): events.value regressed on
+    hour-of-day and day-of-week — the one-pass normal-equation fit;
+    numpy-lstsq + DuckDB regr_* parity in tests/test_linreg.py."""
+    from .linreg import fit_ols
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "hour": pc.cast(pc.hour(b["ts"]), pa.float64()),
+            "dow": pc.cast(pc.day_of_week(b["ts"]), pa.float64()),
+            "value": b["value"]})
+
+    m = fit_ols(ev.map_batches(feats, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                ["hour", "dow"], "value")
+    return pa.Table.from_pydict({
+        "coef_hour": pa.array([round(float(m.coef[0]), 4)], pa.float64()),
+        "coef_dow": pa.array([round(float(m.coef[1]), 4)], pa.float64()),
+        "intercept": pa.array([round(m.intercept, 4)], pa.float64()),
+        "r2": pa.array([round(m.r2, 6)], pa.float64()),
+        "n": pa.array([m.n], pa.int64())})
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2435,6 +2460,7 @@ QUERIES = {
     "k_anonymity_report": q_k_anonymity_report,
     "coreset_report": q_coreset_report,
     "logreg_quality_report": q_logreg_quality_report,
+    "ols_report": q_ols_report,
 }
 
 def _stopword_sql(lang: str) -> str:
