@@ -2350,6 +2350,29 @@ def q_ols_report(sf_dir: str) -> pa.Table:
         "n": pa.array([m.n], pa.int64())})
 
 
+def q_cdf_report(sf_dir: str) -> pa.Table:
+    """Global approximate-CDF transform (extras surface): rank every
+    events.value against the whole column via merged KLL sketches (two
+    passes, no sort) and report decile occupancy — a uniformity check
+    of the transform; rank-accuracy bounds in tests/test_cdf_column.py."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.stats import approx_cdf_column
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "value"])
+    out = approx_cdf_column(ev, "value", k=200)
+
+    def decile(b: pa.Table) -> pa.Table:
+        c = b["cdf"].to_numpy(zero_copy_only=False)
+        d = np.clip((c * 10).astype(np.int64), 0, 9)
+        return pa.Table.from_pydict({"decile": pa.array(d, pa.int64())})
+
+    g = grouped_agg(out.map_batches(decile, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    ["decile"], {"n": ("", "count")})
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2461,6 +2484,7 @@ QUERIES = {
     "coreset_report": q_coreset_report,
     "logreg_quality_report": q_logreg_quality_report,
     "ols_report": q_ols_report,
+    "cdf_report": q_cdf_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -337,3 +337,68 @@ def completeness_report(ds, cols: Sequence[str] | None = None, *,
             "null_frac": round(n_null / n, 6) if n else 0.0,
             "n_distinct": nd, "min": mn, "max": mx})
     return pd.DataFrame(rows)
+
+
+def approx_cdf_column(ds, col: str, *, k: int = 200,
+                      out_col: str = "cdf"):
+    """Global empirical-CDF transform at any scale: append ``out_col``
+    = the approximate fraction of the WHOLE column ≤ the row's value.
+
+    Two passes, no sort, no shuffle: pass 1 merges per-block KLL
+    sketches (O(k log(n/k)) each — KBs) on the driver; pass 2 ranks
+    every row against the merged sketch VECTORIZED (one searchsorted
+    into the sketch's sorted weighted items, broadcast once). Rank
+    error follows the KLL guarantee (~O(1/k) uniform); NaN/NULL rows
+    get NaN. The sketch-shaped sibling of map-mode ``global_ranks``:
+    right when the column is near-unique and a broadcast lookup or a
+    full sort would be the wrong price for an approximate percentile.
+
+    The merged sketch depends on block layout at the margin (same
+    contract as the z-order boundary fit): reruns on a fixed layout are
+    bit-identical; accuracy, not bit-identity, holds across layouts.
+    """
+    import ray
+
+    from ..state.kll import KLL
+
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = KLL(k=k)
+        s.update(v[~np.isnan(v)])
+        return pa.Table.from_pydict({
+            "s": pa.array([s.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    acc = KLL(k=k)
+    for raw in sorted(parts["s"]):       # order-pinned merge
+        acc = acc.merge(KLL.from_bytes(raw))  # merge returns NEW sketch
+    items, weights = [], []
+    for j, lvl in enumerate(acc.levels):
+        if len(lvl):
+            items.append(np.asarray(lvl, dtype=np.float64))
+            weights.append(np.full(len(lvl), float(1 << j)))
+    if not items:
+        def passthrough(b: pa.Table) -> pa.Table:
+            return b.append_column(out_col, pa.array(
+                np.full(b.num_rows, np.nan), pa.float64()))
+
+        return ds.map_batches(passthrough, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    x = np.concatenate(items)
+    w = np.concatenate(weights)
+    order = np.argsort(x, kind="mergesort")
+    x, cw = x[order], np.cumsum(w[order])
+    total = float(cw[-1])
+    ref = ray.put((x, cw))
+
+    def rank(b: pa.Table) -> pa.Table:
+        xs, cws = ray.get(ref)
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(xs, v, side="right")
+        cdf = np.where(pos > 0, cws[np.maximum(pos - 1, 0)], 0.0) / total
+        cdf = np.where(np.isnan(v), np.nan, cdf)
+        return b.append_column(out_col, pa.array(cdf, pa.float64()))
+
+    return ds.map_batches(rank, batch_format="pyarrow",
+                          zero_copy_batch=True)
