@@ -2373,6 +2373,37 @@ def q_cdf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def q_forecast_report(sf_dir: str) -> pa.Table:
+    """Seasonal-naive backtest (extras surface): hourly event counts
+    per type vs their own daily seasonality — MASE < 1 means the
+    24-hour lag beats the one-step naive baseline. DuckDB LAG parity
+    in tests/test_forecast.py."""
+    import ray.data as rd
+
+    from ..stages.forecast import seasonal_naive_eval
+    from ..stages.groupagg import grouped_agg
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_type"])
+
+    def hour_bucket(b: pa.Table) -> pa.Table:
+        sec = pc.cast(b["ts"], pa.int64())
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "hour": pc.divide(sec, 3_600_000_000)})
+
+    hourly = grouped_agg(
+        ev.map_batches(hour_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], {"n": ("", "count")})
+    hourly["n"] = hourly["n"].astype("float64")
+    series = rd.from_pandas(hourly)
+    out = (seasonal_naive_eval(series, "event_type", "hour", "n",
+                               season=24, n_buckets=4).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2485,6 +2516,7 @@ QUERIES = {
     "logreg_quality_report": q_logreg_quality_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
+    "forecast_report": q_forecast_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -1,0 +1,62 @@
+"""Seasonal-naive forecast backtest with MASE, per key.
+
+The standard forecasting baseline + its standard scale-free error
+metric (Hyndman & Koehler 2006, public method): forecast(t) =
+value(t − season) evaluated against the one-step naive forecaster —
+MASE = MAE(seasonal model) / MAE(naive-1); < 1 means the seasonal lag
+carries real signal. Lags are in OBSERVATIONS within the key's
+time-ordered sequence (the SQL ``LAG(value, season) OVER (PARTITION BY
+key ORDER BY ts)`` semantics — the DuckDB oracle in
+tests/test_forecast.py), so irregular sampling is the caller's modeling
+choice, not a silent reindex.
+
+Execution: one `keyed_apply` hash exchange; each bucket kernel is a
+vectorized pandas groupby-shift over whole keys (no per-key Python).
+Output is one row per key — bounded by key cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .keyed_window import keyed_apply
+
+
+def seasonal_naive_eval(ds, key_col: str, ts_col: str, value_col: str,
+                        *, season: int, n_buckets: int = 32,
+                        round_digits: int = 6):
+    """→ Dataset (key_col, n_evals, mae_model, mae_naive1, mase):
+    per-key backtest over every observation where both the seasonal lag
+    and the previous observation exist; keys with no evaluable rows (or
+    a zero naive error — a constant series) report NaN MASE."""
+    if season < 1:
+        raise ValueError(f"season must be ≥ 1, got {season}")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key_col, ts_col], kind="mergesort")
+        grp = d.groupby(key_col, sort=False)[value_col]
+        lag_s = grp.shift(season)
+        lag_1 = grp.shift(1)
+        ok = lag_s.notna() & lag_1.notna()
+        err_m = (d[value_col] - lag_s).abs().where(ok)
+        err_1 = (d[value_col] - lag_1).abs().where(ok)
+        out = pd.DataFrame({
+            key_col: d[key_col], "ok": ok.astype(np.int64),
+            "em": err_m.fillna(0.0), "e1": err_1.fillna(0.0)})
+        r = out.groupby(key_col, as_index=False).sum()
+        n = r["ok"].to_numpy()
+        mae_m = np.divide(r["em"], np.maximum(n, 1))
+        mae_1 = np.divide(r["e1"], np.maximum(n, 1))
+        mase = np.where((n > 0) & (mae_1 > 0), mae_m / np.maximum(
+            mae_1, 1e-300), np.nan)
+        return pd.DataFrame({
+            key_col: r[key_col],
+            "n_evals": n.astype(np.int64),
+            "mae_model": np.round(np.where(n > 0, mae_m, np.nan),
+                                  round_digits),
+            "mae_naive1": np.round(np.where(n > 0, mae_1, np.nan),
+                                   round_digits),
+            "mase": np.round(mase, round_digits)})
+
+    return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)

@@ -1,0 +1,84 @@
+"""Seasonal-naive backtest: DuckDB LAG parity, perfect-seasonality
+MASE < 1, hand vector, partition invariance, guards."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from cerberus_ray.stages.forecast import seasonal_naive_eval
+
+
+def _series(seed=3):
+    """Two keys: one strongly daily-seasonal, one random walk."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = np.tile(np.sin(np.arange(24) / 24 * 2 * np.pi) * 10, 10)
+    for t, v in enumerate(base + rng.normal(0, 0.3, len(base))):
+        rows.append(("seasonal", t, v))
+    w = np.cumsum(rng.normal(0, 1, 240))
+    for t, v in enumerate(w):
+        rows.append(("walk", t, v))
+    return pd.DataFrame(rows, columns=["k", "t", "v"])
+
+
+def test_duckdb_lag_parity(ray_session):
+    df = _series()
+    season = 24
+    got = (seasonal_naive_eval(
+        rd.from_pandas(df, override_num_blocks=4), "k", "t", "v",
+        season=season).to_pandas().sort_values("k")
+        .reset_index(drop=True))
+    want = duckdb.sql(f"""
+        WITH l AS (
+          SELECT k, v,
+                 LAG(v, {season}) OVER (PARTITION BY k ORDER BY t) ls,
+                 LAG(v, 1) OVER (PARTITION BY k ORDER BY t) l1
+          FROM df),
+        e AS (SELECT k, abs(v - ls) em, abs(v - l1) e1 FROM l
+              WHERE ls IS NOT NULL AND l1 IS NOT NULL)
+        SELECT k, COUNT(*) n, AVG(em) mm, AVG(e1) m1,
+               AVG(em)/AVG(e1) mase
+        FROM e GROUP BY k ORDER BY k""").fetchdf()
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["n_evals"].tolist() == want["n"].tolist()
+    np.testing.assert_allclose(got["mase"].to_numpy(),
+                               want["mase"].to_numpy(), atol=1e-6)
+    # the seasonal series beats naive-1; the random walk does not
+    r = got.set_index("k")["mase"]
+    assert r["seasonal"] < 0.3
+    assert r["walk"] > 1.0
+
+
+def test_hand_vector(ray_session):
+    # season=2 over [1,2,1,2,1]: lag2 errors all 0 → MASE 0
+    df = pd.DataFrame({"k": ["a"] * 5, "t": range(5),
+                       "v": [1.0, 2.0, 1.0, 2.0, 1.0]})
+    got = seasonal_naive_eval(rd.from_pandas(df), "k", "t", "v",
+                              season=2).to_pandas()
+    assert got["n_evals"].tolist() == [3]
+    assert got["mase"].tolist() == [0.0]
+
+
+def test_constant_series_nan_mase(ray_session):
+    df = pd.DataFrame({"k": ["c"] * 6, "t": range(6), "v": [5.0] * 6})
+    got = seasonal_naive_eval(rd.from_pandas(df), "k", "t", "v",
+                              season=2).to_pandas()
+    assert np.isnan(got["mase"].iloc[0])     # zero naive error
+
+
+def test_partition_invariance(ray_session):
+    df = _series(seed=7)
+    outs = [(seasonal_naive_eval(
+        rd.from_pandas(df, override_num_blocks=b), "k", "t", "v",
+        season=24, n_buckets=nb).to_pandas()
+        .sort_values("k").reset_index(drop=True))
+        for b, nb in ((1, 4), (6, 9))]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_bad_season(ray_session):
+    df = pd.DataFrame({"k": ["a"], "t": [0], "v": [1.0]})
+    with pytest.raises(ValueError):
+        seasonal_naive_eval(rd.from_pandas(df), "k", "t", "v", season=0)
