@@ -78,7 +78,7 @@ QUERY_NAMES = [
     "schema_union_report", "bucketed_join_report",
     "hopping_window_report", "doremi_report", "k_anonymity_report",
     "coreset_report", "logreg_quality_report", "ols_report",
-    "cdf_report", "forecast_report",
+    "cdf_report", "forecast_report", "cv_report",
 ]
 
 

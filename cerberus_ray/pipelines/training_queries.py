@@ -2404,6 +2404,26 @@ def q_forecast_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_cv_report(sf_dir: str) -> pa.Table:
+    """k-fold cross-validation (extras surface): held-out accuracy of
+    the distributed logreg on the token-presence label, 3 hash folds —
+    the generalization estimate in-sample train_acc can't give
+    (tests/test_cv.py)."""
+    from .cv import kfold_logreg_eval
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        label = pc.cast(pc.match_substring(
+            pc.coalesce(b["text"], ""), "spark"), pa.int64())
+        return b.append_column("label", label)
+
+    train = docs.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = kfold_logreg_eval(train, n_folds=3, n_features=512, iters=6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2517,6 +2537,7 @@ QUERIES = {
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
+    "cv_report": q_cv_report,
 }
 
 def _stopword_sql(lang: str) -> str:
