@@ -2424,6 +2424,37 @@ def q_cv_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_changepoint_report(sf_dir: str) -> pa.Table:
+    """Change-point scan (extras surface): the scaled-CUSUM best split
+    of each event type's daily mean value — low scores are the honest
+    null on this synthetic table; DuckDB window-sum parity + planted-
+    shift recovery in tests/test_changepoint.py."""
+    import ray.data as rd
+
+    from ..stages.changepoint import single_changepoint
+    from ..stages.groupagg import grouped_agg
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_type", "value"])
+
+    def day_bucket(b: pa.Table) -> pa.Table:
+        sec = pc.cast(b["ts"], pa.int64())
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "day": pc.divide(sec, 86_400_000_000),
+            "value": b["value"]})
+
+    daily = grouped_agg(
+        ev.map_batches(day_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "day"], {"mean_v": ("value", "mean")})
+    out = (single_changepoint(rd.from_pandas(daily), "event_type",
+                              "day", "mean_v", n_buckets=4)
+           .to_pandas().sort_values("event_type")
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2538,6 +2569,7 @@ QUERIES = {
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
     "cv_report": q_cv_report,
+    "changepoint_report": q_changepoint_report,
 }
 
 def _stopword_sql(lang: str) -> str:
