@@ -2455,6 +2455,19 @@ def q_changepoint_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_overlap_report(sf_dir: str) -> pa.Table:
+    """Audience overlap (extras surface): pairwise distinct-user
+    intersections between event types via per-group HLL sketches —
+    bit-identical across layouts (register-max merge); accuracy bounds
+    in tests/test_overlap.py."""
+    from ..stages.overlap import group_overlap_matrix
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "user_id"])
+    out = group_overlap_matrix(ev, "event_type", "user_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2570,6 +2583,7 @@ QUERIES = {
     "forecast_report": q_forecast_report,
     "cv_report": q_cv_report,
     "changepoint_report": q_changepoint_report,
+    "overlap_report": q_overlap_report,
 }
 
 def _stopword_sql(lang: str) -> str:
