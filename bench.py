@@ -79,7 +79,7 @@ QUERY_NAMES = [
     "hopping_window_report", "doremi_report", "k_anonymity_report",
     "coreset_report", "logreg_quality_report", "ols_report",
     "cdf_report", "forecast_report", "cv_report",
-    "changepoint_report", "overlap_report",
+    "changepoint_report", "overlap_report", "abtest_report",
 ]
 
 

@@ -2468,6 +2468,20 @@ def q_overlap_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_abtest_report(sf_dir: str) -> pa.Table:
+    """A/B readout (extras surface): Welch's t-test of events.value
+    between the 'click' and 'view' event types — synthetic data, so the
+    honest expectation is a null-ish readout; statistic parity in
+    tests/test_abtest.py."""
+    from ..stages.abtest import welch_ab_test
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+    out = welch_ab_test(ev, "event_type", ["value"],
+                        control="view", treatment="click")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2584,6 +2598,7 @@ QUERIES = {
     "cv_report": q_cv_report,
     "changepoint_report": q_changepoint_report,
     "overlap_report": q_overlap_report,
+    "abtest_report": q_abtest_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -1,0 +1,88 @@
+"""Two-sample (A/B) analysis: Welch's t-test per metric from one pass
+of moment partials.
+
+The experiment-readout primitive: for each metric column, compare
+treatment vs control with the unequal-variance t statistic (Welch
+1947, public method), Welch–Satterthwaite degrees of freedom, relative
+lift, and a two-sided p-value via the normal approximation —
+``erfc(|t|/√2)`` — which is what large-sample experiment analysis uses
+(df in the thousands makes the t and normal tails indistinguishable;
+the approximation is DOCUMENTED, not silent: ``p_approx``).
+
+One streamed pass: per (group, block) partials (n, Σx, Σx²) per metric
+— sums merge exactly, so the test statistic is deterministic and the
+exchange is #blocks × #metrics × 3 floats. The DuckDB oracle mirrors
+the statistic from AVG/VAR_SAMP exactly (tests/test_abtest.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def welch_ab_test(ds, group_col: str, metric_cols: Sequence[str], *,
+                  control, treatment) -> pd.DataFrame:
+    """→ frame (metric, n_control, n_treatment, mean_control,
+    mean_treatment, lift, t_stat, df, p_approx). Rows outside the two
+    groups are ignored; NULL metric values are excluded per metric."""
+    cols = list(metric_cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        rows = {"g": [], "m": [], "n": [], "s1": [], "s2": []}
+        for grp, name in ((control, "c"), (treatment, "t")):
+            mask = g == grp
+            for c in cols:
+                v = b[c].to_numpy(zero_copy_only=False).astype(
+                    np.float64)[mask]
+                v = v[~np.isnan(v)]
+                rows["g"].append(name)
+                rows["m"].append(c)
+                rows["n"].append(len(v))
+                rows["s1"].append(float(v.sum()))
+                rows["s2"].append(float((v * v).sum()))
+        return pa.Table.from_pydict({
+            "g": pa.array(rows["g"], pa.string()),
+            "m": pa.array(rows["m"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "s1": pa.array(rows["s1"], pa.float64()),
+            "s2": pa.array(rows["s2"], pa.float64())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+             .sort_values(["g", "m"])   # order-pinned float merge
+             .groupby(["g", "m"], as_index=False).sum())
+    out = []
+    for c in cols:
+        st = {}
+        for name in ("c", "t"):
+            r = parts[(parts["g"] == name) & (parts["m"] == c)]
+            n = int(r["n"].sum())
+            if n < 2:
+                raise ValueError(
+                    f"group {name!r} has {n} usable rows for {c!r} — "
+                    f"need ≥ 2 for a variance")
+            s1, s2 = float(r["s1"].sum()), float(r["s2"].sum())
+            mean = s1 / n
+            var = (s2 - n * mean * mean) / (n - 1)   # sample variance
+            st[name] = (n, mean, max(var, 0.0))
+        (nc, mc, vc), (nt, mt, vt) = st["c"], st["t"]
+        se2 = vc / nc + vt / nt
+        t = (mt - mc) / math.sqrt(se2) if se2 > 0 else float("inf")
+        df = (se2 * se2 / ((vc / nc) ** 2 / (nc - 1)
+                           + (vt / nt) ** 2 / (nt - 1))
+              if vc > 0 or vt > 0 else float(nc + nt - 2))
+        p = math.erfc(abs(t) / math.sqrt(2.0))
+        out.append({
+            "metric": c, "n_control": nc, "n_treatment": nt,
+            "mean_control": round(mc, 6),
+            "mean_treatment": round(mt, 6),
+            "lift": round((mt - mc) / mc, 6) if mc != 0 else np.nan,
+            "t_stat": round(t, 6), "df": round(df, 2),
+            "p_approx": round(p, 8)})
+    return pd.DataFrame(out)

@@ -1,0 +1,65 @@
+"""Welch A/B test: DuckDB AVG/VAR_SAMP-derived statistic parity,
+planted-effect significance vs null, NaN exclusion, guards."""
+
+import duckdb
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from cerberus_ray.stages.abtest import welch_ab_test
+
+
+def _frame(effect=0.5, n=2000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "arm": ["control"] * n + ["treatment"] * n,
+        "m": np.r_[rng.normal(10, 2, n), rng.normal(10 + effect, 2, n)],
+        "noise": rng.normal(0, 1, 2 * n)})
+
+
+def test_duckdb_statistic_parity(ray_session):
+    df = _frame()
+    got = welch_ab_test(rd.from_pandas(df, override_num_blocks=5),
+                        "arm", ["m"], control="control",
+                        treatment="treatment").iloc[0]
+    nc, mc, vc, nt, mt, vt = duckdb.sql(
+        "SELECT COUNT(*) FILTER (arm='control'),"
+        " AVG(m) FILTER (arm='control'),"
+        " VAR_SAMP(m) FILTER (arm='control'),"
+        " COUNT(*) FILTER (arm='treatment'),"
+        " AVG(m) FILTER (arm='treatment'),"
+        " VAR_SAMP(m) FILTER (arm='treatment') FROM df").fetchone()
+    se2 = vc / nc + vt / nt
+    t = (mt - mc) / math.sqrt(se2)
+    assert abs(got["t_stat"] - t) < 1e-5
+    assert got["n_control"] == nc and got["n_treatment"] == nt
+    assert abs(got["mean_treatment"] - mt) < 1e-6
+
+
+def test_effect_detected_null_not(ray_session):
+    df = _frame(effect=0.5)
+    r = welch_ab_test(rd.from_pandas(df), "arm", ["m", "noise"],
+                      control="control", treatment="treatment")
+    r = r.set_index("metric")
+    assert r.loc["m", "p_approx"] < 1e-6        # real effect
+    assert r.loc["m", "lift"] > 0.03
+    assert r.loc["noise", "p_approx"] > 0.01    # null metric
+
+
+def test_nan_rows_excluded(ray_session):
+    df = _frame(n=200)
+    df.loc[::5, "m"] = np.nan
+    got = welch_ab_test(rd.from_pandas(df, override_num_blocks=3),
+                        "arm", ["m"], control="control",
+                        treatment="treatment").iloc[0]
+    assert got["n_control"] == (df["arm"] == "control").sum() - 40
+
+
+def test_tiny_group_raises(ray_session):
+    df = pd.DataFrame({"arm": ["control", "treatment"], "m": [1.0, 2.0]})
+    with pytest.raises(ValueError):
+        welch_ab_test(rd.from_pandas(df), "arm", ["m"],
+                      control="control", treatment="treatment")
