@@ -25,6 +25,22 @@ import pandas as pd
 import pyarrow as pa
 
 
+def bh_adjust(pvals: Sequence[float]) -> np.ndarray:
+    """Benjamini–Hochberg adjusted p-values (FDR control across the
+    metric family — Benjamini & Hochberg 1995, public method): the
+    step-up procedure's q-values, monotone-enforced from the largest
+    rank down. Driver math — a readout has a handful of metrics."""
+    p = np.asarray(pvals, dtype=np.float64)
+    m = len(p)
+    order = np.argsort(p, kind="mergesort")
+    ranked = p[order] * m / (np.arange(m) + 1)
+    # enforce monotonicity from the tail, clip at 1
+    q = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty(m)
+    out[order] = np.minimum(q, 1.0)
+    return out
+
+
 def welch_ab_test(ds, group_col: str, metric_cols: Sequence[str], *,
                   control, treatment) -> pd.DataFrame:
     """→ frame (metric, n_control, n_treatment, mean_control,
@@ -85,4 +101,7 @@ def welch_ab_test(ds, group_col: str, metric_cols: Sequence[str], *,
             "lift": round((mt - mc) / mc, 6) if mc != 0 else np.nan,
             "t_stat": round(t, 6), "df": round(df, 2),
             "p_approx": round(p, 8)})
-    return pd.DataFrame(out)
+    res = pd.DataFrame(out)
+    # multi-metric families get FDR-adjusted q-values alongside
+    res["p_bh"] = np.round(bh_adjust(res["p_approx"].to_numpy()), 8)
+    return res

@@ -63,3 +63,27 @@ def test_tiny_group_raises(ray_session):
     with pytest.raises(ValueError):
         welch_ab_test(rd.from_pandas(df), "arm", ["m"],
                       control="control", treatment="treatment")
+
+
+def test_bh_adjustment(ray_session):
+    from cerberus_ray.stages.abtest import bh_adjust
+
+    # textbook example: BH on sorted p-values
+    p = [0.01, 0.04, 0.03, 0.005, 0.2]
+    q = bh_adjust(p)
+    # reference: statsmodels-equivalent step-up by hand
+    import numpy as np
+
+    order = np.argsort(p)
+    ranked = np.array(p)[order] * len(p) / (np.arange(len(p)) + 1)
+    ref = np.minimum.accumulate(ranked[::-1])[::-1]
+    want = np.empty(len(p)); want[order] = np.minimum(ref, 1.0)
+    np.testing.assert_allclose(q, want)
+    assert (q >= np.array(p) - 1e-12).all()      # q ≥ p always
+    assert q.max() <= 1.0
+    # the report carries the q-value column
+    df = _frame(effect=0.5, n=500)
+    r = welch_ab_test(rd.from_pandas(df), "arm", ["m", "noise"],
+                      control="control", treatment="treatment")
+    assert "p_bh" in r.columns
+    assert (r["p_bh"] >= r["p_approx"] - 1e-12).all()
