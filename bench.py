@@ -80,6 +80,7 @@ QUERY_NAMES = [
     "coreset_report", "logreg_quality_report", "ols_report",
     "cdf_report", "forecast_report", "cv_report",
     "changepoint_report", "overlap_report", "abtest_report",
+    "bootstrap_report",
 ]
 
 

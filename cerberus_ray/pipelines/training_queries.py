@@ -2482,6 +2482,23 @@ def q_abtest_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_bootstrap_report(sf_dir: str) -> pa.Table:
+    """Poisson-bootstrap CI (extras surface): one-pass 95% interval for
+    the mean event value from 200 hash-keyed replicas — coverage and
+    normal-theory agreement in tests/test_bootstrap.py."""
+    from ..stages.bootstrap import bootstrap_mean_ci
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "value"])
+    r = bootstrap_mean_ci(ev, "value", "event_id", n_replicas=200)
+    return pa.Table.from_pydict({
+        "mean": pa.array([round(r["mean"], 6)], pa.float64()),
+        "ci_lo": pa.array([round(r["ci_lo"], 6)], pa.float64()),
+        "ci_hi": pa.array([round(r["ci_hi"], 6)], pa.float64()),
+        "se": pa.array([round(r["se"], 6)], pa.float64()),
+        "n": pa.array([r["n"]], pa.int64())})
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2599,6 +2616,7 @@ QUERIES = {
     "changepoint_report": q_changepoint_report,
     "overlap_report": q_overlap_report,
     "abtest_report": q_abtest_report,
+    "bootstrap_report": q_bootstrap_report,
 }
 
 def _stopword_sql(lang: str) -> str:
