@@ -119,6 +119,38 @@ def fit_logreg(ds, *, text_col: str = "text", label_col: str = "label",
                        n_features=n_features, iters=iters, reg=reg)
 
 
+def calibration_curve(scored_ds, *, label_col: str = "label",
+                      p_col: str = "p", n_bins: int = 10) -> pd.DataFrame:
+    """Reliability diagram over a scored dataset → frame (bin, n,
+    mean_p, frac_pos): equal-width probability bins, each comparing the
+    mean predicted probability against the empirical positive rate — a
+    calibrated model sits on the diagonal. One streamed pass of
+    (bin, n, Σp, Σy) partials, bounded by ``n_bins``."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be ≥ 2, got {n_bins}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = b[p_col].to_numpy(zero_copy_only=False)
+        y = b[label_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        bins = np.clip((p * n_bins).astype(np.int64), 0, n_bins - 1)
+        t = pa.table({"bin": pa.array(bins, pa.int64()),
+                      "p": pa.array(p, pa.float64()),
+                      "y": pa.array(y, pa.float64())})
+        return t.group_by("bin").aggregate(
+            [([], "count_all"), ("p", "sum"), ("y", "sum")])
+
+    g = (scored_ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+         .sort_values("bin")
+         .groupby("bin", as_index=False).sum())
+    return pd.DataFrame({
+        "bin": g["bin"].astype("int64"),
+        "n": g["count_all"].astype("int64"),
+        "mean_p": np.round(g["p_sum"] / g["count_all"], 6),
+        "frac_pos": np.round(g["y_sum"] / g["count_all"], 6)})
+
+
 def score_logreg(ds, model: LogRegModel, *, text_col: str = "text",
                  key_col: str = "doc_id", carry_cols: List[str] = ()):
     """→ Dataset (key, p): P(label=1) per row — one streamed pass, the

@@ -75,6 +75,32 @@ def unified_schema(path: str) -> pa.Schema:
     return pa.schema([(c, fields[c]) for c in order])
 
 
+def schema_diff(path_a: str, path_b: str) -> "pd.DataFrame":
+    """Footer-only schema diff between two parquet table paths → frame
+    (column, status ∈ {added, removed, changed, unchanged}, type_a,
+    type_b) — the migration-review companion of the union reader: zero
+    data pages, O(#files) footers."""
+    import pandas as pd
+
+    sa = unified_schema(path_a)
+    sb = unified_schema(path_b)
+    ta = {f.name: str(f.type) for f in sa}
+    tb = {f.name: str(f.type) for f in sb}
+    rows = []
+    for c in sorted(set(ta) | set(tb)):
+        if c not in tb:
+            st = "removed"
+        elif c not in ta:
+            st = "added"
+        elif ta[c] != tb[c]:
+            st = "changed"
+        else:
+            st = "unchanged"
+        rows.append({"column": c, "status": st,
+                     "type_a": ta.get(c), "type_b": tb.get(c)})
+    return pd.DataFrame(rows)
+
+
 def read_union_by_name(path: str, *, columns: List[str] | None = None):
     """→ Dataset over every parquet file under ``path`` with the
     unified schema: missing columns are typed nulls, narrower numerics

@@ -103,3 +103,24 @@ def test_empty_and_bad_method(ray_session):
     ok = pd.DataFrame({"doc_id": [1], "text": ["a"], "label": [1]})
     with pytest.raises(ValueError):
         fit_logreg(rd.from_pandas(ok), method="sgd")
+
+
+def test_calibration_curve(ray_session):
+    from cerberus_ray.pipelines.logreg import calibration_curve
+
+    # perfectly calibrated synthetic scores: y ~ Bernoulli(p)
+    rng = np.random.default_rng(7)
+    p = rng.uniform(0, 1, 20_000)
+    y = (rng.uniform(0, 1, len(p)) < p).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"p": p, "label": y}),
+                        override_num_blocks=5)
+    curve = calibration_curve(ds, n_bins=10)
+    assert len(curve) == 10
+    assert curve["n"].sum() == 20_000
+    # calibrated: per-bin empirical rate tracks mean predicted p
+    np.testing.assert_allclose(curve["frac_pos"], curve["mean_p"],
+                               atol=0.03)
+    import pytest
+
+    with pytest.raises(ValueError):
+        calibration_curve(ds, n_bins=1)

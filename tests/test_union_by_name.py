@@ -82,3 +82,21 @@ def test_int_float_widening(tmp_path):
 def test_empty_dir_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         unified_schema(str(tmp_path))
+
+
+def test_schema_diff(tmp_path):
+    from cerberus_ray.sources.union_by_name import schema_diff
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    pq.write_table(pa.table({
+        "id": pa.array([1], pa.int32()),
+        "gone": pa.array(["x"], pa.string()),
+        "v": pa.array([1.0], pa.float64())}), a / "f.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "v": pa.array([1.0], pa.float64()),
+        "fresh": pa.array([True], pa.bool_())}), b / "f.parquet")
+    d = schema_diff(str(a), str(b)).set_index("column")["status"]
+    assert d.to_dict() == {"fresh": "added", "gone": "removed",
+                           "id": "changed", "v": "unchanged"}
