@@ -2499,6 +2499,105 @@ def q_bootstrap_report(sf_dir: str) -> pa.Table:
         "n": pa.array([r["n"]], pa.int64())})
 
 
+def q_auc_report(sf_dir: str) -> pa.Table:
+    """ROC-AUC readout (extras surface): threshold-free separation of
+    events.value between click and non-click events, per event bucket
+    of distinct scores — Mann-Whitney parity in tests/test_roc.py."""
+    import pyarrow.compute as pc2
+
+    from ..stages.roc import roc_auc
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+
+    def lab(b: pa.Table) -> pa.Table:
+        y = pc2.cast(pc2.equal(b["event_type"], "click"), pa.int64())
+        return pa.Table.from_arrays([b["value"], y],
+                                    names=["value", "y"])
+
+    out = roc_auc(ev.map_batches(lab, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                  "value", "y", quantize=4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_survival_report(sf_dir: str) -> pa.Table:
+    """Kaplan-Meier user-lifetime curve (extras surface): per-user span
+    from first to last event in whole days; users whose last event is
+    ≥7 days before the corpus end churned (event=1), the rest are
+    right-censored. Product-limit parity in tests/test_survival.py."""
+    import ray.data as rd
+
+    from ..stages.groupagg import grouped_agg
+    from ..stages.survival import kaplan_meier
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts"])
+    span = grouped_agg(ev, ["user_id"], {"first": ("ts", "min"),
+                                         "last": ("ts", "max")})
+    end = span["last"].max()
+    life = pd.DataFrame({
+        "t": (span["last"] - span["first"]).dt.days.astype("int64"),
+        "e": ((end - span["last"]).dt.days >= 7).astype("int64")})
+    out = kaplan_meier(rd.from_pandas(life), "t", "e")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_benford_report(sf_dir: str) -> pa.Table:
+    """Benford first-digit audit (extras surface) of orders.o_totalprice
+    — digit histogram + χ²/MAD conformity; DuckDB digit-extraction
+    parity in tests/test_benford.py."""
+    from ..stages.benford import benford_profile
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_totalprice"])
+    out = benford_profile(orders, "o_totalprice")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_fk_discovery_report(sf_dir: str) -> pa.Table:
+    """Inclusion-dependency mining (extras surface): containment of the
+    generator's real FK candidates plus one reverse direction — DuckDB
+    EXCEPT parity in tests/test_profile.py."""
+    from ..stages.profile import inclusion_profile
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"])
+    customer = read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    nation = read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey"])
+    lineitem = read_table(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_partkey"])
+    part = read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    out = inclusion_profile([
+        ("orders.o_custkey<customer.c_custkey", orders, "o_custkey",
+         customer, "c_custkey"),
+        ("customer.c_nationkey<nation.n_nationkey", customer,
+         "c_nationkey", nation, "n_nationkey"),
+        ("lineitem.l_partkey<part.p_partkey", lineitem, "l_partkey",
+         part, "p_partkey"),
+        ("part.p_partkey<lineitem.l_partkey", part, "p_partkey",
+         lineitem, "l_partkey"),
+    ])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_candidate_key_report(sf_dir: str) -> pa.Table:
+    """Candidate-key mining (extras surface) over orders — uniqueness
+    of the true PK vs non-key combos; DuckDB grouped-count parity in
+    tests/test_profile.py."""
+    from ..stages.profile import candidate_key_profile
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"])
+    out = candidate_key_profile(
+        orders, [["o_orderkey"], ["o_custkey"],
+                 ["o_custkey", "o_orderdate"]])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2617,6 +2716,11 @@ QUERIES = {
     "overlap_report": q_overlap_report,
     "abtest_report": q_abtest_report,
     "bootstrap_report": q_bootstrap_report,
+    "auc_report": q_auc_report,
+    "survival_report": q_survival_report,
+    "benford_report": q_benford_report,
+    "fk_discovery_report": q_fk_discovery_report,
+    "candidate_key_report": q_candidate_key_report,
 }
 
 def _stopword_sql(lang: str) -> str:
