@@ -2598,6 +2598,58 @@ def q_candidate_key_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_fd_report(sf_dir: str) -> pa.Table:
+    """Functional-dependency mining (extras surface): generator-true
+    FDs (c_custkey→c_nationkey via PK; l_orderkey+l_linenumber is the
+    lineitem PK so it determines everything) plus expected violations —
+    DuckDB grouped count-distinct parity in tests/test_profile.py."""
+    from ..stages.profile import fd_profile
+
+    customer = read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey",
+                                   "c_mktsegment"])
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderstatus",
+                                 "o_orderpriority"])
+    out = pd.concat([
+        fd_profile(customer, [(["c_custkey"], "c_nationkey"),
+                              (["c_nationkey"], "c_mktsegment")]),
+        fd_profile(orders, [(["o_custkey"], "o_orderstatus"),
+                            (["o_orderstatus"], "o_orderpriority")]),
+    ], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_markov_report(sf_dir: str) -> pa.Table:
+    """Per-user event-type transition matrix (extras surface) — the
+    learned counterpart of the FSM edge tables; DuckDB LEAD-window
+    parity in tests/test_markov.py."""
+    from ..stages.markov import transition_matrix
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    out = transition_matrix(ev, "user_id", ["ts", "event_id"],
+                            "event_type")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_pattern_profile_report(sf_dir: str) -> pa.Table:
+    """String-shape mask profiling (extras surface) over customer and
+    order format columns — byte-exact DuckDB regexp_replace-chain
+    parity in tests/test_profile.py."""
+    from ..stages.profile import pattern_profile
+
+    customer = read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_name", "c_mktsegment"])
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority"])
+    out = pd.concat([
+        pattern_profile(customer, ["c_name", "c_mktsegment"]),
+        pattern_profile(orders, ["o_orderpriority"]),
+    ], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2721,6 +2773,9 @@ QUERIES = {
     "benford_report": q_benford_report,
     "fk_discovery_report": q_fk_discovery_report,
     "candidate_key_report": q_candidate_key_report,
+    "fd_report": q_fd_report,
+    "markov_report": q_markov_report,
+    "pattern_profile_report": q_pattern_profile_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -16,6 +16,19 @@ story is inherited, not re-derived:
   `uniqueness.duplicate_key_counts` (driver/hash/cms/shuffle planner);
   the distinct count falls out of the duplicate multiset without a
   second pass: distinct = rows − Σ(n−1).
+- ``fd_profile`` — functional-dependency mining (does det → dep hold?)
+  from block-local distinct (det, dep) partials; driver mode merges the
+  bounded distinct-pair set, shuffle mode co-locates each det value via
+  one `keyed_apply` hash exchange and merges only per-bucket summary
+  rows. Traffic ∝ distinct (det, dep) pairs, never rows.
+- ``pattern_profile`` — string-shape mining: every value is reduced to
+  a mask (uppercase→A, lowercase→a, digit→9, optionally run-compressed)
+  through an ordered RE2 replacement chain exported as ``MASK_STEPS`` /
+  ``MASK_COMPRESS_STEPS`` so a DuckDB oracle can interpolate the SAME
+  chain (both engines are RE2 → byte-exact masks). Block-local mask
+  counts merge on the driver — mask cardinality is format diversity,
+  not data size (a column with unboundedly many masks has no format,
+  which is itself the finding).
 
 DuckDB parity in tests/test_profile.py.
 """
@@ -30,7 +43,8 @@ import pyarrow as pa
 from .setops import except_distinct
 from .uniqueness import duplicate_key_counts
 
-__all__ = ["inclusion_profile", "candidate_key_profile"]
+__all__ = ["inclusion_profile", "candidate_key_profile", "fd_profile",
+           "pattern_profile", "MASK_STEPS", "MASK_COMPRESS_STEPS"]
 
 
 def _as_key(ds, col: str):
@@ -110,3 +124,120 @@ def candidate_key_profile(ds, combos: Sequence[Sequence[str]], *,
     return pd.DataFrame(rows,
                         columns=["key", "n_rows", "n_distinct",
                                  "n_dup_keys", "uniqueness", "is_key"])
+
+
+def fd_profile(ds, candidates: Sequence[Tuple[Sequence[str], str]], *,
+               mode: str = "auto", n_buckets: int = 32,
+               driver_band: int = 5_000_000) -> pd.DataFrame:
+    """Functional-dependency mining. For each ``(det_cols, dep_col)``
+    candidate, reports whether every distinct determinant tuple maps to
+    exactly one ``dep_col`` value (NULL counts as a value — a det that
+    maps to both NULL and 'x' violates the FD).
+
+    → frame (fd, n_det, n_violating_det, max_dep_per_det, fd_holds),
+    one row per candidate, input order preserved."""
+    n_rows = ds.count()
+    rows = []
+    for det_cols, dep_col in candidates:
+        det = list(det_cols)
+        cols = det + [dep_col]
+
+        def pairs(b: pa.Table, _c=cols) -> pa.Table:
+            return b.select(_c).group_by(_c).aggregate([])
+
+        pairs_ds = ds.map_batches(pairs, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        m = mode
+        if m == "auto":
+            m = "driver" if n_rows <= driver_band else "shuffle"
+        if m == "driver":
+            pdf = pairs_ds.to_pandas().drop_duplicates()
+            br = (pdf.groupby(det, dropna=False)[dep_col]
+                  .nunique(dropna=False))
+            n_det, n_viol = len(br), int((br > 1).sum())
+            mx = int(br.max()) if n_det else 0
+        elif m == "shuffle":
+            from .keyed_window import keyed_apply
+            from .setops import _KEY, _encode_key
+
+            keyed = pairs_ds.map_batches(
+                lambda b, _d=det: _encode_key(b, _d),
+                batch_format="pyarrow", zero_copy_batch=True)
+
+            def kern(g: pd.DataFrame) -> pd.DataFrame:
+                # every copy of a det key is in this bucket → exact
+                br = (g.drop_duplicates([_KEY, dep_col])[_KEY]
+                      .value_counts())
+                return pd.DataFrame({
+                    "n_det": [len(br)],
+                    "n_viol": [int((br > 1).sum())],
+                    "mx": [int(br.max()) if len(br) else 0]})
+
+            s = keyed_apply(keyed, _KEY, kern,
+                            n_buckets=n_buckets).to_pandas()
+            n_det = int(s["n_det"].sum())
+            n_viol = int(s["n_viol"].sum())
+            mx = int(s["mx"].max()) if len(s) else 0
+        else:
+            raise ValueError(f"unknown mode {m!r}")
+        rows.append({"fd": "+".join(det) + "->" + dep_col,
+                     "n_det": n_det, "n_violating_det": n_viol,
+                     "max_dep_per_det": mx, "fd_holds": n_viol == 0})
+    return pd.DataFrame(rows, columns=["fd", "n_det", "n_violating_det",
+                                       "max_dep_per_det", "fd_holds"])
+
+
+# Ordered RE2 (pattern, replacement) chain shared verbatim with the
+# DuckDB oracle (regexp_replace(..., 'g')) — order matters: class masks
+# first, then run compression over the mask alphabet.
+MASK_STEPS = (("[A-Z]", "A"), ("[a-z]", "a"), ("[0-9]", "9"))
+MASK_COMPRESS_STEPS = (("A{2,}", "A"), ("a{2,}", "a"), ("9{2,}", "9"))
+
+
+def _mask_array(arr, compress: bool):
+    import pyarrow.compute as pc
+
+    s = pc.cast(arr, pa.string())
+    steps = MASK_STEPS + (MASK_COMPRESS_STEPS if compress else ())
+    for pat, rep in steps:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+    return s
+
+
+def pattern_profile(ds, cols: Sequence[str], *, top_k: int = 10,
+                    compress: bool = True,
+                    round_digits: int = 6) -> pd.DataFrame:
+    """String-shape profiling: per column, the ``top_k`` most frequent
+    value masks with coverage. NULL values profile as mask NULL.
+
+    → frame (column, mask, n, frac, rank) sorted by (column, n desc,
+    mask) — deterministic under count ties."""
+    cols = list(cols)
+
+    def part(b: pa.Table) -> pa.Table:
+        out_c, out_m, out_n = [], [], []
+        for c in cols:
+            t = pa.Table.from_arrays([_mask_array(b[c], compress)],
+                                     names=["mask"])
+            g = t.group_by(["mask"]).aggregate([([], "count_all")])
+            out_c.append(pa.array([c] * g.num_rows, pa.string()))
+            out_m.append(g["mask"].combine_chunks())
+            out_n.append(g["count_all"].combine_chunks())
+        return pa.Table.from_arrays(
+            [pa.concat_arrays(out_c),
+             pa.concat_arrays([a.cast(pa.string()) for a in out_m]),
+             pa.concat_arrays(out_n)],
+            names=["column", "mask", "n"])
+
+    pdf = ds.map_batches(part, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    agg = (pdf.groupby(["column", "mask"], dropna=False)["n"].sum()
+           .reset_index())
+    tot = agg.groupby("column")["n"].transform("sum")
+    agg["frac"] = (agg["n"] / tot).round(round_digits)
+    agg = agg.sort_values(["column", "n", "mask"],
+                          ascending=[True, False, True],
+                          na_position="last")
+    agg["rank"] = agg.groupby("column").cumcount() + 1
+    out = agg[agg["rank"] <= top_k].reset_index(drop=True)
+    return out[["column", "mask", "n", "frac", "rank"]]

@@ -8,8 +8,10 @@ import pandas as pd
 import ray.data as rd
 
 from cerberus_ray.sources.io import read_table
-from cerberus_ray.stages.profile import (candidate_key_profile,
-                                         inclusion_profile)
+from cerberus_ray.stages.profile import (MASK_COMPRESS_STEPS, MASK_STEPS,
+                                         candidate_key_profile,
+                                         fd_profile, inclusion_profile,
+                                         pattern_profile)
 
 SF = "/root/testdata/sf0.001"
 
@@ -102,6 +104,104 @@ def test_candidate_keys_on_testdata(ray_session):
     assert bool(got.loc["o_orderkey", "is_key"])
     assert not bool(got.loc["o_custkey", "is_key"])
     con.close()
+
+
+def test_fd_profile_duckdb_parity(ray_session):
+    orders = read_table(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderstatus",
+                                 "o_orderpriority"])
+    got = fd_profile(orders, [(["o_custkey"], "o_orderstatus"),
+                              (["o_orderstatus"], "o_orderpriority")]
+                     ).set_index("fd")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    for fd, det, dep in [("o_custkey->o_orderstatus",
+                          "o_custkey", "o_orderstatus"),
+                         ("o_orderstatus->o_orderpriority",
+                          "o_orderstatus", "o_orderpriority")]:
+        nd, nv, mx = con.execute(
+            # testdata columns are non-null, so COUNT(DISTINCT) matches
+            # the engine's NULL-counts-as-a-value convention here
+            f"SELECT COUNT(*), COUNT(*) FILTER (c > 1), MAX(c) FROM ("
+            f"SELECT {det}, COUNT(DISTINCT {dep}) AS c FROM orders "
+            f"GROUP BY {det})").fetchone()
+        assert got.loc[fd, "n_det"] == nd, fd
+        assert got.loc[fd, "n_violating_det"] == nv, fd
+        assert got.loc[fd, "max_dep_per_det"] == mx, fd
+        assert bool(got.loc[fd, "fd_holds"]) == (nv == 0), fd
+    con.close()
+
+
+def test_fd_holds_on_pk(ray_session):
+    customer = read_table(f"{SF}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    got = fd_profile(customer, [(["c_custkey"], "c_nationkey")]).iloc[0]
+    assert bool(got["fd_holds"]) and got["max_dep_per_det"] == 1
+
+
+def test_fd_null_is_a_value(ray_session):
+    df = pd.DataFrame({"d": [1, 1, 2, 2, 3],
+                       "v": ["x", None, None, None, "y"]})
+    got = fd_profile(rd.from_pandas(df, override_num_blocks=2),
+                     [(["d"], "v")]).iloc[0]
+    # det 1 maps to {x, NULL} → violation; det 2 maps to {NULL} → holds
+    assert got["n_det"] == 3
+    assert got["n_violating_det"] == 1
+    assert got["max_dep_per_det"] == 2
+    assert not bool(got["fd_holds"])
+
+
+def test_fd_mode_agreement(ray_session):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"d": rng.integers(0, 200, 5000),
+                       "v": rng.integers(0, 5, 5000)})
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    cand = [(["d"], "v")]
+    pd.testing.assert_frame_equal(fd_profile(ds, cand, mode="driver"),
+                                  fd_profile(ds, cand, mode="shuffle"))
+
+
+def _mask_sql(col: str, compress: bool) -> str:
+    expr = f"CAST({col} AS VARCHAR)"
+    steps = MASK_STEPS + (MASK_COMPRESS_STEPS if compress else ())
+    for pat, rep in steps:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
+def test_pattern_profile_duckdb_parity(ray_session):
+    customer = read_table(f"{SF}/customer.parquet",
+                          columns=["c_name", "c_mktsegment"])
+    got = pattern_profile(customer, ["c_name", "c_mktsegment"],
+                          top_k=1000)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{SF}/customer.parquet')")
+    for col in ["c_name", "c_mktsegment"]:
+        want = con.execute(
+            f"SELECT {_mask_sql(col, True)} AS mask, COUNT(*) AS n "
+            f"FROM customer GROUP BY 1 ORDER BY n DESC, mask"
+        ).df()
+        sub = got[got["column"] == col].reset_index(drop=True)
+        assert list(sub["mask"]) == list(want["mask"]), col
+        assert list(sub["n"]) == list(want["n"]), col
+        np.testing.assert_allclose(sub["frac"],
+                                   want["n"] / want["n"].sum(),
+                                   atol=1e-6)
+    con.close()
+
+
+def test_pattern_profile_shapes(ray_session):
+    df = pd.DataFrame({"s": ["AB-12", "cd_34", "AB-99", None,
+                             "Customer#0001"]})
+    raw = pattern_profile(rd.from_pandas(df), ["s"], compress=False)
+    cmp_ = pattern_profile(rd.from_pandas(df), ["s"], compress=True)
+    assert set(raw["mask"].dropna()) == {"AA-99", "aa_99", "Aaaaaaaa#9999"}
+    assert set(cmp_["mask"].dropna()) == {"A-9", "a_9", "Aa#9"}
+    # NULL value profiles as NULL mask with its own count
+    assert int(raw.loc[raw["mask"].isna(), "n"].iloc[0]) == 1
+    assert int(cmp_.loc[cmp_["mask"] == "A-9", "n"].iloc[0]) == 2
 
 
 def test_mode_agreement(ray_session):
