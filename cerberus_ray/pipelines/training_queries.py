@@ -2650,6 +2650,43 @@ def q_pattern_profile_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_assoc_report(sf_dir: str) -> pa.Table:
+    """Market-basket association rules (extras surface): parts that
+    co-occur in orders, scored by support/confidence/lift — DuckDB
+    self-join parity in tests/test_assoc.py."""
+    from ..stages.assoc import association_rules
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    out = association_rules(li, "l_orderkey", "l_partkey",
+                            min_pair_n=2, top_k=50)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_fk_sketch_report(sf_dir: str) -> pa.Table:
+    """KMV-sketch FK discovery (extras surface): the O(k)-state scale
+    path of fk_discovery_report — exact at these cardinalities (flag
+    column says so), (1±1/√k) beyond; agreement with the exact
+    profiler tested in tests/test_profile.py."""
+    from ..stages.profile import inclusion_sketch_profile
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"])
+    customer = read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    nation = read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey"])
+    out = inclusion_sketch_profile([
+        ("orders.o_custkey<customer.c_custkey", orders, "o_custkey",
+         customer, "c_custkey"),
+        ("customer.c_nationkey<nation.n_nationkey", customer,
+         "c_nationkey", nation, "n_nationkey"),
+        ("customer.c_custkey<orders.o_custkey", customer, "c_custkey",
+         orders, "o_custkey"),
+    ])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2776,6 +2813,8 @@ QUERIES = {
     "fd_report": q_fd_report,
     "markov_report": q_markov_report,
     "pattern_profile_report": q_pattern_profile_report,
+    "assoc_report": q_assoc_report,
+    "fk_sketch_report": q_fk_sketch_report,
 }
 
 def _stopword_sql(lang: str) -> str:

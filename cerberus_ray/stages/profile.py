@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -44,7 +45,8 @@ from .setops import except_distinct
 from .uniqueness import duplicate_key_counts
 
 __all__ = ["inclusion_profile", "candidate_key_profile", "fd_profile",
-           "pattern_profile", "MASK_STEPS", "MASK_COMPRESS_STEPS"]
+           "pattern_profile", "inclusion_sketch_profile",
+           "MASK_STEPS", "MASK_COMPRESS_STEPS"]
 
 
 def _as_key(ds, col: str):
@@ -185,6 +187,89 @@ def fd_profile(ds, candidates: Sequence[Tuple[Sequence[str], str]], *,
                      "max_dep_per_det": mx, "fd_holds": n_viol == 0})
     return pd.DataFrame(rows, columns=["fd", "n_det", "n_violating_det",
                                        "max_dep_per_det", "fd_holds"])
+
+
+def _kmv_sketch(ds, col: str, k: int):
+    """Bottom-k distinct 64-bit hashes of ``col`` (k-minimum-values
+    sketch, Bar-Yossef et al. 2002). Per-block partials are each the
+    block's bottom-k; the union's bottom-k is their merge — mergeable,
+    order-invariant, O(k) driver state per column. NULLs are skipped
+    (a NULL never joins). Returns a sorted uint64 array of ≤k hashes."""
+    from ..determinism import hash_strings, splitmix64
+
+    def part(b: pa.Table) -> pa.Table:
+        arr = b[col]
+        v = arr.to_numpy(zero_copy_only=False)
+        if arr.null_count:
+            v = v[~pd.isna(v)]
+        if np.asarray(v).dtype.kind in "iu":
+            h = splitmix64(np.asarray(v).astype(np.uint64))
+        else:
+            h = hash_strings(np.asarray(v, dtype=object))
+        h = np.unique(h)[:k]  # unique() sorts → bottom-k
+        return pa.Table.from_arrays([pa.array(h, pa.uint64())],
+                                    names=["h"])
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    return np.unique(parts["h"].to_numpy(dtype=np.uint64))[:k]
+
+
+def _kmv_distinct(s, k: int) -> float:
+    """Distinct-count estimate from a KMV sketch: exact below k, else
+    the order-statistic estimator (k−1)/h_(k) with h normalized to
+    (0, 1)."""
+    if len(s) < k:
+        return float(len(s))
+    return (k - 1) / (float(s[-1]) / 2.0 ** 64)
+
+
+def inclusion_sketch_profile(pairs: Sequence[Tuple[str, object, str,
+                                                   object, str]], *,
+                             k: int = 8192,
+                             round_digits: int = 6) -> pd.DataFrame:
+    """Sketch-path FK discovery: the O(k)-state approximation of
+    ``inclusion_profile`` for columns whose distinct sets outgrow the
+    setops driver band. Containment is estimated from the two KMV
+    sketches via the standard combined-bottom-k intersection estimator:
+    J = |X ∩ A ∩ B| / |X| over X = bottom-k(A ∪ B), n̂∩ = J·n̂∪,
+    containment = n̂∩ / n̂A. EXACT whenever both columns' distinct
+    counts fit in k (the sketches ARE the sets); otherwise a (1±ε)
+    estimate with ε ≈ 1/√k. NULLs are skipped (unlike the exact
+    profiler — documented asymmetry, a sketch cannot represent NULL).
+
+    → frame (pair, est_distinct_a, est_distinct_b, est_containment,
+    exact), one row per candidate, input order preserved."""
+    rows = []
+    for name, ds_a, col_a, ds_b, col_b in pairs:
+        sa = _kmv_sketch(ds_a, col_a, k)
+        sb = _kmv_sketch(ds_b, col_b, k)
+        exact = len(sa) < k and len(sb) < k
+        if exact:
+            # both sketches ARE the full distinct sets (64-bit-hash
+            # collisions aside) — compute containment directly
+            n_a, n_b = float(len(sa)), float(len(sb))
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            cont = inter / n_a if n_a else float("nan")
+        else:
+            x = np.union1d(sa, sb)[:k]
+            in_both = np.intersect1d(x, sa, assume_unique=True)
+            in_both = np.intersect1d(in_both, sb, assume_unique=True)
+            j = len(in_both) / len(x) if len(x) else float("nan")
+            n_union = _kmv_distinct(x, k)
+            n_a = _kmv_distinct(sa, k)
+            n_b = _kmv_distinct(sb, k)
+            cont = (min(1.0, (j * n_union) / n_a) if n_a
+                    else float("nan"))
+        rows.append({
+            "pair": name,
+            "est_distinct_a": round(n_a, 2),
+            "est_distinct_b": round(n_b, 2),
+            "est_containment": round(cont, round_digits),
+            "exact": exact})
+    return pd.DataFrame(rows, columns=["pair", "est_distinct_a",
+                                       "est_distinct_b",
+                                       "est_containment", "exact"])
 
 
 # Ordered RE2 (pattern, replacement) chain shared verbatim with the

@@ -11,6 +11,7 @@ from cerberus_ray.sources.io import read_table
 from cerberus_ray.stages.profile import (MASK_COMPRESS_STEPS, MASK_STEPS,
                                          candidate_key_profile,
                                          fd_profile, inclusion_profile,
+                                         inclusion_sketch_profile,
                                          pattern_profile)
 
 SF = "/root/testdata/sf0.001"
@@ -202,6 +203,49 @@ def test_pattern_profile_shapes(ray_session):
     # NULL value profiles as NULL mask with its own count
     assert int(raw.loc[raw["mask"].isna(), "n"].iloc[0]) == 1
     assert int(cmp_.loc[cmp_["mask"] == "A-9", "n"].iloc[0]) == 2
+
+
+def test_kmv_sketch_exact_band_matches_exact_profiler(ray_session):
+    # testdata distinct counts fit in k → the sketch path must agree
+    # with the exact profiler to rounding (NULL-free columns here, so
+    # the NULL-semantics asymmetry is moot)
+    orders = read_table(f"{SF}/orders.parquet", columns=["o_custkey"])
+    customer = read_table(f"{SF}/customer.parquet",
+                          columns=["c_custkey"])
+    cand_x = [("fk", orders, "o_custkey", customer, "c_custkey"),
+              ("rev", customer, "c_custkey", orders, "o_custkey")]
+    exact = inclusion_profile(cand_x).set_index("pair")
+    approx = inclusion_sketch_profile(cand_x).set_index("pair")
+    assert approx["exact"].all()
+    for p in ["fk", "rev"]:
+        assert approx.loc[p, "est_distinct_a"] == \
+            exact.loc[p, "n_distinct_a"]
+        np.testing.assert_allclose(approx.loc[p, "est_containment"],
+                                   exact.loc[p, "containment"],
+                                   atol=1e-6)
+
+
+def test_kmv_sketch_estimation_band(ray_session):
+    # 60k distinct vs k=1024 → estimation band; true containment 0.5
+    rng = np.random.default_rng(5)
+    a = pd.DataFrame({"x": rng.permutation(60_000)})
+    b = pd.DataFrame({"y": rng.permutation(60_000) * 2})  # evens only
+    got = inclusion_sketch_profile(
+        [("p", rd.from_pandas(a, override_num_blocks=4), "x",
+          rd.from_pandas(b), "y")], k=1024).iloc[0]
+    assert not bool(got["exact"])
+    np.testing.assert_allclose(got["est_distinct_a"], 60_000, rtol=0.1)
+    np.testing.assert_allclose(got["est_containment"], 0.5, atol=0.1)
+
+
+def test_kmv_sketch_subset_estimates_high(ray_session):
+    # A ⊆ B in the estimation band → containment estimate ≈ 1
+    a = pd.DataFrame({"x": np.arange(30_000)})
+    b = pd.DataFrame({"y": np.arange(90_000)})
+    got = inclusion_sketch_profile(
+        [("p", rd.from_pandas(a), "x", rd.from_pandas(b), "y")],
+        k=512).iloc[0]
+    assert got["est_containment"] > 0.9
 
 
 def test_mode_agreement(ray_session):
