@@ -2687,6 +2687,63 @@ def q_fk_sketch_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_markov2_report(sf_dir: str) -> pa.Table:
+    """Order-2 Markov transitions (extras surface): P(next | last two
+    event types) per user — double-LEAD DuckDB parity in
+    tests/test_markov.py."""
+    from ..stages.markov import transition_matrix
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    out = transition_matrix(ev, "user_id", ["ts", "event_id"],
+                            "event_type", order=2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_stationary_report(sf_dir: str) -> pa.Table:
+    """Stationary distribution of the per-user event-type chain
+    (extras surface): πP = π by power iteration over the |states|²
+    driver matrix — eigenvector parity in tests/test_markov.py."""
+    from ..stages.markov import stationary_distribution, transition_matrix
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    tm = transition_matrix(ev, "user_id", ["ts", "event_id"],
+                           "event_type")
+    out = stationary_distribution(tm)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_ohlc_report(sf_dir: str) -> pa.Table:
+    """Daily OHLC downsample of events.value (extras surface):
+    open/close from the grouped arg-extremal aggregate
+    (FIRST_VALUE/LAST_VALUE semantics with an event_id tiebreak),
+    high/low/volume from grouped_agg — DuckDB window parity in
+    tests/test_groupagg_extremal.py."""
+    from ..stages.groupagg import grouped_agg, grouped_first_last
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_id", "value"])
+
+    def with_day(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        return b.append_column(
+            "day", pc2.cast(pc2.floor_temporal(b["ts"], unit="day"),
+                            pa.date32()))
+
+    d = ev.map_batches(with_day, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    fl = grouped_first_last(d, ["day"], ["ts", "event_id"], ["value"])
+    hl = grouped_agg(d, ["day"], {"high": ("value", "max"),
+                                  "low": ("value", "min"),
+                                  "volume": ("value", "count")})
+    out = fl.merge(hl, on="day")
+    out = out.rename(columns={"first_value": "open",
+                              "last_value": "close"})
+    out = out[["day", "open", "high", "low", "close", "volume"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2815,6 +2872,9 @@ QUERIES = {
     "pattern_profile_report": q_pattern_profile_report,
     "assoc_report": q_assoc_report,
     "fk_sketch_report": q_fk_sketch_report,
+    "markov2_report": q_markov2_report,
+    "stationary_report": q_stationary_report,
+    "ohlc_report": q_ohlc_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -284,3 +284,49 @@ def rollup_agg(ds, group_cols: Sequence[str],
     out = (out.sort_values(sort_cols, na_position="last",
                            kind="mergesort").reset_index(drop=True))
     return out.drop(columns=["_nulls"]) if not grouping_id else out
+
+
+def grouped_first_last(ds, group_cols: Sequence[str],
+                       order_cols: Sequence[str],
+                       value_cols: Sequence[str]) -> pd.DataFrame:
+    """Grouped arg-extremal aggregate: per group, each value column at
+    the FIRST and LAST row in ``order_cols`` order (SQL
+    FIRST_VALUE/LAST_VALUE over the whole partition, or arg_min /
+    arg_max). ``order_cols`` must totally order rows within a group —
+    include a unique tiebreak column — or the result is
+    arrival-order-dependent.
+
+    Algebraic like the rest of this module: each block emits its own
+    per-group first and last rows (2 × groups-per-block partials), the
+    driver re-runs the identical extremal selection over the partials.
+    Bounded-cardinality groups only.
+
+    → frame: group_cols + first_<v> / last_<v> per value column,
+    sorted by group."""
+    group_cols, order_cols = list(group_cols), list(order_cols)
+    value_cols = list(value_cols)
+    need = list(dict.fromkeys(group_cols + order_cols + value_cols))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[need].sort_values(group_cols + order_cols,
+                                 kind="mergesort")
+        f = s.drop_duplicates(group_cols, keep="first")
+        la = s.drop_duplicates(group_cols, keep="last")
+        return pd.concat([f.assign(__kind=0), la.assign(__kind=1)],
+                         ignore_index=True)
+
+    pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(pdf):
+        cols = group_cols + [f"{w}_{v}" for v in value_cols
+                             for w in ("first", "last")]
+        return pd.DataFrame({c: [] for c in cols})
+    s = pdf.sort_values(group_cols + order_cols, kind="mergesort")
+    f = (s[s["__kind"] == 0].drop_duplicates(group_cols, keep="first")
+         .set_index(group_cols))
+    la = (s[s["__kind"] == 1].drop_duplicates(group_cols, keep="last")
+          .set_index(group_cols))
+    out = f.index.to_frame(index=False)
+    for v in value_cols:
+        out[f"first_{v}"] = f[v].to_numpy()
+        out[f"last_{v}"] = la[v].reindex(f.index).to_numpy()
+    return (out.sort_values(group_cols).reset_index(drop=True))

@@ -22,29 +22,49 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 
-__all__ = ["transition_matrix"]
+__all__ = ["transition_matrix", "stationary_distribution"]
 
 
 def transition_matrix(ds, key_col: str, order_cols: Sequence[str],
-                      state_col: str, *, n_buckets: int = 32,
+                      state_col: str, *, order: int = 1, sep: str = ">",
+                      n_buckets: int = 32,
                       round_digits: int = 6) -> pd.DataFrame:
-    """Empirical first-order transition matrix of ``state_col`` along
-    each ``key_col`` entity's timeline (ordered by ``order_cols``,
-    which must be a per-key total order — include a unique tiebreak
-    column such as an event id).
+    """Empirical order-``order`` transition matrix of ``state_col``
+    along each ``key_col`` entity's timeline (ordered by
+    ``order_cols``, which must be a per-key total order — include a
+    unique tiebreak column such as an event id). For ``order > 1`` the
+    'state' is the ``sep``-joined history of the last ``order``
+    observations (state values must not contain ``sep``).
 
     → frame (state, next_state, n, p) sorted by (state, next_state);
     ``p`` is row-normalized: P(next | state)."""
     from .keyed_window import keyed_apply
 
     order_cols = list(order_cols)
+    if order < 1:
+        raise ValueError("order must be >= 1")
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col] + order_cols, kind="mergesort")
         k = g[key_col].to_numpy()
         s = g[state_col].to_numpy()
-        same = k[:-1] == k[1:]          # successor belongs to same key
-        cur, nxt = s[:-1][same], s[1:][same]
+        n = len(g)
+        if n <= order:
+            return pd.DataFrame({"state": pd.Series([], dtype=object),
+                                 "next_state": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        # window of order+1 consecutive rows, all within one key
+        same = np.ones(n - order, dtype=bool)
+        for j in range(order):
+            same &= k[j:n - order + j] == k[j + 1:n - order + j + 1]
+        if order == 1:
+            hist = s[:n - 1]            # raw state values, any dtype
+        else:
+            hist = s[:n - order].astype(str)
+            for j in range(1, order):
+                hist = np.char.add(np.char.add(hist, sep),
+                                   s[j:n - order + j].astype(str))
+        cur, nxt = hist[same], s[order:][same]
         if not len(cur):
             return pd.DataFrame({"state": pd.Series([], dtype=object),
                                  "next_state": pd.Series([], dtype=object),
@@ -64,3 +84,39 @@ def transition_matrix(ds, key_col: str, order_cols: Sequence[str],
     agg["n"] = agg["n"].astype("int64")
     return (agg.sort_values(["state", "next_state"])
             .reset_index(drop=True))
+
+
+def stationary_distribution(tm: pd.DataFrame, *, tol: float = 1e-12,
+                            max_iter: int = 10_000,
+                            round_digits: int = 6) -> pd.DataFrame:
+    """Stationary distribution π (πP = π) of a ``transition_matrix``
+    output by power iteration — a driver-side closed-form step: the
+    matrix is |states|², never data-sized. States that appear only as
+    absorbing next_states (no outgoing row) are treated as absorbing
+    (self-loop), the standard dangling-node fix. Raises if the chain
+    hasn't converged in ``max_iter`` — never returns a silently
+    unconverged vector.
+
+    → frame (state, pi) sorted by state."""
+    states = sorted(set(tm["state"]) | set(tm["next_state"]))
+    idx = {s: i for i, s in enumerate(states)}
+    m = len(states)
+    P = np.zeros((m, m))
+    for s, ns, p in zip(tm["state"], tm["next_state"], tm["p"]):
+        P[idx[s], idx[ns]] = p
+    row = P.sum(axis=1)
+    for i in np.flatnonzero(row == 0):
+        P[i, i] = 1.0                   # absorbing
+    P /= P.sum(axis=1, keepdims=True)   # renormalize rounded p's
+    pi = np.full(m, 1.0 / m)
+    for _ in range(max_iter):
+        nxt = pi @ P
+        if np.abs(nxt - pi).max() < tol:
+            pi = nxt
+            break
+        pi = nxt
+    else:
+        raise RuntimeError(
+            f"power iteration did not converge in {max_iter} steps")
+    return pd.DataFrame({"state": states,
+                         "pi": np.round(pi / pi.sum(), round_digits)})

@@ -7,7 +7,8 @@ import pandas as pd
 import ray.data as rd
 
 from cerberus_ray.sources.io import read_table
-from cerberus_ray.stages.markov import transition_matrix
+from cerberus_ray.stages.markov import (stationary_distribution,
+                                        transition_matrix)
 
 SF = "/root/testdata/sf0.001"
 
@@ -46,6 +47,68 @@ def test_no_cross_key_pairs(ray_session):
     assert set(zip(got["state"], got["next_state"])) == {("a", "b"),
                                                          ("x", "y")}
     assert (got["n"] == 1).all() and (got["p"] == 1.0).all()
+
+
+def test_order2_duckdb_parity(ray_session):
+    ev = read_table(f"{SF}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    got = transition_matrix(ev, "user_id", ["ts", "event_id"],
+                            "event_type", order=2)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(
+        "SELECT s1 || '>' || s2 AS state, s3 AS next_state, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "  SELECT event_type AS s1,"
+        "    LEAD(event_type, 1) OVER w AS s2,"
+        "    LEAD(event_type, 2) OVER w AS s3"
+        "  FROM events WINDOW w AS ("
+        "    PARTITION BY user_id ORDER BY ts, event_id)) "
+        "WHERE s3 IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2").df()
+    pd.testing.assert_frame_equal(got[["state", "next_state", "n"]],
+                                  want)
+    con.close()
+
+
+def test_stationary_distribution(ray_session):
+    # two-state chain with known closed form: pi = (b, a)/(a+b) for
+    # P = [[1-a, a], [b, 1-b]]
+    tm = pd.DataFrame({
+        "state": ["x", "x", "y", "y"],
+        "next_state": ["x", "y", "x", "y"],
+        "n": [70, 30, 60, 40],
+        "p": [0.7, 0.3, 0.6, 0.4]})
+    got = stationary_distribution(tm).set_index("state")["pi"]
+    a, b = 0.3, 0.6
+    np.testing.assert_allclose(got["x"], b / (a + b), atol=1e-6)
+    np.testing.assert_allclose(got["y"], a / (a + b), atol=1e-6)
+    # eigenvector cross-check on the real events chain
+    ev = read_table(f"{SF}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    tm2 = transition_matrix(ev, "user_id", ["ts", "event_id"],
+                            "event_type")
+    got2 = stationary_distribution(tm2)
+    states = list(got2["state"])
+    P = np.zeros((len(states), len(states)))
+    idx = {s: i for i, s in enumerate(states)}
+    for s, ns, p in zip(tm2["state"], tm2["next_state"], tm2["p"]):
+        P[idx[s], idx[ns]] = p
+    P /= P.sum(axis=1, keepdims=True)
+    w, v = np.linalg.eig(P.T)
+    vec = np.real(v[:, np.argmin(np.abs(w - 1))])
+    vec = vec / vec.sum()
+    np.testing.assert_allclose(got2["pi"], vec, atol=1e-5)
+
+
+def test_stationary_absorbing_state(ray_session):
+    # 'end' never transitions out → treated as absorbing; all mass
+    # drains into it
+    tm = pd.DataFrame({
+        "state": ["a", "a"], "next_state": ["a", "end"],
+        "n": [50, 50], "p": [0.5, 0.5]})
+    got = stationary_distribution(tm).set_index("state")["pi"]
+    np.testing.assert_allclose(got["end"], 1.0, atol=1e-6)
 
 
 def test_multiblock_determinism(ray_session):
