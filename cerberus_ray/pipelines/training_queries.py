@@ -2744,6 +2744,31 @@ def q_ohlc_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_text_index_report(sf_dir: str) -> pa.Table:
+    """Persisted inverted-index BM25 (extras surface): build the
+    token-partitioned index over documents, answer a query from it,
+    and report agreement with the scan-path bm25_topk (exact match —
+    also asserted in tests/test_text_index.py)."""
+    import tempfile
+
+    from .text_index import bm25_topk_indexed, build_text_index
+    from .tfidf import bm25_topk
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    query = "data quality pipeline"
+    with tempfile.TemporaryDirectory(prefix="text_index_") as d:
+        build_text_index(docs, d, n_buckets=16)
+        got = bm25_topk_indexed(d, query, k=10).to_pandas()
+    ref = bm25_topk(docs, query, k=10).to_pandas()
+    agree = (len(got) == len(ref)
+             and (got["doc_id"].to_numpy() ==
+                  ref["doc_id"].to_numpy()).all()
+             and np.allclose(got["score"], ref["score"]))
+    got["scan_agrees"] = bool(agree)
+    return pa.Table.from_pandas(got, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2875,6 +2900,7 @@ QUERIES = {
     "markov2_report": q_markov2_report,
     "stationary_report": q_stationary_report,
     "ohlc_report": q_ohlc_report,
+    "text_index_report": q_text_index_report,
 }
 
 def _stopword_sql(lang: str) -> str:
