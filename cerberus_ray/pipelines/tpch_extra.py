@@ -35,7 +35,8 @@ import ray
 from ..sources.io import read_table
 from ..stages.groupagg import grouped_agg
 
-__all__ = ["q3_shipping_priority", "q10_returned_items"]
+__all__ = ["q3_shipping_priority", "q10_returned_items",
+           "q5_local_supplier_volume"]
 
 #: same broadcast band as relational2 (a lookup side must fit every
 #: worker's heap to ship by value)
@@ -78,8 +79,8 @@ def _attach_order_attrs(lane, orders, attr_cols):
         pos = np.searchsorted(keys, lk)
         pos_c = np.clip(pos, 0, len(keys) - 1)
         m = (keys[pos_c] == lk) if len(keys) else np.zeros(len(lk), bool)
-        cols = {"l_orderkey": pa.array(lk[m]),
-                "rev_e4": b["rev_e4"].filter(pa.array(m))}
+        mask = pa.array(m)
+        cols = {c: b[c].filter(mask) for c in b.column_names}
         for c in attr_cols:
             cols[c] = pa.array(attrs[c][pos_c[m]])
         return pa.Table.from_pydict(cols)
@@ -230,3 +231,130 @@ def q10_returned_items(sf_dir: str, *, join_mode: str = "auto",
     return pa.Table.from_pandas(
         out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]],
         preserve_index=False)
+
+
+def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
+                             date_lo: str = "1996-01-01",
+                             date_hi: str = "1997-01-01",
+                             cust_mode: str = "auto",
+                             join_mode: str = "auto") -> pa.Table:
+    """Local-supplier volume (Q5 shape): revenue in a region and year
+    where the CUSTOMER's nation equals the SUPPLIER's nation — the
+    six-table join composition (region→nation→{customer, supplier} ×
+    orders ⋈ lineitem). → (n_name, revenue) ordered by revenue desc.
+
+    Scale plan: region/nation/supplier maps broadcast (genuine
+    dimensions); the region-filtered customer→nation map goes through
+    the broadcast-vs-native planner (fact-sized at 10¹² rows); the
+    orders⋈lineitem fact join reuses the Q3/Q10 planner; the
+    same-nation equality is a vectorized post-join filter; the rollup
+    is 25-nation-bounded."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    nation = read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name",
+                                 "n_regionkey"]).to_pandas()
+    reg = read_table(f"{sf_dir}/region.parquet",
+                     columns=["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nkeys = np.sort(nat["n_nationkey"].to_numpy())
+    name_map = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    sup = read_table(f"{sf_dir}/supplier.parquet",
+                     columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nkeys)]
+    skeys = sup["s_suppkey"].to_numpy()
+    srt = np.argsort(skeys, kind="mergesort")
+    sup_ref = ray.put((skeys[srt],
+                       sup["s_nationkey"].to_numpy()[srt]))
+
+    cust = read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nkeys.tolist()))
+    if cust_mode == "auto":
+        cust_mode = ("broadcast" if cust.count() <= _BROADCAST_MAX_ROWS
+                     else "shuffle")
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    if cust_mode == "broadcast":
+        cdf = cust.to_pandas()
+        ck = cdf["c_custkey"].to_numpy()
+        csrt = np.argsort(ck, kind="mergesort")
+        cref = ray.put((ck[csrt], cdf["c_nationkey"].to_numpy()[csrt]))
+
+        def attach_cn(b: pa.Table) -> pa.Table:
+            keys, nats = ray.get(cref)
+            ok = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ok)
+            pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+            m = (keys[pos_c] == ok) if len(keys) else np.zeros(
+                len(ok), bool)
+            return pa.Table.from_pydict({
+                "o_orderkey": b["o_orderkey"].filter(pa.array(m)),
+                "cust_nation": pa.array(nats[pos_c[m]], pa.int64())})
+
+        orders = orders.map_batches(attach_cn, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    elif cust_mode == "shuffle":
+        orders = (orders.join(cust, join_type="inner", num_partitions=8,
+                              on=("o_custkey",), right_on=("c_custkey",))
+                  .map_batches(
+                      lambda b: pa.Table.from_pydict({
+                          "o_orderkey": b["o_orderkey"],
+                          "cust_nation": pc.cast(b["c_nationkey"],
+                                                 pa.int64())}),
+                      batch_format="pyarrow", zero_copy_batch=True))
+    else:
+        raise ValueError(f"unknown cust_mode: {cust_mode!r}")
+
+    def lane_proj(b: pa.Table) -> pa.Table:
+        keys, nats = ray.get(sup_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, sk)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        m = (keys[pos_c] == sk) if len(keys) else np.zeros(len(sk), bool)
+        mask = pa.array(m)
+        return pa.Table.from_pydict({
+            "l_orderkey": b["l_orderkey"].filter(mask),
+            "rev_e4": _rev_e4(b).filter(mask),
+            "supp_nation": pa.array(nats[pos_c[m]], pa.int64())})
+
+    lane = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        lane_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    if join_mode == "auto":
+        join_mode = ("broadcast"
+                     if orders.count() <= _BROADCAST_MAX_ROWS
+                     else "shuffle")
+    if join_mode == "broadcast":
+        joined = _attach_order_attrs(lane, orders, ["cust_nation"])
+    elif join_mode == "shuffle":
+        joined = lane.join(orders, join_type="inner", num_partitions=8,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+    else:
+        raise ValueError(f"unknown join_mode: {join_mode!r}")
+
+    def local_only(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["supp_nation"], pc.cast(b["cust_nation"],
+                                               pa.int64()))
+        return b.filter(pc.fill_null(m, False))
+
+    joined = joined.map_batches(local_only, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    g = grouped_agg(joined, ["supp_nation"],
+                    {"rev_sum": ("rev_e4", "sum")})
+    g["revenue"] = _cents(g.pop("rev_sum"))
+    g["n_name"] = g["supp_nation"].map(name_map)
+    g = g.sort_values(["revenue", "n_name"],
+                      ascending=[False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(g[["n_name", "revenue"]],
+                                preserve_index=False)

@@ -2769,6 +2769,28 @@ def q_text_index_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(got, preserve_index=False)
 
 
+def q_rfm_report(sf_dir: str) -> pa.Table:
+    """RFM customer-segment census (extras surface) over orders —
+    DuckDB quantile_disc parity in tests/test_rfm.py."""
+    from .rfm import rfm_segments
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    out = rfm_segments(orders, "o_custkey", "o_orderdate",
+                       "o_totalprice", n_bins=4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_q5_local_supplier_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q5 shape (extras surface): six-table join with the
+    same-nation customer/supplier equality — bit-exact integer-cents
+    DuckDB parity + planner-mode agreement in tests/test_tpch_extra.py."""
+    from .tpch_extra import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(sf_dir)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2901,6 +2923,8 @@ QUERIES = {
     "stationary_report": q_stationary_report,
     "ohlc_report": q_ohlc_report,
     "text_index_report": q_text_index_report,
+    "rfm_report": q_rfm_report,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -34,10 +34,13 @@ def association_rules(ds, basket_col: str, item_col: str, *,
     """Mine pairwise association rules a→b from a (basket, item) table.
 
     → frame (antecedent, consequent, n_pair, n_antecedent,
-    n_consequent, n_baskets, n_capped, support, confidence, lift),
-    both directions per observed pair, filtered to ``n_pair ≥
-    min_pair_n``, top ``top_k`` by (lift desc, n_pair desc,
-    antecedent, consequent) — deterministic under ties."""
+    n_consequent, n_baskets, n_capped, support, confidence, lift,
+    cosine, jaccard), both directions per observed pair, filtered to
+    ``n_pair ≥ min_pair_n``, top ``top_k`` by (lift desc, n_pair desc,
+    antecedent, consequent) — deterministic under ties. ``cosine`` =
+    n_ab/√(n_a·n_b) and ``jaccard`` = n_ab/(n_a+n_b−n_ab) are the
+    item-item collaborative-filtering similarities over the same
+    counts (symmetric, unlike confidence)."""
     from .keyed_window import keyed_apply
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
@@ -101,7 +104,7 @@ def association_rules(ds, basket_col: str, item_col: str, *,
         return pd.DataFrame(columns=[
             "antecedent", "consequent", "n_pair", "n_antecedent",
             "n_consequent", "n_baskets", "n_capped", "support",
-            "confidence", "lift"])
+            "confidence", "lift", "cosine", "jaccard"])
     # both rule directions share the symmetric pair count
     r = pd.DataFrame({
         "antecedent": np.concatenate([pairs["a"], pairs["b"]]),
@@ -116,6 +119,12 @@ def association_rules(ds, basket_col: str, item_col: str, *,
     r["lift"] = (r["n_pair"] * n_baskets
                  / (r["n_antecedent"] * r["n_consequent"])
                  ).round(round_digits)
+    r["cosine"] = (r["n_pair"]
+                   / np.sqrt(r["n_antecedent"] * r["n_consequent"])
+                   ).round(round_digits)
+    r["jaccard"] = (r["n_pair"]
+                    / (r["n_antecedent"] + r["n_consequent"]
+                       - r["n_pair"])).round(round_digits)
     for c in ["n_pair", "n_antecedent", "n_consequent"]:
         r[c] = r[c].astype("int64")
     r = r.sort_values(["lift", "n_pair", "antecedent", "consequent"],

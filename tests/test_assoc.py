@@ -66,6 +66,11 @@ def test_hand_worked_example(ray_session):
     ba = g.loc[("B", "A")]
     np.testing.assert_allclose(ba["confidence"], 2 / 3, atol=1e-6)
     np.testing.assert_allclose(ba["lift"], ab["lift"])   # symmetric
+    # item-item CF similarities: n_ab/sqrt(na·nb), n_ab/(na+nb−n_ab)
+    np.testing.assert_allclose(ab["cosine"], 2 / np.sqrt(9), atol=1e-6)
+    np.testing.assert_allclose(ab["jaccard"], 2 / 4, atol=1e-6)
+    np.testing.assert_allclose(ba["cosine"], ab["cosine"])
+    np.testing.assert_allclose(ba["jaccard"], ab["jaccard"])
 
 
 def test_mega_basket_cap(ray_session):

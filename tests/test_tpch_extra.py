@@ -8,6 +8,7 @@ import pytest
 
 from cerberus_ray.pipelines.tpch_extra import (
     q3_shipping_priority,
+    q5_local_supplier_volume,
     q10_returned_items,
 )
 
@@ -23,7 +24,8 @@ CENTS = "((CAST(SUM({rev}) AS BIGINT) + 50) // 100) / 100.0"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["customer", "orders", "lineitem", "nation"]:
+    for t in ["customer", "orders", "lineitem", "nation", "supplier",
+              "region"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                   f"read_parquet('{SF_DIR}/{t}.parquet')")
     return c
@@ -87,6 +89,40 @@ def test_q10_matches_duckdb(ray_session, con):
         LIMIT 20""").df()
     assert len(mine) == 20
     pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+
+
+def test_q5_matches_duckdb(ray_session, con):
+    mine = q5_local_supplier_volume(SF_DIR).to_pandas()
+    theirs = con.execute(f"""
+        SELECT n_name, {CENTS.format(rev=REV_E4)} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""").df()
+    assert len(mine) > 0
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+
+
+def test_q5_modes_agree(ray_session):
+    frames = [
+        q5_local_supplier_volume(SF_DIR, cust_mode=cm,
+                                 join_mode=jm).to_pandas()
+        for cm in ("broadcast", "shuffle")
+        for jm in ("broadcast", "shuffle")]
+    for f in frames[1:]:
+        pd.testing.assert_frame_equal(frames[0], f)
+    with pytest.raises(ValueError):
+        q5_local_supplier_volume(SF_DIR, cust_mode="nope")
+    with pytest.raises(ValueError):
+        q5_local_supplier_volume(SF_DIR, join_mode="nope")
 
 
 def test_q3_rerun_deterministic(ray_session):
