@@ -81,6 +81,22 @@ QUERY_NAMES = [
     "cdf_report", "forecast_report", "cv_report",
     "changepoint_report", "overlap_report", "abtest_report",
     "bootstrap_report",
+    "auc_report",
+    "survival_report",
+    "benford_report",
+    "fk_discovery_report",
+    "candidate_key_report",
+    "fd_report",
+    "markov_report",
+    "pattern_profile_report",
+    "assoc_report",
+    "fk_sketch_report",
+    "markov2_report",
+    "stationary_report",
+    "ohlc_report",
+    "text_index_report",
+    "rfm_report",
+    "q5_local_supplier_volume",
 ]
 
 

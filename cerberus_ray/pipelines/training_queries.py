@@ -2791,6 +2791,47 @@ def q_q5_local_supplier_volume(sf_dir: str) -> pa.Table:
     return q5_local_supplier_volume(sf_dir)
 
 
+def q_seasonal_report(sf_dir: str) -> pa.Table:
+    """Weekly seasonal decomposition of the daily event-count series
+    (extras surface): trend / seasonal / resid + Hyndman seasonal
+    strength — DuckDB window parity in tests/test_seasonal.py."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.seasonal import (seasonal_decompose_series,
+                                   seasonal_strength)
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def with_day(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        return pa.Table.from_arrays(
+            [pc2.cast(pc2.floor_temporal(b["ts"], unit="day"),
+                      pa.date32())], names=["day"])
+
+    d = ev.map_batches(with_day, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    series = grouped_agg(d, ["day"], {"n": ("day", "count")})
+    series["day"] = pd.to_datetime(series["day"])
+    # regular grid: fill calendar gaps with zero-count days
+    full = pd.DataFrame({"day": pd.date_range(series["day"].min(),
+                                              series["day"].max())})
+    series = full.merge(series, on="day", how="left").fillna({"n": 0})
+    series["n"] = series["n"].astype("float64")
+    dec = seasonal_decompose_series(series, "n", 7)
+    dec["strength"] = seasonal_strength(dec)
+    return pa.Table.from_pandas(dec, preserve_index=False)
+
+
+def q_encoding_scan_report(sf_dir: str) -> pa.Table:
+    """Encoding-anomaly triage over documents (extras surface):
+    control chars / U+FFFD / mojibake markers — DuckDB regexp parity
+    in tests/test_webclean.py."""
+    from .webclean import encoding_anomaly_scan
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = encoding_anomaly_scan(docs)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2925,6 +2966,8 @@ QUERIES = {
     "text_index_report": q_text_index_report,
     "rfm_report": q_rfm_report,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
+    "seasonal_report": q_seasonal_report,
+    "encoding_scan_report": q_encoding_scan_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -435,3 +435,58 @@ def normalize_unicode(ds, *, text_col: str = "text",
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+#: Encoding-anomaly markers, RE2 patterns shared verbatim with the
+#: DuckDB oracle (tests/test_webclean.py): stray C0 control characters
+#: (minus \t \n \r — legitimate in text), the U+FFFD replacement
+#: character a lossy decode leaves behind, and the two canonical
+#: UTF-8-read-as-Latin-1/Win-1252 mojibake prefixes ("Ã" + a
+#: Latin-1 continuation codepoint, and "â€" from curly
+#: punctuation).
+ENC_SCAN_PATTERNS = (
+    ("control", "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"),
+    ("replacement_char", "�"),
+    ("mojibake_latin1", "\u00c3[\u0080-\u00bf]"),
+    ("mojibake_win1252", "â€"),
+)
+
+
+def encoding_anomaly_scan(ds, *, text_col: str = "text",
+                          round_digits: int = 6):
+    """Corpus-wide encoding health report: per anomaly kind, how many
+    documents are affected and how many hits occur — the triage step
+    before re-decoding or dropping a source. One streamed vectorized
+    pass (RE2 count per pattern per block), driver merge of
+    4-rows-per-block partials.
+
+    → pandas frame (kind, n_docs, docs_affected, hits, doc_rate) in
+    ENC_SCAN_PATTERNS order."""
+    import numpy as np
+    import pandas as pd
+
+    def part(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b[text_col], "")
+        kinds, affected, hits = [], [], []
+        for kind, pat in ENC_SCAN_PATTERNS:
+            c = pc.count_substring_regex(s, pattern=pat)
+            cn = c.to_numpy(zero_copy_only=False)
+            kinds.append(kind)
+            affected.append(int((cn > 0).sum()))
+            hits.append(int(cn.sum()))
+        return pa.Table.from_pydict({
+            "kind": pa.array(kinds, pa.string()),
+            "n_docs": pa.array([b.num_rows] * len(kinds), pa.int64()),
+            "docs_affected": pa.array(affected, pa.int64()),
+            "hits": pa.array(hits, pa.int64())})
+
+    pdf = ds.map_batches(part, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    g = (pdf.groupby("kind", sort=False, as_index=False)
+         [["n_docs", "docs_affected", "hits"]].sum())
+    order = {k: i for i, (k, _) in enumerate(ENC_SCAN_PATTERNS)}
+    g = g.sort_values("kind", key=lambda s: s.map(order))
+    g["doc_rate"] = (g["docs_affected"]
+                     / g["n_docs"].replace(0, np.nan)).fillna(0.0)
+    g["doc_rate"] = g["doc_rate"].round(round_digits)
+    return g.reset_index(drop=True)

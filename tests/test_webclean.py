@@ -365,3 +365,48 @@ def test_normalize_unicode_dataset_dedup_effect(ray_session):
     # the two encodings of 'café society' collapse only after NFC
     assert int(before["n_unique"][0].as_py()) == 3
     assert int(after["n_unique"][0].as_py()) == 2
+
+
+def test_encoding_scan_duckdb_parity(ray_session):
+    from cerberus_ray.pipelines.webclean import (ENC_SCAN_PATTERNS,
+                                                 encoding_anomaly_scan)
+
+    docs = pd.DataFrame({"text": [
+        "clean text, nothing wrong.",
+        "null byte \x00 and bell \x07 inside",
+        "lossy decode �� here",
+        "cafÃ© is mojibake latin1",        # "cafÃ©"
+        "â€œsmart quotesâ€", # "â€œ…â€"
+        None,
+        "tab\tand\nnewline are fine",
+        "double \x00\x00 control",
+    ]})
+    got = encoding_anomaly_scan(
+        rd.from_pandas(docs, override_num_blocks=3)).set_index("kind")
+    con = duckdb.connect()
+    con.register("docs", docs)
+    for kind, pat in ENC_SCAN_PATTERNS:
+        aff, hits = con.execute(
+            "SELECT COUNT(*) FILTER (regexp_matches(coalesce(text, "
+            "''), ?)), CAST(COALESCE(SUM(len(regexp_extract_all("
+            "coalesce(text, ''), ?))), 0) AS BIGINT) FROM docs",
+            [pat, pat]).fetchone()
+        assert got.loc[kind, "docs_affected"] == aff, kind
+        assert got.loc[kind, "hits"] == hits, kind
+        assert got.loc[kind, "n_docs"] == len(docs), kind
+    # the synthetic rows above hit every anomaly class at least once
+    assert (got["docs_affected"] > 0).all()
+    con.close()
+
+
+def test_encoding_scan_on_real_documents(ray_session):
+    from cerberus_ray.pipelines.webclean import encoding_anomaly_scan
+    from cerberus_ray.sources.io import read_table
+
+    docs = read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["text"])
+    got = encoding_anomaly_scan(docs)
+    n = docs.count()
+    assert (got["n_docs"] == n).all()
+    assert (got["hits"] >= got["docs_affected"]).all()
+    assert ((got["doc_rate"] >= 0) & (got["doc_rate"] <= 1)).all()
