@@ -97,6 +97,10 @@ QUERY_NAMES = [
     "text_index_report",
     "rfm_report",
     "q5_local_supplier_volume",
+    "seasonal_report",
+    "encoding_scan_report",
+    "sq8_report",
+    "dp_counts_report",
 ]
 
 

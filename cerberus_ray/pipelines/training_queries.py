@@ -2832,6 +2832,43 @@ def q_encoding_scan_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_sq8_report(sf_dir: str) -> pa.Table:
+    """Scalar-quantized (int8) ANN (extras surface): fit bounds,
+    encode, probe with the first 5 vectors, report recall@5 vs brute
+    force — reconstruction/recall bounds tested in
+    tests/test_ann_index.py."""
+    from .ann_index import sq8_encode, sq8_fit, sq8_topk
+    from .similarity import brute_force_topk
+
+    emb = _emb(sf_dir).materialize()
+    q = np.stack(emb.limit(5).to_pandas()["embedding"].to_numpy())
+    bounds = sq8_fit(emb)
+    codes = sq8_encode(emb, bounds)
+    approx = sq8_topk(codes, bounds, q, k=5).to_pandas()
+    exact = brute_force_topk(emb, q, k=5).to_pandas()
+    hits = tot = 0
+    for qi in range(len(q)):
+        truth = set(exact[exact["query_id"] == qi]["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    return pa.Table.from_pydict({
+        "n_vectors": [int(emb.count())],
+        "n_queries": [len(q)],
+        "recall_at_5": [round(hits / max(tot, 1), 4)]})
+
+
+def q_dp_counts_report(sf_dir: str) -> pa.Table:
+    """ε-DP noisy event-type counts (extras surface): deterministic
+    counter-based Laplace release — mechanism properties tested in
+    tests/test_privacy.py."""
+    from ..stages.privacy import dp_grouped_counts
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
+    out = dp_grouped_counts(ev, ["event_type"], epsilon=1.0, seed=42)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -2968,6 +3005,8 @@ QUERIES = {
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "seasonal_report": q_seasonal_report,
     "encoding_scan_report": q_encoding_scan_report,
+    "sq8_report": q_sq8_report,
+    "dp_counts_report": q_dp_counts_report,
 }
 
 def _stopword_sql(lang: str) -> str:

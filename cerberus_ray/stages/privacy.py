@@ -109,3 +109,44 @@ def k_anonymity_report(ds, quasi_cols: Sequence[str], *, k: int = 5,
         out["n_groups_below_l"] = pa.array(
             [int((g["n_distinct"] < l).sum())], pa.int64())
     return pa.Table.from_pydict(out)
+
+
+def dp_grouped_counts(ds, cols: Sequence[str], *, epsilon: float = 1.0,
+                      seed: int = 42, mode: str = "auto",
+                      round_digits: int = 4) -> pd.DataFrame:
+    """ε-differentially-private grouped counts: the exact census (via
+    the module's driver/shuffle planner) plus Laplace(1/ε) noise — the
+    Dwork et al. 2006 mechanism, sensitivity 1 for counting queries
+    over disjoint groups with a FIXED public group domain (caveat: the
+    released group LIST here is data-dependent; for a strict DP
+    release, join against a public domain and release every group).
+
+    Determinism (the engine contract): noise is counter-based — a
+    uniform draw from the hash of (seed, group key) through the
+    inverse Laplace CDF — so reruns and layout changes release the
+    SAME noisy values (a nondeterministic release would burn privacy
+    budget per rerun).
+
+    → frame (cols..., n_noisy) sorted by cols; true counts are not
+    returned."""
+    from ..determinism import hash_strings
+
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    cols = list(cols)
+    if mode == "auto":
+        mode = ("driver" if ds.count() <= DRIVER_ROW_LIMIT
+                else "shuffle")
+    g = _group_counts(ds, cols, mode)
+    if not len(g):
+        return pd.DataFrame({c: [] for c in cols + ["n_noisy"]})
+    g = g.sort_values(cols, na_position="last").reset_index(drop=True)
+    key = g[cols].astype(str).agg("\x1f".join, axis=1).to_numpy(object)
+    h = hash_strings(np.char.add(f"dp:{seed}:", key.astype(str)))
+    # u ∈ (-0.5, 0.5); inverse CDF: -sign(u)·ln(1-2|u|)/ε
+    u = (h.astype(np.float64) / 2.0 ** 64) - 0.5
+    u = np.clip(u, -0.5 + 1e-12, 0.5 - 1e-12)
+    noise = -np.sign(u) * np.log1p(-2.0 * np.abs(u)) / epsilon
+    g["n_noisy"] = np.round(g["n"].to_numpy(np.float64) + noise,
+                            round_digits)
+    return g[cols + ["n_noisy"]]

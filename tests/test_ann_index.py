@@ -3,6 +3,7 @@ recall vs brute force, stale-parameter guard, probe-only reuse."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -173,3 +174,68 @@ def test_ivfpq_index_end_to_end(ray_session, tmp_path):
         hits += len(truth & got)
         tot += len(truth)
     assert hits / tot >= 0.7  # PQ adds quantization loss on top of IVF
+
+
+def test_sq8_reconstruction_and_recall(ray_session):
+    """SQ8 top-k is near-exact: 8-bit uniform lattice error is
+    span/510 per dimension, so sims match brute force closely."""
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.ann_index import (sq8_encode, sq8_fit,
+                                                  sq8_topk)
+
+    df = vectors(800)
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    bounds = sq8_fit(ds)
+    assert bounds.shape == (2, 16)
+    assert (bounds[1] >= bounds[0]).all()
+    codes = sq8_encode(ds, bounds).materialize()
+    pdf = codes.to_pandas()
+    assert len(pdf) == 800 and all(len(c) == 16 for c in pdf["code"])
+
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(6, 16))
+    exact = brute_force_topk(rd.from_pandas(df), q, k=10).to_pandas()
+    approx = sq8_topk(codes, bounds, q, k=10).to_pandas()
+    hits = tot = 0
+    for qi in range(6):
+        truth = set(exact[exact["query_id"] == qi]["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert hits / tot >= 0.9          # measured: near-1.0 at 8 bits
+    for qi in range(6):
+        a1 = approx[approx["query_id"] == qi]["sim"].iloc[0]
+        e1 = exact[exact["query_id"] == qi]["sim"].iloc[0]
+        assert abs(a1 - e1) < 0.02
+
+
+def test_sq8_bounds_and_determinism(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.ann_index import (sq8_encode, sq8_fit,
+                                                  sq8_topk)
+    from cerberus_ray.pipelines.similarity import _mat, _unit
+
+    # include a constant dimension → degenerate span handled exactly
+    df = pd.DataFrame({
+        "vec_id": np.arange(50, dtype=np.int64),
+        "embedding": [[1.0, float(i), 0.5] for i in range(50)]})
+    ds1 = rd.from_pandas(df, override_num_blocks=1)
+    ds3 = rd.from_pandas(df, override_num_blocks=3)
+    b1, b3 = sq8_fit(ds1), sq8_fit(ds3)
+    np.testing.assert_array_equal(b1, b3)   # partial-merge invariance
+    codes = sq8_encode(ds1, b1).to_pandas().sort_values("vec_id")
+    # reconstruction error bounded by half a lattice step per dim
+    raw = np.frombuffer(b"".join(codes["code"]), dtype=np.uint8) \
+        .reshape(50, 3).astype(np.float64)
+    lo, hi = b1[0], b1[1]
+    span = np.where(hi > lo, hi - lo, 1.0)
+    recon = lo + raw * span / 255.0
+    true = _unit(_mat(pa.chunked_array([pa.array(
+        df["embedding"].tolist())])))
+    assert np.abs(recon - true).max() <= (span.max() / 510) + 1e-12
+    q = np.array([[0.2, 0.9, 0.1]])
+    a = sq8_topk(sq8_encode(ds1, b1), b1, q, k=5).to_pandas()
+    b = sq8_topk(sq8_encode(ds3, b3), b3, q, k=5).to_pandas()
+    pd.testing.assert_frame_equal(a, b)

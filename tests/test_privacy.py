@@ -79,3 +79,55 @@ def test_guards(ray_session):
         k_anonymity_report(rd.from_pandas(df), ["q"], l=2)
     with pytest.raises(ValueError):
         k_anonymity_report(rd.from_pandas(df), ["q"], mode="nope")
+
+
+def test_dp_counts_deterministic_and_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.privacy import dp_grouped_counts
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 40, 5000)})
+    a = dp_grouped_counts(rd.from_pandas(df, override_num_blocks=1),
+                          ["g"], epsilon=1.0, seed=7)
+    b = dp_grouped_counts(rd.from_pandas(df, override_num_blocks=6),
+                          ["g"], epsilon=1.0, seed=7)
+    pd.testing.assert_frame_equal(a, b)       # same release every run
+    c = dp_grouped_counts(rd.from_pandas(df), ["g"], epsilon=1.0,
+                          seed=8)
+    assert not np.allclose(a["n_noisy"], c["n_noisy"])  # seed matters
+
+
+def test_dp_counts_noise_scale(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.privacy import dp_grouped_counts
+
+    # one row per group → true count 1 everywhere; noise = release − 1
+    n = 4000
+    df = pd.DataFrame({"g": np.arange(n)})
+    for eps in [0.5, 2.0]:
+        rel = dp_grouped_counts(rd.from_pandas(df), ["g"], epsilon=eps,
+                                seed=11)
+        noise = rel["n_noisy"].to_numpy() - 1.0
+        # Laplace(1/eps): mean 0, E|X| = 1/eps, Var = 2/eps²
+        assert abs(noise.mean()) < 4 / (eps * np.sqrt(n))
+        np.testing.assert_allclose(np.abs(noise).mean(), 1 / eps,
+                                   rtol=0.15)
+        np.testing.assert_allclose(noise.var(), 2 / eps ** 2, rtol=0.3)
+
+
+def test_dp_counts_guard_and_modes(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from cerberus_ray.stages.privacy import dp_grouped_counts
+
+    df = pd.DataFrame({"g": [1, 1, 2]})
+    with _pytest.raises(ValueError):
+        dp_grouped_counts(rd.from_pandas(df), ["g"], epsilon=0.0)
+    d = dp_grouped_counts(rd.from_pandas(df), ["g"], mode="driver",
+                          seed=5)
+    s = dp_grouped_counts(rd.from_pandas(df), ["g"], mode="shuffle",
+                          seed=5)
+    pd.testing.assert_frame_equal(d, s)       # noise is key-based
