@@ -101,6 +101,7 @@ QUERY_NAMES = [
     "encoding_scan_report",
     "sq8_report",
     "dp_counts_report",
+    "join_size_report",
 ]
 
 

@@ -2869,6 +2869,26 @@ def q_dp_counts_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_join_size_report(sf_dir: str) -> pa.Table:
+    """CMS join-cardinality estimates (extras surface) for the
+    generator's real join paths plus a fanout join — exact-count
+    bracketing tested in tests/test_profile.py."""
+    from ..stages.profile import join_size_profile
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey"])
+    customer = read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey"])
+    lineitem = read_table(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey"])
+    out = join_size_profile([
+        ("orders*customer", orders, "o_custkey", customer, "c_custkey"),
+        ("lineitem*orders", lineitem, "l_orderkey", orders,
+         "o_orderkey"),
+    ])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3007,6 +3027,7 @@ QUERIES = {
     "encoding_scan_report": q_encoding_scan_report,
     "sq8_report": q_sq8_report,
     "dp_counts_report": q_dp_counts_report,
+    "join_size_report": q_join_size_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -46,7 +46,7 @@ from .uniqueness import duplicate_key_counts
 
 __all__ = ["inclusion_profile", "candidate_key_profile", "fd_profile",
            "pattern_profile", "inclusion_sketch_profile",
-           "MASK_STEPS", "MASK_COMPRESS_STEPS"]
+           "join_size_profile", "MASK_STEPS", "MASK_COMPRESS_STEPS"]
 
 
 def _as_key(ds, col: str):
@@ -270,6 +270,55 @@ def inclusion_sketch_profile(pairs: Sequence[Tuple[str, object, str,
     return pd.DataFrame(rows, columns=["pair", "est_distinct_a",
                                        "est_distinct_b",
                                        "est_containment", "exact"])
+
+
+def join_size_profile(pairs: Sequence[Tuple[str, object, str,
+                                            object, str]], *,
+                      width: int = 1 << 14,
+                      depth: int = 4) -> pd.DataFrame:
+    """Sketch-based equi-join cardinality estimation (Cormode &
+    Muthukrishnan 2005 §4.2): |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated
+    as min over the ``depth`` rows of the two sides' Count-Min inner
+    products. One-sided (never undercounts), error ≤ (e/width)·|A|·|B|
+    w.h.p. — the planner-feeding statistic for broadcast-vs-shuffle
+    and skew decisions WITHOUT running the join.
+
+    Scale shape: per-block CMS partials (merge = elementwise add, so
+    the merged sketch is layout/retry-invariant), driver holds
+    depth×width ints per side per candidate.
+
+    → frame (pair, n_rows_a, n_rows_b, est_join_rows, error_bound),
+    input order preserved; NULL keys are hashed like values (a real
+    join drops them — treat a high NULL share separately)."""
+    from ..state.countmin import CountMinSketch
+
+    def side_sketch(ds, col):
+        def part(b: pa.Table) -> pa.Table:
+            cm = CountMinSketch(width=width, depth=depth)
+            cm.add(b[col])
+            return pa.Table.from_pydict({
+                "cms": pa.array([cm.to_bytes()], pa.binary()),
+                "n": pa.array([b.num_rows], pa.int64())})
+
+        pdf = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+        merged = CountMinSketch(width=width, depth=depth)
+        for raw in pdf["cms"]:
+            merged.merge(CountMinSketch.from_bytes(raw))
+        return merged, int(pdf["n"].sum())
+
+    rows = []
+    for name, ds_a, col_a, ds_b, col_b in pairs:
+        ca, n_a = side_sketch(ds_a, col_a)
+        cb, n_b = side_sketch(ds_b, col_b)
+        est = int(min(int(np.dot(ca.table[d], cb.table[d]))
+                      for d in range(depth)))
+        rows.append({
+            "pair": name, "n_rows_a": n_a, "n_rows_b": n_b,
+            "est_join_rows": est,
+            "error_bound": int(np.ceil(np.e / width * n_a * n_b))})
+    return pd.DataFrame(rows, columns=["pair", "n_rows_a", "n_rows_b",
+                                       "est_join_rows", "error_bound"])
 
 
 # Ordered RE2 (pattern, replacement) chain shared verbatim with the

@@ -248,6 +248,55 @@ def test_kmv_sketch_subset_estimates_high(ray_session):
     assert got["est_containment"] > 0.9
 
 
+def test_join_size_estimate_brackets_exact(ray_session):
+    from cerberus_ray.stages.profile import join_size_profile
+
+    orders = read_table(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey"])
+    customer = read_table(f"{SF}/customer.parquet",
+                          columns=["c_custkey"])
+    lineitem = read_table(f"{SF}/lineitem.parquet",
+                          columns=["l_orderkey"])
+    got = join_size_profile([
+        ("oc", orders, "o_custkey", customer, "c_custkey"),
+        ("lo", lineitem, "l_orderkey", orders, "o_orderkey"),
+    ]).set_index("pair")
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    true_oc = con.execute(
+        "SELECT COUNT(*) FROM orders JOIN customer "
+        "ON o_custkey = c_custkey").fetchone()[0]
+    true_lo = con.execute(
+        "SELECT COUNT(*) FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey").fetchone()[0]
+    for pair, true in [("oc", true_oc), ("lo", true_lo)]:
+        r = got.loc[pair]
+        # one-sided: never undercounts, and within the CM bound
+        assert true <= r["est_join_rows"] <= true + r["error_bound"], \
+            pair
+        # collision cross-terms add ≈ n_a·n_b/width per row — at these
+        # cardinalities that's <10% over; assert a sane relative band
+        assert r["est_join_rows"] <= true * 1.2, pair
+    con.close()
+
+
+def test_join_size_layout_invariance(ray_session):
+    from cerberus_ray.stages.profile import join_size_profile
+
+    rng = np.random.default_rng(17)
+    a = pd.DataFrame({"x": rng.integers(0, 100, 3000)})
+    b = pd.DataFrame({"y": rng.integers(50, 150, 2000)})
+    one = join_size_profile(
+        [("p", rd.from_pandas(a, override_num_blocks=1), "x",
+          rd.from_pandas(b, override_num_blocks=1), "y")])
+    many = join_size_profile(
+        [("p", rd.from_pandas(a, override_num_blocks=7), "x",
+          rd.from_pandas(b, override_num_blocks=5), "y")])
+    pd.testing.assert_frame_equal(one, many)  # merge = add ⇒ invariant
+
+
 def test_mode_agreement(ray_session):
     rng = np.random.default_rng(2)
     a = pd.DataFrame({"x": rng.integers(0, 500, 3000)})
