@@ -102,6 +102,8 @@ QUERY_NAMES = [
     "sq8_report",
     "dp_counts_report",
     "join_size_report",
+    "golden_record_report",
+    "spearman_report",
 ]
 
 

@@ -2889,6 +2889,36 @@ def q_join_size_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_golden_record_report(sf_dir: str) -> pa.Table:
+    """Survivorship merge (extras surface): last-known order state per
+    customer (latest-wins, nulls never overwrite) — LAST_VALUE IGNORE
+    NULLS DuckDB parity in tests/test_survivorship.py."""
+    from ..stages.survivorship import golden_records
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_orderkey", "o_orderstatus",
+                                 "o_totalprice"])
+    out = golden_records(orders, "o_custkey",
+                         ["o_orderdate", "o_orderkey"],
+                         ["o_orderstatus", "o_totalprice"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_spearman_report(sf_dir: str) -> pa.Table:
+    """Grouped Spearman rank correlation (extras surface): monotone
+    quantity↔price association per return flag — DuckDB averaged-rank
+    corr parity in tests/test_stats_spearman.py."""
+    from ..stages.stats import spearman_by_group
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    out = spearman_by_group(li, "l_returnflag", "l_quantity",
+                            "l_extendedprice")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3028,6 +3058,8 @@ QUERIES = {
     "sq8_report": q_sq8_report,
     "dp_counts_report": q_dp_counts_report,
     "join_size_report": q_join_size_report,
+    "golden_record_report": q_golden_record_report,
+    "spearman_report": q_spearman_report,
 }
 
 def _stopword_sql(lang: str) -> str:

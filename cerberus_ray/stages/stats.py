@@ -402,3 +402,53 @@ def approx_cdf_column(ds, col: str, *, k: int = 200,
 
     return ds.map_batches(rank, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def spearman_by_group(ds, group_col: str, x_col: str, y_col: str, *,
+                      n_buckets: int = 32,
+                      round_digits: int = 6) -> pd.DataFrame:
+    """Grouped Spearman rank correlation: Pearson over average-tie
+    ranks per group — the monotone-association companion of
+    ``corr_matrix`` (which is Pearson on raw values). Ranking is a
+    whole-group property, so one `keyed_apply` hash exchange
+    co-locates each group; inside a bucket everything is C-vectorized
+    (groupby.rank for ranks, grouped sums for the Pearson terms — no
+    per-group Python). Output is one row per group.
+
+    NULL handling: rows with a null in either column are dropped
+    per-group BEFORE ranking (SQL corr semantics).
+
+    → frame (group_col, n, rho) sorted by group; rho is NaN for
+    groups with < 2 complete rows or a constant column."""
+    from .keyed_window import keyed_apply
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[x_col, y_col])
+        if not len(g):
+            return pd.DataFrame({group_col: [], "n": [], "rho": []})
+        gb = g.groupby(group_col, sort=False)
+        rx = gb[x_col].rank(method="average")
+        ry = gb[y_col].rank(method="average")
+        t = pd.DataFrame({group_col: g[group_col].to_numpy(),
+                          "rx": rx.to_numpy(), "ry": ry.to_numpy()})
+        t["rxy"] = t["rx"] * t["ry"]
+        t["rx2"] = t["rx"] ** 2
+        t["ry2"] = t["ry"] ** 2
+        s = t.groupby(group_col, sort=False).agg(
+            n=("rx", "size"), sx=("rx", "sum"), sy=("ry", "sum"),
+            sxy=("rxy", "sum"), sx2=("rx2", "sum"), sy2=("ry2", "sum"))
+        n = s["n"].to_numpy(np.float64)
+        cov = s["sxy"] - s["sx"] * s["sy"] / n
+        vx = s["sx2"] - s["sx"] ** 2 / n
+        vy = s["sy2"] - s["sy"] ** 2 / n
+        denom = np.sqrt(vx * vy)
+        rho = np.where((n >= 2) & (denom > 0), cov / denom, np.nan)
+        return pd.DataFrame({group_col: s.index.to_numpy(),
+                             "n": s["n"].to_numpy(np.int64),
+                             "rho": np.round(rho, round_digits)})
+
+    pdf = keyed_apply(ds.select_columns([group_col, x_col, y_col]),
+                      group_col, kern, n_buckets=n_buckets).to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({group_col: [], "n": [], "rho": []})
+    return pdf.sort_values(group_col).reset_index(drop=True)
