@@ -104,6 +104,7 @@ QUERY_NAMES = [
     "join_size_report",
     "golden_record_report",
     "spearman_report",
+    "itemsets_report",
 ]
 
 

@@ -2919,6 +2919,18 @@ def q_spearman_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_itemsets_report(sf_dir: str) -> pa.Table:
+    """Frequent 3-itemsets over order baskets (extras surface) —
+    DuckDB triple self-join parity in tests/test_assoc.py."""
+    from ..stages.assoc import frequent_itemsets
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    out = frequent_itemsets(li, "l_orderkey", "l_partkey", size=3,
+                            min_n=1, top_k=50)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3060,6 +3072,7 @@ QUERIES = {
     "join_size_report": q_join_size_report,
     "golden_record_report": q_golden_record_report,
     "spearman_report": q_spearman_report,
+    "itemsets_report": q_itemsets_report,
 }
 
 def _stopword_sql(lang: str) -> str:

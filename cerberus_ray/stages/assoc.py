@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["association_rules"]
+__all__ = ["association_rules", "frequent_itemsets"]
 
 
 def association_rules(ds, basket_col: str, item_col: str, *,
@@ -131,3 +131,79 @@ def association_rules(ds, basket_col: str, item_col: str, *,
                       ascending=[False, False, True, True],
                       kind="mergesort").head(top_k)
     return r.reset_index(drop=True)
+
+
+def frequent_itemsets(ds, basket_col: str, item_col: str, *,
+                      size: int = 3, min_n: int = 2, top_k: int = 50,
+                      max_basket: int = 200, n_buckets: int = 32,
+                      round_digits: int = 6) -> pd.DataFrame:
+    """Frequent ``size``-itemsets (the Apriori support census beyond
+    pairs): per co-located basket, all C(s, size) sorted item
+    combinations, gathered per distinct basket SIZE like the pair
+    kernel — the loop count is #distinct sizes, never baskets. The
+    lower default ``max_basket`` reflects the combinatorial growth
+    (C(s,3) ~ s³/6); capped baskets are surfaced via n_capped.
+
+    → frame (items, n, n_baskets, n_capped, support) with ``items``
+    the '+'-joined sorted member list, filtered to ``n ≥ min_n``,
+    top ``top_k`` by (n desc, items) — deterministic."""
+    from itertools import combinations
+
+    from .keyed_window import keyed_apply
+
+    if size < 2:
+        raise ValueError("size must be >= 2")
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates([basket_col, item_col])
+             .sort_values([basket_col, item_col], kind="mergesort"))
+        b = d[basket_col].to_numpy()
+        it = d[item_col].to_numpy().astype(str)
+        _, starts, counts = np.unique(b, return_index=True,
+                                      return_counts=True)
+        capped = counts > max_basket
+        n_baskets, n_capped = int(len(starts)), int(capped.sum())
+        starts_u, counts_u = starts[~capped], counts[~capped]
+        sets = []
+        for s in np.unique(counts_u):
+            if s < size:
+                continue
+            rows = starts_u[counts_u == s]
+            mat = it[rows[:, None] + np.arange(s)[None, :]]
+            idx = np.array(list(combinations(range(s), size)))
+            # (n_baskets_of_size × n_combos, size) member matrix —
+            # items within a basket are pre-sorted, so each row is
+            # already the canonical (sorted) itemset
+            mem = mat[:, idx].reshape(-1, size)
+            joined = mem[:, 0]
+            for j in range(1, size):
+                joined = np.char.add(np.char.add(joined, "+"),
+                                     mem[:, j])
+            sets.append(joined)
+        if sets:
+            cnt = pd.Series(np.concatenate(sets)).value_counts()
+            loc = pd.DataFrame({"items": cnt.index, "n": cnt.to_numpy()})
+        else:
+            loc = pd.DataFrame({"items": [], "n": []})
+        loc["kind"] = 0
+        meta = pd.DataFrame({"items": [None, None], "n": [
+            n_baskets - n_capped, n_capped], "kind": [1, 2]})
+        return pd.concat([loc, meta], ignore_index=True)
+
+    parts = keyed_apply(ds.select_columns([basket_col, item_col]),
+                        basket_col, kern, n_buckets=n_buckets).to_pandas()
+    n_baskets = int(parts.loc[parts["kind"] == 1, "n"].sum())
+    n_capped = int(parts.loc[parts["kind"] == 2, "n"].sum())
+    f = (parts[parts["kind"] == 0].groupby("items")["n"].sum()
+         .reset_index())
+    f = f[f["n"] >= min_n]
+    if not len(f) or not n_baskets:
+        return pd.DataFrame(columns=["items", "n", "n_baskets",
+                                     "n_capped", "support"])
+    f["n"] = f["n"].astype("int64")
+    f["n_baskets"] = n_baskets
+    f["n_capped"] = n_capped
+    f["support"] = (f["n"] / n_baskets).round(round_digits)
+    f = f.sort_values(["n", "items"], ascending=[False, True],
+                      kind="mergesort").head(top_k)
+    return f.reset_index(drop=True)

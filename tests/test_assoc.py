@@ -98,3 +98,58 @@ def test_multiblock_determinism(ray_session):
     b = association_rules(rd.from_pandas(df, override_num_blocks=6),
                           "b", "i", top_k=30, n_buckets=7)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_itemsets_duckdb_parity(ray_session):
+    from cerberus_ray.stages.assoc import frequent_itemsets
+
+    li = read_table(f"{SF}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    got = frequent_itemsets(li, "l_orderkey", "l_partkey", size=3,
+                            min_n=1, top_k=10**9)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    want = con.execute("""
+        WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                   FROM lineitem)
+        SELECT CAST(x.i AS VARCHAR) || '+' || CAST(y.i AS VARCHAR)
+                 || '+' || CAST(z.i AS VARCHAR) AS items,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM d x JOIN d y ON x.b = y.b AND x.i < y.i
+                 JOIN d z ON y.b = z.b AND y.i < z.i
+        GROUP BY 1 ORDER BY n DESC, items""").df()
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got[["items", "n"]], want)
+    assert (got["n_capped"] == 0).all()
+    con.close()
+
+
+def test_itemsets_hand_example(ray_session):
+    from cerberus_ray.stages.assoc import frequent_itemsets
+
+    df = pd.DataFrame({
+        "b": [1, 1, 1, 1, 2, 2, 2, 3, 3],
+        "i": ["A", "B", "C", "D", "A", "B", "C", "A", "B"]})
+    got = frequent_itemsets(rd.from_pandas(df, override_num_blocks=2),
+                            "b", "i", size=3, min_n=2)
+    # A+B+C appears in baskets 1 and 2; all other triples once
+    assert list(got["items"]) == ["A+B+C"]
+    assert list(got["n"]) == [2]
+    np.testing.assert_allclose(got["support"], 2 / 3, atol=1e-6)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        frequent_itemsets(rd.from_pandas(df), "b", "i", size=1)
+
+
+def test_itemsets_layout_invariance(ray_session):
+    from cerberus_ray.stages.assoc import frequent_itemsets
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({"b": rng.integers(0, 200, 3000),
+                       "i": rng.integers(0, 25, 3000)})
+    a = frequent_itemsets(rd.from_pandas(df, override_num_blocks=1),
+                          "b", "i", size=3, top_k=40)
+    b = frequent_itemsets(rd.from_pandas(df, override_num_blocks=6),
+                          "b", "i", size=3, top_k=40, n_buckets=7)
+    pd.testing.assert_frame_equal(a, b)
