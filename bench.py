@@ -105,6 +105,7 @@ QUERY_NAMES = [
     "golden_record_report",
     "spearman_report",
     "itemsets_report",
+    "theil_sen_report",
 ]
 
 

@@ -2931,6 +2931,20 @@ def q_itemsets_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_theil_sen_report(sf_dir: str) -> pa.Table:
+    """Grouped Theil-Sen robust trend (extras surface): median-of-
+    slopes quantity→price per return flag — DuckDB median self-join
+    parity in tests/test_stats_spearman.py."""
+    from ..stages.stats import theil_sen_by_group
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    out = theil_sen_by_group(li, "l_returnflag", "l_quantity",
+                             "l_extendedprice", max_pairs=2000)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3073,6 +3087,7 @@ QUERIES = {
     "golden_record_report": q_golden_record_report,
     "spearman_report": q_spearman_report,
     "itemsets_report": q_itemsets_report,
+    "theil_sen_report": q_theil_sen_report,
 }
 
 def _stopword_sql(lang: str) -> str:

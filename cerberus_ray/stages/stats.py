@@ -452,3 +452,87 @@ def spearman_by_group(ds, group_col: str, x_col: str, y_col: str, *,
     if not len(pdf):
         return pd.DataFrame({group_col: [], "n": [], "rho": []})
     return pdf.sort_values(group_col).reset_index(drop=True)
+
+
+def theil_sen_by_group(ds, group_col: str, x_col: str, y_col: str, *,
+                       max_pairs: int = 2000, seed: int = 42,
+                       n_buckets: int = 32,
+                       round_digits: int = 6) -> pd.DataFrame:
+    """Grouped Theil-Sen robust trend (Theil 1950 / Sen 1968): slope =
+    median of pairwise slopes, intercept = median(y − slope·x) —
+    outlier-resistant where ``grouped_regression``'s OLS is not.
+
+    One `keyed_apply` exchange co-locates each group; inside a bucket
+    the kernel processes every group of the SAME size simultaneously
+    (the per-size matrix-gather pattern): exact all-pairs while
+    C(s,2) ≤ ``max_pairs``, a seeded fixed pair design beyond (the
+    same deterministic-subsample convention as the engine's other
+    seeded estimators — Sen's estimator over a random pair subset).
+    Pairs with tied x are excluded (slope undefined), per the
+    standard definition.
+
+    → frame (group_col, n, slope, intercept); slope NaN when every
+    pair has tied x or n < 2."""
+    from ..determinism import randint
+    from .keyed_window import keyed_apply
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[x_col, y_col])
+        g = g.sort_values([group_col, x_col, y_col], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        x = g[x_col].to_numpy(dtype=np.float64)
+        y = g[y_col].to_numpy(dtype=np.float64)
+        uk, starts, counts = np.unique(keys, return_index=True,
+                                       return_counts=True)
+        out_k, out_n, out_s, out_i = [], [], [], []
+        for s in np.unique(counts):
+            rows = starts[counts == s]
+            ks = uk[counts == s]
+            if s < 2:
+                out_k.append(ks)
+                out_n.append(np.full(len(ks), s, dtype=np.int64))
+                out_s.append(np.full(len(ks), np.nan))
+                out_i.append(np.full(len(ks), np.nan))
+                continue
+            if s * (s - 1) // 2 <= max_pairs:
+                iu, ju = np.triu_indices(s, k=1)
+            else:
+                # fixed seeded pair design per size class — identical
+                # for every group of this size and every layout
+                idx = np.arange(2 * max_pairs)
+                a = randint(idx, seed, int(s), 0, int(s))
+                iu0, ju0 = a[:max_pairs], a[max_pairs:]
+                keep = iu0 != ju0
+                iu, ju = iu0[keep], ju0[keep]
+            gx = x[rows[:, None] + np.arange(s)[None, :]]
+            gy = y[rows[:, None] + np.arange(s)[None, :]]
+            dx = gx[:, ju] - gx[:, iu]
+            dy = gy[:, ju] - gy[:, iu]
+            import warnings
+
+            with np.errstate(divide="ignore", invalid="ignore"), \
+                    warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                sl = np.where(dx != 0, dy / dx, np.nan)
+                slope = np.nanmedian(sl, axis=1)
+                inter = np.nanmedian(gy - slope[:, None] * gx, axis=1)
+            out_k.append(ks)
+            out_n.append(np.full(len(ks), s, dtype=np.int64))
+            out_s.append(slope)
+            out_i.append(inter)
+        if not out_k:
+            return pd.DataFrame({group_col: [], "n": [], "slope": [],
+                                 "intercept": []})
+        return pd.DataFrame({
+            group_col: np.concatenate(out_k),
+            "n": np.concatenate(out_n),
+            "slope": np.round(np.concatenate(out_s), round_digits),
+            "intercept": np.round(np.concatenate(out_i),
+                                  round_digits)})
+
+    pdf = keyed_apply(ds.select_columns([group_col, x_col, y_col]),
+                      group_col, kern, n_buckets=n_buckets).to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({group_col: [], "n": [], "slope": [],
+                             "intercept": []})
+    return pdf.sort_values(group_col).reset_index(drop=True)

@@ -80,3 +80,72 @@ def test_multiblock_invariance(ray_session):
     b = spearman_by_group(rd.from_pandas(df, override_num_blocks=7),
                           "g", "x", "y", n_buckets=5)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_theil_sen_exact_band_duckdb_parity(ray_session):
+    from cerberus_ray.stages.stats import theil_sen_by_group
+
+    # small groups → exact all-pairs band; DuckDB median of pairwise
+    # slopes over a rid self-join is an independent derivation
+    rng = np.random.default_rng(31)
+    n = 240
+    df = pd.DataFrame({
+        "g": np.repeat(np.arange(8), 30),
+        "rid": np.arange(n),
+        "x": rng.normal(size=n),
+        "y": rng.normal(size=n)})
+    got = theil_sen_by_group(rd.from_pandas(df, override_num_blocks=4),
+                             "g", "x", "y", max_pairs=500)
+    con = duckdb.connect()
+    con.register("d", df)
+    want = con.execute("""
+        WITH s AS (SELECT a.g, (b.y - a.y) / (b.x - a.x) AS sl
+                   FROM d a JOIN d b
+                   ON a.g = b.g AND a.rid < b.rid AND a.x <> b.x)
+        SELECT g, median(sl) AS slope FROM s GROUP BY g ORDER BY g
+        """).df()
+    np.testing.assert_allclose(got["slope"], want["slope"], atol=1e-6)
+    # intercept: median(y − slope·x), checked in numpy
+    for gi in range(8):
+        sub = df[df["g"] == gi]
+        sl = got.set_index("g").loc[gi, "slope"]
+        np.testing.assert_allclose(
+            got.set_index("g").loc[gi, "intercept"],
+            np.median(sub["y"] - sl * sub["x"]), atol=1e-6)
+    con.close()
+
+
+def test_theil_sen_outlier_robust(ray_session):
+    from cerberus_ray.stages.stats import theil_sen_by_group
+
+    # y = 2x + 1 with 10% wild outliers → slope stays ≈ 2
+    rng = np.random.default_rng(5)
+    x = np.linspace(0, 10, 100)
+    y = 2 * x + 1
+    y[::10] += 500.0
+    df = pd.DataFrame({"g": "a", "x": x, "y": y})
+    got = theil_sen_by_group(rd.from_pandas(df), "g", "x", "y").iloc[0]
+    np.testing.assert_allclose(got["slope"], 2.0, atol=0.05)
+    np.testing.assert_allclose(got["intercept"], 1.0, atol=1.0)
+
+
+def test_theil_sen_sampled_band_and_ties(ray_session):
+    from cerberus_ray.stages.stats import theil_sen_by_group
+
+    # 300 points → C(n,2)=44850 > max_pairs=1000 → seeded design;
+    # still recovers a clean linear trend, and is layout-invariant
+    x = np.tile(np.arange(100.0), 3)
+    y = 3 * x - 7
+    df = pd.DataFrame({"g": "a", "x": x, "y": y})
+    a = theil_sen_by_group(rd.from_pandas(df, override_num_blocks=1),
+                           "g", "x", "y", max_pairs=1000).iloc[0]
+    b = theil_sen_by_group(rd.from_pandas(df, override_num_blocks=5),
+                           "g", "x", "y", max_pairs=1000).iloc[0]
+    assert a["n"] == 300
+    np.testing.assert_allclose(a["slope"], 3.0, atol=1e-9)
+    assert a.equals(b)
+    # all-tied x → NaN slope
+    tied = pd.DataFrame({"g": "t", "x": [1.0] * 5,
+                         "y": np.arange(5.0)})
+    got = theil_sen_by_group(rd.from_pandas(tied), "g", "x", "y")
+    assert np.isnan(got["slope"].iloc[0])
