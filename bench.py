@@ -106,6 +106,8 @@ QUERY_NAMES = [
     "spearman_report",
     "itemsets_report",
     "theil_sen_report",
+    "conformal_report",
+    "isotonic_report",
 ]
 
 

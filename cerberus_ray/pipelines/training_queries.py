@@ -2945,6 +2945,56 @@ def q_theil_sen_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_conformal_report(sf_dir: str) -> pa.Table:
+    """Split-conformal next-hour intervals per event type (extras
+    surface) around the seasonal-naive forecaster — finite-sample
+    coverage and order-statistic vectors in tests/test_forecast.py."""
+    import ray.data as rd
+
+    from ..stages.forecast import conformal_intervals
+    from ..stages.groupagg import grouped_agg
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_type"])
+
+    def hour_bucket(b: pa.Table) -> pa.Table:
+        sec = pc.cast(b["ts"], pa.int64())
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "hour": pc.divide(sec, 3_600_000_000)})
+
+    hourly = grouped_agg(
+        ev.map_batches(hour_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], {"n": ("", "count")})
+    hourly["n"] = hourly["n"].astype("float64")
+    out = (conformal_intervals(rd.from_pandas(hourly), "event_type",
+                               "hour", "n", season=24, alpha=0.1,
+                               n_buckets=4).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_isotonic_report(sf_dir: str) -> pa.Table:
+    """Isotonic calibration map (extras surface) for the NB quality
+    classifier's scores against the token-presence label — PAVA
+    properties tested in tests/test_roc.py."""
+    from ..stages.roc import isotonic_calibration
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+
+    def lab(b: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(b["event_type"], "click"), pa.int64())
+        return pa.Table.from_arrays([b["value"], y],
+                                    names=["value", "y"])
+
+    out = isotonic_calibration(
+        ev.map_batches(lab, batch_format="pyarrow",
+                       zero_copy_batch=True), "value", "y", quantize=2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3088,6 +3138,8 @@ QUERIES = {
     "spearman_report": q_spearman_report,
     "itemsets_report": q_itemsets_report,
     "theil_sen_report": q_theil_sen_report,
+    "conformal_report": q_conformal_report,
+    "isotonic_report": q_isotonic_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -60,3 +60,60 @@ def seasonal_naive_eval(ds, key_col: str, ts_col: str, value_col: str,
             "mase": np.round(mase, round_digits)})
 
     return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)
+
+
+def conformal_intervals(ds, key_col: str, ts_col: str, value_col: str,
+                        *, season: int, alpha: float = 0.1,
+                        n_buckets: int = 32,
+                        round_digits: int = 6):
+    """Split-conformal prediction intervals (Vovk et al. 2005;
+    Shafer & Vovk 2008 tutorial) around the seasonal-naive forecaster:
+    per key, the calibration scores are the historical absolute
+    seasonal-naive residuals, q̂ is their ⌈(n+1)(1−α)⌉-th order
+    statistic (the finite-sample-valid conformal quantile), and the
+    next-step interval is ŷ ± q̂ with ŷ = y_{T+1−season}.
+
+    Same execution shape as ``seasonal_naive_eval``: one keyed
+    exchange, C-vectorized kernel (per-key order statistics via a
+    rank-equality mask, no per-key Python), one row per key.
+
+    → Dataset (key_col, n_cal, forecast, lo, hi); NaN row when the
+    series is shorter than ``season`` (no forecast) or has no
+    calibration residuals."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    if season < 1:
+        raise ValueError(f"season must be ≥ 1, got {season}")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key_col, ts_col], kind="mergesort")
+        grp = d.groupby(key_col, sort=False)[value_col]
+        resid = (d[value_col] - grp.shift(season)).abs()
+        d = d.assign(__r=resid)
+        # per-key forecast: the value `season` ticks before the next
+        sizes = d.groupby(key_col, sort=False)[value_col].transform(
+            "size")
+        pos = d.groupby(key_col, sort=False).cumcount()
+        is_fc = pos == (sizes - season)
+        fc = (d.loc[is_fc, [key_col, value_col]]
+              .rename(columns={value_col: "forecast"}))
+        # per-key conformal quantile: k-th smallest residual
+        c = d.dropna(subset=["__r"]).sort_values(
+            [key_col, "__r"], kind="mergesort")
+        n = c.groupby(key_col, sort=False)["__r"].transform("size")
+        rank = c.groupby(key_col, sort=False).cumcount() + 1
+        k = np.minimum(np.ceil((n.to_numpy() + 1) * (1 - alpha)),
+                       n.to_numpy())
+        sel = c.loc[rank.to_numpy() == k,
+                    [key_col, "__r"]].rename(columns={"__r": "qhat"})
+        sel["n_cal"] = n.to_numpy()[rank.to_numpy() == k]
+        keys = pd.DataFrame({key_col: d[key_col].unique()})
+        out = keys.merge(fc, on=key_col, how="left").merge(
+            sel, on=key_col, how="left")
+        out["n_cal"] = out["n_cal"].fillna(0).astype("int64")
+        out["lo"] = (out["forecast"] - out["qhat"]).round(round_digits)
+        out["hi"] = (out["forecast"] + out["qhat"]).round(round_digits)
+        out["forecast"] = out["forecast"].round(round_digits)
+        return out[[key_col, "n_cal", "forecast", "lo", "hi"]]
+
+    return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)

@@ -84,3 +84,57 @@ def roc_auc(ds, score_col: str, label_col: str, *,
     out["n_neg"] = out["n_neg"].astype("int64")
     out["auc"] = out["auc"].astype("float64")
     return out
+
+
+def isotonic_calibration(ds, score_col: str, label_col: str, *,
+                         quantize: int | None = 4,
+                         round_digits: int = 6) -> pd.DataFrame:
+    """Isotonic (monotone) probability calibration: the PAV algorithm
+    (Ayer et al. 1955; Zadrozny & Elkan 2002 for classifier
+    calibration) over per-DISTINCT-score (n, Σy) counts — the same
+    bounded map-side partials as :func:`roc_auc`, so the distributed
+    cost is one streamed pass and the driver PAVA runs on the score
+    DOMAIN, never rows. ``quantize`` pins that domain at scale.
+
+    → frame (score, n, frac_pos, calibrated) sorted by score;
+    ``calibrated`` is the non-decreasing least-squares fit, constant
+    across each pooled block, and preserves the weighted mean
+    (Σ n·calibrated = Σ y)."""
+    def part(b: pa.Table) -> pa.Table:
+        s = b[score_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if quantize is not None:
+            s = np.round(s, quantize)
+        y = b[label_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        t = pa.table({"score": pa.array(s),
+                      "y": pa.array(y)})
+        g = t.group_by(["score"]).aggregate([("y", "sum"),
+                                             ([], "count_all")])
+        return g
+
+    pdf = ds.map_batches(part, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({"score": [], "n": [], "frac_pos": [],
+                             "calibrated": []})
+    g = (pdf.groupby("score", as_index=False)
+         .agg(sy=("y_sum", "sum"), n=("count_all", "sum"))
+         .sort_values("score").reset_index(drop=True))
+    # PAVA: pool adjacent violators, weighted by n
+    means = (g["sy"] / g["n"]).to_numpy()
+    w = g["n"].to_numpy(np.float64)
+    blocks = []  # (mean, weight, count-of-rows)
+    for m, wt in zip(means, w):
+        blocks.append([m, wt, 1])
+        while len(blocks) > 1 and blocks[-2][0] >= blocks[-1][0]:
+            m2, w2, c2 = blocks.pop()
+            m1, w1, c1 = blocks.pop()
+            blocks.append([(m1 * w1 + m2 * w2) / (w1 + w2),
+                           w1 + w2, c1 + c2])
+    cal = np.concatenate([np.full(c, m) for m, _, c in blocks])
+    return pd.DataFrame({
+        "score": g["score"],
+        "n": g["n"].astype("int64"),
+        "frac_pos": np.round(means, round_digits),
+        "calibrated": np.round(cal, round_digits)})

@@ -82,3 +82,64 @@ def test_bad_season(ray_session):
     df = pd.DataFrame({"k": ["a"], "t": [0], "v": [1.0]})
     with pytest.raises(ValueError):
         seasonal_naive_eval(rd.from_pandas(df), "k", "t", "v", season=0)
+
+
+def test_conformal_order_statistic_vector(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.forecast import conformal_intervals
+
+    # one key, season=1: residuals are |diff|; with n=9 residuals and
+    # alpha=0.2, k = ceil(10*0.8) = 8 → 8th smallest residual
+    vals = [0.0, 1.0, 3.0, 6.0, 10.0, 15.0, 21.0, 28.0, 36.0, 45.0]
+    df = pd.DataFrame({"k": "a", "t": range(10), "v": vals})
+    out = conformal_intervals(rd.from_pandas(df), "k", "t", "v",
+                              season=1, alpha=0.2).to_pandas().iloc[0]
+    # residuals are 1..9; 8th smallest = 8; forecast = last value 45
+    assert out["n_cal"] == 9
+    np.testing.assert_allclose(out["forecast"], 45.0)
+    np.testing.assert_allclose(out["lo"], 45.0 - 8.0)
+    np.testing.assert_allclose(out["hi"], 45.0 + 8.0)
+
+
+def test_conformal_coverage(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.forecast import conformal_intervals
+
+    # 300 keys, seasonal signal + iid noise; hold out the last tick,
+    # calibrate on the rest → empirical coverage ≈ 1 − α (split
+    # conformal is finite-sample valid under exchangeable residuals;
+    # the iid noise here satisfies that)
+    rng = np.random.default_rng(29)
+    rows, truth = [], {}
+    for key in range(300):
+        season_pat = rng.normal(size=4) * 5
+        y = np.tile(season_pat, 13) + rng.normal(size=52)
+        for t in range(51):
+            rows.append((key, t, y[t]))
+        truth[key] = y[51]
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    out = conformal_intervals(rd.from_pandas(df, override_num_blocks=6),
+                              "k", "t", "v", season=4,
+                              alpha=0.2).to_pandas()
+    covered = [(truth[r.k] >= r.lo) and (truth[r.k] <= r.hi)
+               for r in out.itertuples()]
+    assert np.mean(covered) >= 0.75          # 1 − α − finite tolerance
+    # intervals are not vacuous
+    assert (out["hi"] - out["lo"]).median() < 20
+
+
+def test_conformal_short_series_and_guards(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from cerberus_ray.stages.forecast import conformal_intervals
+
+    df = pd.DataFrame({"k": ["a", "a"], "t": [0, 1], "v": [1.0, 2.0]})
+    out = conformal_intervals(rd.from_pandas(df), "k", "t", "v",
+                              season=5).to_pandas()
+    assert np.isnan(out["forecast"].iloc[0]) and out["n_cal"].iloc[0] == 0
+    with _pytest.raises(ValueError):
+        conformal_intervals(rd.from_pandas(df), "k", "t", "v",
+                            season=1, alpha=1.5)

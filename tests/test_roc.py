@@ -79,3 +79,63 @@ def test_quantize_and_partition_invariance(ray_session):
     b = roc_auc(rd.from_pandas(df, override_num_blocks=7), "s", "y",
                 quantize=2)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_isotonic_pava_reference(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.roc import isotonic_calibration
+
+    rng = np.random.default_rng(41)
+    s = np.round(rng.random(2000), 2)
+    y = (rng.random(2000) < np.clip(s + rng.normal(0, 0.3, 2000),
+                                    0, 1)).astype(int)
+    df = pd.DataFrame({"s": s, "y": y})
+    got = isotonic_calibration(rd.from_pandas(df, override_num_blocks=4),
+                               "s", "y", quantize=2)
+    # monotone non-decreasing
+    assert (np.diff(got["calibrated"]) >= -1e-12).all()
+    # weighted mean preserved: Σ n·cal == Σ y
+    np.testing.assert_allclose((got["n"] * got["calibrated"]).sum(),
+                               y.sum(), rtol=1e-6)
+    # squared error no worse than the best CONSTANT fit (sanity: the
+    # isotonic fit nests the constant fit)
+    raw = got["frac_pos"].to_numpy()
+    w = got["n"].to_numpy()
+    const = (raw * w).sum() / w.sum()
+    err_iso = (w * (raw - got["calibrated"]) ** 2).sum()
+    err_const = (w * (raw - const) ** 2).sum()
+    assert err_iso <= err_const + 1e-9
+
+
+def test_isotonic_hand_example(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.roc import isotonic_calibration
+
+    # scores 1,2,3 with frac_pos 0.8, 0.2, 0.9 and equal weight →
+    # first two pool to 0.5, third stays
+    df = pd.DataFrame({
+        "s": [1.0] * 5 + [2.0] * 5 + [3.0] * 10,
+        "y": [1, 1, 1, 1, 0] + [1, 0, 0, 0, 0] + [1] * 9 + [0]})
+    got = isotonic_calibration(rd.from_pandas(df), "s", "y")
+    np.testing.assert_allclose(got["calibrated"],
+                               [0.5, 0.5, 0.9], atol=1e-9)
+    np.testing.assert_allclose(got["frac_pos"], [0.8, 0.2, 0.9],
+                               atol=1e-9)
+    assert list(got["n"]) == [5, 5, 10]
+
+
+def test_isotonic_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.roc import isotonic_calibration
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({"s": np.round(rng.random(3000), 2),
+                       "y": rng.integers(0, 2, 3000)})
+    a = isotonic_calibration(rd.from_pandas(df, override_num_blocks=1),
+                             "s", "y")
+    b = isotonic_calibration(rd.from_pandas(df, override_num_blocks=7),
+                             "s", "y")
+    pd.testing.assert_frame_equal(a, b)
