@@ -108,6 +108,8 @@ QUERY_NAMES = [
     "theil_sen_report",
     "conformal_report",
     "isotonic_report",
+    "hard_negatives_report",
+    "random_negatives_report",
 ]
 
 

@@ -2995,6 +2995,40 @@ def q_isotonic_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_hard_negatives_report(sf_dir: str) -> pa.Table:
+    """Contrastive hard-negative mining (extras surface): per anchor,
+    top-3 nearest OTHER-label vectors — brute-force-reference and
+    label-exclusion tests in tests/test_contrastive.py."""
+    from .contrastive import hard_negatives
+
+    emb = _emb(sf_dir).materialize()
+    ids = np.sort(emb.limit(20).to_pandas()["vec_id"].to_numpy())[:5]
+    return hard_negatives(emb, ids, k=3)
+
+
+def q_random_negatives_report(sf_dir: str) -> pa.Table:
+    """Seeded uniform negative sampling (extras surface) over a
+    synthetic positives table derived from embeddings labels —
+    exclusion/determinism tests in tests/test_contrastive.py."""
+    import ray.data as rd
+
+    from .contrastive import random_negatives
+
+    emb = _emb(sf_dir).to_pandas()
+    # positives: consecutive same-label ids (a deterministic pairing)
+    e = emb.sort_values(["label", "vec_id"])
+    same = e["label"].to_numpy()[:-1] == e["label"].to_numpy()[1:]
+    pairs = pd.DataFrame({
+        "anchor": e["vec_id"].to_numpy()[:-1][same],
+        "positive": e["vec_id"].to_numpy()[1:][same]})
+    out = random_negatives(rd.from_pandas(pairs),
+                           emb["vec_id"].to_numpy(), k=2, seed=42)
+    pdf = (out.to_pandas()
+           .sort_values(["anchor", "positive", "slot"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3140,6 +3174,8 @@ QUERIES = {
     "theil_sen_report": q_theil_sen_report,
     "conformal_report": q_conformal_report,
     "isotonic_report": q_isotonic_report,
+    "hard_negatives_report": q_hard_negatives_report,
+    "random_negatives_report": q_random_negatives_report,
 }
 
 def _stopword_sql(lang: str) -> str:
