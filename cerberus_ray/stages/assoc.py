@@ -146,25 +146,29 @@ def frequent_itemsets(ds, basket_col: str, item_col: str, *,
 
     → frame (items, n, n_baskets, n_capped, support) with ``items``
     the '+'-joined sorted member list, filtered to ``n ≥ min_n``,
-    top ``top_k`` by (n desc, items) — deterministic."""
+    top ``top_k`` by (n desc, members asc) — deterministic. Itemsets
+    stay MEMBER COLUMNS (native dtype) through the whole distributed
+    path; the joined string is formatted only for the surviving rows —
+    string building was the measured hot spot of a naive kernel."""
     from itertools import combinations
 
     from .keyed_window import keyed_apply
 
     if size < 2:
         raise ValueError("size must be >= 2")
+    mcols = [f"m{j}" for j in range(size)]
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         d = (g.drop_duplicates([basket_col, item_col])
              .sort_values([basket_col, item_col], kind="mergesort"))
         b = d[basket_col].to_numpy()
-        it = d[item_col].to_numpy().astype(str)
+        it = d[item_col].to_numpy()
         _, starts, counts = np.unique(b, return_index=True,
                                       return_counts=True)
         capped = counts > max_basket
         n_baskets, n_capped = int(len(starts)), int(capped.sum())
         starts_u, counts_u = starts[~capped], counts[~capped]
-        sets = []
+        mems = []
         for s in np.unique(counts_u):
             if s < size:
                 continue
@@ -174,36 +178,38 @@ def frequent_itemsets(ds, basket_col: str, item_col: str, *,
             # (n_baskets_of_size × n_combos, size) member matrix —
             # items within a basket are pre-sorted, so each row is
             # already the canonical (sorted) itemset
-            mem = mat[:, idx].reshape(-1, size)
-            joined = mem[:, 0]
-            for j in range(1, size):
-                joined = np.char.add(np.char.add(joined, "+"),
-                                     mem[:, j])
-            sets.append(joined)
-        if sets:
-            cnt = pd.Series(np.concatenate(sets)).value_counts()
-            loc = pd.DataFrame({"items": cnt.index, "n": cnt.to_numpy()})
+            mems.append(mat[:, idx].reshape(-1, size))
+        if mems:
+            allm = np.concatenate(mems)
+            loc = (pd.DataFrame(dict(zip(mcols, allm.T)))
+                   .groupby(mcols, sort=False).size().rename("n")
+                   .reset_index())
         else:
-            loc = pd.DataFrame({"items": [], "n": []})
+            loc = pd.DataFrame({c: [] for c in mcols} | {"n": []})
         loc["kind"] = 0
-        meta = pd.DataFrame({"items": [None, None], "n": [
-            n_baskets - n_capped, n_capped], "kind": [1, 2]})
+        meta = pd.DataFrame(
+            {c: [None, None] for c in mcols}
+            | {"n": [n_baskets - n_capped, n_capped], "kind": [1, 2]})
         return pd.concat([loc, meta], ignore_index=True)
 
     parts = keyed_apply(ds.select_columns([basket_col, item_col]),
                         basket_col, kern, n_buckets=n_buckets).to_pandas()
     n_baskets = int(parts.loc[parts["kind"] == 1, "n"].sum())
     n_capped = int(parts.loc[parts["kind"] == 2, "n"].sum())
-    f = (parts[parts["kind"] == 0].groupby("items")["n"].sum()
+    f = (parts[parts["kind"] == 0].groupby(mcols)["n"].sum()
          .reset_index())
     f = f[f["n"] >= min_n]
     if not len(f) or not n_baskets:
         return pd.DataFrame(columns=["items", "n", "n_baskets",
                                      "n_capped", "support"])
-    f["n"] = f["n"].astype("int64")
-    f["n_baskets"] = n_baskets
-    f["n_capped"] = n_capped
-    f["support"] = (f["n"] / n_baskets).round(round_digits)
-    f = f.sort_values(["n", "items"], ascending=[False, True],
+    f = f.sort_values(["n"] + mcols, ascending=[False] + [True] * size,
                       kind="mergesort").head(top_k)
-    return f.reset_index(drop=True)
+    joined = f[mcols[0]].astype(str)
+    for c in mcols[1:]:
+        joined = joined + "+" + f[c].astype(str)
+    out = pd.DataFrame({
+        "items": joined.to_numpy(),
+        "n": f["n"].astype("int64").to_numpy(),
+        "n_baskets": n_baskets, "n_capped": n_capped,
+        "support": (f["n"] / n_baskets).round(round_digits).to_numpy()})
+    return out.reset_index(drop=True)

@@ -118,7 +118,8 @@ def test_itemsets_duckdb_parity(ray_session):
                CAST(COUNT(*) AS BIGINT) AS n
         FROM d x JOIN d y ON x.b = y.b AND x.i < y.i
                  JOIN d z ON y.b = z.b AND y.i < z.i
-        GROUP BY 1 ORDER BY n DESC, items""").df()
+        GROUP BY 1, x.i, y.i, z.i
+        ORDER BY n DESC, x.i, y.i, z.i""").df()
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got[["items", "n"]], want)
     assert (got["n_capped"] == 0).all()
