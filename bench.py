@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "isotonic_report",
     "hard_negatives_report",
     "random_negatives_report",
+    "weak_label_report",
 ]
 
 

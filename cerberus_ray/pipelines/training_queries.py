@@ -3029,6 +3029,41 @@ def q_random_negatives_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_weak_label_report(sf_dir: str) -> pa.Table:
+    """Weak-supervision LF diagnostics + vote census (extras surface):
+    three heuristic labeling functions over documents, majority-vote
+    aggregated — Snorkel-style coverage/overlap/conflict tested in
+    tests/test_weaklabel.py."""
+    from ..stages.weaklabel import lf_summary, weak_vote
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["text", "lang", "n_chars"])
+
+    def lfs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        txt = pc2.fill_null(b["text"], "")
+        long = pc2.cast(pc2.greater(b["n_chars"], 200), pa.int64())
+        has_the = pc2.if_else(
+            pc2.match_substring(txt, " the "),
+            pa.scalar(1, pa.int64()), pa.scalar(-1, pa.int64()))
+        latin = pc2.cast(pc2.is_in(
+            b["lang"], value_set=pa.array(["en", "de", "fr"])),
+            pa.int64())
+        return pa.Table.from_arrays([long, has_the, latin],
+                                    names=["lf_long", "lf_the",
+                                           "lf_latin"])
+
+    lf_ds = docs.map_batches(lfs, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    summary = lf_summary(lf_ds, ["lf_long", "lf_the", "lf_latin"])
+    voted = weak_vote(lf_ds, ["lf_long", "lf_the", "lf_latin"])
+    census = (voted.to_pandas()["weak_label"].value_counts()
+              .sort_index())
+    for lab, cnt in census.items():
+        summary[f"label_{lab}"] = int(cnt)
+    return pa.Table.from_pandas(summary, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3176,6 +3211,7 @@ QUERIES = {
     "isotonic_report": q_isotonic_report,
     "hard_negatives_report": q_hard_negatives_report,
     "random_negatives_report": q_random_negatives_report,
+    "weak_label_report": q_weak_label_report,
 }
 
 def _stopword_sql(lang: str) -> str:
