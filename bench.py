@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "hard_negatives_report",
     "random_negatives_report",
     "weak_label_report",
+    "curriculum_report",
 ]
 
 

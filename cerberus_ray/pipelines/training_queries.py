@@ -3064,6 +3064,20 @@ def q_weak_label_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(summary, preserve_index=False)
 
 
+def q_curriculum_report(sf_dir: str) -> pa.Table:
+    """Curriculum ordering diagnostics (extras surface): documents
+    ordered by length bin with seeded stratified interleave; the
+    report shows per-lang share and the longest same-lang run —
+    order/interleave properties tested in tests/test_curriculum.py."""
+    from .curriculum import curriculum_order, run_length_report
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"])
+    ordered = curriculum_order(docs, "doc_id", "n_chars", n_bins=4)
+    out = run_length_report(ordered, "lang")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3212,6 +3226,7 @@ QUERIES = {
     "hard_negatives_report": q_hard_negatives_report,
     "random_negatives_report": q_random_negatives_report,
     "weak_label_report": q_weak_label_report,
+    "curriculum_report": q_curriculum_report,
 }
 
 def _stopword_sql(lang: str) -> str:
