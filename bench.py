@@ -112,6 +112,8 @@ QUERY_NAMES = [
     "random_negatives_report",
     "weak_label_report",
     "curriculum_report",
+    "dedup_eval_report",
+    "index_append_report",
 ]
 
 

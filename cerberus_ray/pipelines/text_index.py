@@ -35,7 +35,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["build_text_index", "bm25_topk_indexed"]
+__all__ = ["build_text_index", "bm25_topk_indexed",
+           "append_text_index"]
 
 _MANIFEST = "manifest.json"
 
@@ -84,6 +85,61 @@ def build_text_index(ds, out_dir: str, *, n_buckets: int = 32,
         json.dump({"n_buckets": n_buckets, "key_col": key_col,
                    "text_col": text_col, "tokenizer": "ws_lower_v1"}, f)
     return out_dir
+
+
+def append_text_index(ds, index_dir: str) -> str:
+    """Incremental index maintenance: add new documents WITHOUT
+    rebuilding — one streamed pass over the new docs writes additional
+    parquet files into the same token-hash partition directories (a
+    term's postings stay in exactly one directory; hive partition
+    writes are file-additive), and a new stats file joins the stats
+    partition, so df/avgdl/n_docs at query time reflect the union.
+    Query results after an append are IDENTICAL to a from-scratch
+    build over the union (agreement-tested). Caller contract: the new
+    batch must not repeat doc_ids already indexed (postings are
+    (doc, token)-unique by construction within a build; cross-build
+    uniqueness is the ingest pipeline's dedup responsibility —
+    `stages/stream_dedup` is the engine's gate for that)."""
+    from ..determinism import hash_strings
+    from ..sources.io import write_partitioned
+    from .tfidf import _doc_token_pairs
+
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        man = json.load(f)
+    if man.get("tokenizer") != "ws_lower_v1":
+        raise ValueError(f"incompatible index tokenizer: {man!r}")
+    n_buckets = int(man["n_buckets"])
+    key_col, text_col = man["key_col"], man["text_col"]
+
+    def post(b: pa.Table) -> pa.Table:
+        pairs = _doc_token_pairs(b, key_col, text_col)
+        n_tok = int(pairs["tf"].sum()) if len(pairs) else 0
+        stats = pa.Table.from_pydict({
+            "bucket": pa.array([-1], pa.int64()),
+            "token": pa.array([None], pa.string()),
+            "doc_id": pa.array([None], pa.string()),
+            "tf": pa.array([b.num_rows], pa.int64()),
+            "dl": pa.array([n_tok], pa.int64())}, schema=_POST_SCHEMA)
+        if not len(pairs):
+            return stats
+        dl = pairs.groupby("doc")["tf"].sum()
+        tok = pairs["token"].to_numpy(dtype=object)
+        bucket = (hash_strings(tok)
+                  % np.uint64(n_buckets)).astype(np.int64)
+        posts = pa.Table.from_pydict({
+            "bucket": pa.array(bucket),
+            "token": pa.array(tok, pa.string()),
+            "doc_id": pa.array(pairs["doc"].astype(str), pa.string()),
+            "tf": pa.array(pairs["tf"].to_numpy(), pa.int64()),
+            "dl": pa.array(dl.reindex(pairs["doc"]).to_numpy(),
+                           pa.int64())}, schema=_POST_SCHEMA)
+        return pa.concat_tables([posts, stats])
+
+    rows = ds.map_batches(post, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    write_partitioned(rows, os.path.join(index_dir, "postings"),
+                      "bucket")
+    return index_dir
 
 
 def bm25_topk_indexed(index_dir: str, query: str, *, k: int = 10,

@@ -3078,6 +3078,58 @@ def q_curriculum_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_dedup_eval_report(sf_dir: str) -> pa.Table:
+    """Dedup-detector evaluation (extras surface): exact-Jaccard
+    precision of the MinHash candidates plus a seeded random-pair
+    missed-duplicate control — planted-duplicate recall/precision
+    tested in tests/test_dedup_eval.py."""
+    from .dedup_eval import near_dup_eval
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(b["doc_id"], pa.string()), b["text"]],
+            names=["doc_id", "text"])
+
+    d = docs.map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    out = near_dup_eval(d, threshold=0.7, n_random=300)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_index_append_report(sf_dir: str) -> pa.Table:
+    """Incremental inverted-index maintenance (extras surface): build
+    on half the corpus, append the rest, verify the query result
+    equals a from-scratch build — identity also asserted in
+    tests/test_text_index.py."""
+    import tempfile
+
+    import ray.data as rd
+
+    from .text_index import (append_text_index, bm25_topk_indexed,
+                             build_text_index)
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    h1 = rd.from_pandas(docs.iloc[:len(docs) // 2])
+    h2 = rd.from_pandas(docs.iloc[len(docs) // 2:])
+    full = rd.from_pandas(docs)
+    with tempfile.TemporaryDirectory(prefix="tix_inc_") as d1, \
+            tempfile.TemporaryDirectory(prefix="tix_full_") as d2:
+        build_text_index(h1, d1, n_buckets=8)
+        append_text_index(h2, d1)
+        build_text_index(full, d2, n_buckets=8)
+        a = bm25_topk_indexed(d1, "data quality", k=10).to_pandas()
+        b = bm25_topk_indexed(d2, "data quality", k=10).to_pandas()
+    a["append_equals_rebuild"] = bool(
+        len(a) == len(b) and (a["doc_id"].to_numpy()
+                              == b["doc_id"].to_numpy()).all()
+        and np.allclose(a["score"], b["score"]))
+    return pa.Table.from_pandas(a, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3227,6 +3279,8 @@ QUERIES = {
     "random_negatives_report": q_random_negatives_report,
     "weak_label_report": q_weak_label_report,
     "curriculum_report": q_curriculum_report,
+    "dedup_eval_report": q_dedup_eval_report,
+    "index_append_report": q_index_append_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -88,3 +88,43 @@ def test_index_on_synthetic(ray_session, tmp_path):
     ref = bm25_topk(ds, "cat", k=3).to_pandas()
     pd.testing.assert_frame_equal(got, ref)
     assert set(got["doc_id"]) == {"a", "b"}
+
+
+def test_incremental_append_equals_full_build(ray_session, tmp_path):
+    from cerberus_ray.pipelines.text_index import append_text_index
+
+    docs = read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    half1 = rd.from_pandas(docs.iloc[:len(docs) // 2],
+                           override_num_blocks=2)
+    half2 = rd.from_pandas(docs.iloc[len(docs) // 2:],
+                           override_num_blocks=2)
+    full = rd.from_pandas(docs, override_num_blocks=3)
+
+    d_inc = str(tmp_path / "inc")
+    build_text_index(half1, d_inc, n_buckets=8)
+    append_text_index(half2, d_inc)
+    d_full = str(tmp_path / "full")
+    build_text_index(full, d_full, n_buckets=8)
+
+    for q in ["data quality", "the model", "zzz_missing"]:
+        a = bm25_topk_indexed(d_inc, q, k=10).to_pandas()
+        b = bm25_topk_indexed(d_full, q, k=10).to_pandas()
+        pd.testing.assert_frame_equal(a, b), q
+    # and both agree with the scan path over the union
+    ref = bm25_topk(full, "data quality", k=10).to_pandas()
+    got = bm25_topk_indexed(d_inc, "data quality", k=10).to_pandas()
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_append_guard(ray_session, tmp_path):
+    import json
+
+    from cerberus_ray.pipelines.text_index import append_text_index
+
+    bad = tmp_path / "bad2"
+    bad.mkdir()
+    (bad / "manifest.json").write_text(json.dumps({"tokenizer": "v0"}))
+    with pytest.raises(ValueError):
+        append_text_index(rd.from_pandas(
+            pd.DataFrame({"doc_id": ["a"], "text": ["x"]})), str(bad))
