@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "curriculum_report",
     "dedup_eval_report",
     "index_append_report",
+    "c2st_report",
 ]
 
 

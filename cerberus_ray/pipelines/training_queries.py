@@ -3130,6 +3130,21 @@ def q_index_append_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(a, preserve_index=False)
 
 
+def q_c2st_report(sf_dir: str) -> pa.Table:
+    """Classifier two-sample drift test (extras surface): can a
+    classifier tell short docs from long ones? (a real, detectable
+    shift at these sizes) — null/alternative behavior tested in
+    tests/test_c2st.py."""
+    from .c2st import c2st_report
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    a = docs.filter(expr="n_chars < 200")
+    b = docs.filter(expr="n_chars >= 200")
+    out = c2st_report(a, b, iters=8)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3281,6 +3296,7 @@ QUERIES = {
     "curriculum_report": q_curriculum_report,
     "dedup_eval_report": q_dedup_eval_report,
     "index_append_report": q_index_append_report,
+    "c2st_report": q_c2st_report,
 }
 
 def _stopword_sql(lang: str) -> str:
