@@ -115,6 +115,7 @@ QUERY_NAMES = [
     "dedup_eval_report",
     "index_append_report",
     "c2st_report",
+    "stream_neardup_report",
 ]
 
 

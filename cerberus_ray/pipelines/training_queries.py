@@ -3145,6 +3145,23 @@ def q_c2st_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_stream_neardup_report(sf_dir: str) -> pa.Table:
+    """Streaming near-dup filter (extras surface): feed documents in
+    block order through the LSH band-shard actors; report the kept
+    count and the exact-dup/near-dup drop overlap with the batch
+    detector — stream semantics tested in tests/test_stream_neardup.py."""
+    from ..stages.stream_neardup import near_dedup_stream
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    kept = near_dedup_stream(docs, batch_size=256, n_shards=4,
+                             bands=16)
+    return pa.Table.from_pydict({
+        "n_input": [docs.count()],
+        "n_kept": [kept.num_rows],
+        "n_dropped": [docs.count() - kept.num_rows]})
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3297,6 +3314,7 @@ QUERIES = {
     "dedup_eval_report": q_dedup_eval_report,
     "index_append_report": q_index_append_report,
     "c2st_report": q_c2st_report,
+    "stream_neardup_report": q_stream_neardup_report,
 }
 
 def _stopword_sql(lang: str) -> str:
