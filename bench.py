@@ -116,6 +116,7 @@ QUERY_NAMES = [
     "index_append_report",
     "c2st_report",
     "stream_neardup_report",
+    "emb_threshold_report",
 ]
 
 

@@ -378,3 +378,65 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
     out["id_a"] = out["id_a"].astype("int64")
     out["id_b"] = out["id_b"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def emb_threshold_calibration(ds, *, target_fpr: float = 1e-3,
+                              n_pairs: int = 20_000, seed: int = 42,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              round_digits: int = 6) -> pd.DataFrame:
+    """Calibrate the near-dup cosine threshold against the corpus's
+    OWN null distribution: sample seeded random (non-identical) vector
+    pairs, take the (1 − target_fpr) quantile of their cosine — using
+    a threshold below it would flag ≥ target_fpr of unrelated pairs as
+    duplicates. The principled way to pick `emb_near_dup`'s threshold
+    per embedding model/corpus instead of folklore constants.
+
+    Execution: ONE pass collects only the sampled ids' vectors
+    (candidate-only semi-join, 2·n_pairs vectors max); pair cosines
+    are a single driver matmul over that sample. Counter-based pair
+    sampling → rerun/layout invariant.
+
+    → one-row frame (n_pairs, target_fpr, threshold, mean_cos,
+    p99_cos)."""
+    from ..determinism import randint
+
+    ids = np.sort(ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b[id_col], pa.int64()).unique()], names=["i"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True).to_pandas()["i"].unique())
+    n = len(ids)
+    idx = np.arange(n_pairs, dtype=np.int64)
+    ia = randint(idx, seed, 11, 0, n)
+    ib = randint(idx, seed, 12, 0, n)
+    ok = ia != ib
+    ia, ib = ia[ok], ib[ok]
+    wanted = np.unique(np.concatenate([ids[ia], ids[ib]]))
+    ref = ray.put(pa.array(wanted))
+
+    def grab(b: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        m = pc.is_in(pc.cast(b[id_col], pa.int64()), value_set=want)
+        return pa.Table.from_arrays(
+            [pc.cast(b[id_col], pa.int64()).filter(m),
+             b[vec_col].filter(m)], names=["i", "v"])
+
+    sub = ds.map_batches(grab, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    sub = sub.drop_duplicates("i").set_index("i")
+    V = _unit(np.stack([np.asarray(v, dtype=np.float64)
+                        for v in sub["v"]]))
+    pos = {int(i): j for j, i in enumerate(sub.index)}
+    ja = np.array([pos[int(x)] for x in ids[ia]])
+    jb = np.array([pos[int(x)] for x in ids[ib]])
+    cos = np.einsum("ij,ij->i", V[ja], V[jb])
+    thr = float(np.quantile(cos, 1.0 - target_fpr,
+                            method="higher"))
+    return pd.DataFrame([{
+        "n_pairs": int(len(cos)),
+        "target_fpr": target_fpr,
+        "threshold": round(thr, round_digits),
+        "mean_cos": round(float(cos.mean()), round_digits),
+        "p99_cos": round(float(np.quantile(cos, 0.99)),
+                         round_digits)}])

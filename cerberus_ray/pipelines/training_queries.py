@@ -3162,6 +3162,18 @@ def q_stream_neardup_report(sf_dir: str) -> pa.Table:
         "n_dropped": [docs.count() - kept.num_rows]})
 
 
+def q_emb_threshold_report(sf_dir: str) -> pa.Table:
+    """Embedding near-dup threshold calibration (extras surface):
+    the (1−FPR) quantile of the random-pair cosine null — statistical
+    properties tested in tests/test_similarity_threshold.py."""
+    from .similarity import emb_threshold_calibration
+
+    emb = _emb(sf_dir)
+    out = emb_threshold_calibration(emb, target_fpr=0.01,
+                                    n_pairs=5000)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3315,6 +3327,7 @@ QUERIES = {
     "index_append_report": q_index_append_report,
     "c2st_report": q_c2st_report,
     "stream_neardup_report": q_stream_neardup_report,
+    "emb_threshold_report": q_emb_threshold_report,
 }
 
 def _stopword_sql(lang: str) -> str:
