@@ -117,6 +117,7 @@ QUERY_NAMES = [
     "c2st_report",
     "stream_neardup_report",
     "emb_threshold_report",
+    "fd_violations_report",
 ]
 
 

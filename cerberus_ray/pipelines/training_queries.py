@@ -3174,6 +3174,18 @@ def q_emb_threshold_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_fd_violations_report(sf_dir: str) -> pa.Table:
+    """Worst FD-violating determinants with survivorship signal
+    (extras surface) — DuckDB window parity in tests/test_profile.py."""
+    from ..stages.profile import fd_violations
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderstatus"])
+    out = fd_violations(orders, ["o_custkey"], "o_orderstatus",
+                        top_k=20)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3328,6 +3340,7 @@ QUERIES = {
     "c2st_report": q_c2st_report,
     "stream_neardup_report": q_stream_neardup_report,
     "emb_threshold_report": q_emb_threshold_report,
+    "fd_violations_report": q_fd_violations_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -45,8 +45,9 @@ from .setops import except_distinct
 from .uniqueness import duplicate_key_counts
 
 __all__ = ["inclusion_profile", "candidate_key_profile", "fd_profile",
-           "pattern_profile", "inclusion_sketch_profile",
-           "join_size_profile", "MASK_STEPS", "MASK_COMPRESS_STEPS"]
+           "fd_violations", "pattern_profile",
+           "inclusion_sketch_profile", "join_size_profile",
+           "MASK_STEPS", "MASK_COMPRESS_STEPS"]
 
 
 def _as_key(ds, col: str):
@@ -187,6 +188,82 @@ def fd_profile(ds, candidates: Sequence[Tuple[Sequence[str], str]], *,
                      "max_dep_per_det": mx, "fd_holds": n_viol == 0})
     return pd.DataFrame(rows, columns=["fd", "n_det", "n_violating_det",
                                        "max_dep_per_det", "fd_holds"])
+
+
+def fd_violations(ds, det_cols: Sequence[str], dep_col: str, *,
+                  top_k: int = 20, mode: str = "auto",
+                  n_buckets: int = 32,
+                  driver_band: int = 5_000_000) -> pd.DataFrame:
+    """The actionable sequel to :func:`fd_profile`: for the worst
+    ``top_k`` determinants violating det → dep, report how many dep
+    values they map to and the two most common (by ROW count — the
+    survivorship signal: which value a repair would keep). Same
+    planner shape as fd_profile: (det, dep, rowcount) partials merge
+    on the driver inside the band, or per-det via one keyed exchange
+    beyond it.
+
+    → frame (det..., n_dep_values, n_rows, dep_top1, n_top1,
+    dep_top2, n_top2) sorted by (n_dep_values desc, n_rows desc,
+    det) — deterministic."""
+    det = list(det_cols)
+    cols = det + [dep_col]
+
+    def part(b: pa.Table) -> pa.Table:
+        return (b.select(cols).group_by(cols)
+                .aggregate([([], "count_all")]))
+
+    pairs_ds = ds.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    m = mode
+    if m == "auto":
+        m = "driver" if ds.count() <= driver_band else "shuffle"
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(det + [dep_col], dropna=False, as_index=False)
+             ["count_all"].sum())
+        g = g.sort_values(det + ["count_all", dep_col],
+                          ascending=[True] * len(det) + [False, True],
+                          kind="mergesort")
+        gb = g.groupby(det, dropna=False, sort=False)
+        agg = gb.agg(n_dep_values=(dep_col, "nunique"),
+                     n_rows=("count_all", "sum")).reset_index()
+        first = gb.nth(0).reset_index(drop=True)
+        second = gb.nth(1).reset_index(drop=True)
+        agg["dep_top1"] = first[dep_col].to_numpy()
+        agg["n_top1"] = first["count_all"].to_numpy()
+        agg = agg.merge(
+            second.rename(columns={dep_col: "dep_top2",
+                                   "count_all": "n_top2"}),
+            on=det, how="left")
+        return agg[agg["n_dep_values"] > 1]
+
+    if m == "driver":
+        out = summarize(pairs_ds.to_pandas())
+    elif m == "shuffle":
+        from .keyed_window import keyed_apply
+        from .setops import _KEY, _encode_key
+
+        keyed = pairs_ds.map_batches(
+            lambda b, _d=det: _encode_key(b, _d),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            return summarize(g.drop(columns=[_KEY]))
+
+        out = keyed_apply(keyed, _KEY, kern,
+                          n_buckets=n_buckets).to_pandas()
+    else:
+        raise ValueError(f"unknown mode {m!r}")
+    if not len(out):
+        return pd.DataFrame(columns=det + [
+            "n_dep_values", "n_rows", "dep_top1", "n_top1",
+            "dep_top2", "n_top2"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_top1"] = out["n_top1"].astype("int64")
+    out = out.sort_values(["n_dep_values", "n_rows"] + det,
+                          ascending=[False, False] + [True] * len(det),
+                          kind="mergesort").head(top_k)
+    return out.reset_index(drop=True)
 
 
 def _kmv_sketch(ds, col: str, k: int):

@@ -248,6 +248,57 @@ def test_kmv_sketch_subset_estimates_high(ray_session):
     assert got["est_containment"] > 0.9
 
 
+def test_fd_violations_duckdb_parity(ray_session):
+    from cerberus_ray.stages.profile import fd_violations
+
+    orders = read_table(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderstatus"])
+    got = fd_violations(orders, ["o_custkey"], "o_orderstatus",
+                        top_k=10**9)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    want = con.execute("""
+        WITH pc AS (SELECT o_custkey AS k, o_orderstatus AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM orders GROUP BY 1, 2),
+        agg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS ndv,
+                       CAST(SUM(c) AS BIGINT) AS n,
+                       ANY_VALUE(t1) AS dep_top1,
+                       ANY_VALUE(c1) AS n_top1
+                FROM (SELECT *, FIRST_VALUE(v) OVER w AS t1,
+                             FIRST_VALUE(c) OVER w AS c1
+                      FROM pc WINDOW w AS (PARTITION BY k
+                        ORDER BY c DESC, v))
+                GROUP BY k HAVING COUNT(*) > 1)
+        SELECT * FROM agg ORDER BY ndv DESC, n DESC, k""").df()
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["o_custkey"], want["k"])
+    np.testing.assert_array_equal(got["n_dep_values"], want["ndv"])
+    np.testing.assert_array_equal(got["n_rows"], want["n"])
+    np.testing.assert_array_equal(got["dep_top1"], want["dep_top1"])
+    np.testing.assert_array_equal(got["n_top1"], want["n_top1"])
+    con.close()
+
+
+def test_fd_violations_hand_and_modes(ray_session):
+    from cerberus_ray.stages.profile import fd_violations
+
+    df = pd.DataFrame({
+        "d": [1, 1, 1, 2, 2, 3],
+        "v": ["a", "a", "b", "c", "c", "d"]})
+    ds = rd.from_pandas(df, override_num_blocks=2)
+    got = fd_violations(ds, ["d"], "v")
+    assert len(got) == 1                      # only det 1 violates
+    r = got.iloc[0]
+    assert r["d"] == 1 and r["n_dep_values"] == 2 and r["n_rows"] == 3
+    assert r["dep_top1"] == "a" and r["n_top1"] == 2
+    assert r["dep_top2"] == "b" and r["n_top2"] == 1
+    drv = fd_violations(ds, ["d"], "v", mode="driver")
+    shf = fd_violations(ds, ["d"], "v", mode="shuffle")
+    pd.testing.assert_frame_equal(drv, shf, check_dtype=False)
+
+
 def test_join_size_estimate_brackets_exact(ray_session):
     from cerberus_ray.stages.profile import join_size_profile
 
