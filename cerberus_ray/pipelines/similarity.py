@@ -395,7 +395,10 @@ def emb_threshold_calibration(ds, *, target_fpr: float = 1e-3,
     Execution: ONE pass collects only the sampled ids' vectors
     (candidate-only semi-join, 2·n_pairs vectors max); pair cosines
     are a single driver matmul over that sample. Counter-based pair
-    sampling → rerun/layout invariant.
+    sampling → rerun/layout invariant. The id LIST is one distinct
+    pass (O(#vectors) driver ints — inside the engine's broadcast
+    band; beyond it, draw ids from a seeded `sampling.py` pre-sample
+    instead, the same seam as dedup_eval's control pairs).
 
     → one-row frame (n_pairs, target_fpr, threshold, mean_cos,
     p99_cos)."""
