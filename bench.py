@@ -118,6 +118,7 @@ QUERY_NAMES = [
     "stream_neardup_report",
     "emb_threshold_report",
     "fd_violations_report",
+    "holt_report",
 ]
 
 

@@ -3186,6 +3186,35 @@ def q_fd_violations_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_holt_report(sf_dir: str) -> pa.Table:
+    """Holt double-exponential next-hour forecast per event type
+    (extras surface) — numpy-recursion parity and linear-exactness in
+    tests/test_forecast.py."""
+    import ray.data as rd
+
+    from ..stages.forecast import holt_forecast
+    from ..stages.groupagg import grouped_agg
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_type"])
+
+    def hour_bucket(b: pa.Table) -> pa.Table:
+        sec = pc.cast(b["ts"], pa.int64())
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "hour": pc.divide(sec, 3_600_000_000)})
+
+    hourly = grouped_agg(
+        ev.map_batches(hour_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], {"n": ("", "count")})
+    hourly["n"] = hourly["n"].astype("float64")
+    out = (holt_forecast(rd.from_pandas(hourly), "event_type", "hour",
+                         "n", n_buckets=4).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3341,6 +3370,7 @@ QUERIES = {
     "stream_neardup_report": q_stream_neardup_report,
     "emb_threshold_report": q_emb_threshold_report,
     "fd_violations_report": q_fd_violations_report,
+    "holt_report": q_holt_report,
 }
 
 def _stopword_sql(lang: str) -> str:

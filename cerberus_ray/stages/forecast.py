@@ -117,3 +117,63 @@ def conformal_intervals(ds, key_col: str, ts_col: str, value_col: str,
         return out[[key_col, "n_cal", "forecast", "lo", "hi"]]
 
     return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)
+
+
+def holt_forecast(ds, key_col: str, ts_col: str, value_col: str, *,
+                  alpha: float = 0.5, beta: float = 0.3,
+                  horizon: int = 1, n_buckets: int = 32,
+                  round_digits: int = 6):
+    """Holt's linear-trend exponential smoothing (Holt 1957; the
+    standard double-exponential forecaster) per key — the trending
+    companion of ``seasonal_naive_eval``. Standard init l₀ = y₀,
+    b₀ = y₁ − y₀; forecast = l_T + h·b_T.
+
+    The recursion is sequential in TIME but not across series: the
+    kernel stacks every same-length series in a bucket into one
+    (keys × T) matrix and runs T vectorized steps (time-domain-bounded,
+    like every series op here) — no per-key Python.
+
+    → Dataset (key_col, n_obs, level, trend, forecast); a single-point
+    series forecasts itself with zero trend."""
+    if not (0 < alpha <= 1) or not (0 <= beta <= 1):
+        raise ValueError("alpha must be in (0,1], beta in [0,1]")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key_col, ts_col], kind="mergesort")
+        keys = d[key_col].to_numpy()
+        y = d[value_col].to_numpy(dtype=np.float64)
+        uk, starts, counts = np.unique(keys, return_index=True,
+                                       return_counts=True)
+        out_k, out_n, out_l, out_b = [], [], [], []
+        for T in np.unique(counts):
+            rows = starts[counts == T]
+            ks = uk[counts == T]
+            mat = y[rows[:, None] + np.arange(T)[None, :]]
+            if T == 1:
+                lvl = mat[:, 0]
+                tr = np.zeros(len(ks))
+            else:
+                lvl = mat[:, 0].copy()
+                tr = mat[:, 1] - mat[:, 0]
+                for t in range(1, T):
+                    prev = lvl.copy()
+                    lvl = alpha * mat[:, t] + (1 - alpha) * (lvl + tr)
+                    tr = beta * (lvl - prev) + (1 - beta) * tr
+            out_k.append(ks)
+            out_n.append(np.full(len(ks), T, dtype=np.int64))
+            out_l.append(lvl)
+            out_b.append(tr)
+        if not out_k:
+            return pd.DataFrame({key_col: [], "n_obs": [],
+                                 "level": [], "trend": [],
+                                 "forecast": []})
+        lvl = np.concatenate(out_l)
+        tr = np.concatenate(out_b)
+        return pd.DataFrame({
+            key_col: np.concatenate(out_k),
+            "n_obs": np.concatenate(out_n),
+            "level": np.round(lvl, round_digits),
+            "trend": np.round(tr, round_digits),
+            "forecast": np.round(lvl + horizon * tr, round_digits)})
+
+    return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)

@@ -143,3 +143,75 @@ def test_conformal_short_series_and_guards(ray_session):
     with _pytest.raises(ValueError):
         conformal_intervals(rd.from_pandas(df), "k", "t", "v",
                             season=1, alpha=1.5)
+
+
+def test_holt_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.forecast import holt_forecast
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for k in range(6):
+        T = rng.integers(3, 20)
+        y = rng.normal(size=T).cumsum()
+        for t, v in enumerate(y):
+            rows.append((k, t, float(v)))
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    a, b = 0.4, 0.2
+    got = (holt_forecast(rd.from_pandas(df, override_num_blocks=3),
+                         "k", "t", "v", alpha=a, beta=b)
+           .to_pandas().set_index("k").sort_index())
+    for k, sub in df.groupby("k"):
+        y = sub.sort_values("t")["v"].to_numpy()
+        lvl, tr = y[0], y[1] - y[0]
+        for t in range(1, len(y)):
+            prev = lvl
+            lvl = a * y[t] + (1 - a) * (lvl + tr)
+            tr = b * (lvl - prev) + (1 - b) * tr
+        np.testing.assert_allclose(got.loc[k, "level"], lvl, atol=1e-5)
+        np.testing.assert_allclose(got.loc[k, "trend"], tr, atol=1e-5)
+        np.testing.assert_allclose(got.loc[k, "forecast"], lvl + tr,
+                                   atol=1e-5)
+
+
+def test_holt_linear_series_is_exact(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.forecast import holt_forecast
+
+    # a pure linear series is tracked EXACTLY for any alpha/beta
+    df = pd.DataFrame({"k": "a", "t": range(20),
+                       "v": 3.0 + 2.5 * np.arange(20)})
+    got = holt_forecast(rd.from_pandas(df), "k", "t", "v",
+                        alpha=0.7, beta=0.4).to_pandas().iloc[0]
+    np.testing.assert_allclose(got["trend"], 2.5, atol=1e-9)
+    np.testing.assert_allclose(got["forecast"], 3.0 + 2.5 * 20,
+                               atol=1e-9)
+    # constant series → zero trend, self-forecast; single point too
+    c = pd.DataFrame({"k": ["c"] * 5 + ["s"], "t": [0, 1, 2, 3, 4, 0],
+                      "v": [7.0] * 5 + [9.0]})
+    g2 = (holt_forecast(rd.from_pandas(c), "k", "t", "v")
+          .to_pandas().set_index("k"))
+    np.testing.assert_allclose(g2.loc["c", "trend"], 0.0, atol=1e-12)
+    np.testing.assert_allclose(g2.loc["c", "forecast"], 7.0)
+    np.testing.assert_allclose(g2.loc["s", "forecast"], 9.0)
+    assert g2.loc["s", "n_obs"] == 1
+
+
+def test_holt_guards_and_layout(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from cerberus_ray.stages.forecast import holt_forecast
+
+    df = pd.DataFrame({"k": [1, 1, 2], "t": [0, 1, 0],
+                       "v": [1.0, 2.0, 3.0]})
+    with _pytest.raises(ValueError):
+        holt_forecast(rd.from_pandas(df), "k", "t", "v", alpha=0.0)
+    a = holt_forecast(rd.from_pandas(df, override_num_blocks=1),
+                      "k", "t", "v").to_pandas()
+    b = holt_forecast(rd.from_pandas(df, override_num_blocks=3),
+                      "k", "t", "v", n_buckets=2).to_pandas()
+    pd.testing.assert_frame_equal(a.sort_values("k", ignore_index=True),
+                                  b.sort_values("k", ignore_index=True))
