@@ -24,20 +24,35 @@ def grouped_agg(ds, group_cols: Sequence[str],
     """→ pandas frame: one row per group.
 
     ``aggs`` maps output column → (input column, fn) with fn ∈
-    {count, sum, mean, min, max}. ``count`` counts rows (input column
-    ignored). Means are merged exactly from (sum, non-null count)
-    partials — SQL AVG ignores NULLs, so the divisor is the aggregated
-    column's own non-null count, not the group's row count.
+    {count, sum, mean, min, max, geomean, hmean}. ``count`` counts
+    rows (input column ignored). Means are merged exactly from (sum,
+    non-null count) partials — SQL AVG ignores NULLs, so the divisor
+    is the aggregated column's own non-null count, not the group's row
+    count. ``geomean`` = exp(mean(ln x)) and ``hmean`` = n/Σ(1/x) run
+    over non-null values via transformed-column partials (ln/
+    reciprocal inside the block) — values must be positive; a zero
+    yields geomean 0 / hmean 0 by limit convention.
     """
     group_cols = list(group_cols)
     pa_aggs: List[Tuple[str, str]] = []
     need_count = False
+    transforms: Dict[str, Tuple[str, str]] = {}  # newcol -> (src, kind)
     for out_col, (col, fn) in aggs.items():
         if fn == "count":
             need_count = True
         elif fn == "mean":
             pa_aggs.append((col, "sum"))
             pa_aggs.append((col, "count"))  # non-null count (AVG divisor)
+        elif fn == "geomean":
+            t = f"__ln_{col}"
+            transforms[t] = (col, "ln")
+            pa_aggs.append((t, "sum"))
+            pa_aggs.append((t, "count"))
+        elif fn == "hmean":
+            t = f"__inv_{col}"
+            transforms[t] = (col, "inv")
+            pa_aggs.append((t, "sum"))
+            pa_aggs.append((t, "count"))
         elif fn in ("sum", "min", "max"):
             pa_aggs.append((col, fn))
         else:
@@ -47,6 +62,20 @@ def grouped_agg(ds, group_cols: Sequence[str],
         pa_aggs.append(([], "count_all"))
 
     def partial(b: pa.Table) -> pa.Table:
+        if transforms:
+            import numpy as np
+            import pyarrow.compute as pc
+            for t, (src, kind) in transforms.items():
+                v = b[src].to_numpy(zero_copy_only=False).astype(
+                    "float64")
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    x = np.log(v) if kind == "ln" else 1.0 / v
+                arr = pa.array(x, pa.float64(),
+                               from_pandas=False)
+                if b[src].null_count:
+                    arr = pc.if_else(pc.is_valid(b[src]), arr,
+                                     pa.scalar(None, pa.float64()))
+                b = b.append_column(t, arr)
         return b.group_by(group_cols).aggregate(pa_aggs)
 
     pdf = ds.map_batches(partial, batch_format="pyarrow",
@@ -74,6 +103,16 @@ def grouped_agg(ds, group_cols: Sequence[str],
             out[out_col] = g[f"{col}_sum"] / g[f"{col}_count"].replace(0, pd.NA)
         elif fn == "sum":
             out[out_col] = g[f"{col}_sum"]
+        elif fn == "geomean":
+            import numpy as np
+            t = f"__ln_{col}"
+            cnt = g[f"{t}_count"].replace(0, pd.NA)
+            out[out_col] = np.exp(
+                (g[f"{t}_sum"] / cnt).astype("float64"))
+        elif fn == "hmean":
+            t = f"__inv_{col}"
+            cnt = g[f"{t}_count"].replace(0, pd.NA)
+            out[out_col] = (cnt / g[f"{t}_sum"]).astype("float64")
         else:
             out[out_col] = g[f"{col}_{fn}"]
     return out.sort_values(group_cols).reset_index(drop=True)

@@ -66,3 +66,43 @@ def test_multiblock_invariance(ray_session):
                                    check_names=False)
     pd.testing.assert_series_equal(g["last_v"], ref_last.sort_index(),
                                    check_names=False)
+
+
+def test_geomean_hmean_duckdb_parity(ray_session):
+    from cerberus_ray.stages.groupagg import grouped_agg
+
+    rng = np.random.default_rng(27)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 2000),
+        "x": rng.gamma(2.0, 3.0, 2000) + 0.1})  # strictly positive
+    got = grouped_agg(rd.from_pandas(df, override_num_blocks=4),
+                      ["g"], {"gm": ("x", "geomean"),
+                              "hm": ("x", "hmean"),
+                              "am": ("x", "mean")})
+    con = duckdb.connect()
+    con.register("d", df)
+    want = con.execute(
+        "SELECT g, EXP(AVG(LN(x))) AS gm, COUNT(x)/SUM(1/x) AS hm, "
+        "AVG(x) AS am FROM d GROUP BY g ORDER BY g").df()
+    np.testing.assert_allclose(got["gm"], want["gm"], rtol=1e-9)
+    np.testing.assert_allclose(got["hm"], want["hm"], rtol=1e-9)
+    # AM-GM-HM inequality sanity
+    assert ((got["am"] >= got["gm"]) & (got["gm"] >= got["hm"])).all()
+    con.close()
+
+
+def test_geomean_null_and_zero_semantics(ray_session):
+    from cerberus_ray.stages.groupagg import grouped_agg
+
+    df = pd.DataFrame({"g": ["a", "a", "a", "b", "b"],
+                       "x": [2.0, 8.0, None, 0.0, 4.0]})
+    got = grouped_agg(rd.from_pandas(df, override_num_blocks=2),
+                      ["g"], {"gm": ("x", "geomean"),
+                              "hm": ("x", "hmean")}).set_index("g")
+    # nulls ignored: geomean(2, 8) = 4
+    np.testing.assert_allclose(got.loc["a", "gm"], 4.0, atol=1e-12)
+    np.testing.assert_allclose(got.loc["a", "hm"],
+                               2 / (1 / 2 + 1 / 8), atol=1e-12)
+    # a zero drives both to 0 (limit convention, documented)
+    np.testing.assert_allclose(got.loc["b", "gm"], 0.0, atol=1e-12)
+    np.testing.assert_allclose(got.loc["b", "hm"], 0.0, atol=1e-12)
