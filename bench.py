@@ -119,6 +119,7 @@ QUERY_NAMES = [
     "emb_threshold_report",
     "fd_violations_report",
     "holt_report",
+    "interpolate_report",
 ]
 
 

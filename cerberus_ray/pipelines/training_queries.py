@@ -3215,6 +3215,31 @@ def q_holt_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_interpolate_report(sf_dir: str) -> pa.Table:
+    """Linear-interpolation resampling (extras surface): per-user
+    event values on a 1-hour grid — DuckDB prev/next-blend parity in
+    tests/test_resample.py."""
+    from ..stages.resample import resample_interpolate
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "value"])
+
+    def epoch(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"],
+            "sec": pc.divide(pc.cast(b["ts"], pa.int64()), 1_000_000),
+            "value": b["value"]})
+
+    # keep the report bounded: the 20 smallest user ids
+    d = ev.map_batches(epoch, batch_format="pyarrow",
+                       zero_copy_batch=True).filter(
+        expr="user_id < 20")
+    out = (resample_interpolate(d, "user_id", "sec", "value",
+                                freq=3600, n_buckets=4).to_pandas()
+           .sort_values(["user_id", "ts"], ignore_index=True))
+    return pa.Table.from_pandas(out.head(500), preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3371,6 +3396,7 @@ QUERIES = {
     "emb_threshold_report": q_emb_threshold_report,
     "fd_violations_report": q_fd_violations_report,
     "holt_report": q_holt_report,
+    "interpolate_report": q_interpolate_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -131,3 +131,65 @@ def resample_ffill(ds, key_col: str, ts_col: str,
                 .reset_index(drop=True))
 
     return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)
+
+
+def resample_interpolate(ds, key_col: str, ts_col: str,
+                         value_col: str, *, freq: int,
+                         n_buckets: int = 32,
+                         round_digits: int = 6):
+    """Linear-interpolation resampling: per key, values at every
+    ``freq``-aligned tick BETWEEN the first and last observation,
+    linearly interpolated between the bracketing observations (exact
+    at observation ticks). The two-sided companion of
+    ``resample_ffill`` — a backward as-of brings the previous
+    observation, a forward as-of the next, and the tick value is the
+    time-weighted blend; both as-ofs are the same C-level
+    ``pd.merge_asof`` kernel over whole buckets.
+
+    → Dataset (key_col, ts, <value_col>) one row per tick per key."""
+    if freq <= 0:
+        raise ValueError("freq must be a positive number of seconds")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, key_col],
+                          kind="mergesort").reset_index(drop=True)
+        g[ts_col] = g[ts_col].astype(np.int64)
+        b = g.groupby(key_col, sort=False)[ts_col].agg(["min", "max"])
+        mn = b["min"].to_numpy(dtype=np.int64)
+        mx = b["max"].to_numpy(dtype=np.int64)
+        lo = (mn + freq - 1) // freq * freq
+        counts = np.maximum(0, (mx - lo) // freq + 1)
+        if counts.sum() == 0:
+            return pd.DataFrame({key_col: [], "ts": [],
+                                 value_col: []})
+        keys = np.repeat(b.index.to_numpy(), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offs = (np.arange(int(counts.sum()), dtype=np.int64)
+                - np.repeat(starts, counts))
+        ticks = np.repeat(lo, counts) + offs * freq
+        grid = pd.DataFrame({key_col: keys, "ts": ticks}).sort_values(
+            ["ts", key_col], kind="mergesort")
+        obs = (g[[key_col, ts_col, value_col]]
+               .rename(columns={ts_col: "ts"})
+               .assign(_src_ts=lambda d: d["ts"]))
+        back = pd.merge_asof(grid, obs, on="ts", by=key_col,
+                             direction="backward")
+        fwd = pd.merge_asof(grid, obs, on="ts", by=key_col,
+                            direction="forward",
+                            suffixes=("", "_f"))
+        t0 = back["_src_ts"].to_numpy(dtype=np.float64)
+        t1 = fwd["_src_ts"].to_numpy(dtype=np.float64)
+        v0 = back[value_col].to_numpy(dtype=np.float64)
+        v1 = fwd[value_col].to_numpy(dtype=np.float64)
+        t = back["ts"].to_numpy(dtype=np.float64)
+        span = t1 - t0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w = np.where(span > 0, (t - t0) / span, 0.0)
+        val = v0 + w * (v1 - v0)
+        out = pd.DataFrame({key_col: back[key_col].to_numpy(),
+                            "ts": back["ts"].to_numpy(),
+                            value_col: np.round(val, round_digits)})
+        return (out.sort_values([key_col, "ts"], kind="mergesort")
+                .reset_index(drop=True))
+
+    return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)

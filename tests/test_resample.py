@@ -148,3 +148,84 @@ def test_hopping_window_hand_vector(ray_session):
     with pytest.raises(ValueError):
         hopping_window_agg(rd.from_pandas(df), "t", "v",
                            window_s=25, hop_s=10)
+
+
+def test_interpolate_hand_vectors(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.resample import resample_interpolate
+
+    # key a: observations at t=0 (v=0) and t=10 (v=100) → ticks every
+    # 2s interpolate linearly; exact at observation ticks
+    df = pd.DataFrame({"k": ["a", "a"], "t": [0, 10],
+                       "v": [0.0, 100.0]})
+    got = (resample_interpolate(rd.from_pandas(df), "k", "t", "v",
+                                freq=2).to_pandas())
+    assert list(got["ts"]) == [0, 2, 4, 6, 8, 10]
+    np.testing.assert_allclose(got["v"],
+                               [0, 20, 40, 60, 80, 100], atol=1e-9)
+
+
+def test_interpolate_duckdb_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from cerberus_ray.stages.resample import resample_interpolate
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for k in range(4):
+        ts = np.sort(rng.choice(np.arange(0, 1000), 15, replace=False))
+        for t in ts:
+            rows.append((k, int(t), float(rng.normal())))
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    got = (resample_interpolate(
+        rd.from_pandas(df, override_num_blocks=3), "k", "t", "v",
+        freq=50).to_pandas()
+        .sort_values(["k", "ts"], ignore_index=True))
+    con = duckdb.connect()
+    con.register("d", df)
+    want = con.execute("""
+        WITH bounds AS (SELECT k, CAST(CEIL(MIN(t) / 50.0) * 50 AS
+                               BIGINT) AS lo, MAX(t) AS hi FROM d
+                        GROUP BY k),
+        grid AS (SELECT k, unnest(range(lo, hi + 1, 50)) AS ts
+                 FROM bounds),
+        prev AS (SELECT g.k, g.ts, MAX_BY(d.v, d.t) AS v0,
+                        MAX(d.t) AS t0
+                 FROM grid g JOIN d ON d.k = g.k AND d.t <= g.ts
+                 GROUP BY g.k, g.ts),
+        nxt AS (SELECT g.k, g.ts, MIN_BY(d.v, d.t) AS v1,
+                       MIN(d.t) AS t1
+                FROM grid g JOIN d ON d.k = g.k AND d.t >= g.ts
+                GROUP BY g.k, g.ts)
+        SELECT p.k, p.ts,
+               CASE WHEN n.t1 = p.t0 THEN p.v0
+                    ELSE p.v0 + (p.ts - p.t0) * (n.v1 - p.v0)
+                         / (n.t1 - p.t0) END AS v
+        FROM prev p JOIN nxt n ON p.k = n.k AND p.ts = n.ts
+        ORDER BY p.k, p.ts""").df()
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["k"], want["k"])
+    np.testing.assert_array_equal(got["ts"], want["ts"])
+    np.testing.assert_allclose(got["v"], want["v"], atol=1e-6)
+    con.close()
+
+
+def test_interpolate_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.resample import resample_interpolate
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 10, 500),
+        "t": rng.integers(0, 5000, 500),
+        "v": rng.normal(size=500)}).drop_duplicates(["k", "t"])
+    a = (resample_interpolate(rd.from_pandas(df, override_num_blocks=1),
+                              "k", "t", "v", freq=100).to_pandas()
+         .sort_values(["k", "ts"], ignore_index=True))
+    b = (resample_interpolate(rd.from_pandas(df, override_num_blocks=7),
+                              "k", "t", "v", freq=100, n_buckets=5)
+         .to_pandas().sort_values(["k", "ts"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
