@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "fd_violations_report",
     "holt_report",
     "interpolate_report",
+    "simpson_report",
 ]
 
 

@@ -3240,6 +3240,21 @@ def q_interpolate_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.head(500), preserve_index=False)
 
 
+def q_simpson_report(sf_dir: str) -> pa.Table:
+    """Simpson's-paradox screen (extras surface): lineitem
+    quantity→extendedprice marginally vs conditioned on return flag —
+    constructed-paradox and pooled-slope parity tests in
+    tests/test_stats_spearman.py."""
+    from ..stages.stats import simpson_check
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    out = simpson_check(li, "l_quantity", "l_extendedprice",
+                        "l_returnflag")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3397,6 +3412,7 @@ QUERIES = {
     "fd_violations_report": q_fd_violations_report,
     "holt_report": q_holt_report,
     "interpolate_report": q_interpolate_report,
+    "simpson_report": q_simpson_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -84,7 +84,8 @@ def cov_matrix(ds, cols: Sequence[str], *, ddof: int = 1) -> pd.DataFrame:
 
 
 def grouped_regression(ds, group_cols: Sequence[str], x: str,
-                       y: str) -> pd.DataFrame:
+                       y: str, *,
+                       _return_moments: bool = False) -> pd.DataFrame:
     """Per-group ordinary least squares of ``y`` on ``x`` — SQL's
     ``REGR_SLOPE / REGR_INTERCEPT / REGR_R2 / REGR_COUNT`` family, same
     null semantics (a row counts only when BOTH x and y are non-null).
@@ -117,6 +118,10 @@ def grouped_regression(ds, group_cols: Sequence[str], x: str,
         return pd.DataFrame({c: [] for c in group_cols
                              + ["n", "slope", "intercept", "r2"]})
     g = pdf.groupby(group_cols, dropna=False).sum().reset_index()
+    if _return_moments:
+        # composition hook (simpson_check): the merged per-group moment
+        # sums — pooled statistics are their plain addition
+        return g
     n = g["_n"].to_numpy(dtype=np.float64)
     sx, sy = g["_sx"].to_numpy(), g["_sy"].to_numpy()
     sxy, sx2, sy2 = (g["_sxy"].to_numpy(), g["_sx2"].to_numpy(),
@@ -536,3 +541,52 @@ def theil_sen_by_group(ds, group_col: str, x_col: str, y_col: str, *,
         return pd.DataFrame({group_col: [], "n": [], "slope": [],
                              "intercept": []})
     return pdf.sort_values(group_col).reset_index(drop=True)
+
+
+def simpson_check(ds, x: str, y: str, group_col: str, *,
+                  min_group_n: int = 5,
+                  round_digits: int = 6) -> pd.DataFrame:
+    """Simpson's-paradox screen: does the MARGINAL x→y trend reverse
+    once you condition on ``group_col``? (Simpson 1951; the classic
+    aggregation-bias integrity check before anyone acts on a pooled
+    correlation.) Both trends are OLS slopes from the SAME one-pass
+    moment partials — the pooled slope falls out of the per-group
+    moment sums by addition, so the whole screen costs one
+    ``grouped_regression`` pass.
+
+    → one-row frame (pooled_slope, n_groups, n_groups_opposite,
+    share_opposite, simpson_flag): flagged when the pooled slope's
+    sign disagrees with the majority of (≥ ``min_group_n``-row)
+    group slopes."""
+    mom = grouped_regression(ds, [group_col], x, y,
+                             _return_moments=True)
+    if not len(mom) or "_n" not in mom.columns:
+        return pd.DataFrame([{
+            "pooled_slope": float("nan"), "n_groups": 0,
+            "n_groups_opposite": 0, "share_opposite": float("nan"),
+            "simpson_flag": False}])
+    # ONE pass: per-group slopes AND the pooled slope both derive from
+    # the same merged moment sums (pooled = plain addition of groups)
+    n_g = mom["_n"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var_x = n_g * mom["_sx2"].to_numpy() - mom["_sx"].to_numpy()**2
+        cov = (n_g * mom["_sxy"].to_numpy()
+               - mom["_sx"].to_numpy() * mom["_sy"].to_numpy())
+        slopes = np.where(var_x > 0, cov / var_x, np.nan)
+    n = mom["_n"].sum()
+    sx, sy = mom["_sx"].sum(), mom["_sy"].sum()
+    sxy, sx2 = mom["_sxy"].sum(), mom["_sx2"].sum()
+    denom = n * sx2 - sx * sx
+    pooled = (n * sxy - sx * sy) / denom if denom else float("nan")
+    ok = (n_g >= min_group_n) & np.isfinite(slopes)
+    opp = int((np.sign(slopes[ok]) == -np.sign(pooled)).sum()) \
+        if ok.any() and np.isfinite(pooled) and pooled != 0 else 0
+    share = opp / int(ok.sum()) if ok.any() else float("nan")
+    gg = mom[ok]
+    return pd.DataFrame([{
+        "pooled_slope": round(float(pooled), round_digits),
+        "n_groups": int(len(gg)),
+        "n_groups_opposite": opp,
+        "share_opposite": round(share, round_digits)
+        if share == share else share,
+        "simpson_flag": bool(share == share and share > 0.5)}])

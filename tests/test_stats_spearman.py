@@ -149,3 +149,46 @@ def test_theil_sen_sampled_band_and_ties(ray_session):
                          "y": np.arange(5.0)})
     got = theil_sen_by_group(rd.from_pandas(tied), "g", "x", "y")
     assert np.isnan(got["slope"].iloc[0])
+
+
+def test_simpson_paradox_detected(ray_session):
+    from cerberus_ray.stages.stats import simpson_check
+
+    # classic construction: within each group y DECREASES in x, but
+    # groups with larger x also have much larger y → pooled slope > 0
+    rng = np.random.default_rng(41)
+    rows = []
+    for gi in range(4):
+        x = rng.uniform(0, 1, 80) + 2 * gi
+        y = -1.0 * (x - 2 * gi) + 5 * gi + rng.normal(0, 0.05, 80)
+        for xi, yi in zip(x, y):
+            rows.append((gi, xi, yi))
+    df = pd.DataFrame(rows, columns=["g", "x", "y"])
+    out = simpson_check(rd.from_pandas(df, override_num_blocks=3),
+                        "x", "y", "g").iloc[0]
+    assert out["pooled_slope"] > 0
+    assert out["n_groups"] == 4
+    assert out["n_groups_opposite"] == 4
+    assert bool(out["simpson_flag"])
+
+
+def test_simpson_no_paradox_and_pooled_parity(ray_session):
+    import duckdb
+
+    from cerberus_ray.stages.stats import simpson_check
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 500),
+        "x": rng.normal(size=500)})
+    df["y"] = 2 * df["x"] + rng.normal(0, 0.1, 500)
+    out = simpson_check(rd.from_pandas(df, override_num_blocks=4),
+                        "x", "y", "g").iloc[0]
+    assert not bool(out["simpson_flag"])
+    assert out["n_groups_opposite"] == 0
+    con = duckdb.connect()
+    con.register("d", df)
+    want = con.execute(
+        "SELECT regr_slope(y, x) FROM d").fetchone()[0]
+    np.testing.assert_allclose(out["pooled_slope"], want, atol=1e-6)
+    con.close()
