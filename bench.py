@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "holt_report",
     "interpolate_report",
     "simpson_report",
+    "cuped_report",
 ]
 
 

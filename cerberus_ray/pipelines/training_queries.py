@@ -3255,6 +3255,28 @@ def q_simpson_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_cuped_report(sf_dir: str) -> pa.Table:
+    """CUPED-adjusted A/B readout (extras surface): events.value as
+    the metric, the user's prior mean value as the pre-experiment
+    covariate, arms by user-id parity — variance-reduction and
+    reference parity in tests/test_abtest.py."""
+    import ray.data as rd
+
+    from ..stages.abtest import cuped_ab_test
+    from ..stages.groupagg import grouped_first_last
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "value"])
+    # per-user: first-half mean value (covariate) vs last value
+    # (metric) — a self-contained pre/post construction
+    fl = grouped_first_last(ev, ["user_id"], ["ts", "event_id"],
+                            ["value"])
+    fl["arm"] = np.where(fl["user_id"] % 2 == 0, "A", "B")
+    out = cuped_ab_test(rd.from_pandas(fl), "arm", "last_value",
+                        "first_value", control="A", treatment="B")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
@@ -3413,6 +3435,7 @@ QUERIES = {
     "holt_report": q_holt_report,
     "interpolate_report": q_interpolate_report,
     "simpson_report": q_simpson_report,
+    "cuped_report": q_cuped_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -105,3 +105,97 @@ def welch_ab_test(ds, group_col: str, metric_cols: Sequence[str], *,
     # multi-metric families get FDR-adjusted q-values alongside
     res["p_bh"] = np.round(bh_adjust(res["p_approx"].to_numpy()), 8)
     return res
+
+
+def cuped_ab_test(ds, group_col: str, metric_col: str,
+                  covariate_col: str, *, control, treatment,
+                  round_digits: int = 6) -> pd.DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    2013 — public method): adjust the experiment metric with a
+    pre-experiment covariate, Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X)
+    pooled across both arms, then run the same Welch readout on Y'.
+    θ is estimated from pre-treatment-correlated structure, so the
+    adjustment is unbiased for the treatment effect while shrinking
+    variance by the squared correlation.
+
+    One pass of per-(arm, block) joint-moment partials
+    (n, Σx, Σy, Σxy, Σx², Σy'-moments derive on the driver) — the
+    exchange is a handful of floats per block, same contract as
+    ``welch_ab_test``.
+
+    → one-row frame (n_control, n_treatment, theta, lift_raw,
+    lift_cuped, var_reduction, t_raw, t_cuped, p_raw, p_cuped)."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        rows = {"g": [], "n": [], "sx": [], "sy": [], "sxy": [],
+                "sx2": [], "sy2": []}
+        for grp, name in ((control, "c"), (treatment, "t")):
+            mask = g == grp
+            x = b[covariate_col].to_numpy(zero_copy_only=False).astype(
+                np.float64)[mask]
+            y = b[metric_col].to_numpy(zero_copy_only=False).astype(
+                np.float64)[mask]
+            ok = ~(np.isnan(x) | np.isnan(y))
+            x, y = x[ok], y[ok]
+            rows["g"].append(name)
+            rows["n"].append(len(x))
+            rows["sx"].append(float(x.sum()))
+            rows["sy"].append(float(y.sum()))
+            rows["sxy"].append(float((x * y).sum()))
+            rows["sx2"].append(float((x * x).sum()))
+            rows["sy2"].append(float((y * y).sum()))
+        return pa.Table.from_pydict(
+            {k: pa.array(v) for k, v in rows.items()})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+             .sort_values(["g", "sx"])  # order-pinned float merge
+             .groupby("g", as_index=False).sum())
+    s = parts.set_index("g")
+    n_c, n_t = int(s.loc["c", "n"]), int(s.loc["t", "n"])
+    if n_c < 2 or n_t < 2:
+        raise ValueError("each arm needs at least 2 complete rows")
+    # pooled theta over both arms
+    N = n_c + n_t
+    sx, sy = s["sx"].sum(), s["sy"].sum()
+    sxy, sx2 = s["sxy"].sum(), s["sx2"].sum()
+    var_x = sx2 - sx * sx / N
+    theta = (sxy - sx * sy / N) / var_x if var_x > 0 else 0.0
+    xbar = sx / N
+
+    def arm_stats(name):
+        n = s.loc[name, "n"]
+        my = s.loc[name, "sy"] / n
+        mx = s.loc[name, "sx"] / n
+        vy = (s.loc[name, "sy2"] - n * my * my) / (n - 1)
+        # Y' = Y − θ(X − x̄): var(Y') = var(Y) + θ²var(X) − 2θcov
+        vx = (s.loc[name, "sx2"] - n * mx * mx) / (n - 1)
+        cxy = (s.loc[name, "sxy"] - n * mx * my) / (n - 1)
+        my_adj = my - theta * (mx - xbar)
+        vy_adj = vy + theta * theta * vx - 2 * theta * cxy
+        return n, my, vy, my_adj, vy_adj
+
+    def welch(m1, v1, n1, m2, v2, n2):
+        se2 = v1 / n1 + v2 / n2
+        t = (m2 - m1) / math.sqrt(se2) if se2 > 0 else float("nan")
+        p = math.erfc(abs(t) / math.sqrt(2)) if t == t else float("nan")
+        return t, p
+
+    nc, myc, vyc, mac, vac = arm_stats("c")
+    nt, myt, vyt, mat_, vat = arm_stats("t")
+    t_raw, p_raw = welch(myc, vyc, nc, myt, vyt, nt)
+    t_cu, p_cu = welch(mac, vac, nc, mat_, vat, nt)
+    vr = 1.0 - (vac / nc + vat / nt) / (vyc / nc + vyt / nt) \
+        if (vyc / nc + vyt / nt) > 0 else float("nan")
+    return pd.DataFrame([{
+        "n_control": n_c, "n_treatment": n_t,
+        "theta": round(float(theta), round_digits),
+        "lift_raw": round(float(myt - myc), round_digits),
+        "lift_cuped": round(float(mat_ - mac), round_digits),
+        "var_reduction": round(float(vr), round_digits),
+        "t_raw": round(t_raw, round_digits),
+        "t_cuped": round(t_cu, round_digits),
+        "p_raw": round(p_raw, round_digits),
+        "p_cuped": round(p_cu, round_digits)}])
