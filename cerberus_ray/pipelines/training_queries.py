@@ -3255,6 +3255,55 @@ def q_simpson_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_mi_report(sf_dir: str) -> pa.Table:
+    """Mutual-information screen (extras surface): MI / NMI between
+    document lang and source — how much the language mix is explained
+    by provenance. DuckDB parity in tests/test_infotheory.py."""
+    from ..stages.infotheory import mutual_information
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "source"])
+    return pa.Table.from_pandas(mutual_information(ds, "lang", "source"),
+                                preserve_index=False)
+
+
+def q_source_entropy_report(sf_dir: str) -> pa.Table:
+    """Per-source language-diversity entropy (extras surface): the
+    mixture-balancing score. DuckDB parity in
+    tests/test_infotheory.py."""
+    from ..stages.infotheory import grouped_entropy
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "source"])
+    out = grouped_entropy(ds, "source", "lang")
+    return pa.Table.from_pandas(out.head(200), preserve_index=False)
+
+
+def q_cmh_report(sf_dir: str) -> pa.Table:
+    """CMH stratified odds ratio (extras surface): exposure = even
+    user_id, outcome = value > 50, stratified by event_type — the
+    post-confounder companion to simpson_report. DuckDB parity in
+    tests/test_infotheory.py."""
+    from ..stages.infotheory import cmh_odds
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "user_id", "value"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "exposed": pc.equal(
+                pc.bit_wise_and(b["user_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(0, pa.int64())),
+            "converted": pc.greater(b["value"], pa.scalar(50.0))})
+
+    d = ev.map_batches(flags, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    return pa.Table.from_pandas(
+        cmh_odds(d, "event_type", "exposed", "converted"),
+        preserve_index=False)
+
+
 def q_cuped_report(sf_dir: str) -> pa.Table:
     """CUPED-adjusted A/B readout (extras surface): events.value as
     the metric, the user's prior mean value as the pre-experiment
@@ -3436,6 +3485,9 @@ QUERIES = {
     "interpolate_report": q_interpolate_report,
     "simpson_report": q_simpson_report,
     "cuped_report": q_cuped_report,
+    "mi_report": q_mi_report,
+    "source_entropy_report": q_source_entropy_report,
+    "cmh_report": q_cmh_report,
 }
 
 def _stopword_sql(lang: str) -> str:
