@@ -3255,6 +3255,21 @@ def q_simpson_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_acf_report(sf_dir: str) -> pa.Table:
+    """Per-event-type lag autocorrelation of value at lags 1–3
+    (extras surface): the seasonality/whiteness screen. DuckDB LAG+corr
+    parity in tests/test_forecast.py."""
+    from ..stages.forecast import lag_corr_by_key
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts", "event_id", "value"])
+    out = (lag_corr_by_key(ev, "event_type", ["ts", "event_id"],
+                           "value", lags=(1, 2, 3))
+           .to_pandas().sort_values(["event_type", "lag"],
+                                    ignore_index=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_mi_report(sf_dir: str) -> pa.Table:
     """Mutual-information screen (extras surface): MI / NMI between
     document lang and source — how much the language mix is explained
@@ -3485,6 +3500,7 @@ QUERIES = {
     "interpolate_report": q_interpolate_report,
     "simpson_report": q_simpson_report,
     "cuped_report": q_cuped_report,
+    "acf_report": q_acf_report,
     "mi_report": q_mi_report,
     "source_entropy_report": q_source_entropy_report,
     "cmh_report": q_cmh_report,

@@ -177,3 +177,55 @@ def holt_forecast(ds, key_col: str, ts_col: str, value_col: str, *,
             "forecast": np.round(lvl + horizon * tr, round_digits)})
 
     return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)
+
+
+def lag_corr_by_key(ds, key_col: str, order_cols, value_col: str, *,
+                    lags=(1, 2, 3), n_buckets: int = 32):
+    """Per-key lag autocorrelation → Dataset ``(key_col, lag, n,
+    lag_corr)``: Pearson correlation between the key's time-ordered
+    value sequence and its ``lag``-observation shift — the SQL
+    ``corr(value, LAG(value, k) OVER (PARTITION BY key ORDER BY
+    order_cols))`` semantics exactly (pairwise-complete rows; the
+    DuckDB oracle in tests/test_forecast.py). This is the
+    lag-correlation used to pick seasonal periods / check residual
+    whiteness; like the rest of this module, lags count OBSERVATIONS,
+    not wall-clock — regularize first if sampling is irregular.
+
+    ``order_cols`` must be a deterministic total order within the key
+    (e.g. ``["ts", "event_id"]``) or ties make the shift ambiguous.
+
+    One keyed_apply exchange; the kernel computes all lags with
+    groupby-shift + grouped Pearson moment sums over whole buckets —
+    no per-key Python. Output is keys × lags rows."""
+    lags = [int(k) for k in lags]
+    if not lags or min(lags) < 1:
+        raise ValueError(f"lags must be ≥ 1, got {lags}")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key_col, *order_cols], kind="mergesort")
+        grp = d.groupby(key_col, sort=False)[value_col]
+        frames = []
+        for k in lags:
+            lag = grp.shift(k)
+            ok = lag.notna() & d[value_col].notna()
+            x = d[value_col].where(ok, 0.0).to_numpy(dtype=np.float64)
+            y = lag.where(ok, 0.0).to_numpy(dtype=np.float64)
+            t = pd.DataFrame({
+                key_col: d[key_col], "n": ok.to_numpy(np.int64),
+                "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+                "sxy": x * y})
+            r = t.groupby(key_col, as_index=False, sort=False).sum()
+            n = r["n"].to_numpy(dtype=np.float64)
+            cov = n * r["sxy"] - r["sx"] * r["sy"]
+            vx = n * r["sxx"] - r["sx"] ** 2
+            vy = n * r["syy"] - r["sy"] ** 2
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rho = np.where((n >= 2) & (vx > 0) & (vy > 0),
+                               cov / np.sqrt(vx * vy), np.nan)
+            frames.append(pd.DataFrame({
+                key_col: r[key_col],
+                "lag": np.full(len(r), k, dtype=np.int64),
+                "n": r["n"].astype(np.int64), "lag_corr": rho}))
+        return pd.concat(frames, ignore_index=True)
+
+    return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)

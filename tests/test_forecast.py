@@ -215,3 +215,73 @@ def test_holt_guards_and_layout(ray_session):
                       "k", "t", "v", n_buckets=2).to_pandas()
     pd.testing.assert_frame_equal(a.sort_values("k", ignore_index=True),
                                   b.sort_values("k", ignore_index=True))
+
+
+def test_lag_corr_duckdb_parity(ray_session):
+    from cerberus_ray.sources.io import read_table
+    from cerberus_ray.stages.forecast import lag_corr_by_key
+
+    SF = "/root/testdata/sf0.001"
+    ev = read_table(f"{SF}/events.parquet",
+                    columns=["event_type", "ts", "event_id", "value"])
+    got = (lag_corr_by_key(ev, "event_type", ["ts", "event_id"], "value",
+                           lags=(1, 2, 3))
+           .to_pandas().sort_values(["event_type", "lag"],
+                                    ignore_index=True))
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH s AS (SELECT event_type, value,
+               LAG(value, 1) OVER w l1, LAG(value, 2) OVER w l2,
+               LAG(value, 3) OVER w l3
+            FROM read_parquet('{SF}/events.parquet')
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY ts, event_id))
+        SELECT event_type, lag, n, lag_corr FROM (
+          SELECT event_type, 1 AS lag,
+                 CAST(COUNT(l1) AS BIGINT) n, corr(value, l1) lag_corr
+          FROM s GROUP BY 1
+          UNION ALL
+          SELECT event_type, 2, CAST(COUNT(l2) AS BIGINT),
+                 corr(value, l2) FROM s GROUP BY 1
+          UNION ALL
+          SELECT event_type, 3, CAST(COUNT(l3) AS BIGINT),
+                 corr(value, l3) FROM s GROUP BY 1)
+        ORDER BY event_type, lag""").df()
+    assert list(got["event_type"]) == list(want["event_type"])
+    np.testing.assert_array_equal(got["n"], want["n"])
+    np.testing.assert_allclose(got["lag_corr"], want["lag_corr"],
+                               atol=1e-7)
+    con.close()
+
+
+def test_lag_corr_known_values_and_guards(ray_session):
+    from cerberus_ray.stages.forecast import lag_corr_by_key
+
+    # strictly alternating series → lag-1 corr = −1, lag-2 corr = +1
+    df = pd.DataFrame({"k": ["a"] * 8, "t": range(8),
+                       "v": [1.0, -1.0] * 4})
+    got = (lag_corr_by_key(rd.from_pandas(df), "k", ["t"], "v",
+                           lags=(1, 2)).to_pandas()
+           .sort_values("lag", ignore_index=True))
+    np.testing.assert_allclose(got["lag_corr"], [-1.0, 1.0], atol=1e-12)
+    assert list(got["n"]) == [7, 6]
+
+    # constant series / too-short series → NaN, not error
+    df2 = pd.DataFrame({"k": ["c"] * 4 + ["s"], "t": [0, 1, 2, 3, 0],
+                        "v": [5.0] * 4 + [1.0]})
+    g2 = (lag_corr_by_key(rd.from_pandas(df2), "k", ["t"], "v",
+                          lags=(1,)).to_pandas().set_index("k"))
+    assert np.isnan(g2.loc["c", "lag_corr"])
+    assert np.isnan(g2.loc["s", "lag_corr"])
+
+    with pytest.raises(ValueError):
+        lag_corr_by_key(rd.from_pandas(df), "k", ["t"], "v", lags=(0,))
+
+    # layout invariance
+    a = (lag_corr_by_key(rd.from_pandas(df, override_num_blocks=1),
+                         "k", ["t"], "v").to_pandas()
+         .sort_values(["k", "lag"], ignore_index=True))
+    b = (lag_corr_by_key(rd.from_pandas(df, override_num_blocks=4),
+                         "k", ["t"], "v", n_buckets=2).to_pandas()
+         .sort_values(["k", "lag"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
