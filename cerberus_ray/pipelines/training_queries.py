@@ -3255,6 +3255,31 @@ def q_simpson_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_kcore_report(sf_dir: str) -> pa.Table:
+    """k-core decomposition (extras surface): core-number histogram of
+    the same deterministic orders-derived graph as triangle_report
+    (custkey ↔ 1+(orderkey mod 1500)) — peeling-reference and
+    driver/shuffle agreement in tests/test_kcore.py."""
+    from .kcore import core_decomposition
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": b["o_custkey"],
+            "dst": pa.array(1 + (ok % 1500), pa.int64())})
+
+    cores = core_decomposition(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    hist = (cores.groupby("core", as_index=False).size()
+            .rename(columns={"size": "n_nodes"})
+            .sort_values("core", ignore_index=True))
+    return pa.Table.from_pandas(hist, preserve_index=False)
+
+
 def q_acf_report(sf_dir: str) -> pa.Table:
     """Per-event-type lag autocorrelation of value at lags 1–3
     (extras surface): the seasonality/whiteness screen. DuckDB LAG+corr
@@ -3500,6 +3525,7 @@ QUERIES = {
     "interpolate_report": q_interpolate_report,
     "simpson_report": q_simpson_report,
     "cuped_report": q_cuped_report,
+    "kcore_report": q_kcore_report,
     "acf_report": q_acf_report,
     "mi_report": q_mi_report,
     "source_entropy_report": q_source_entropy_report,
