@@ -3255,6 +3255,18 @@ def q_simpson_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_vocab_growth_report(sf_dir: str) -> pa.Table:
+    """Heaps'-law vocabulary-growth curve (extras surface): distinct
+    vocabulary vs cumulative tokens at 10 doc-id checkpoints + fitted
+    K/β. DuckDB first-occurrence parity in tests/test_vocab.py."""
+    from .vocab import vocab_growth
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return pa.Table.from_pandas(vocab_growth(ds, n_checkpoints=10),
+                                preserve_index=False)
+
+
 def q_kcore_report(sf_dir: str) -> pa.Table:
     """k-core decomposition (extras surface): core-number histogram of
     the same deterministic orders-derived graph as triangle_report
@@ -3525,6 +3537,7 @@ QUERIES = {
     "interpolate_report": q_interpolate_report,
     "simpson_report": q_simpson_report,
     "cuped_report": q_cuped_report,
+    "vocab_growth_report": q_vocab_growth_report,
     "kcore_report": q_kcore_report,
     "acf_report": q_acf_report,
     "mi_report": q_mi_report,

@@ -222,3 +222,93 @@ def _top(g: pd.DataFrame, k: int) -> pa.Table:
           .head(k).reset_index(drop=True))
     g["n"] = g["n"].astype("int64")
     return pa.Table.from_pandas(g[["token", "n"]], preserve_index=False)
+
+
+def vocab_growth(ds, *, text_col: str = "text", doc_col: str = "doc_id",
+                 n_checkpoints: int = 10) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-vocabulary size vs
+    cumulative token count at ``n_checkpoints`` evenly-spaced doc-id
+    checkpoints, plus the fitted Heaps parameters (V ≈ K·Tᵝ, log-log
+    OLS over the curve) → DataFrame ``(checkpoint_doc, n_tokens_cum,
+    vocab_size, heaps_k, heaps_beta)``. The tokenizer-sizing /
+    corpus-diversity diagnostic (Heaps 1978, public result).
+
+    Cumulative-distinct is sequential only superficially: a token's
+    first occurrence is ``min(doc_id)`` — a plain grouped min — so the
+    curve is one streamed pass of tagged per-block partials (per-doc
+    token counts + block-local per-token min-doc), a vocabulary-bounded
+    driver merge, and two histograms over the checkpoint grid. Same
+    whitespace-lowercase tokenization as the rest of this module (the
+    DuckDB oracle in tests/test_vocab.py re-derives the curve
+    exactly)."""
+    if n_checkpoints < 1:
+        raise ValueError(f"n_checkpoints must be ≥ 1, got {n_checkpoints}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b[text_col], "")), r"\s+")
+        docs = b[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rep = np.repeat(docs, lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tok_np = flat.to_numpy(zero_copy_only=False)[keep]
+        doc_np = rep[keep]
+        # per-doc token counts (tag 0) + per-token block-local min doc
+        # (tag 1) in one union-schema partial
+        dd = pd.DataFrame({"d": doc_np})
+        cnt = dd.groupby("d", sort=False).size().reset_index(name="n")
+        if len(tok_np):
+            tm = (pd.DataFrame({"token": tok_np, "d": doc_np})
+                  .groupby("token", sort=False)["d"].min()
+                  .reset_index())
+        else:
+            tm = pd.DataFrame({"token": [], "d": []})
+        return pa.Table.from_pydict({
+            "token": pa.array(np.concatenate(
+                [np.full(len(cnt), "", dtype=object),
+                 tm["token"].to_numpy(dtype=object)]), pa.string()),
+            "d": pa.array(np.concatenate(
+                [cnt["d"].to_numpy(np.int64),
+                 tm["d"].to_numpy(np.int64)]), pa.int64()),
+            "n": pa.array(np.concatenate(
+                [cnt["n"].to_numpy(np.int64),
+                 np.zeros(len(tm), np.int64)]), pa.int64()),
+            "tag": pa.array(np.concatenate(
+                [np.zeros(len(cnt), np.int8),
+                 np.ones(len(tm), np.int8)]), pa.int8())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    cols = ["checkpoint_doc", "n_tokens_cum", "vocab_size",
+            "heaps_k", "heaps_beta"]
+    if not len(parts) or not (parts["tag"] == 0).any():
+        return pd.DataFrame(columns=cols)
+    docs = parts[parts["tag"] == 0]
+    firsts = (parts[parts["tag"] == 1]
+              .groupby("token", sort=False)["d"].min())
+    dmax = int(docs["d"].max())
+    grid = np.unique(np.ceil(
+        dmax * np.arange(1, n_checkpoints + 1) / n_checkpoints)
+        .astype(np.int64))
+    dsort = docs.sort_values("d")
+    tok_cum = np.concatenate(
+        [[0], np.cumsum(dsort["n"].to_numpy(np.int64))])
+    t_at = tok_cum[np.searchsorted(dsort["d"].to_numpy(np.int64), grid,
+                                   side="right")]
+    fsort = np.sort(firsts.to_numpy(np.int64))
+    v_at = np.searchsorted(fsort, grid, side="right")
+    ok = (t_at > 0) & (v_at > 0)
+    if ok.sum() >= 2 and len(np.unique(t_at[ok])) >= 2:
+        A = np.column_stack([np.ones(ok.sum()), np.log(t_at[ok])])
+        coef, *_ = np.linalg.lstsq(A, np.log(v_at[ok]), rcond=None)
+        k_fit, beta = float(np.exp(coef[0])), float(coef[1])
+    else:
+        k_fit, beta = float("nan"), float("nan")
+    return pd.DataFrame({
+        "checkpoint_doc": grid,
+        "n_tokens_cum": t_at.astype(np.int64),
+        "vocab_size": v_at.astype(np.int64),
+        "heaps_k": k_fit, "heaps_beta": beta})

@@ -178,3 +178,89 @@ def test_grouped_topk_empty(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"lang": ["en"], "text": [""]}))
     assert token_top_k_by_group(ds, group_col="lang",
                                 mode="driver").num_rows == 0
+
+
+def test_vocab_growth_duckdb_parity(ray_session):
+    import duckdb
+
+    from cerberus_ray.pipelines.vocab import vocab_growth
+    from cerberus_ray.sources.io import read_table
+
+    SF = "/root/testdata/sf0.001"
+    ds = read_table(f"{SF}/documents.parquet",
+                    columns=["doc_id", "text"])
+    got = vocab_growth(ds, n_checkpoints=8)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    dmax = con.execute("""
+        WITH t2 AS (SELECT doc_id,
+              unnest(string_split_regex(lower(coalesce(text,'')),
+                                        '\\s+')) tok FROM documents)
+        SELECT max(doc_id) FROM t2 WHERE tok <> ''""").fetchone()[0]
+    grid = sorted({int(np.ceil(dmax * k / 8)) for k in range(1, 9)})
+    want = con.execute(f"""
+        WITH t2 AS (SELECT doc_id,
+              unnest(string_split_regex(lower(coalesce(text,'')),
+                                        '\\s+')) tok FROM documents),
+        tt AS (SELECT doc_id, tok FROM t2 WHERE tok <> ''),
+        firsts AS (SELECT tok, min(doc_id) md FROM tt GROUP BY tok),
+        grid AS (SELECT unnest({grid}) AS c)
+        SELECT c AS checkpoint_doc,
+          (SELECT CAST(count(*) AS BIGINT) FROM tt WHERE doc_id <= c)
+              AS n_tokens_cum,
+          (SELECT CAST(count(*) AS BIGINT) FROM firsts WHERE md <= c)
+              AS vocab_size
+        FROM grid ORDER BY c""").df()
+    assert list(got["checkpoint_doc"]) == list(want["checkpoint_doc"])
+    np.testing.assert_array_equal(got["n_tokens_cum"],
+                                  want["n_tokens_cum"])
+    np.testing.assert_array_equal(got["vocab_size"], want["vocab_size"])
+    con.close()
+
+
+def test_vocab_growth_power_law_and_edges(ray_session):
+    from cerberus_ray.pipelines.vocab import vocab_growth
+
+    # doc i holds exactly i tokens of which ceil(sqrt) are new →
+    # roughly V ≈ T^0.5; check the fit lands near 0.5 and the curve
+    # is exact on a hand case first
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a", "a b", "b c a", "c d a b"]})
+    g = vocab_growth(rd.from_pandas(docs, override_num_blocks=2),
+                     n_checkpoints=4)
+    assert list(g["checkpoint_doc"]) == [1, 2, 3, 4]
+    assert list(g["n_tokens_cum"]) == [1, 3, 6, 10]
+    assert list(g["vocab_size"]) == [1, 2, 3, 4]
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vocab_n = 0
+    for i in range(1, 200):
+        new = [f"w{vocab_n + j}" for j in range(
+            max(1, int(np.sqrt(i + 1) - np.sqrt(i)) ))]
+        vocab_n += len(new)
+        old = [f"w{rng.integers(0, max(vocab_n, 1))}" for _ in range(i)]
+        rows.append({"doc_id": i, "text": " ".join(new + old)})
+    big = vocab_growth(rd.from_pandas(pd.DataFrame(rows),
+                                      override_num_blocks=4),
+                       n_checkpoints=10)
+    assert 0.1 < big["heaps_beta"].iloc[0] < 0.9
+    # monotone curve
+    assert (np.diff(big["vocab_size"]) >= 0).all()
+    assert (np.diff(big["n_tokens_cum"]) > 0).all()
+
+    # empty / all-blank input
+    e = vocab_growth(rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["", "   "]})), n_checkpoints=3)
+    assert len(e) == 0
+
+    # layout invariance
+    a = vocab_growth(rd.from_pandas(pd.DataFrame(rows),
+                                    override_num_blocks=1),
+                     n_checkpoints=5)
+    b = vocab_growth(rd.from_pandas(pd.DataFrame(rows),
+                                    override_num_blocks=7),
+                     n_checkpoints=5)
+    pd.testing.assert_frame_equal(a, b)
