@@ -3255,6 +3255,18 @@ def q_simpson_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_token_jsd_report(sf_dir: str) -> pa.Table:
+    """Pairwise Jensen–Shannon divergence between the languages' token
+    distributions (extras surface): the domain-similarity matrix behind
+    mixture design. DuckDB pair parity in tests/test_vocab.py."""
+    from .vocab import token_jsd_matrix
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "text"])
+    return pa.Table.from_pandas(
+        token_jsd_matrix(ds, group_col="lang"), preserve_index=False)
+
+
 def q_vocab_growth_report(sf_dir: str) -> pa.Table:
     """Heaps'-law vocabulary-growth curve (extras surface): distinct
     vocabulary vs cumulative tokens at 10 doc-id checkpoints + fitted
@@ -3537,6 +3549,7 @@ QUERIES = {
     "interpolate_report": q_interpolate_report,
     "simpson_report": q_simpson_report,
     "cuped_report": q_cuped_report,
+    "token_jsd_report": q_token_jsd_report,
     "vocab_growth_report": q_vocab_growth_report,
     "kcore_report": q_kcore_report,
     "acf_report": q_acf_report,

@@ -312,3 +312,53 @@ def vocab_growth(ds, *, text_col: str = "text", doc_col: str = "doc_id",
         "n_tokens_cum": t_at.astype(np.int64),
         "vocab_size": v_at.astype(np.int64),
         "heaps_k": k_fit, "heaps_beta": beta})
+
+
+def token_jsd_matrix(ds, *, group_col: str = "source",
+                     text_col: str = "text",
+                     max_cells: int = 2_000_000) -> pd.DataFrame:
+    """Pairwise Jensen–Shannon divergence between the groups' token
+    unigram distributions → frame ``(group_a, group_b, jsd, distance)``
+    for every unordered pair (group_a < group_b), nats;
+    ``distance = √jsd`` (a metric; Endres & Schindelin 2003, public
+    result). The domain-similarity matrix behind mixture design: near-0
+    ⇒ interchangeable slices, ln 2 ⇒ disjoint vocabularies.
+
+    One streamed pass of per-block (group, token, n) hash-aggregate
+    partials (same kernel as token_top_k_by_group); the driver merges a
+    groups×vocabulary count table — guarded by ``max_cells`` — and
+    computes every pairwise JSD as H(M) − (H(P)+H(Q))/2 with one dense
+    numpy pass per pair over the union vocabulary. Sorted group/token
+    order keeps the float reductions layout-independent."""
+    parts = ds.map_batches(
+        lambda b: _grouped_token_counts_block(b, text_col, group_col),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cols = ["group_a", "group_b", "jsd", "distance"]
+    if not len(parts):
+        return pd.DataFrame(columns=cols)
+    g = (parts.groupby(["group", "token"], as_index=False)["n"].sum())
+    piv = (g.pivot_table(index="token", columns="group", values="n",
+                         aggfunc="first", fill_value=0)
+           .sort_index())
+    piv = piv[sorted(piv.columns)]
+    if piv.size > max_cells:
+        raise ValueError(
+            f"groups×vocab table has {piv.size} cells > "
+            f"max_cells={max_cells} — bucket tokens first")
+    M = piv.to_numpy(dtype=np.float64)
+    M = M / M.sum(axis=0, keepdims=True)
+
+    def h(p: np.ndarray) -> float:
+        nz = p[p > 0]
+        return float(-(nz * np.log(nz)).sum())
+
+    names = list(piv.columns)
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            p, q = M[:, i], M[:, j]
+            jsd = h((p + q) / 2) - (h(p) + h(q)) / 2
+            jsd = max(jsd, 0.0)
+            rows.append({"group_a": names[i], "group_b": names[j],
+                         "jsd": jsd, "distance": float(np.sqrt(jsd))})
+    return pd.DataFrame(rows, columns=cols)

@@ -264,3 +264,62 @@ def test_vocab_growth_power_law_and_edges(ray_session):
                                     override_num_blocks=7),
                      n_checkpoints=5)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_jsd_matrix(ray_session):
+    import duckdb
+
+    from cerberus_ray.pipelines.vocab import token_jsd_matrix
+
+    # identical distributions → 0; disjoint vocabularies → ln 2
+    df = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "c"],
+        "text": ["x y", "y x", "x y", "x y y x"[:3], "p q r"]})
+    df.loc[3, "text"] = "y x"
+    got = token_jsd_matrix(rd.from_pandas(df, override_num_blocks=2),
+                           group_col="g", text_col="text")
+    m = got.set_index(["group_a", "group_b"])
+    np.testing.assert_allclose(m.loc[("a", "b"), "jsd"], 0.0,
+                               atol=1e-12)
+    np.testing.assert_allclose(m.loc[("a", "c"), "jsd"], np.log(2),
+                               atol=1e-12)
+    # distance is sqrt(jsd) and satisfies the triangle inequality here
+    np.testing.assert_allclose(got["distance"], np.sqrt(got["jsd"]))
+
+    # DuckDB parity for one pair over the real table
+    from cerberus_ray.sources.io import read_table
+
+    SF = "/root/testdata/sf0.001"
+    ds = read_table(f"{SF}/documents.parquet",
+                    columns=["lang", "text"])
+    full = token_jsd_matrix(ds, group_col="lang", text_col="text")
+    pair = full.set_index(["group_a", "group_b"]).loc[("de", "en")]
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH t AS (SELECT lang g,
+              unnest(string_split_regex(lower(coalesce(text,'')),
+                                        '\\s+')) tok
+            FROM read_parquet('{SF}/documents.parquet')
+            WHERE lang IN ('de','en')),
+        c AS (SELECT g, tok, COUNT(*)::DOUBLE n FROM t
+              WHERE tok <> '' GROUP BY 1, 2),
+        p AS (SELECT tok,
+              COALESCE(SUM(n) FILTER (g = 'de'), 0)
+                / (SELECT SUM(n) FROM c WHERE g = 'de') AS pp,
+              COALESCE(SUM(n) FILTER (g = 'en'), 0)
+                / (SELECT SUM(n) FROM c WHERE g = 'en') AS qq
+              FROM c GROUP BY tok)
+        SELECT SUM(CASE WHEN pp > 0 THEN pp/2 * LN(pp / ((pp+qq)/2))
+                        ELSE 0 END)
+             + SUM(CASE WHEN qq > 0 THEN qq/2 * LN(qq / ((pp+qq)/2))
+                        ELSE 0 END) AS jsd
+        FROM p""").df().iloc[0]
+    np.testing.assert_allclose(pair["jsd"], want["jsd"], atol=1e-9)
+    con.close()
+
+    # layout invariance
+    a = token_jsd_matrix(rd.from_pandas(df, override_num_blocks=1),
+                         group_col="g")
+    b = token_jsd_matrix(rd.from_pandas(df, override_num_blocks=5),
+                         group_col="g")
+    pd.testing.assert_frame_equal(a, b)
