@@ -3255,6 +3255,21 @@ def q_simpson_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_kendall_report(sf_dir: str) -> pa.Table:
+    """Grouped Kendall τ-b (extras surface): quantity↔extendedprice
+    rank concordance per return flag — sampled pair design at this
+    group size (seeded, layout-invariant). Exact-mode SQL parity in
+    tests/test_stats_spearman.py."""
+    from ..stages.stats import kendall_by_group
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    out = kendall_by_group(li, "l_returnflag", "l_quantity",
+                           "l_extendedprice", max_pairs=4000)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_token_jsd_report(sf_dir: str) -> pa.Table:
     """Pairwise Jensen–Shannon divergence between the languages' token
     distributions (extras surface): the domain-similarity matrix behind
@@ -3549,6 +3564,7 @@ QUERIES = {
     "interpolate_report": q_interpolate_report,
     "simpson_report": q_simpson_report,
     "cuped_report": q_cuped_report,
+    "kendall_report": q_kendall_report,
     "token_jsd_report": q_token_jsd_report,
     "vocab_growth_report": q_vocab_growth_report,
     "kcore_report": q_kcore_report,

@@ -590,3 +590,80 @@ def simpson_check(ds, x: str, y: str, group_col: str, *,
         "share_opposite": round(share, round_digits)
         if share == share else share,
         "simpson_flag": bool(share == share and share > 0.5)}])
+
+
+def kendall_by_group(ds, group_col: str, x_col: str, y_col: str, *,
+                     max_pairs: int = 2000, seed: int = 42,
+                     n_buckets: int = 32,
+                     round_digits: int = 9) -> pd.DataFrame:
+    """Grouped Kendall's τ-b (Kendall 1938, tie-corrected form):
+    τ_b = (n_c − n_d) / √((n₀ − n₁)(n₀ − n₂)) over a group's pairs,
+    where n₁/n₂ are the x-tied / y-tied pair counts — completing the
+    engine's correlation family (Pearson / Spearman / Theil-Sen).
+
+    One `keyed_apply` exchange; inside a bucket the kernel processes
+    every group of the same size simultaneously (the per-size
+    matrix-gather pattern shared with theil_sen_by_group): exact
+    all-pairs while C(s,2) ≤ ``max_pairs``; beyond that, the SAME τ-b
+    ratio over a seeded fixed pair design — a consistent estimator,
+    since τ-b is exactly (P[concordant] − P[discordant]) /
+    √(P[x untied]·P[y untied]) under uniform random pairs.
+
+    → frame (group_col, n, tau_b); NaN when n < 2 or either margin is
+    fully tied. SQL-oracle parity (self-join SIGN-product form) in
+    tests/test_stats_spearman.py."""
+    from ..determinism import randint
+    from .keyed_window import keyed_apply
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[x_col, y_col])
+        g = g.sort_values([group_col, x_col, y_col], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        x = g[x_col].to_numpy(dtype=np.float64)
+        y = g[y_col].to_numpy(dtype=np.float64)
+        uk, starts, counts = np.unique(keys, return_index=True,
+                                       return_counts=True)
+        out_k, out_n, out_t = [], [], []
+        for s in np.unique(counts):
+            rows = starts[counts == s]
+            ks = uk[counts == s]
+            if s < 2:
+                out_k.append(ks)
+                out_n.append(np.full(len(ks), s, dtype=np.int64))
+                out_t.append(np.full(len(ks), np.nan))
+                continue
+            if s * (s - 1) // 2 <= max_pairs:
+                iu, ju = np.triu_indices(s, k=1)
+            else:
+                idx = np.arange(2 * max_pairs)
+                a = randint(idx, seed, int(s), 0, int(s))
+                iu0, ju0 = a[:max_pairs], a[max_pairs:]
+                keep = iu0 != ju0
+                iu, ju = iu0[keep], ju0[keep]
+            gx = x[rows[:, None] + np.arange(s)[None, :]]
+            gy = y[rows[:, None] + np.arange(s)[None, :]]
+            dx = np.sign(gx[:, ju] - gx[:, iu])
+            dy = np.sign(gy[:, ju] - gy[:, iu])
+            m = dx.shape[1]
+            ncd = (dx * dy).sum(axis=1)
+            n1 = (dx == 0).sum(axis=1)
+            n2 = (dy == 0).sum(axis=1)
+            denom = np.sqrt((m - n1).astype(np.float64)
+                            * (m - n2).astype(np.float64))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                tau = np.where(denom > 0, ncd / denom, np.nan)
+            out_k.append(ks)
+            out_n.append(np.full(len(ks), s, dtype=np.int64))
+            out_t.append(tau)
+        if not out_k:
+            return pd.DataFrame({group_col: [], "n": [], "tau_b": []})
+        return pd.DataFrame({
+            group_col: np.concatenate(out_k),
+            "n": np.concatenate(out_n),
+            "tau_b": np.round(np.concatenate(out_t), round_digits)})
+
+    pdf = keyed_apply(ds.select_columns([group_col, x_col, y_col]),
+                      group_col, kern, n_buckets=n_buckets).to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({group_col: [], "n": [], "tau_b": []})
+    return pdf.sort_values(group_col).reset_index(drop=True)

@@ -192,3 +192,66 @@ def test_simpson_no_paradox_and_pooled_parity(ray_session):
         "SELECT regr_slope(y, x) FROM d").fetchone()[0]
     np.testing.assert_allclose(out["pooled_slope"], want, atol=1e-6)
     con.close()
+
+
+def test_kendall_duckdb_parity_exact(ray_session):
+    """Exact τ-b vs the DuckDB self-join SIGN-product oracle on a
+    synthetic grouped table (sizes small enough for exact all-pairs)."""
+    from cerberus_ray.stages.stats import kendall_by_group
+
+    rng = np.random.default_rng(23)
+    n = 240
+    df = pd.DataFrame({
+        "g": np.repeat(list("abcd"), n // 4),
+        "x": np.round(rng.normal(size=n), 1),   # rounding makes ties
+        "y": np.round(rng.normal(size=n), 1)})
+    df["y"] += 0.5 * df["x"]
+    got = kendall_by_group(rd.from_pandas(df, override_num_blocks=4),
+                           "g", "x", "y", max_pairs=10**6)
+    con = duckdb.connect()
+    con.register("t0", df.assign(rid=np.arange(n)))
+    want = con.execute("""
+        WITH p AS (SELECT a.g,
+                   SIGN(a.x - b.x) * SIGN(a.y - b.y) AS s,
+                   CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+                   CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+            FROM t0 a JOIN t0 b ON a.g = b.g AND a.rid < b.rid)
+        SELECT g, SUM(s) / SQRT((COUNT(*) - SUM(tx))
+                              * (COUNT(*) - SUM(ty))) AS tau_b
+        FROM p GROUP BY g ORDER BY g""").df()
+    assert list(got["g"]) == list(want["g"])
+    np.testing.assert_allclose(got["tau_b"], want["tau_b"], atol=1e-8)
+    con.close()
+
+
+def test_kendall_closed_forms_and_sampling(ray_session):
+    from cerberus_ray.stages.stats import kendall_by_group
+
+    # monotone → +1; inverse → −1; all-tied margin → NaN; n=1 → NaN
+    df = pd.DataFrame({
+        "g": ["m"] * 5 + ["i"] * 5 + ["t"] * 4 + ["s"],
+        "x": [1, 2, 3, 4, 5, 1, 2, 3, 4, 5, 1, 2, 3, 4, 9],
+        "y": [2, 4, 6, 8, 9, 9, 8, 6, 4, 2, 7, 7, 7, 7, 1.0]})
+    got = (kendall_by_group(rd.from_pandas(df), "g", "x", "y")
+           .set_index("g"))
+    np.testing.assert_allclose(got.loc["m", "tau_b"], 1.0)
+    np.testing.assert_allclose(got.loc["i", "tau_b"], -1.0)
+    assert np.isnan(got.loc["t", "tau_b"])
+    assert np.isnan(got.loc["s", "tau_b"])
+
+    # sampled band: big monotone-with-noise group, sampled estimate
+    # close to the exact value; deterministic across layouts
+    rng = np.random.default_rng(5)
+    n = 600
+    x = rng.normal(size=n)
+    big = pd.DataFrame({"g": "big", "x": x,
+                        "y": x + 0.3 * rng.normal(size=n)})
+    exact = kendall_by_group(rd.from_pandas(big), "g", "x", "y",
+                             max_pairs=10**6)["tau_b"].iloc[0]
+    samp1 = kendall_by_group(rd.from_pandas(big, override_num_blocks=1),
+                             "g", "x", "y", max_pairs=3000)
+    samp5 = kendall_by_group(rd.from_pandas(big, override_num_blocks=5),
+                             "g", "x", "y", max_pairs=3000,
+                             n_buckets=3)
+    pd.testing.assert_frame_equal(samp1, samp5)
+    assert abs(samp1["tau_b"].iloc[0] - exact) < 0.1
