@@ -3255,6 +3255,48 @@ def q_simpson_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_impute_report(sf_dir: str) -> pa.Table:
+    """Grouped mean-imputation rollup (extras surface): events.value is
+    deterministically masked null on event_id % 7 == 0, refilled with
+    the per-event-type mean; report = per-type (n, n_was_null,
+    mean_after). Row-level DuckDB COALESCE-window parity in
+    tests/test_normalize.py."""
+    from ..stages.normalize import impute_by_group
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "event_type", "value"])
+
+    def mask(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        hole = pa.array(eid % 7 == 0)
+        return pa.Table.from_pydict({
+            "event_id": b["event_id"], "event_type": b["event_type"],
+            "was_null": hole,
+            "value": pc.if_else(hole, pa.nulls(b.num_rows,
+                                               pa.float64()),
+                                b["value"])})
+
+    masked = ev.map_batches(mask, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    filled = impute_by_group(masked, "event_type", ["value"])
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).agg(
+            n=("value", "size"), n_was_null=("was_null", "sum"),
+            s=("value", "sum"))
+        return g.reset_index()
+
+    parts = filled.map_batches(rollup, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(list(parts.columns), kind="mergesort")
+    agg = parts.groupby("event_type", sort=True).sum()
+    out = pd.DataFrame({
+        "event_type": agg.index,
+        "n": agg["n"].astype(np.int64),
+        "n_was_null": agg["n_was_null"].astype(np.int64),
+        "mean_after": (agg["s"] / agg["n"]).round(6)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_kendall_report(sf_dir: str) -> pa.Table:
     """Grouped Kendall τ-b (extras surface): quantity↔extendedprice
     rank concordance per return flag — sampled pair design at this
@@ -3564,6 +3606,7 @@ QUERIES = {
     "interpolate_report": q_interpolate_report,
     "simpson_report": q_simpson_report,
     "cuped_report": q_cuped_report,
+    "impute_report": q_impute_report,
     "kendall_report": q_kendall_report,
     "token_jsd_report": q_token_jsd_report,
     "vocab_growth_report": q_vocab_growth_report,

@@ -112,3 +112,78 @@ def backfill_from_parent(child_ds, parent_ds, *, child_fk: str,
         return out
 
     return child_ds.map_batches(fill, batch_format="pyarrow")
+
+
+def grouped_impute_stats(ds, group_col: str, cols: Sequence[str], *,
+                         strategy: str = "mean", n_buckets: int = 32):
+    """Per-group fill statistics for ``impute_by_group`` → pandas frame
+    indexed by group with one column per imputed col. ``mean`` uses
+    exact (Σ, n) block partials (null-skipping, partials summed in
+    sorted group order for layout determinism); ``median`` needs whole
+    groups, so it rides one keyed_apply exchange. Groups whose values
+    are ALL null get NaN (left unfilled downstream — surfaced, not
+    invented)."""
+    import pandas as pd
+
+    cols = list(cols)
+    if strategy == "mean":
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            g = df.groupby(group_col, sort=False)[cols]
+            s = g.sum(min_count=1)
+            n = g.count()
+            s.columns = [f"s_{c}" for c in cols]
+            n.columns = [f"n_{c}" for c in cols]
+            return pd.concat([s, n], axis=1).reset_index()
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        # pin the float-merge order across block layouts
+        parts = parts.sort_values(list(parts.columns), kind="mergesort")
+        agg = parts.groupby(group_col, sort=True).sum(min_count=1)
+        out = pd.DataFrame(index=agg.index)
+        for c in cols:
+            out[c] = agg[f"s_{c}"] / agg[f"n_{c}"].where(
+                agg[f"n_{c}"] > 0)
+        return out
+    if strategy == "median":
+        from .keyed_window import keyed_apply
+
+        def kern(g: "pd.DataFrame") -> "pd.DataFrame":
+            return (g.groupby(group_col, sort=False)[cols].median()
+                    .reset_index())
+
+        pdf = keyed_apply(ds.select_columns([group_col, *cols]),
+                          group_col, kern,
+                          n_buckets=n_buckets).to_pandas()
+        return pdf.set_index(group_col).sort_index()
+    raise ValueError(f"unknown impute strategy {strategy!r}")
+
+
+def impute_by_group(ds, group_col: str, cols: Sequence[str], *,
+                    strategy: str = "mean", n_buckets: int = 32):
+    """Fill nulls in ``cols`` with the column's per-group mean/median
+    (SQL ``COALESCE(x, AVG(x) OVER (PARTITION BY g))`` semantics — the
+    DuckDB oracle in tests/test_normalize.py) → same-schema Dataset.
+    The ETL imputation step before featurization: stats pass first
+    (group-bounded), then one broadcast lookup fill per batch
+    (``ray.put`` once, never re-shipped). Groups with no observed
+    values keep their nulls."""
+    stats = grouped_impute_stats(ds, group_col, cols,
+                                 strategy=strategy, n_buckets=n_buckets)
+    ref = ray.put(stats)
+    cols = list(cols)
+
+    def fill(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        keys = b[group_col].to_numpy(zero_copy_only=False)
+        out = b
+        for c in cols:
+            vals = lk[c].reindex(keys).to_numpy(dtype=np.float64)
+            filled = pc.coalesce(
+                pc.cast(b[c], pa.float64()),
+                pa.array(vals, pa.float64()))
+            out = out.set_column(out.schema.get_field_index(c), c,
+                                 filled)
+        return out
+
+    return ds.map_batches(fill, batch_format="pyarrow",
+                          zero_copy_batch=True)

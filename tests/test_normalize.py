@@ -73,3 +73,72 @@ def test_backfill_from_parent(ray_session):
     assert out["customer_id"].tolist()[1] == 7
     assert out["customer_id"].tolist()[2] == 6
     assert pd.isna(out["customer_id"].tolist()[3])
+
+
+def test_impute_by_group_duckdb_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from cerberus_ray.stages.normalize import impute_by_group
+
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pd.DataFrame({
+        "rid": np.arange(n),
+        "g": rng.choice(list("abc"), n),
+        "v": np.round(rng.normal(10, 3, n), 3),
+        "w": np.round(rng.normal(-5, 2, n), 3)})
+    df.loc[df["rid"] % 7 == 0, "v"] = np.nan
+    df.loc[df["rid"] % 11 == 0, "w"] = np.nan
+    got = (impute_by_group(rd.from_pandas(df, override_num_blocks=4),
+                           "g", ["v", "w"], strategy="mean")
+           .to_pandas().sort_values("rid", ignore_index=True))
+    con = duckdb.connect()
+    con.register("t0", df)
+    want = con.execute("""
+        SELECT rid, g,
+               COALESCE(v, AVG(v) OVER (PARTITION BY g)) AS v,
+               COALESCE(w, AVG(w) OVER (PARTITION BY g)) AS w
+        FROM t0 ORDER BY rid""").df()
+    np.testing.assert_allclose(got["v"], want["v"], atol=1e-9)
+    np.testing.assert_allclose(got["w"], want["w"], atol=1e-9)
+    assert got["v"].notna().all() and got["w"].notna().all()
+
+    # median strategy vs DuckDB MEDIAN window
+    got_m = (impute_by_group(rd.from_pandas(df, override_num_blocks=4),
+                             "g", ["v"], strategy="median")
+             .to_pandas().sort_values("rid", ignore_index=True))
+    want_m = con.execute("""
+        SELECT rid, COALESCE(v, MEDIAN(v) OVER (PARTITION BY g)) AS v
+        FROM t0 ORDER BY rid""").df()
+    np.testing.assert_allclose(got_m["v"], want_m["v"], atol=1e-9)
+    con.close()
+
+
+def test_impute_all_null_group_and_layout(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from cerberus_ray.stages.normalize import impute_by_group
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                       "v": [1.0, np.nan, np.nan, np.nan]})
+    got = (impute_by_group(rd.from_pandas(df), "g", ["v"])
+           .to_pandas().sort_values(["g", "v"], ignore_index=True))
+    # group a filled with its mean; group b stays null (never invented)
+    assert list(got["v"][:2]) == [1.0, 1.0]
+    assert got["v"][2:].isna().all()
+
+    with _pytest.raises(ValueError):
+        impute_by_group(rd.from_pandas(df), "g", ["v"],
+                        strategy="mode").to_pandas()
+
+    rng = np.random.default_rng(2)
+    big = pd.DataFrame({"g": rng.choice(list("xyz"), 300),
+                        "v": rng.normal(size=300)})
+    big.loc[::5, "v"] = np.nan
+    a = (impute_by_group(rd.from_pandas(big, override_num_blocks=1),
+                         "g", ["v"]).to_pandas())
+    b = (impute_by_group(rd.from_pandas(big, override_num_blocks=6),
+                         "g", ["v"]).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
