@@ -36,7 +36,8 @@ from ..sources.io import read_table
 from ..stages.groupagg import grouped_agg
 
 __all__ = ["q3_shipping_priority", "q10_returned_items",
-           "q5_local_supplier_volume"]
+           "q5_local_supplier_volume", "q7_volume_shipping",
+           "q8_market_share"]
 
 #: same broadcast band as relational2 (a lookup side must fit every
 #: worker's heap to ship by value)
@@ -358,3 +359,248 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
                       ascending=[False, True]).reset_index(drop=True)
     return pa.Table.from_pandas(g[["n_name", "revenue"]],
                                 preserve_index=False)
+
+
+def q7_volume_shipping(sf_dir: str, *, nation_a: str = "NATION_3",
+                       nation_b: str = "NATION_8",
+                       date_lo: str = "1996-01-01",
+                       date_hi: str = "1998-01-01",
+                       cust_mode: str = "auto",
+                       join_mode: str = "auto") -> pa.Table:
+    """Volume shipping (Q7 shape): revenue shipped between two nations
+    in either direction, by ship year — supplier's nation ≠ customer's
+    nation with both restricted to the pair. → (supp_nation,
+    cust_nation, l_year, revenue) ordered by the three keys.
+
+    Scale plan: nation/supplier maps broadcast (dimensions); the
+    pair-filtered customer map rides the broadcast-vs-native planner;
+    lineitem is date-filtered AT THE READ and semi-joined to the pair's
+    suppliers per batch; orders⋈lineitem reuses the Q3/Q5 fact-join
+    planner; the rollup is bounded by 2×2×years."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    nation = read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    pair = nation[nation["n_name"].isin([nation_a, nation_b])]
+    if len(pair) != 2:
+        raise ValueError(f"nations {nation_a!r}/{nation_b!r} not found")
+    nkeys = np.sort(pair["n_nationkey"].to_numpy())
+    name_map = dict(zip(pair["n_nationkey"], pair["n_name"]))
+
+    sup = read_table(f"{sf_dir}/supplier.parquet",
+                     columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nkeys)]
+    skeys = sup["s_suppkey"].to_numpy()
+    srt = np.argsort(skeys, kind="mergesort")
+    sup_ref = ray.put((skeys[srt], sup["s_nationkey"].to_numpy()[srt]))
+
+    cust = read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nkeys.tolist()))
+    if cust_mode == "auto":
+        cust_mode = ("broadcast" if cust.count() <= _BROADCAST_MAX_ROWS
+                     else "shuffle")
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    if cust_mode == "broadcast":
+        cdf = cust.to_pandas()
+        ck = cdf["c_custkey"].to_numpy()
+        csrt = np.argsort(ck, kind="mergesort")
+        cref = ray.put((ck[csrt], cdf["c_nationkey"].to_numpy()[csrt]))
+
+        def attach_cn(b: pa.Table) -> pa.Table:
+            keys, nats = ray.get(cref)
+            ok = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ok)
+            pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+            m = (keys[pos_c] == ok) if len(keys) else np.zeros(
+                len(ok), bool)
+            return pa.Table.from_pydict({
+                "o_orderkey": b["o_orderkey"].filter(pa.array(m)),
+                "cust_nation": pa.array(nats[pos_c[m]], pa.int64())})
+
+        orders = orders.map_batches(attach_cn, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    elif cust_mode == "shuffle":
+        orders = (orders.join(cust, join_type="inner", num_partitions=8,
+                              on=("o_custkey",), right_on=("c_custkey",))
+                  .map_batches(
+                      lambda b: pa.Table.from_pydict({
+                          "o_orderkey": b["o_orderkey"],
+                          "cust_nation": pc.cast(b["c_nationkey"],
+                                                 pa.int64())}),
+                      batch_format="pyarrow", zero_copy_batch=True))
+    else:
+        raise ValueError(f"unknown cust_mode: {cust_mode!r}")
+
+    def lane_proj(b: pa.Table) -> pa.Table:
+        keys, nats = ray.get(sup_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, sk)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        m = (keys[pos_c] == sk) if len(keys) else np.zeros(len(sk), bool)
+        mask = pa.array(m)
+        years = b["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.Table.from_pydict({
+            "l_orderkey": b["l_orderkey"].filter(mask),
+            "rev_e4": _rev_e4(b).filter(mask),
+            "l_year": pa.array(years[m], pa.int64()),
+            "supp_nation": pa.array(nats[pos_c[m]], pa.int64())})
+
+    lane = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi)).map_batches(
+        lane_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    if join_mode == "auto":
+        join_mode = ("broadcast"
+                     if orders.count() <= _BROADCAST_MAX_ROWS
+                     else "shuffle")
+    if join_mode == "broadcast":
+        joined = _attach_order_attrs(lane, orders, ["cust_nation"])
+    elif join_mode == "shuffle":
+        joined = lane.join(orders, join_type="inner", num_partitions=8,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+    else:
+        raise ValueError(f"unknown join_mode: {join_mode!r}")
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        m = pc.not_equal(b["supp_nation"],
+                         pc.cast(b["cust_nation"], pa.int64()))
+        return b.filter(pc.fill_null(m, False))
+
+    joined = joined.map_batches(cross_only, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    g = grouped_agg(joined, ["supp_nation", "cust_nation", "l_year"],
+                    {"rev_sum": ("rev_e4", "sum")})
+    g["revenue"] = _cents(g.pop("rev_sum"))
+    g["supp_nation"] = g["supp_nation"].map(name_map)
+    g["cust_nation"] = g["cust_nation"].map(name_map)
+    g = g.sort_values(["supp_nation", "cust_nation", "l_year"],
+                      ignore_index=True)
+    return pa.Table.from_pandas(
+        g[["supp_nation", "cust_nation", "l_year", "revenue"]],
+        preserve_index=False)
+
+
+def q8_market_share(sf_dir: str, *, region: str = "ASIA",
+                    target_nation: str = "NATION_8",
+                    p_type: str = "ECONOMY",
+                    date_lo: str = "1996-01-01",
+                    date_hi: str = "1998-01-01",
+                    join_mode: str = "auto") -> pa.Table:
+    """National market share (Q8 shape): the target nation's share of
+    revenue for one part type sold to customers in one region, by order
+    year — the eight-table join. → (o_year, mkt_share).
+
+    Scale plan: region/nation/part-type/supplier maps broadcast
+    (dimensions; the part filter ships as a sorted key array and the
+    lineitem semi-join is one searchsorted per batch); the
+    region-filtered customer map rides the broadcast-vs-native planner;
+    orders are date-filtered AT THE READ and carry o_year through the
+    fact join (Q3/Q5 planner reuse); the rollup is bounded by
+    years × 25 nations. Share = ratio of two exact integer-unit sums —
+    bit-comparable to the DuckDB oracle's e4-units division."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    nation = read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name",
+                                 "n_regionkey"]).to_pandas()
+    tgt = nation.loc[nation["n_name"] == target_nation, "n_nationkey"]
+    if not len(tgt):
+        raise ValueError(f"nation {target_nation!r} not found")
+    tgt_key = int(tgt.iloc[0])
+    reg = read_table(f"{sf_dir}/region.parquet",
+                     columns=["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    cnkeys = np.sort(nation.loc[nation["n_regionkey"].isin(rkeys),
+                                "n_nationkey"].to_numpy())
+
+    parts = read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pads.field("p_type") == p_type).to_pandas()
+    pkeys_ref = ray.put(np.sort(parts["p_partkey"].to_numpy()))
+
+    sup = read_table(f"{sf_dir}/supplier.parquet",
+                     columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = sup["s_suppkey"].to_numpy()
+    srt = np.argsort(skeys, kind="mergesort")
+    sup_ref = ray.put((skeys[srt], sup["s_nationkey"].to_numpy()[srt]))
+
+    cust = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_nationkey").isin(cnkeys.tolist()))
+    ckeys_ref = ray.put(np.sort(cust.to_pandas()["c_custkey"]
+                                .to_numpy()))
+
+    def orders_proj(b: pa.Table) -> pa.Table:
+        ck = ray.get(ckeys_ref)
+        ok = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck, ok)
+        pos_c = np.clip(pos, 0, max(len(ck) - 1, 0))
+        m = (ck[pos_c] == ok) if len(ck) else np.zeros(len(ok), bool)
+        years = b["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.Table.from_pydict({
+            "o_orderkey": b["o_orderkey"].filter(pa.array(m)),
+            "o_year": pa.array(years[m], pa.int64())})
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi)).map_batches(
+        orders_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    def lane_proj(b: pa.Table) -> pa.Table:
+        pk = ray.get(pkeys_ref)
+        skeys_s, snats = ray.get(sup_ref)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk, lp)
+        pos_c = np.clip(pos, 0, max(len(pk) - 1, 0))
+        m = (pk[pos_c] == lp) if len(pk) else np.zeros(len(lp), bool)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        sp = np.clip(np.searchsorted(skeys_s, sk), 0,
+                     max(len(skeys_s) - 1, 0))
+        mask = pa.array(m)
+        return pa.Table.from_pydict({
+            "l_orderkey": b["l_orderkey"].filter(mask),
+            "rev_e4": _rev_e4(b).filter(mask),
+            "supp_nation": pa.array(snats[sp[m]], pa.int64())})
+
+    lane = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        lane_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    if join_mode == "auto":
+        join_mode = ("broadcast"
+                     if orders.count() <= _BROADCAST_MAX_ROWS
+                     else "shuffle")
+    if join_mode == "broadcast":
+        joined = _attach_order_attrs(lane, orders, ["o_year"])
+    elif join_mode == "shuffle":
+        joined = lane.join(orders, join_type="inner", num_partitions=8,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+    else:
+        raise ValueError(f"unknown join_mode: {join_mode!r}")
+
+    g = grouped_agg(joined, ["o_year", "supp_nation"],
+                    {"rev_sum": ("rev_e4", "sum")})
+    tot = g.groupby("o_year", sort=True)["rev_sum"].sum()
+    hit = (g[g["supp_nation"] == tgt_key]
+           .set_index("o_year")["rev_sum"].reindex(tot.index)
+           .fillna(0).astype(np.int64))
+    out = pd.DataFrame({
+        "o_year": tot.index.astype(np.int64),
+        "mkt_share": (hit.to_numpy(dtype=np.float64)
+                      / tot.to_numpy(dtype=np.float64))})
+    return pa.Table.from_pandas(out, preserve_index=False)

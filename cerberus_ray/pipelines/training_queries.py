@@ -3255,6 +3255,25 @@ def q_simpson_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_q7_volume_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H Q7 shape (extras surface): cross-nation shipping volume by
+    year — six-table join with the pair predicate. Bit-exact DuckDB
+    parity + 4-way mode agreement in tests/test_tpch_extra.py."""
+    from .tpch_extra import q7_volume_shipping
+
+    return q7_volume_shipping(sf_dir)
+
+
+def q_q8_market_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q8 shape (extras surface): NATION_8's share of ECONOMY-part
+    revenue sold into ASIA, by order year — the eight-table join; share
+    is a ratio of exact integer-unit sums. Bit-comparable DuckDB parity
+    + mode agreement in tests/test_tpch_extra.py."""
+    from .tpch_extra import q8_market_share
+
+    return q8_market_share(sf_dir)
+
+
 def q_impute_report(sf_dir: str) -> pa.Table:
     """Grouped mean-imputation rollup (extras surface): events.value is
     deterministically masked null on event_id % 7 == 0, refilled with
@@ -3606,6 +3625,8 @@ QUERIES = {
     "interpolate_report": q_interpolate_report,
     "simpson_report": q_simpson_report,
     "cuped_report": q_cuped_report,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
     "impute_report": q_impute_report,
     "kendall_report": q_kendall_report,
     "token_jsd_report": q_token_jsd_report,
