@@ -2714,6 +2714,22 @@ def q_stationary_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_markov_entropy_report(sf_dir: str) -> pa.Table:
+    """Entropy rate of the per-user event-type chain (extras
+    surface): sequence predictability from the exact transition
+    counts — closed-form + numpy-reference parity in
+    tests/test_markov.py."""
+    from ..stages.markov import entropy_rate, transition_matrix
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    out = entropy_rate(
+        transition_matrix(ev, "user_id", ["ts", "event_id"],
+                          "event_type"))
+    return pa.Table.from_pandas(pd.DataFrame([out]),
+                                preserve_index=False)
+
+
 def q_ohlc_report(sf_dir: str) -> pa.Table:
     """Daily OHLC downsample of events.value (extras surface):
     open/close from the grouped arg-extremal aggregate
@@ -3636,6 +3652,7 @@ QUERIES = {
     "mi_report": q_mi_report,
     "source_entropy_report": q_source_entropy_report,
     "cmh_report": q_cmh_report,
+    "markov_entropy_report": q_markov_entropy_report,
 }
 
 def _stopword_sql(lang: str) -> str:

@@ -22,7 +22,8 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 
-__all__ = ["transition_matrix", "stationary_distribution"]
+__all__ = ["transition_matrix", "stationary_distribution",
+           "entropy_rate"]
 
 
 def transition_matrix(ds, key_col: str, order_cols: Sequence[str],
@@ -120,3 +121,35 @@ def stationary_distribution(tm: pd.DataFrame, *, tol: float = 1e-12,
             f"power iteration did not converge in {max_iter} steps")
     return pd.DataFrame({"state": states,
                          "pi": np.round(pi / pi.sum(), round_digits)})
+
+
+def entropy_rate(tm: pd.DataFrame, *, round_digits: int = 9) -> dict:
+    """Entropy rate of the empirical chain (nats/step): H = −Σ_i π_i
+    Σ_j P_ij·ln P_ij with π from ``stationary_distribution`` — the
+    sequence-predictability score (0 = deterministic next-state,
+    ln |states| = uniform). Computed from the EXACT transition counts
+    (``n``), not the rounded ``p`` column; a driver closed-form over
+    the |states|²-bounded matrix.
+
+    → {"entropy_rate", "max_entropy", "predictability"} where
+    predictability = 1 − H/ln|states| (1 when |states| = 1)."""
+    if not len(tm):
+        return {"entropy_rate": float("nan"),
+                "max_entropy": float("nan"),
+                "predictability": float("nan")}
+    pi = stationary_distribution(tm).set_index("state")["pi"]
+    h_rows = {}
+    for s, sub in tm.groupby("state", sort=True):
+        n = sub.sort_values("next_state")["n"] \
+            .to_numpy(dtype=np.float64)
+        p = n / n.sum()
+        nz = p[p > 0]
+        h_rows[s] = float(-(nz * np.log(nz)).sum())
+    h = float(sum(pi.get(s, 0.0) * hs for s, hs in
+                  sorted(h_rows.items())))
+    m = len(set(tm["state"]) | set(tm["next_state"]))
+    hmax = float(np.log(m)) if m > 1 else 0.0
+    pred = 1.0 - h / hmax if hmax > 0 else 1.0
+    return {"entropy_rate": round(h, round_digits),
+            "max_entropy": round(hmax, round_digits),
+            "predictability": round(pred, round_digits)}

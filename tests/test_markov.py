@@ -7,7 +7,8 @@ import pandas as pd
 import ray.data as rd
 
 from cerberus_ray.sources.io import read_table
-from cerberus_ray.stages.markov import (stationary_distribution,
+from cerberus_ray.stages.markov import (entropy_rate,
+                                        stationary_distribution,
                                         transition_matrix)
 
 SF = "/root/testdata/sf0.001"
@@ -109,6 +110,61 @@ def test_stationary_absorbing_state(ray_session):
         "n": [50, 50], "p": [0.5, 0.5]})
     got = stationary_distribution(tm).set_index("state")["pi"]
     np.testing.assert_allclose(got["end"], 1.0, atol=1e-6)
+
+
+def test_entropy_rate_closed_form(ray_session):
+    # two-state chain: H = pi_x*H(row_x) + pi_y*H(row_y) in closed form
+    tm = pd.DataFrame({
+        "state": ["x", "x", "y", "y"],
+        "next_state": ["x", "y", "x", "y"],
+        "n": [70, 30, 60, 40],
+        "p": [0.7, 0.3, 0.6, 0.4]})
+    got = entropy_rate(tm)
+    a, b = 0.3, 0.6
+    pi = np.array([b, a]) / (a + b)
+
+    def hrow(ps):
+        ps = np.asarray(ps)
+        return float(-(ps * np.log(ps)).sum())
+
+    want = pi[0] * hrow([0.7, 0.3]) + pi[1] * hrow([0.6, 0.4])
+    np.testing.assert_allclose(got["entropy_rate"], want, atol=1e-7)
+    np.testing.assert_allclose(got["max_entropy"], np.log(2), atol=1e-9)
+    np.testing.assert_allclose(
+        got["predictability"], 1 - want / np.log(2), atol=1e-7)
+
+
+def test_entropy_rate_deterministic_chain(ray_session):
+    # a->b->a cycle: every next-state is certain => H=0, pred=1
+    tm = pd.DataFrame({
+        "state": ["a", "b"], "next_state": ["b", "a"],
+        "n": [10, 10], "p": [1.0, 1.0]})
+    got = entropy_rate(tm)
+    assert got["entropy_rate"] == 0.0
+    assert got["predictability"] == 1.0
+    # empty matrix -> NaNs, not a crash
+    empty = entropy_rate(tm.iloc[0:0])
+    assert np.isnan(empty["entropy_rate"])
+
+
+def test_entropy_rate_events_reference(ray_session):
+    # independent reference on the real chain: build P and pi with
+    # numpy directly from the DuckDB-verified transition counts
+    ev = read_table(f"{SF}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    tm = transition_matrix(ev, "user_id", ["ts", "event_id"],
+                           "event_type")
+    got = entropy_rate(tm)
+    pi = stationary_distribution(tm).set_index("state")["pi"]
+    want = 0.0
+    for s, sub in tm.groupby("state"):
+        p = sub["n"].to_numpy(float)
+        p = p / p.sum()
+        want += pi[s] * float(-(p * np.log(p)).sum())
+    np.testing.assert_allclose(got["entropy_rate"], want, atol=1e-6)
+    m = len(set(tm["state"]) | set(tm["next_state"]))
+    np.testing.assert_allclose(got["max_entropy"], np.log(m), atol=1e-9)
+    assert 0.0 <= got["predictability"] <= 1.0
 
 
 def test_multiblock_determinism(ray_session):
