@@ -3280,6 +3280,88 @@ def q_q7_volume_shipping(sf_dir: str) -> pa.Table:
     return q7_volume_shipping(sf_dir)
 
 
+def q_q4_order_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q4 shape (extras surface): orders per priority with an
+    EXISTS returned-lineitem semi-join — DuckDB parity + exists-mode
+    agreement in tests/test_tpch_more.py."""
+    from .tpch_more import q4_order_priority
+
+    return q4_order_priority(sf_dir)
+
+
+def q_q6_revenue_change(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 (extras surface): the single-scan discount-band
+    aggregate in exact integer units — bit-exact DuckDB parity in
+    tests/test_tpch_more.py."""
+    from .tpch_more import q6_revenue_change
+
+    return q6_revenue_change(sf_dir)
+
+
+def q_q12_priority_class(sf_dir: str) -> pa.Table:
+    """TPC-H Q12 shape (extras surface): urgent/non-urgent line counts
+    by linestatus through the fact-join planner — DuckDB parity +
+    join-mode agreement in tests/test_tpch_more.py."""
+    from .tpch_more import q12_priority_class
+
+    return q12_priority_class(sf_dir)
+
+
+def q_q14_promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 (extras surface): promo revenue share as one float64
+    division of exact integer sums — bit-exact DuckDB parity in
+    tests/test_tpch_more.py."""
+    from .tpch_more import q14_promo_revenue
+
+    return q14_promo_revenue(sf_dir)
+
+
+def q_q15_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 (extras surface): max-revenue supplier(s) with tie
+    preservation and candidate-only attribute fetch — DuckDB parity in
+    tests/test_tpch_more.py."""
+    from .tpch_more import q15_top_supplier
+
+    return q15_top_supplier(sf_dir)
+
+
+def q_q17_small_quantity(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 shape (extras surface): revenue of below-20%-of-avg
+    quantity orders for one brand, two-pass per-part threshold —
+    DuckDB parity in tests/test_tpch_more.py."""
+    from .tpch_more import q17_small_quantity_revenue
+
+    return q17_small_quantity_revenue(sf_dir)
+
+
+def q_q18_large_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q18 (extras surface): large-volume customers via the
+    unbounded-key quantity rollup planner — DuckDB parity + agg-mode
+    agreement in tests/test_tpch_more.py."""
+    from .tpch_more import q18_large_volume_customers
+
+    return q18_large_volume_customers(sf_dir)
+
+
+def q_q19_disjunctive(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape (extras surface): OR-of-ANDs brand/size/quantity
+    arms over one scan with a broadcast part map — bit-exact DuckDB
+    parity in tests/test_tpch_more.py."""
+    from .tpch_more import q19_disjunctive_revenue
+
+    return q19_disjunctive_revenue(sf_dir)
+
+
+def q_q22_stale_customers(sf_dir: str) -> pa.Table:
+    """TPC-H Q22 shape (extras surface): high-balance customers with no
+    recent orders, per segment — scalar-avg partials + anti-join
+    planner; DuckDB parity + anti-mode agreement in
+    tests/test_tpch_more.py."""
+    from .tpch_more import q22_stale_customers
+
+    return q22_stale_customers(sf_dir)
+
+
 def q_q8_market_share(sf_dir: str) -> pa.Table:
     """TPC-H Q8 shape (extras surface): NATION_8's share of ECONOMY-part
     revenue sold into ASIA, by order year — the eight-table join; share
@@ -3653,6 +3735,15 @@ QUERIES = {
     "source_entropy_report": q_source_entropy_report,
     "cmh_report": q_cmh_report,
     "markov_entropy_report": q_markov_entropy_report,
+    "q4_order_priority": q_q4_order_priority,
+    "q6_revenue_change": q_q6_revenue_change,
+    "q12_priority_class": q_q12_priority_class,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity": q_q17_small_quantity,
+    "q18_large_volume": q_q18_large_volume,
+    "q19_disjunctive": q_q19_disjunctive,
+    "q22_stale_customers": q_q22_stale_customers,
 }
 
 def _stopword_sql(lang: str) -> str:
