@@ -3280,6 +3280,49 @@ def q_q7_volume_shipping(sf_dir: str) -> pa.Table:
     return q7_volume_shipping(sf_dir)
 
 
+def q_anova_report(sf_dir: str) -> pa.Table:
+    """One-way ANOVA of events.value across event types (extras
+    surface): F statistic + eta² from exact integer-cents partials —
+    DuckDB variance-decomposition parity in
+    tests/test_anova_concentration.py."""
+    from ..stages.anova import anova_oneway
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+    out = anova_oneway(ev, "event_type", "value")
+    return pa.Table.from_pandas(pd.DataFrame([out]),
+                                preserve_index=False)
+
+
+def q_concentration_report(sf_dir: str) -> pa.Table:
+    """Revenue concentration per order priority (extras surface):
+    Gini/HHI/top-share of per-customer order totals — DuckDB window
+    parity + mode agreement in tests/test_anova_concentration.py."""
+    from ..stages.concentration import concentration_by_group
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_custkey",
+                                 "o_totalprice"])
+    out = concentration_by_group(orders, "o_orderpriority",
+                                 "o_custkey", "o_totalprice")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_pacf_report(sf_dir: str) -> pa.Table:
+    """Per-user partial autocorrelation of event values (extras
+    surface): Durbin–Levinson over the biased sample ACF, vectorized
+    across keys — Yule-Walker solve parity + AR(1) cutoff property in
+    tests/test_forecast.py."""
+    from ..stages.forecast import pacf_by_key
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id", "value"])
+    out = (pacf_by_key(ev, "user_id", ["ts", "event_id"], "value",
+                       max_lag=3).to_pandas()
+           .sort_values(["user_id", "lag"]).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_q4_order_priority(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape (extras surface): orders per priority with an
     EXISTS returned-lineitem semi-join — DuckDB parity + exists-mode
@@ -3744,6 +3787,9 @@ QUERIES = {
     "q18_large_volume": q_q18_large_volume,
     "q19_disjunctive": q_q19_disjunctive,
     "q22_stale_customers": q_q22_stale_customers,
+    "anova_report": q_anova_report,
+    "concentration_report": q_concentration_report,
+    "pacf_report": q_pacf_report,
 }
 
 def _stopword_sql(lang: str) -> str:

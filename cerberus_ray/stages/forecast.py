@@ -229,3 +229,81 @@ def lag_corr_by_key(ds, key_col: str, order_cols, value_col: str, *,
         return pd.concat(frames, ignore_index=True)
 
     return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)
+
+
+def pacf_by_key(ds, key_col: str, order_cols, value_col: str, *,
+                max_lag: int = 3, n_buckets: int = 32):
+    """Per-key partial autocorrelation → Dataset ``(key_col, lag, n,
+    pacf)`` for lags 1..max_lag: the Durbin–Levinson recursion over the
+    key's BIASED sample ACF (ρ_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²,
+    full-series mean and denominator — the standard stationary
+    estimator, NOT lag_corr's pairwise-complete Pearson). PACF is the
+    AR-order diagnostic: an AR(p) key cuts off after lag p.
+
+    One keyed_apply exchange; the bucket kernel computes every key's
+    ACF with groupby-shift products and runs Durbin–Levinson VECTORIZED
+    ACROSS KEYS (the k ≤ max_lag recursion is a constant-size loop of
+    array ops — no per-key Python). Keys with n ≤ lag (or a degenerate
+    constant series) emit NaN. Yule-Walker solve parity + AR(1) cutoff
+    property in tests/test_forecast.py."""
+    K = int(max_lag)
+    if K < 1:
+        raise ValueError(f"max_lag must be ≥ 1, got {max_lag}")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key_col, *order_cols], kind="mergesort")
+        grp = d.groupby(key_col, sort=False)
+        x = d[value_col].to_numpy(dtype=np.float64)
+        # center on the full per-key mean
+        mean = grp[value_col].transform("mean").to_numpy(
+            dtype=np.float64)
+        dev = x - mean
+        dd = pd.DataFrame({key_col: d[key_col].to_numpy(),
+                           "dev": dev})
+        per = dd.groupby(key_col, as_index=False, sort=False).agg(
+            n=("dev", "size"))
+        keys = per[key_col].to_numpy()
+        n = per["n"].to_numpy(np.float64)
+        ss = dd.assign(s=dev * dev).groupby(
+            key_col, sort=False)["s"].sum().to_numpy(np.float64)
+        rho = np.ones((len(keys), K + 1))
+        sgrp = dd.groupby(key_col, sort=False)["dev"]
+        for k in range(1, K + 1):
+            lag = sgrp.shift(k)
+            prod = np.where(lag.isna().to_numpy(), 0.0,
+                            dev * lag.fillna(0.0).to_numpy())
+            num = pd.DataFrame({key_col: dd[key_col],
+                                "p": prod}).groupby(
+                key_col, sort=False)["p"].sum().to_numpy(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rho[:, k] = np.where((ss > 0) & (n > k), num / ss,
+                                     np.nan)
+        # Durbin–Levinson, vectorized across keys
+        phi = np.zeros((len(keys), K + 1, K + 1))
+        pacf = np.full((len(keys), K + 1), np.nan)
+        if K >= 1:
+            phi[:, 1, 1] = rho[:, 1]
+            pacf[:, 1] = rho[:, 1]
+        for k in range(2, K + 1):
+            num = rho[:, k].copy()
+            den = np.ones(len(keys))
+            for j in range(1, k):
+                num -= phi[:, k - 1, j] * rho[:, k - j]
+                den -= phi[:, k - 1, j] * rho[:, j]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                pkk = np.where(np.abs(den) > 1e-15, num / den, np.nan)
+            phi[:, k, k] = np.where(np.isnan(pkk), 0.0, pkk)
+            for j in range(1, k):
+                phi[:, k, j] = (phi[:, k - 1, j]
+                                - phi[:, k, k] * phi[:, k - 1, k - j])
+            pacf[:, k] = pkk
+        frames = []
+        for k in range(1, K + 1):
+            frames.append(pd.DataFrame({
+                key_col: keys,
+                "lag": np.full(len(keys), k, dtype=np.int64),
+                "n": per["n"].to_numpy(np.int64),
+                "pacf": pacf[:, k]}))
+        return pd.concat(frames, ignore_index=True)
+
+    return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)

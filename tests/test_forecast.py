@@ -285,3 +285,75 @@ def test_lag_corr_known_values_and_guards(ray_session):
                          "k", ["t"], "v", n_buckets=2).to_pandas()
          .sort_values(["k", "lag"], ignore_index=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pacf_yule_walker_reference(ray_session):
+    # independent reference: biased ACF computed with a plain loop,
+    # PACF from the Yule-Walker Toeplitz solve (Levinson == YW)
+    from cerberus_ray.stages.forecast import pacf_by_key
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for key in range(6):
+        n = int(rng.integers(20, 60))
+        frames.append(pd.DataFrame({
+            "k": key, "t": np.arange(n),
+            "v": rng.normal(size=n).cumsum()}))
+    df = pd.concat(frames, ignore_index=True)
+    got = (pacf_by_key(rd.from_pandas(df, override_num_blocks=4),
+                       "k", ["t"], "v", max_lag=3, n_buckets=3)
+           .to_pandas().sort_values(["k", "lag"]).reset_index(
+               drop=True))
+    for key, sub in df.groupby("k"):
+        x = sub.sort_values("t")["v"].to_numpy()
+        d = x - x.mean()
+        ss = (d * d).sum()
+        rho = [1.0] + [(d[:-k] * d[k:]).sum() / ss for k in (1, 2, 3)]
+        for k in (1, 2, 3):
+            R = np.array([[rho[abs(i - j)] for j in range(k)]
+                          for i in range(k)])
+            want = np.linalg.solve(R, np.array(rho[1:k + 1]))[-1]
+            g = got[(got["k"] == key) & (got["lag"] == k)]
+            np.testing.assert_allclose(g["pacf"].iloc[0], want,
+                                       rtol=1e-8, atol=1e-10)
+
+
+def test_pacf_ar1_cutoff(ray_session):
+    # AR(1) with phi=0.6: pacf(1) ~ 0.6, pacf(2..3) ~ 0
+    from cerberus_ray.stages.forecast import pacf_by_key
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for key in range(3):
+        n = 4000
+        x = np.zeros(n)
+        eps = rng.normal(size=n)
+        for t in range(1, n):
+            x[t] = 0.6 * x[t - 1] + eps[t]
+        frames.append(pd.DataFrame({"k": key, "t": np.arange(n),
+                                    "v": x}))
+    df = pd.concat(frames, ignore_index=True)
+    got = pacf_by_key(rd.from_pandas(df, override_num_blocks=3),
+                      "k", ["t"], "v", max_lag=3).to_pandas()
+    l1 = got[got["lag"] == 1]["pacf"]
+    np.testing.assert_allclose(l1, 0.6, atol=0.06)
+    for k in (2, 3):
+        lk = got[got["lag"] == k]["pacf"]
+        assert (lk.abs() < 0.06).all()
+
+
+def test_pacf_guards_and_degenerate(ray_session):
+    from cerberus_ray.stages.forecast import pacf_by_key
+
+    # constant series -> NaN at every lag; short series -> NaN beyond n
+    df = pd.DataFrame({
+        "k": ["c"] * 5 + ["s"] * 2,
+        "t": [0, 1, 2, 3, 4, 0, 1],
+        "v": [7.0] * 5 + [1.0, 2.0]})
+    got = pacf_by_key(rd.from_pandas(df), "k", ["t"], "v",
+                      max_lag=3).to_pandas()
+    assert got[got["k"] == "c"]["pacf"].isna().all()
+    s = got[got["k"] == "s"].set_index("lag")["pacf"]
+    assert np.isnan(s[2]) and np.isnan(s[3])
+    with pytest.raises(ValueError):
+        pacf_by_key(rd.from_pandas(df), "k", ["t"], "v", max_lag=0)
