@@ -3323,6 +3323,33 @@ def q_pacf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_kruskal_report(sf_dir: str) -> pa.Table:
+    """Kruskal-Wallis H across event types (extras surface): midranks
+    + tie correction from the exact (group, value) census, no global
+    sort — DuckDB rank-window parity in tests/test_ranktests.py."""
+    from ..stages.ranktests import kruskal_wallis
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+    out = kruskal_wallis(ev, "event_type", "value")
+    return pa.Table.from_pandas(pd.DataFrame([out]),
+                                preserve_index=False)
+
+
+def q_brown_forsythe_report(sf_dir: str) -> pa.Table:
+    """Brown-Forsythe variance-homogeneity F across event types
+    (extras surface): exact census medians + integer |x−med| moment
+    partials — DuckDB quantile_disc parity in
+    tests/test_ranktests.py."""
+    from ..stages.ranktests import brown_forsythe
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+    out = brown_forsythe(ev, "event_type", "value")
+    return pa.Table.from_pandas(pd.DataFrame([out]),
+                                preserve_index=False)
+
+
 def q_q4_order_priority(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape (extras surface): orders per priority with an
     EXISTS returned-lineitem semi-join — DuckDB parity + exists-mode
@@ -3790,6 +3817,8 @@ QUERIES = {
     "anova_report": q_anova_report,
     "concentration_report": q_concentration_report,
     "pacf_report": q_pacf_report,
+    "kruskal_report": q_kruskal_report,
+    "brown_forsythe_report": q_brown_forsythe_report,
 }
 
 def _stopword_sql(lang: str) -> str:
