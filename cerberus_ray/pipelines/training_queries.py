@@ -3323,6 +3323,62 @@ def q_pacf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_bfs_report(sf_dir: str) -> pa.Table:
+    """Single-source hop distances (extras surface) over the
+    orders-derived hub graph (custkey ↔ 1500 + orderkey mod 50):
+    distance histogram from source custkey 1 — recursive-CTE parity +
+    driver/shuffle agreement in tests/test_bfs_delta.py."""
+    from .bfs import hop_distance
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "src": b["o_custkey"],
+            "dst": pa.array(1500 + (ok % 50), pa.int64())})
+
+    g = ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    out = hop_distance(g, source=1)
+    hist = (out.groupby("dist", as_index=False)
+            .agg(n_nodes=("node", "size"))
+            .astype({"dist": "int64", "n_nodes": "int64"}))
+    return pa.Table.from_pandas(hist, preserve_index=False)
+
+
+def q_delta_view_report(sf_dir: str) -> pa.Table:
+    """Incremental grouped-aggregate maintenance (extras surface):
+    maintain the per-priority order-totals view from a pre-1998 base
+    plus a 1998+ insert delta; returns the finalized view, which is
+    BITWISE-equal to a full recompute — parity + delete/guard tests in
+    tests/test_bfs_delta.py."""
+    from ..stages.delta_agg import apply_delta, finalize, grouped_state
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_orderdate",
+                                 "o_totalprice"])
+    cut = pa.scalar(pd.Timestamp("1998-01-01"))
+
+    def before(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"], cut))
+
+    def after(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["o_orderdate"], cut))
+
+    st = grouped_state(orders.map_batches(before,
+                                          batch_format="pyarrow"),
+                       ["o_orderpriority"], "o_totalprice")
+    st = apply_delta(st, orders.map_batches(after,
+                                            batch_format="pyarrow"),
+                     ["o_orderpriority"], "o_totalprice")
+    out = finalize(st, ["o_orderpriority"],
+                   {"n_orders": "count", "total": "sum",
+                    "avg_price": "mean", "lo": "min", "hi": "max"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_kruskal_report(sf_dir: str) -> pa.Table:
     """Kruskal-Wallis H across event types (extras surface): midranks
     + tie correction from the exact (group, value) census, no global
@@ -3819,6 +3875,8 @@ QUERIES = {
     "pacf_report": q_pacf_report,
     "kruskal_report": q_kruskal_report,
     "brown_forsythe_report": q_brown_forsythe_report,
+    "bfs_report": q_bfs_report,
+    "delta_view_report": q_delta_view_report,
 }
 
 def _stopword_sql(lang: str) -> str:
