@@ -3323,6 +3323,35 @@ def q_pacf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_quantile_norm_report(sf_dir: str) -> pa.Table:
+    """Quantile normalization of events.value across event types
+    (extras surface): the census-exact mapping onto the pooled
+    distribution — integer ceil-position DuckDB parity in
+    tests/test_quantile_norm.py."""
+    from ..stages.quantile_norm import quantile_normalize_map
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+    out = quantile_normalize_map(ev, "event_type", "value")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_attribution_report(sf_dir: str) -> pa.Table:
+    """First/last-touch purchase attribution over user journeys
+    (extras surface): exact integer-cents revenue per channel under
+    both models — DuckDB IGNORE-NULLS window parity in
+    tests/test_attribution.py."""
+    from ..stages.attribution import touch_attribution
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type", "value"])
+    out = touch_attribution(ev, "user_id", ["ts", "event_id"],
+                            "event_type", "value",
+                            conversion="purchase")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_bfs_report(sf_dir: str) -> pa.Table:
     """Single-source hop distances (extras surface) over the
     orders-derived hub graph (custkey ↔ 1500 + orderkey mod 50):
@@ -3877,6 +3906,8 @@ QUERIES = {
     "brown_forsythe_report": q_brown_forsythe_report,
     "bfs_report": q_bfs_report,
     "delta_view_report": q_delta_view_report,
+    "attribution_report": q_attribution_report,
+    "quantile_norm_report": q_quantile_norm_report,
 }
 
 def _stopword_sql(lang: str) -> str:
