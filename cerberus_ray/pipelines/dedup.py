@@ -596,7 +596,8 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
                            hot_bucket_cap: int = 256,
                            mode: str = "auto",
                            n_rows_hint: int = 0,
-                           shuffle_buckets: int = 64) -> pa.Table:
+                           shuffle_buckets: int = 64,
+                           hash_col: str = None) -> pa.Table:
     """→ (doc_id_a, doc_id_b, hamming) pairs with distance ≤ max_hamming.
 
     4 chunk tables of (chunk16, key, simhash) → groupby chunk value →
@@ -636,10 +637,18 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
         raise ValueError(f"unknown simhash mode: {mode!r}")
 
     def rows(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_numpy(zero_copy_only=False)
         keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
-        sh = simhash64(texts)
-        n = len(texts)
+        if hash_col is not None:
+            # precomputed 64-bit fingerprints (int64 bit-pattern) — the
+            # generic entry point: image dHash (pipelines/image_dedup)
+            # or any other 64-bit locality hash rides the same
+            # band/pigeonhole/verify machinery
+            sh = batch[hash_col].to_numpy(
+                zero_copy_only=False).view(np.uint64)
+        else:
+            sh = simhash64(batch[text_col].to_numpy(
+                zero_copy_only=False))
+        n = len(keys)
         chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
         chunks = np.empty(4 * n, dtype=np.int64)
         for c in range(4):

@@ -3323,6 +3323,42 @@ def q_pacf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_image_dedup_report(sf_dir: str) -> pa.Table:
+    """Image near-dup pairs (extras surface): real PNG decode →
+    perceptual dHash → the text SimHash band/pigeonhole pair engine;
+    deterministic catalog + planted re-encodes and low-bit perturbed
+    variants — brute-force recall parity in tests/test_image_dedup.py."""
+    from ..datagen import GenConfig, media_dataset
+    from ..functions.png import decode_png, encode_png
+    from .image_dedup import image_near_dup_pairs
+    from .multimodal import synthesize_payloads
+
+    n = {"sf0.001": 120, "sf0.01": 400, "sf0.1": 1200}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 200)
+    media = media_dataset(GenConfig(n_docs=1, n_media=n))
+    pdf = synthesize_payloads(media).to_pandas()
+    pdf = pdf[pdf["kind"] == "image"][["media_ref", "payload"]] \
+        .reset_index(drop=True)
+    extra = []
+    for i in range(0, len(pdf), 5):
+        ref, payload = pdf.loc[i, "media_ref"], pdf.loc[i, "payload"]
+        img = decode_png(bytes(payload))
+        extra.append({"media_ref": f"{ref}#re",
+                      "payload": encode_png(img)})
+        extra.append({"media_ref": f"{ref}#lo",
+                      "payload": encode_png((img & 0xFE) | 1)})
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.concat([pdf, pd.DataFrame(extra)],
+                                  ignore_index=True),
+                        override_num_blocks=4)
+    pairs = image_near_dup_pairs(ds).to_pandas()
+    hist = (pairs.groupby("hamming", as_index=False)
+            .agg(n_pairs=("doc_id_a", "size"))
+            .astype({"hamming": "int64", "n_pairs": "int64"}))
+    return pa.Table.from_pandas(hist, preserve_index=False)
+
+
 def q_quantile_norm_report(sf_dir: str) -> pa.Table:
     """Quantile normalization of events.value across event types
     (extras surface): the census-exact mapping onto the pooled
@@ -3908,6 +3944,7 @@ QUERIES = {
     "delta_view_report": q_delta_view_report,
     "attribution_report": q_attribution_report,
     "quantile_norm_report": q_quantile_norm_report,
+    "image_dedup_report": q_image_dedup_report,
 }
 
 def _stopword_sql(lang: str) -> str:
