@@ -3323,6 +3323,41 @@ def q_pacf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_balance_report(sf_dir: str) -> pa.Table:
+    """Clamped wallet balances per user (extras surface): purchases
+    spend, other events accrue, floor 0 — the Skorokhod two-scan form;
+    per-user final balance + clamp count. Sequential-loop + DuckDB
+    reflection parity in tests/test_balance.py."""
+    from ..stages.balance import clamped_running_balance
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_id",
+                             "event_type", "value"])
+
+    def with_delta(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        spend = (b["event_type"].to_numpy(zero_copy_only=False)
+                 == "purchase")
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "event_id": b["event_id"],
+            "delta": pa.array(np.where(spend, -v, v), pa.float64())})
+
+    out = clamped_running_balance(
+        ev.map_batches(with_delta, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", ["ts", "event_id"], "delta").to_pandas()
+    out = out.sort_values(["user_id", "ts", "event_id"])
+    rep = out.groupby("user_id", as_index=False).agg(
+        final_balance=("balance", "last"),
+        n_clamped=("clamped", "sum"),
+        n_events=("delta", "size"))
+    rep["n_clamped"] = rep["n_clamped"].astype("int64")
+    rep["n_events"] = rep["n_events"].astype("int64")
+    return pa.Table.from_pandas(rep.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_image_dedup_report(sf_dir: str) -> pa.Table:
     """Image near-dup pairs (extras surface): real PNG decode →
     perceptual dHash → the text SimHash band/pigeonhole pair engine;
@@ -3945,6 +3980,7 @@ QUERIES = {
     "attribution_report": q_attribution_report,
     "quantile_norm_report": q_quantile_norm_report,
     "image_dedup_report": q_image_dedup_report,
+    "balance_report": q_balance_report,
 }
 
 def _stopword_sql(lang: str) -> str:
