@@ -122,6 +122,24 @@ QUERY_NAMES = [
     "interpolate_report",
     "simpson_report",
     "cuped_report",
+
+    "q7_volume_shipping", "q8_market_share",
+    "impute_report", "kendall_report",
+    "token_jsd_report", "vocab_growth_report",
+    "kcore_report", "acf_report",
+    "mi_report", "source_entropy_report",
+    "cmh_report", "markov_entropy_report",
+    "q4_order_priority", "q6_revenue_change",
+    "q12_priority_class", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_quantity",
+    "q18_large_volume", "q19_disjunctive",
+    "q22_stale_customers", "anova_report",
+    "concentration_report", "pacf_report",
+    "kruskal_report", "brown_forsythe_report",
+    "bfs_report", "delta_view_report",
+    "attribution_report", "quantile_norm_report",
+    "image_dedup_report", "balance_report",
+    "audio_dedup_report",
 ]
 
 

@@ -3323,6 +3323,43 @@ def q_pacf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_audio_dedup_report(sf_dir: str) -> pa.Table:
+    """Audio near-dup pairs (extras surface): real WAV decode →
+    gain-invariant spectral hash → the shared 64-bit pair engine;
+    deterministic catalog + planted re-encodes and half-gain
+    variants — brute-force recall parity in tests/test_audio_dedup.py."""
+    import ray.data as rd
+
+    from ..datagen import GenConfig, media_dataset
+    from ..functions.wav import decode_wav, encode_wav
+    from .audio_dedup import audio_near_dup_pairs
+    from .multimodal import synthesize_payloads
+
+    n = {"sf0.001": 150, "sf0.01": 450, "sf0.1": 1200}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 200)
+    media = media_dataset(GenConfig(n_docs=1, n_media=n))
+    pdf = synthesize_payloads(media).to_pandas()
+    pdf = pdf[pdf["kind"] == "audio"][["media_ref", "payload"]] \
+        .reset_index(drop=True)
+    extra = []
+    for i in range(0, len(pdf), 4):
+        ref, payload = pdf.loc[i, "media_ref"], pdf.loc[i, "payload"]
+        samples, sr = decode_wav(bytes(payload))
+        extra.append({"media_ref": f"{ref}#re",
+                      "payload": encode_wav(samples, sr)})
+        extra.append({"media_ref": f"{ref}#ga",
+                      "payload": encode_wav(
+                          (samples // 2).astype(np.int16), sr)})
+    ds = rd.from_pandas(pd.concat([pdf, pd.DataFrame(extra)],
+                                  ignore_index=True),
+                        override_num_blocks=4)
+    pairs = audio_near_dup_pairs(ds).to_pandas()
+    hist = (pairs.groupby("hamming", as_index=False)
+            .agg(n_pairs=("doc_id_a", "size"))
+            .astype({"hamming": "int64", "n_pairs": "int64"}))
+    return pa.Table.from_pandas(hist, preserve_index=False)
+
+
 def q_balance_report(sf_dir: str) -> pa.Table:
     """Clamped wallet balances per user (extras surface): purchases
     spend, other events accrue, floor 0 — the Skorokhod two-scan form;
@@ -3981,6 +4018,7 @@ QUERIES = {
     "quantile_norm_report": q_quantile_norm_report,
     "image_dedup_report": q_image_dedup_report,
     "balance_report": q_balance_report,
+    "audio_dedup_report": q_audio_dedup_report,
 }
 
 def _stopword_sql(lang: str) -> str:
