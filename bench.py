@@ -139,7 +139,7 @@ QUERY_NAMES = [
     "bfs_report", "delta_view_report",
     "attribution_report", "quantile_norm_report",
     "image_dedup_report", "balance_report",
-    "audio_dedup_report",
+    "audio_dedup_report", "wap_report", "robust_stats_report",
 ]
 
 

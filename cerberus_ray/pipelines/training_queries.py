@@ -3323,6 +3323,45 @@ def q_pacf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_wap_report(sf_dir: str) -> pa.Table:
+    """Write-Audit-Publish gate (extras surface): a clean load
+    publishes, a violation-injected load quarantines — one row per
+    attempt with the audit verdict; full behavior in
+    tests/test_wap.py."""
+    import tempfile
+
+    from ..datagen import GenConfig, docs_dataset, media_dataset
+    from .wap import published_version, wap_publish
+
+    out = tempfile.mkdtemp(prefix="wap_", dir="/tmp")
+    n = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 3000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 300)
+    dirty = GenConfig(n_docs=n)
+    r1 = wap_publish(docs_dataset(dirty), media_dataset(dirty), out,
+                     version="001")
+    clean = GenConfig(n_docs=n, fractions={})
+    r2 = wap_publish(docs_dataset(clean), media_dataset(clean), out,
+                     version="002")
+    rows = [{"attempt": r["version"], "n_docs": r["n_docs"],
+             "n_violations": r["n_violations"],
+             "published": r["published"]} for r in (r1, r2)]
+    assert published_version(out) == "002"
+    return pa.Table.from_pandas(pd.DataFrame(rows),
+                                preserve_index=False)
+
+
+def q_robust_stats_report(sf_dir: str) -> pa.Table:
+    """Robust grouped stats (extras surface): trimmed/winsorized mean
+    + quantile_disc median/MAD of events.value per type, census
+    closed forms — DuckDB window parity in tests/test_robust.py."""
+    from ..stages.robust import grouped_robust_stats
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+    out = grouped_robust_stats(ev, "event_type", "value", trim=0.1)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_audio_dedup_report(sf_dir: str) -> pa.Table:
     """Audio near-dup pairs (extras surface): real WAV decode →
     gain-invariant spectral hash → the shared 64-bit pair engine;
@@ -4019,6 +4058,8 @@ QUERIES = {
     "image_dedup_report": q_image_dedup_report,
     "balance_report": q_balance_report,
     "audio_dedup_report": q_audio_dedup_report,
+    "wap_report": q_wap_report,
+    "robust_stats_report": q_robust_stats_report,
 }
 
 def _stopword_sql(lang: str) -> str:
