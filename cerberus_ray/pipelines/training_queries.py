@@ -3323,6 +3323,39 @@ def q_pacf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_raking_report(sf_dir: str) -> pa.Table:
+    """IPF raking (extras surface): per-cell weights that balance the
+    event-type × weekday contingency table to uniform marginals —
+    marginal-matching + closed-form tests in tests/test_raking.py."""
+    from ..stages.raking import rake_weights
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts"])
+
+    _DOW = np.array([f"d{i}" for i in range(7)], dtype=object)
+
+    def with_dow(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False)
+        dow = ((ts.astype("datetime64[D]").view("int64") + 3) % 7)
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "dow": pa.array(_DOW[dow], pa.string())})
+
+    dsd = ev.map_batches(with_dow, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    census = dsd.map_batches(
+        lambda b: b.group_by(["event_type", "dow"]).aggregate(
+            [([], "count_all")]),
+        batch_format="pyarrow").to_pandas()
+    types = sorted(census["event_type"].unique())
+    dows = sorted(census["dow"].unique())
+    out = rake_weights(dsd, "event_type", "dow",
+                       target_a={t: 1.0 / len(types) for t in types},
+                       target_b={d: 1.0 / len(dows) for d in dows})
+    out["weight"] = out["weight"].round(9)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_wap_report(sf_dir: str) -> pa.Table:
     """Write-Audit-Publish gate (extras surface): a clean load
     publishes, a violation-injected load quarantines — one row per
@@ -4060,6 +4093,7 @@ QUERIES = {
     "audio_dedup_report": q_audio_dedup_report,
     "wap_report": q_wap_report,
     "robust_stats_report": q_robust_stats_report,
+    "raking_report": q_raking_report,
 }
 
 def _stopword_sql(lang: str) -> str:
