@@ -140,7 +140,7 @@ QUERY_NAMES = [
     "attribution_report", "quantile_norm_report",
     "image_dedup_report", "balance_report",
     "audio_dedup_report", "wap_report", "robust_stats_report",
-    "raking_report",
+    "raking_report", "target_encoding_report",
 ]
 
 

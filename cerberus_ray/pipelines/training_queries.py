@@ -3323,6 +3323,31 @@ def q_pacf_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_target_encoding_report(sf_dir: str) -> pa.Table:
+    """Target encoding (extras surface): smoothed per-user purchase
+    propensity map (m-estimate) over events — DuckDB window parity in
+    tests/test_target_encode.py."""
+    import ray.data as rd
+
+    from ..stages.target_encode import target_encoding_map
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+
+    def with_y(b: pa.Table) -> pa.Table:
+        y = (b["event_type"].to_numpy(zero_copy_only=False)
+             == "purchase").astype(np.float64)
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"], "y": pa.array(y, pa.float64())})
+
+    out = target_encoding_map(
+        ev.map_batches(with_y, batch_format="pyarrow",
+                       zero_copy_batch=True), "user_id", "y", m=10.0)
+    out["encoding"] = out["encoding"].round(9)
+    out["prior"] = out["prior"].round(9)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_raking_report(sf_dir: str) -> pa.Table:
     """IPF raking (extras surface): per-cell weights that balance the
     event-type × weekday contingency table to uniform marginals —
@@ -4094,6 +4119,7 @@ QUERIES = {
     "wap_report": q_wap_report,
     "robust_stats_report": q_robust_stats_report,
     "raking_report": q_raking_report,
+    "target_encoding_report": q_target_encoding_report,
 }
 
 def _stopword_sql(lang: str) -> str:
