@@ -141,6 +141,9 @@ QUERY_NAMES = [
     "image_dedup_report", "balance_report",
     "audio_dedup_report", "wap_report", "robust_stats_report",
     "raking_report", "target_encoding_report",
+    # tenth-session extras (tf-weighted ICWS near-dup, embedding MMD
+    # drift, t-closeness privacy census)
+    "wminhash_dedup_report",
 ]
 
 

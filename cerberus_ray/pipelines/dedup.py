@@ -310,7 +310,8 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
                            w: int = 3, bands: int = 16,
                            threshold: float = 0.8, seed: int = 42,
                            mode: str = "auto",
-                           n_rows_hint: int = 0) -> pa.Table:
+                           n_rows_hint: int = 0,
+                           sig_fn=None) -> pa.Table:
     """→ (doc_id_a, doc_id_b, jaccard_est) pairs with est. Jaccard ≥ threshold.
 
     In-bucket pairs + signature-estimated Jaccard finish on the driver
@@ -333,6 +334,10 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
       is O(duplicate buckets + candidate members), never
       O(docs × bands). The 10^9+ path.
     Both modes are output-identical (agreement-tested).
+
+    ``sig_fn`` (texts → (n, k) uint64) swaps the signature kernel while
+    keeping the whole LSH/bucket/pair plan — the seam the weighted
+    ICWS variant (:func:`wminhash_near_dup_pairs`) plugs into.
     """
     import ray
 
@@ -346,7 +351,8 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
     def _sig_buckets(batch: pa.Table):
         texts = batch[text_col].to_numpy(zero_copy_only=False)
         keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
-        sigs = minhash_signatures(texts, k=k, w=w, seed=seed)
+        sigs = (sig_fn(texts) if sig_fn is not None
+                else minhash_signatures(texts, k=k, w=w, seed=seed))
         bh = band_hashes(sigs, bands=bands)
         n = len(texts)
         bucket = (np.ascontiguousarray(bh.reshape(-1)).view(np.int64)
@@ -477,6 +483,167 @@ def minhash_near_dup_pairs(ds, *, text_col: str = "text",
     out = pd.DataFrame({"doc_id_a": key_np[ii[keepj]],
                         "doc_id_b": key_np[jj[keepj]],
                         "jaccard_est": jac[keepj].round(4)})
+    out = out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Weighted MinHash (ICWS)
+# ---------------------------------------------------------------------------
+
+def _unit_uniform(x: np.ndarray, salt: np.uint64) -> np.ndarray:
+    """Deterministic uniform draws in strict (0, 1) from uint64 keys:
+    splitmix64(x ^ salt) → top 53 bits → (h + 0.5) · 2⁻⁵³. Never 0 or 1,
+    so every log/division downstream is finite."""
+    h = splitmix64(x ^ salt) >> np.uint64(11)
+    return (h.astype(np.float64) + 0.5) * (2.0 ** -53)
+
+
+def _doc_token_weights(texts: np.ndarray):
+    """Flatten a text batch into per-document distinct-token tf weights.
+
+    → (fh, w, starts, counts): token-hash uint64, tf weight float64, and
+    the per-document segment index over the flat arrays (every doc owns
+    ≥ 1 row — empty docs get the hash of "" with weight 1, mirroring
+    :func:`minhash_signatures`'s empty-shingle convention)."""
+    token_lists = [t or [""] for t in _tokenize(texts)]
+    n_tok = np.array([len(t) for t in token_lists], dtype=np.int64)
+    flat = np.array([tok for lst in token_lists for tok in lst],
+                    dtype=object)
+    fh_all = hash_strings(flat)
+    doc_all = np.repeat(np.arange(len(token_lists), dtype=np.int64), n_tok)
+    # distinct (doc, token) with multiplicity = tf: sort by (doc, fh),
+    # run-length-encode equal runs
+    order = np.lexsort((fh_all, doc_all))
+    doc_s, fh_s = doc_all[order], fh_all[order]
+    new = np.ones(len(doc_s), dtype=bool)
+    new[1:] = (doc_s[1:] != doc_s[:-1]) | (fh_s[1:] != fh_s[:-1])
+    run_starts = np.flatnonzero(new)
+    tf = np.diff(np.append(run_starts, len(doc_s))).astype(np.float64)
+    fh = fh_s[run_starts]
+    doc = doc_s[run_starts]
+    counts = np.bincount(doc, minlength=len(token_lists)).astype(np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return fh, tf, starts, counts
+
+
+def icws_signatures(texts: np.ndarray, *, k: int = 64,
+                    seed: int = 42) -> np.ndarray:
+    """(n_docs, k) uint64 Improved Consistent Weighted Sampling
+    signatures (Ioffe 2010) over unigram tf weights.
+
+    Per hash slot i and feature f, the ICWS draws r, c ~ Gamma(2, 1)
+    and β ~ U(0, 1) come from counter-based splitmix64 streams keyed on
+    (feature hash, i) — no RNG state, so signatures are deterministic
+    across runs, block layouts and workers (the engine contract). With
+    t = ⌊ln w / r + β⌋, ln y = r (t − β), ln a = ln c − ln y − r, the
+    slot emits hash(argmin_f a, t*): two docs collide on a slot with
+    probability equal to their WEIGHTED Jaccard Σ min(w) / Σ max(w) —
+    the quantity plain MinHash cannot see (it treats tf 1 and tf 40
+    alike, so template spam with repeated tokens under-matches).
+
+    Fully vectorized: the per-slot loop runs k segmented-argmin passes
+    over the flat (doc, feature) arrays — no per-doc Python.
+    """
+    fh, w, starts, counts = _doc_token_weights(texts)
+    n = len(counts)
+    sigs = np.empty((n, k), dtype=np.uint64)
+    lnw = np.log(w)
+    seg_doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    base = splitmix64(np.full(1, seed, dtype=np.uint64))[0]
+    for i in range(k):
+        salts = splitmix64(np.arange(6, dtype=np.uint64)
+                           + np.uint64(i * 6) + base)
+        u1 = _unit_uniform(fh, salts[0])
+        u2 = _unit_uniform(fh, salts[1])
+        u3 = _unit_uniform(fh, salts[2])
+        u4 = _unit_uniform(fh, salts[3])
+        beta = _unit_uniform(fh, salts[4])
+        r = -np.log(u1 * u2)           # Gamma(2,1) via sum of two exps
+        lnc = np.log(-np.log(u3 * u4))
+        t = np.floor(lnw / r + beta)
+        lna = lnc - r * (t - beta) - r
+        seg_min = np.minimum.reduceat(lna, starts)
+        is_min = lna == np.repeat(seg_min, counts)
+        cand = np.flatnonzero(is_min)
+        first = cand[np.unique(seg_doc[cand], return_index=True)[1]]
+        t_u = t[first].astype(np.int64).view(np.uint64)
+        sigs[:, i] = splitmix64(fh[first] ^ splitmix64(t_u ^ salts[5]))
+    return sigs
+
+
+def weighted_jaccard(text_a: str, text_b: str) -> float:
+    """Exact weighted (tf) Jaccard Σ_f min(tf_a, tf_b) / Σ_f max(tf_a,
+    tf_b) over unigram tokens — the verification kernel for ICWS
+    candidates (generalized Jaccard; equals set Jaccard on 0/1 tfs)."""
+    from collections import Counter
+
+    ca = Counter((text_a or "").lower().split())
+    cb = Counter((text_b or "").lower().split())
+    if not ca and not cb:
+        return 1.0
+    num = sum(min(ca[f], cb[f]) for f in ca.keys() & cb.keys())
+    den = sum((ca | cb).values())
+    return num / den if den else 1.0
+
+
+def wminhash_near_dup_pairs(ds, *, text_col: str = "text",
+                            key_col: str = "doc_id", k: int = 64,
+                            bands: int = 16, threshold: float = 0.7,
+                            seed: int = 42, mode: str = "auto",
+                            n_rows_hint: int = 0) -> pa.Table:
+    """Weighted near-dup pairs: ICWS signatures through the SAME
+    LSH/bucket/pair plan as :func:`minhash_near_dup_pairs` (both
+    driver/shuffle modes, vectorized pair kernel, O(candidates) driver
+    memory) — only the signature kernel differs, so every scale
+    property of the unweighted path carries over.
+
+    → (doc_id_a, doc_id_b, wjaccard_est) with estimated WEIGHTED
+    Jaccard ≥ threshold (slot-collision probability is exactly the
+    weighted Jaccard, so the equal-slot fraction is its unbiased
+    estimator)."""
+    out = minhash_near_dup_pairs(
+        ds, text_col=text_col, key_col=key_col, k=k, bands=bands,
+        threshold=threshold, seed=seed, mode=mode,
+        n_rows_hint=n_rows_hint,
+        sig_fn=lambda texts: icws_signatures(texts, k=k, seed=seed))
+    return out.rename_columns(["doc_id_a", "doc_id_b", "wjaccard_est"])
+
+
+def verify_pairs_weighted(pairs_table: pa.Table, ds, *,
+                          text_col: str = "text",
+                          key_col: str = "doc_id",
+                          threshold: float = 0.7) -> pa.Table:
+    """Exact weighted-Jaccard verification of ICWS candidate pairs —
+    same candidate-only broadcast semi-join shape as
+    :func:`verify_pairs_exact`. → (doc_id_a, doc_id_b, wjaccard)."""
+    import ray
+
+    a = pairs_table["doc_id_a"].to_pylist()
+    b = pairs_table["doc_id_b"].to_pylist()
+    wanted = sorted(set(a) | set(b))
+    ref = ray.put(np.array(wanted, dtype=object))
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        mask = np.isin(keys.astype(str), ids.astype(str))
+        return pa.Table.from_arrays(
+            [pa.array(keys[mask], type=pa.string()),
+             batch[text_col].filter(pa.array(mask))],
+            names=["key", "text"])
+
+    texts = ds.map_batches(grab, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    lookup = dict(zip(texts.get("key", []), texts.get("text", [])))
+    wj = np.array([weighted_jaccard(lookup.get(x, ""), lookup.get(y, ""))
+                   for x, y in zip(a, b)])
+    keep = wj >= threshold
+    out = pd.DataFrame({"doc_id_a": np.array(a, dtype=object)[keep],
+                        "doc_id_b": np.array(b, dtype=object)[keep],
+                        "wjaccard": wj[keep].round(4)})
     out = out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -62,6 +62,16 @@ def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
     return DD.verify_pairs_exact(cand, docs, threshold=0.5)
 
 
+def q_wminhash_dedup_report(sf_dir: str) -> pa.Table:
+    """Weighted (ICWS) near-dup pairs, exact-weighted-Jaccard verified —
+    the tf-aware twin of dedup_ngram_verified: template spam with
+    repeated-token mass matches here at thresholds where set-based
+    shingle Jaccard under-counts. → (doc_id_a, doc_id_b, wjaccard)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cand = DD.wminhash_near_dup_pairs(docs, threshold=0.7)
+    return DD.verify_pairs_weighted(cand, docs, threshold=0.7)
+
+
 def q_emb_near_dup(sf_dir: str) -> pa.Table:
     return SIM.embedding_near_dup_pairs(_emb(sf_dir), threshold=0.45,
                                         n_bits=8)
@@ -4001,6 +4011,7 @@ QUERIES = {
     "token_budget_report": q_token_budget_report,
     "emb_outlier_report": q_emb_outlier_report,
     "semantic_dedup_report": q_semantic_dedup_report,
+    "wminhash_dedup_report": q_wminhash_dedup_report,
     "dsir_report": q_dsir_report,
     "pca_report": q_pca_report,
     "orders_rollup": q_orders_rollup,

@@ -437,3 +437,73 @@ def test_minhash_matches_bruteforce_reference(ray_session):
                                             got["jaccard_est"].to_pylist())}
     assert got_map == expected
     assert len(expected) > 20
+
+
+# ---------------------------------------------------------------------------
+# Weighted MinHash (ICWS)
+# ---------------------------------------------------------------------------
+
+def test_weighted_jaccard_bounds_and_tf_sensitivity():
+    assert DD.weighted_jaccard(BASE, BASE) == 1.0
+    assert DD.weighted_jaccard("", "") == 1.0
+    assert DD.weighted_jaccard("a b", "c d") == 0.0
+    # tf structure: "a a a b" vs "a b" → min/max = (1+1)/(3+1) = 0.5,
+    # while SET jaccard would be 1.0
+    assert DD.weighted_jaccard("a a a b", "a b") == 0.5
+
+
+def test_icws_estimates_weighted_jaccard():
+    t1 = ("buy now " * 20) + "offer ends tuesday"
+    t2 = ("buy now " * 20) + "offer ends friday"
+    t3 = "completely different words here entirely now what"
+    texts = np.array([t1, t2, t3, t1], dtype=object)
+    sigs = DD.icws_signatures(texts, k=1024)
+    assert sigs.shape == (4, 1024) and sigs.dtype == np.uint64
+    # determinism across calls (counter-based draws, no RNG state)
+    assert np.array_equal(sigs, DD.icws_signatures(texts, k=1024))
+    est = (sigs[0] == sigs[1]).mean()
+    true_w = DD.weighted_jaccard(t1, t2)          # 42/44 ≈ 0.955
+    assert abs(est - true_w) < 0.05
+    # the weighted estimator must SEE the tf mass: set jaccard is 4/6
+    assert est > 0.85 > 4 / 6
+    assert (sigs[0] == sigs[2]).mean() < 0.1      # unrelated
+    assert (sigs[0] == sigs[3]).mean() == 1.0     # identical doc
+
+
+def test_wminhash_finds_template_spam_pairs(ray_session):
+    """Template spam (high-tf shared boilerplate, differing tails) has
+    weighted jaccard ≫ set jaccard — the pair ICWS catches at a
+    threshold where unweighted minhash (3-shingle) misses it."""
+    rng = np.random.default_rng(7)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu").split()
+    rows = [{"doc_id": f"r{i:03d}",
+             "text": " ".join(rng.choice(words, size=30))}
+            for i in range(20)]
+    rows.append({"doc_id": "s001",
+                 "text": ("buy now " * 20) + "offer ends tuesday"})
+    rows.append({"doc_id": "s002",
+                 "text": ("buy now " * 20) + "offer ends friday"})
+    rows.append({"doc_id": "x001", "text": BASE})
+    rows.append({"doc_id": "x002", "text": BASE})
+    ds2 = rd.from_pandas(pd.DataFrame(rows))
+    pairs = DD.wminhash_near_dup_pairs(ds2, threshold=0.8).to_pandas()
+    got = set(map(tuple, pairs[["doc_id_a", "doc_id_b"]].values))
+    assert ("s001", "s002") in got
+    assert ("x001", "x002") in got
+    assert not any(a.startswith("r") or b.startswith("r") for a, b in got)
+    exact = pairs[(pairs.doc_id_a == "x001") & (pairs.doc_id_b == "x002")]
+    assert exact["wjaccard_est"].iloc[0] == 1.0
+    # driver vs shuffle pass-1 plans stay output-identical (the planner
+    # contract inherited from the unweighted path)
+    shf = DD.wminhash_near_dup_pairs(ds2, threshold=0.8, mode="shuffle")
+    drv = DD.wminhash_near_dup_pairs(ds2, threshold=0.8, mode="driver")
+    assert drv.equals(shf)
+    # exact-weighted verification keeps the true pairs, kills planted fakes
+    cand = pa.Table.from_pydict({
+        "doc_id_a": ["s001", "x001", "r000"],
+        "doc_id_b": ["s002", "x002", "r001"],
+        "wjaccard_est": [0.95, 1.0, 0.9]})
+    ver = DD.verify_pairs_weighted(cand, ds2, threshold=0.8).to_pandas()
+    assert list(ver["doc_id_a"]) == ["s001", "x001"]
+    assert ver["wjaccard"].iloc[1] == 1.0
