@@ -87,3 +87,19 @@ def hash_strings(arr) -> np.ndarray:
                     ^ np.uint64(len(b))
                 )
         return splitmix64(out)
+
+
+def round_away(x, ndigits: int = 2) -> np.ndarray:
+    """SQL ROUND semantics (half away from zero) with a CORRECTLY-ROUNDED
+    result double.
+
+    arrow's ``pc.round`` rescales by multiplying with the inverse power
+    of ten, which leaves e.g. 657.55 as 657.5500000000001 — an ulp off
+    the double DuckDB's ROUND returns, so bit-exact oracle comparisons
+    fail even though the decimal value is identical. Scaling up,
+    flooring at ±0.5, and ONE true division yields the nearest double
+    to the decimal value on every element."""
+    v = np.asarray(x, dtype=np.float64)
+    p = 10.0 ** ndigits
+    y = v * p
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / p

@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..determinism import round_away
 import ray
 
 from ..rules.core import RuleSet, enum_domain, range_rule
@@ -337,7 +339,7 @@ def q_q1_pricing_summary(sf_dir: str) -> pa.Table:
     for col in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
                 "avg_qty", "avg_price", "avg_disc"]:
         t = t.set_column(t.schema.get_field_index(col), col,
-                         pc.round(t[col], **_R2))
+                         pa.array(round_away(np.asarray(t[col]))))
     return t
 
 
@@ -355,7 +357,7 @@ def q_events_weekly(sf_dir: str) -> pa.Table:
                     {"n": ("", "count"), "total_value": ("value", "sum")})
     t = pa.Table.from_pandas(g, preserve_index=False)
     return t.set_column(t.schema.get_field_index("total_value"), "total_value",
-                        pc.round(t["total_value"], **_R2))
+                        pa.array(round_away(np.asarray(t["total_value"]))))
 
 
 def q_events_by_type(sf_dir: str) -> pa.Table:
@@ -367,9 +369,9 @@ def q_events_by_type(sf_dir: str) -> pa.Table:
                      "avg_value": ("value", "mean")})
     t = pa.Table.from_pandas(g, preserve_index=False)
     t = t.set_column(t.schema.get_field_index("total_value"), "total_value",
-                     pc.round(t["total_value"], **_R2))
+                     pa.array(round_away(np.asarray(t["total_value"]))))
     return t.set_column(t.schema.get_field_index("avg_value"), "avg_value",
-                        pc.round(t["avg_value"], **_R2))
+                        pa.array(round_away(np.asarray(t["avg_value"]))))
 
 
 def q_events_users_per_type(sf_dir: str, mode: str = "auto") -> pa.Table:
@@ -547,7 +549,7 @@ def q_doc_stats(sf_dir: str) -> pa.Table:
                      "max_chars": ("n_chars", "max")})
     t = pa.Table.from_pandas(g, preserve_index=False)
     return t.set_column(t.schema.get_field_index("avg_chars"), "avg_chars",
-                        pc.round(t["avg_chars"], **_R2))
+                        pa.array(round_away(np.asarray(t["avg_chars"]))))
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..determinism import round_away
 import ray
 
 from ..sources.io import read_table
@@ -212,7 +214,7 @@ def q_events_hourly_windows(sf_dir: str) -> pa.Table:
                     {"n": ("", "count"), "total_value": ("value", "sum")})
     t = pa.Table.from_pandas(g, preserve_index=False)
     return t.set_column(t.schema.get_field_index("total_value"), "total_value",
-                        pc.round(t["total_value"], **_R2))
+                        pa.array(round_away(np.asarray(t["total_value"]))))
 
 
 def q_events_sessions(sf_dir: str) -> pa.Table:
@@ -289,7 +291,8 @@ def q_events_rolling_1h(sf_dir: str) -> pa.Table:
     # (Residual cross-engine float noise can still flip ~1e-4 of rows at
     # much larger scales; the sf0.01 oracle gate is exact.)
     return t.set_column(t.schema.get_field_index("rolling_avg"),
-                        "rolling_avg", pc.round(t["rolling_avg"], **_R2))
+                        "rolling_avg",
+                        pa.array(round_away(np.asarray(t["rolling_avg"]))))
 
 
 def q_top_orders_per_nation(sf_dir: str, *, mode: str = "auto") -> pa.Table:
@@ -531,7 +534,7 @@ def q_events_props_stats(sf_dir: str) -> pa.Table:
     t = t.set_column(t.schema.get_field_index("total_k"), "total_k",
                      pc.cast(t["total_k"], pa.int64()))
     return t.set_column(t.schema.get_field_index("avg_k"), "avg_k",
-                        pc.round(t["avg_k"], **_R2))
+                        pa.array(round_away(np.asarray(t["avg_k"]))))
 
 
 QUERIES = {

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..determinism import hash_strings
+from ..determinism import hash_strings, round_away
 
 # tiny built-in function-word lists (public common words)
 _STOPWORDS: Dict[str, frozenset] = {
@@ -346,7 +346,7 @@ def token_stats_by_lang(ds) -> pa.Table:
     t = pa.Table.from_pandas(g, preserve_index=False)
     return t.set_column(
         t.schema.get_field_index("avg_tokens"), "avg_tokens",
-        pc.round(t["avg_tokens"], ndigits=2, round_mode="half_towards_infinity"))
+        pa.array(round_away(np.asarray(t["avg_tokens"]))))
 
 
 # ---------------------------------------------------------------------------

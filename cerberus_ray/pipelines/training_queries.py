@@ -62,6 +62,50 @@ def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
     return DD.verify_pairs_exact(cand, docs, threshold=0.5)
 
 
+def q_mmd_drift_report(sf_dir: str) -> pa.Table:
+    """Bucketed kernel two-sample (MMD) drift verdicts on the embedding
+    table (extras surface): the even/odd vec_id split is the null case
+    (same distribution → no drift); the 'shifted' case perturbs the odd
+    side by +0.5 in dim 0 and must trip the Binomial-combined verdict.
+    → (case, n_buckets, n_tested, n_reject, mean_mmd2, binom_crit,
+    drift)."""
+    from ..stages.mmd import mmd_drift_summary
+
+    emb = _emb(sf_dir).materialize()
+
+    def parity(rem: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == rem))
+        return fn
+
+    even = emb.map_batches(parity(0), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    odd = emb.map_batches(parity(1), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def shift(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        V = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in b["embedding"].to_numpy(zero_copy_only=False)])
+        V[:, 0] += 0.5
+        i = b.schema.get_field_index("embedding")
+        return b.set_column(i, "embedding",
+                            pa.array(list(V), pa.list_(pa.float32())))
+
+    rows = []
+    for case, side_b in (("null", odd),
+                         ("shifted", odd.map_batches(
+                             shift, batch_format="pyarrow"))):
+        s = mmd_drift_summary(even, side_b, n_buckets=8,
+                              n_perm=200, seed=42).to_pandas()
+        s.insert(0, "case", case)
+        rows.append(s)
+    out = pd.concat(rows, ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_wminhash_dedup_report(sf_dir: str) -> pa.Table:
     """Weighted (ICWS) near-dup pairs, exact-weighted-Jaccard verified —
     the tf-aware twin of dedup_ngram_verified: template spam with
@@ -4012,6 +4056,7 @@ QUERIES = {
     "emb_outlier_report": q_emb_outlier_report,
     "semantic_dedup_report": q_semantic_dedup_report,
     "wminhash_dedup_report": q_wminhash_dedup_report,
+    "mmd_drift_report": q_mmd_drift_report,
     "dsir_report": q_dsir_report,
     "pca_report": q_pca_report,
     "orders_rollup": q_orders_rollup,

@@ -27,6 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..determinism import round_away
+
 from .groupagg import grouped_agg
 
 __all__ = ["roc_auc"]
@@ -47,8 +49,9 @@ def roc_auc(ds, score_col: str, label_col: str, *,
         def q(b: pa.Table) -> pa.Table:
             return b.set_column(
                 b.schema.get_field_index(score_col), score_col,
-                pc.round(pc.cast(b[score_col], pa.float64()),
-                         ndigits=quantize))
+                pa.array(round_away(np.asarray(pc.cast(b[score_col],
+                                                       pa.float64())),
+                                    quantize)))
         src = ds.map_batches(q, batch_format="pyarrow",
                              zero_copy_batch=True)
 
