@@ -143,7 +143,7 @@ QUERY_NAMES = [
     "raking_report", "target_encoding_report",
     # tenth-session extras (tf-weighted ICWS near-dup, embedding MMD
     # drift, t-closeness privacy census)
-    "wminhash_dedup_report",
+    "wminhash_dedup_report", "mmd_drift_report", "t_closeness_report",
 ]
 
 

@@ -2326,6 +2326,30 @@ def q_k_anonymity_report(sf_dir: str) -> pa.Table:
         ["user_id", "event_type"], k=5, l=2, sensitive_col="vband")
 
 
+def q_t_closeness_report(sf_dir: str) -> pa.Table:
+    """t-closeness census (extras surface): does any (event_type ×
+    6-hour band) group's value-band distribution drift more than t from
+    the global one? Ordered EMD metric over the banded domain."""
+    from ..stages.privacy import t_closeness_report
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "ts", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        hrs = pc.hour(b["ts"]).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "hourband": pa.array((hrs // 6).astype(np.int64), pa.int64()),
+            "vband": pa.array(np.floor_divide(v, 100.0).astype(np.int64),
+                              pa.int64())})
+
+    return t_closeness_report(
+        ev.map_batches(bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hourband"], "vband", t=0.2, ordered=True)
+
+
 def q_coreset_report(sf_dir: str) -> pa.Table:
     """Greedy k-center coreset (extras surface): the 12 most mutually
     diverse embedding rows (Gonzalez farthest-point, cosine) with the
@@ -4057,6 +4081,7 @@ QUERIES = {
     "semantic_dedup_report": q_semantic_dedup_report,
     "wminhash_dedup_report": q_wminhash_dedup_report,
     "mmd_drift_report": q_mmd_drift_report,
+    "t_closeness_report": q_t_closeness_report,
     "dsir_report": q_dsir_report,
     "pca_report": q_pca_report,
     "orders_rollup": q_orders_rollup,

@@ -150,3 +150,67 @@ def dp_grouped_counts(ds, cols: Sequence[str], *, epsilon: float = 1.0,
     g["n_noisy"] = np.round(g["n"].to_numpy(np.float64) + noise,
                             round_digits)
     return g[cols + ["n_noisy"]]
+
+
+def t_closeness_report(ds, quasi_cols: Sequence[str],
+                       sensitive_col: str, *, t: float = 0.2,
+                       ordered: bool = False,
+                       mode: str = "auto") -> pa.Table:
+    """t-closeness census (Li, Li & Venkatasubramanian 2007): every
+    quasi-identifier group's SENSITIVE-value distribution must stay
+    within ``t`` of the global distribution — the refinement of
+    l-diversity that catches skewed-but-diverse groups (a group that is
+    80% one diagnosis "satisfies" l=2 yet leaks).
+
+    Distance: total variation ½ Σ|p_g − q| for categorical domains;
+    with ``ordered=True`` the normalized Earth-Mover's distance
+    Σ|cumsum(p_g − q)| / (m−1) over the sorted domain (the paper's
+    ordered-attribute metric — a one-bucket shift in a wide domain
+    counts less than a far shift).
+
+    Scale shape: one (quasi × sensitive) census through the module's
+    driver/shuffle planner — census rows ∝ combo × domain cardinality
+    (bounded when both are; near-unique quasi-identifiers are the risky
+    case and route through 'shuffle'); the pivot/distance math runs on
+    that census frame, never on raw rows.
+
+    → one row: (n_rows, n_groups, n_groups_above_t, max_distance,
+    mean_distance, t, measure)."""
+    quasi_cols = list(quasi_cols)
+    if mode == "auto":
+        mode = ("driver" if ds.count() <= DRIVER_ROW_LIMIT else "shuffle")
+    census = _group_counts(ds, quasi_cols + [sensitive_col], mode)
+    measure = "emd" if ordered else "tv"
+    if not len(census):
+        return pa.Table.from_pydict({
+            "n_rows": pa.array([0], pa.int64()),
+            "n_groups": pa.array([0], pa.int64()),
+            "n_groups_above_t": pa.array([0], pa.int64()),
+            "max_distance": pa.array([0.0], pa.float64()),
+            "mean_distance": pa.array([0.0], pa.float64()),
+            "t": pa.array([float(t)], pa.float64()),
+            "measure": pa.array([measure], pa.string())})
+    M = census.pivot_table(index=quasi_cols, columns=sensitive_col,
+                           values="n", aggfunc="sum", fill_value=0,
+                           dropna=False)
+    M = M.reindex(sorted(M.columns), axis=1)  # ordered domain ascending
+    counts = M.to_numpy(dtype=np.float64)
+    row_tot = counts.sum(axis=1, keepdims=True)
+    p = counts / row_tot
+    q = counts.sum(axis=0) / counts.sum()
+    diff = p - q[None, :]
+    if ordered and counts.shape[1] > 1:
+        dist = np.abs(np.cumsum(diff, axis=1)).sum(axis=1) / (
+            counts.shape[1] - 1)
+    else:
+        dist = 0.5 * np.abs(diff).sum(axis=1)
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([int(counts.sum())], pa.int64()),
+        "n_groups": pa.array([len(M)], pa.int64()),
+        "n_groups_above_t": pa.array([int((dist > t).sum())], pa.int64()),
+        "max_distance": pa.array([round(float(dist.max()), 6)],
+                                 pa.float64()),
+        "mean_distance": pa.array([round(float(dist.mean()), 6)],
+                                  pa.float64()),
+        "t": pa.array([float(t)], pa.float64()),
+        "measure": pa.array([measure], pa.string())})

@@ -131,3 +131,71 @@ def test_dp_counts_guard_and_modes(ray_session):
     s = dp_grouped_counts(rd.from_pandas(df), ["g"], mode="shuffle",
                           seed=5)
     pd.testing.assert_frame_equal(d, s)       # noise is key-based
+
+
+def test_t_closeness_hand_computed(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.privacy import t_closeness_report
+
+    # group A: 4 of s=0, 0 of s=1 ; group B: 2 of each
+    # global q = (6/8, 2/8); p_A = (1, 0) → TV = 0.25; p_B = (.5, .5)
+    # → TV = 0.25 ; so at t=0.2 both groups violate, at t=0.3 none
+    df = pd.DataFrame({"g": ["A"] * 4 + ["B"] * 4,
+                       "s": [0, 0, 0, 0, 0, 0, 1, 1]})
+    ds = rd.from_pandas(df)
+    r = t_closeness_report(ds, ["g"], "s", t=0.2).to_pandas()
+    assert r["n_groups"].iloc[0] == 2
+    assert r["n_groups_above_t"].iloc[0] == 2
+    assert abs(r["max_distance"].iloc[0] - 0.25) < 1e-9
+    r2 = t_closeness_report(ds, ["g"], "s", t=0.3).to_pandas()
+    assert r2["n_groups_above_t"].iloc[0] == 0
+
+
+def test_t_closeness_ordered_vs_categorical(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.privacy import t_closeness_report
+
+    # adjacent-bucket shift vs far shift: same TV, different EMD
+    near = pd.DataFrame({"g": ["A"] * 4 + ["B"] * 4,
+                         "s": [0, 0, 1, 1, 1, 1, 2, 2]})
+    far = pd.DataFrame({"g": ["A"] * 4 + ["B"] * 4,
+                        "s": [0, 0, 2, 2, 2, 2, 4, 4]})
+    tv_near = t_closeness_report(rd.from_pandas(near), ["g"], "s",
+                                 ordered=False).to_pandas()
+    tv_far = t_closeness_report(rd.from_pandas(far), ["g"], "s",
+                                ordered=False).to_pandas()
+    assert tv_near["max_distance"].iloc[0] == tv_far["max_distance"].iloc[0]
+    emd_near = t_closeness_report(rd.from_pandas(near), ["g"], "s",
+                                  ordered=True).to_pandas()
+    emd_far = t_closeness_report(rd.from_pandas(far), ["g"], "s",
+                                 ordered=True).to_pandas()
+    # domain for 'far' is {0,2,4} → positions 0,1,2: same normalized EMD
+    # shape as 'near' {0,1,2}; widen the far domain to force a difference
+    far5 = pd.DataFrame({"g": ["A"] * 4 + ["B"] * 4,
+                         "s": [0, 0, 4, 4, 4, 4, 2, 1]})
+    emd_far5 = t_closeness_report(rd.from_pandas(far5), ["g"], "s",
+                                  ordered=True).to_pandas()
+    assert emd_near["measure"].iloc[0] == "emd"
+    assert emd_far5["max_distance"].iloc[0] != emd_near["max_distance"].iloc[0]
+    assert emd_far["n_groups"].iloc[0] == 2
+
+
+def test_t_closeness_mode_agreement_and_empty(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.privacy import t_closeness_report
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"q1": rng.integers(0, 5, 400),
+                       "q2": rng.integers(0, 3, 400),
+                       "s": rng.integers(0, 4, 400)})
+    d = t_closeness_report(rd.from_pandas(df), ["q1", "q2"], "s",
+                           mode="driver")
+    s = t_closeness_report(rd.from_pandas(df), ["q1", "q2"], "s",
+                           mode="shuffle")
+    assert d.equals(s)
+    empty = rd.from_pandas(df.iloc[:0])
+    e = t_closeness_report(empty, ["q1"], "s", mode="driver").to_pandas()
+    assert e["n_groups"].iloc[0] == 0
