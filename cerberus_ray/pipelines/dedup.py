@@ -499,14 +499,27 @@ def _unit_uniform(x: np.ndarray, salt: np.uint64) -> np.ndarray:
     return (h.astype(np.float64) + 0.5) * (2.0 ** -53)
 
 
-def _doc_token_weights(texts: np.ndarray):
-    """Flatten a text batch into per-document distinct-token tf weights.
+def _doc_token_weights(texts: np.ndarray, w: int = 2):
+    """Flatten a text batch into per-document distinct-feature tf
+    weights, features = ``w``-word shingles (w=1 → unigrams).
 
-    → (fh, w, starts, counts): token-hash uint64, tf weight float64, and
-    the per-document segment index over the flat arrays (every doc owns
-    ≥ 1 row — empty docs get the hash of "" with weight 1, mirroring
-    :func:`minhash_signatures`'s empty-shingle convention)."""
-    token_lists = [t or [""] for t in _tokenize(texts)]
+    Shingling matters for the WEIGHTED family even more than for plain
+    MinHash: unigram tf VECTORS are similar across any same-domain
+    corpus (everything shares the stopword/vocabulary distribution), so
+    unigram ICWS buckets go hot on non-duplicates — measured 68k
+    candidates for 528 true pairs at sf0.1. Bigram multisets
+    decorrelate unrelated docs while template spam still repeats whole
+    shingles, which is the signal this operator exists for.
+
+    → (fh, wts, starts, counts): feature-hash uint64, tf weight
+    float64, and the per-document segment index over the flat arrays
+    (every doc owns ≥ 1 row — empty docs get the hash of "" with
+    weight 1, mirroring :func:`minhash_signatures`'s convention)."""
+    if w <= 1:
+        token_lists = [t or [""] for t in _tokenize(texts)]
+    else:
+        token_lists = [_word_shingles(t, w) or [""]
+                       for t in _tokenize(texts)]
     n_tok = np.array([len(t) for t in token_lists], dtype=np.int64)
     flat = np.array([tok for lst in token_lists for tok in lst],
                     dtype=object)
@@ -529,7 +542,7 @@ def _doc_token_weights(texts: np.ndarray):
 
 
 def icws_signatures(texts: np.ndarray, *, k: int = 64,
-                    seed: int = 42) -> np.ndarray:
+                    seed: int = 42, w: int = 2) -> np.ndarray:
     """(n_docs, k) uint64 Improved Consistent Weighted Sampling
     signatures (Ioffe 2010) over unigram tf weights.
 
@@ -546,10 +559,10 @@ def icws_signatures(texts: np.ndarray, *, k: int = 64,
     Fully vectorized: the per-slot loop runs k segmented-argmin passes
     over the flat (doc, feature) arrays — no per-doc Python.
     """
-    fh, w, starts, counts = _doc_token_weights(texts)
+    fh, wts, starts, counts = _doc_token_weights(texts, w)
     n = len(counts)
     sigs = np.empty((n, k), dtype=np.uint64)
-    lnw = np.log(w)
+    lnw = np.log(wts)
     seg_doc = np.repeat(np.arange(n, dtype=np.int64), counts)
     base = splitmix64(np.full(1, seed, dtype=np.uint64))[0]
     for i in range(k):
@@ -573,14 +586,17 @@ def icws_signatures(texts: np.ndarray, *, k: int = 64,
     return sigs
 
 
-def weighted_jaccard(text_a: str, text_b: str) -> float:
+def weighted_jaccard(text_a: str, text_b: str, *, w: int = 2) -> float:
     """Exact weighted (tf) Jaccard Σ_f min(tf_a, tf_b) / Σ_f max(tf_a,
-    tf_b) over unigram tokens — the verification kernel for ICWS
-    candidates (generalized Jaccard; equals set Jaccard on 0/1 tfs)."""
+    tf_b) over ``w``-word shingles (w=1 → unigrams) — the verification
+    kernel for ICWS candidates (generalized Jaccard; equals set Jaccard
+    on 0/1 tfs). Must use the same ``w`` as the signatures."""
     from collections import Counter
 
-    ca = Counter((text_a or "").lower().split())
-    cb = Counter((text_b or "").lower().split())
+    ca = Counter(_word_shingles((text_a or "").lower().split(), w)
+                 if w > 1 else (text_a or "").lower().split())
+    cb = Counter(_word_shingles((text_b or "").lower().split(), w)
+                 if w > 1 else (text_b or "").lower().split())
     if not ca and not cb:
         return 1.0
     num = sum(min(ca[f], cb[f]) for f in ca.keys() & cb.keys())
@@ -591,7 +607,8 @@ def weighted_jaccard(text_a: str, text_b: str) -> float:
 def wminhash_near_dup_pairs(ds, *, text_col: str = "text",
                             key_col: str = "doc_id", k: int = 64,
                             bands: int = 16, threshold: float = 0.7,
-                            seed: int = 42, mode: str = "auto",
+                            seed: int = 42, w: int = 2,
+                            mode: str = "auto",
                             n_rows_hint: int = 0) -> pa.Table:
     """Weighted near-dup pairs: ICWS signatures through the SAME
     LSH/bucket/pair plan as :func:`minhash_near_dup_pairs` (both
@@ -607,14 +624,15 @@ def wminhash_near_dup_pairs(ds, *, text_col: str = "text",
         ds, text_col=text_col, key_col=key_col, k=k, bands=bands,
         threshold=threshold, seed=seed, mode=mode,
         n_rows_hint=n_rows_hint,
-        sig_fn=lambda texts: icws_signatures(texts, k=k, seed=seed))
+        sig_fn=lambda texts: icws_signatures(texts, k=k, seed=seed, w=w))
     return out.rename_columns(["doc_id_a", "doc_id_b", "wjaccard_est"])
 
 
 def verify_pairs_weighted(pairs_table: pa.Table, ds, *,
                           text_col: str = "text",
                           key_col: str = "doc_id",
-                          threshold: float = 0.7) -> pa.Table:
+                          threshold: float = 0.7,
+                          w: int = 2) -> pa.Table:
     """Exact weighted-Jaccard verification of ICWS candidate pairs —
     same candidate-only broadcast semi-join shape as
     :func:`verify_pairs_exact`. → (doc_id_a, doc_id_b, wjaccard)."""
@@ -638,7 +656,8 @@ def verify_pairs_weighted(pairs_table: pa.Table, ds, *,
     texts = ds.map_batches(grab, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
     lookup = dict(zip(texts.get("key", []), texts.get("text", [])))
-    wj = np.array([weighted_jaccard(lookup.get(x, ""), lookup.get(y, ""))
+    wj = np.array([weighted_jaccard(lookup.get(x, ""), lookup.get(y, ""),
+                                    w=w)
                    for x, y in zip(a, b)])
     keep = wj >= threshold
     out = pd.DataFrame({"doc_id_a": np.array(a, dtype=object)[keep],

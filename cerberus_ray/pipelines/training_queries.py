@@ -2350,6 +2350,17 @@ def q_t_closeness_report(sf_dir: str) -> pa.Table:
         ["event_type", "hourband"], "vband", t=0.2, ordered=True)
 
 
+def q_freshness_report(sf_dir: str) -> pa.Table:
+    """Per-key cadence validation rollup (extras surface): staleness vs
+    learned median inter-arrival gap over the events stream, plus
+    internal-hole counts — the absence-of-rows check no row rule sees.
+    DuckDB window-median parity in tests/test_freshness.py."""
+    from ..stages.freshness import freshness_summary
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return freshness_summary(ev, "user_id", "ts", factor=3.0)
+
+
 def q_coreset_report(sf_dir: str) -> pa.Table:
     """Greedy k-center coreset (extras surface): the 12 most mutually
     diverse embedding rows (Gonzalez farthest-point, cosine) with the
@@ -4082,6 +4093,7 @@ QUERIES = {
     "wminhash_dedup_report": q_wminhash_dedup_report,
     "mmd_drift_report": q_mmd_drift_report,
     "t_closeness_report": q_t_closeness_report,
+    "freshness_report": q_freshness_report,
     "dsir_report": q_dsir_report,
     "pca_report": q_pca_report,
     "orders_rollup": q_orders_rollup,

@@ -447,9 +447,12 @@ def test_weighted_jaccard_bounds_and_tf_sensitivity():
     assert DD.weighted_jaccard(BASE, BASE) == 1.0
     assert DD.weighted_jaccard("", "") == 1.0
     assert DD.weighted_jaccard("a b", "c d") == 0.0
-    # tf structure: "a a a b" vs "a b" → min/max = (1+1)/(3+1) = 0.5,
-    # while SET jaccard would be 1.0
-    assert DD.weighted_jaccard("a a a b", "a b") == 0.5
+    # tf structure (unigram features): "a a a b" vs "a b" → min/max =
+    # (1+1)/(3+1) = 0.5, while SET jaccard would be 1.0
+    assert DD.weighted_jaccard("a a a b", "a b", w=1) == 0.5
+    # bigram features (the default): shared shingle mass
+    # ca={aa:2, ab:1}, cb={ab:1} → 1/3
+    assert abs(DD.weighted_jaccard("a a a b", "a b") - 1 / 3) < 1e-12
 
 
 def test_icws_estimates_weighted_jaccard():
@@ -457,15 +460,19 @@ def test_icws_estimates_weighted_jaccard():
     t2 = ("buy now " * 20) + "offer ends friday"
     t3 = "completely different words here entirely now what"
     texts = np.array([t1, t2, t3, t1], dtype=object)
-    sigs = DD.icws_signatures(texts, k=1024)
+    sigs = DD.icws_signatures(texts, k=1024, w=1)
     assert sigs.shape == (4, 1024) and sigs.dtype == np.uint64
     # determinism across calls (counter-based draws, no RNG state)
-    assert np.array_equal(sigs, DD.icws_signatures(texts, k=1024))
+    assert np.array_equal(sigs, DD.icws_signatures(texts, k=1024, w=1))
     est = (sigs[0] == sigs[1]).mean()
-    true_w = DD.weighted_jaccard(t1, t2)          # 42/44 ≈ 0.955
+    true_w = DD.weighted_jaccard(t1, t2, w=1)     # 42/44 ≈ 0.955
     assert abs(est - true_w) < 0.05
     # the weighted estimator must SEE the tf mass: set jaccard is 4/6
     assert est > 0.85 > 4 / 6
+    # bigram (default) estimator agrees with bigram weighted jaccard
+    sb = DD.icws_signatures(texts, k=1024)
+    est_b = (sb[0] == sb[1]).mean()
+    assert abs(est_b - DD.weighted_jaccard(t1, t2)) < 0.05
     assert (sigs[0] == sigs[2]).mean() < 0.1      # unrelated
     assert (sigs[0] == sigs[3]).mean() == 1.0     # identical doc
 
