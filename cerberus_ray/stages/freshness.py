@@ -94,7 +94,9 @@ def freshness_report(ds, key_col: str = "user_id", ts_col: str = "ts", *,
                                  .groupby(f[key_col].to_numpy()).sum()
                                  .astype("int64"),
             "max_gap_s": g["gap"].max().fillna(0.0),
-        }).reset_index()
+        })
+        agg.index.name = key_col
+        agg = agg.reset_index()
         agg["staleness_s"] = (asof_s - agg["last_ts_s"]).astype("int64")
         agg["stale"] = (agg["staleness_s"]
                         > factor * agg["median_gap_s"]).fillna(False)

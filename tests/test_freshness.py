@@ -34,9 +34,9 @@ def test_freshness_matches_duckdb(events_ds):
     want = con.execute("""
         WITH gaps AS (
           SELECT user_id,
-                 epoch(ts)::BIGINT AS sec,
-                 epoch(ts)::BIGINT
-                   - lag(epoch(ts)::BIGINT) OVER
+                 floor(epoch(ts))::BIGINT AS sec,
+                 floor(epoch(ts))::BIGINT
+                   - lag(floor(epoch(ts))::BIGINT) OVER
                      (PARTITION BY user_id ORDER BY ts) AS gap
           FROM events
         )
@@ -64,8 +64,9 @@ def test_freshness_matches_duckdb(events_ds):
 def test_freshness_planted_anomalies(ray_session):
     base = pd.Timestamp("2025-06-01")
     rows = []
-    # steady key: every 60 s through the whole window
-    for i in range(100):
+    # steady key: every 60 s through the WHOLE window (past key 3's
+    # hole-shifted end, so the global-max asof leaves it fresh)
+    for i in range(221):
         rows.append({"user_id": 1, "ts": base + pd.Timedelta(seconds=60 * i)})
     # stale key: every 60 s but stops halfway
     for i in range(50):
