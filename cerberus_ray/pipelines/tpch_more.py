@@ -35,9 +35,10 @@ from .tpch_extra import (_BROADCAST_MAX_ROWS, _attach_order_attrs,
                          _cents, _rev_e4)
 
 __all__ = ["q4_order_priority", "q6_revenue_change",
-           "q12_priority_class", "q14_promo_revenue",
-           "q15_top_supplier", "q17_small_quantity_revenue",
-           "q18_large_volume_customers", "q19_disjunctive_revenue",
+           "q12_priority_class", "q13_customer_distribution",
+           "q14_promo_revenue", "q15_top_supplier",
+           "q17_small_quantity_revenue", "q18_large_volume_customers",
+           "q19_disjunctive_revenue", "q21_waiting_suppliers",
            "q22_stale_customers"]
 
 
@@ -532,4 +533,161 @@ def q22_stale_customers(sf_dir: str, *, cutoff: str = "1999-01-01",
     g = g.sort_values("c_mktsegment").reset_index(drop=True)
     return pa.Table.from_pandas(
         g[["c_mktsegment", "numcust", "totacctbal"]],
+        preserve_index=False)
+
+
+def q13_customer_distribution(sf_dir: str, *,
+                              exclude_priority: str = "1-URGENT",
+                              agg_mode: str = "auto") -> pa.Table:
+    """Customer distribution (Q13 shape): histogram of per-customer
+    order counts, INCLUDING the zero-order customers of the LEFT OUTER
+    join. The corpus has no o_comment, so the classic
+    ``NOT LIKE '%special%requests%'`` join predicate becomes
+    ``o_orderpriority <> exclude_priority`` (same shape: a filter on
+    the JOIN side, not on customers). → (c_count, custdist) ordered by
+    (custdist desc, c_count desc).
+
+    Scale plan: per-custkey counting is unbounded-key grouping —
+    ``driver`` merges per-block pyarrow partials (bounded by #active
+    customers), ``shuffle`` is Ray's hash groupby beyond the band. The
+    zero bucket never materializes the customer×orders join: it is
+    |customer| − |matched custkeys|, with the orders side semi-filtered
+    against the customer keyset so FK violations can't inflate a
+    bucket (LEFT JOIN counts only orders whose custkey exists).
+    Reference analogue: the per-customer booking census rollups in
+    /root/reference/cerberus/models/booking.py."""
+    import pyarrow.dataset as pads
+
+    lane = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+                      filter=pads.field("o_orderpriority")
+                      != exclude_priority)
+    if agg_mode == "auto":
+        agg_mode = ("driver" if lane.count() <= 50_000_000
+                    else "shuffle")
+    if agg_mode == "driver":
+        g = grouped_agg(lane, ["o_custkey"],
+                        {"c_count": ("o_custkey", "count")})
+    elif agg_mode == "shuffle":
+        g = (lane.groupby("o_custkey").count()
+             .rename_columns(["o_custkey", "c_count"]).to_pandas())
+    else:
+        raise ValueError(f"unknown agg_mode: {agg_mode!r}")
+
+    def cust_uniq(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"k": pa.array(np.unique(
+            b["c_custkey"].to_numpy(zero_copy_only=False)))})
+
+    ckeys = np.unique(read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(cust_uniq, batch_format="pyarrow",
+                  zero_copy_batch=True).to_pandas()["k"].to_numpy())
+    ok = g["o_custkey"].to_numpy()
+    pos = np.clip(np.searchsorted(ckeys, ok), 0, max(len(ckeys) - 1, 0))
+    matched = (ckeys[pos] == ok) if len(ckeys) else np.zeros(
+        len(ok), bool)
+    counts = g["c_count"].to_numpy()[matched].astype(np.int64)
+    vals, dist = np.unique(counts, return_counts=True)
+    n_zero = int(len(ckeys) - matched.sum())
+    if n_zero > 0:
+        vals = np.append(vals, 0)
+        dist = np.append(dist, n_zero)
+    out = pd.DataFrame({"c_count": vals.astype("int64"),
+                        "custdist": dist.astype("int64")})
+    out = out.sort_values(["custdist", "c_count"],
+                          ascending=[False, False]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q21_waiting_suppliers(sf_dir: str, *, k: int = 100,
+                          pair_mode: str = "auto") -> pa.Table:
+    """Suppliers who kept orders waiting (Q21 shape): for finalized
+    orders ('F') with lineitems from ≥2 distinct suppliers where
+    EXACTLY ONE supplier had a returned line (the corpus has no
+    commit/receipt dates, so "late" becomes l_returnflag='R' — same
+    EXISTS / NOT-EXISTS double-correlation plan), count each
+    qualifying supplier's returned LINES per the classic COUNT(*)
+    row semantics. → (s_name, numwait) top-k by (numwait desc, s_name).
+
+    Scale plan: the (order, supplier) pair census is the wide step —
+    ``driver`` merges per-block unique-pair partials carrying
+    (any-R, n-R-rows); ``shuffle`` resolves pairs with Ray's two-key
+    hash groupby and brings back only per-order verdicts. The 'F'
+    order keyset semi-filters the lineitem scan through the broadcast
+    band; supplier names are fetched CANDIDATE-ONLY for the ≤k
+    survivors. Reference analogue: the multi-party booking-conflict
+    rules in /root/reference/cerberus/models/booking.py."""
+    import pyarrow.dataset as pads
+
+    lane = read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey",
+                               "l_returnflag"])
+    orders_f = read_table(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey"],
+                          filter=pads.field("o_orderstatus") == "F")
+    n_f = orders_f.count()
+    if n_f <= _BROADCAST_MAX_ROWS:
+        fkeys = np.unique(orders_f.to_pandas()["o_orderkey"].to_numpy())
+        fref = ray.put(fkeys)
+
+        def semi(b: pa.Table) -> pa.Table:
+            ks = ray.get(fref)
+            okc = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ks, okc), 0,
+                          max(len(ks) - 1, 0))
+            m = (ks[pos] == okc) if len(ks) else np.zeros(
+                len(okc), bool)
+            return b.filter(pa.array(m))
+
+        lane = lane.map_batches(semi, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        lane = lane.join(orders_f, join_type="inner", num_partitions=8,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        okc = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        r = (b["l_returnflag"].to_numpy(zero_copy_only=False)
+             == "R").astype(np.int64)
+        df = pd.DataFrame({"ok": okc, "sk": sk, "any_r": r, "n_r": r})
+        p = df.groupby(["ok", "sk"], sort=False).agg(
+            any_r=("any_r", "max"), n_r=("n_r", "sum")).reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    pairs_ds = lane.map_batches(pair_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    if pair_mode == "auto":
+        pair_mode = ("driver" if lane.count() <= 50_000_000
+                     else "shuffle")
+    if pair_mode == "driver":
+        p = pairs_ds.to_pandas()
+        p = p.groupby(["ok", "sk"], sort=False).agg(
+            any_r=("any_r", "max"), n_r=("n_r", "sum")).reset_index()
+    elif pair_mode == "shuffle":
+        from ray.data.aggregate import Max, Sum
+        p = (pairs_ds.groupby(["ok", "sk"])
+             .aggregate(Max("any_r"), Sum("n_r"))
+             .rename_columns(["ok", "sk", "any_r", "n_r"]).to_pandas())
+    else:
+        raise ValueError(f"unknown pair_mode: {pair_mode!r}")
+
+    o = p.groupby("ok", sort=False).agg(
+        n_supp=("sk", "count"), n_flag=("any_r", "sum")).reset_index()
+    ok_orders = o[(o["n_supp"] >= 2) & (o["n_flag"] == 1)]["ok"]
+    q = p[(p["any_r"] == 1) & p["ok"].isin(set(ok_orders))]
+    per_supp = q.groupby("sk", sort=False)["n_r"].sum().reset_index()
+    per_supp.columns = ["s_suppkey", "numwait"]
+
+    sup = read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(
+            sorted(int(x) for x in per_supp["s_suppkey"]))).to_pandas()
+    out = per_supp.merge(sup, on="s_suppkey")
+    out = out.groupby("s_name", sort=False)["numwait"].sum(
+    ).reset_index()
+    out["numwait"] = out["numwait"].astype("int64")
+    out = out.sort_values(["numwait", "s_name"],
+                          ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(
+        out[["s_name", "numwait"]].reset_index(drop=True),
         preserve_index=False)

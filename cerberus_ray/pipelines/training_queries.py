@@ -3801,6 +3801,26 @@ def q_q19_disjunctive(sf_dir: str) -> pa.Table:
     return q19_disjunctive_revenue(sf_dir)
 
 
+def q_q13_customer_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape (extras surface): per-customer order-count
+    histogram including the LEFT-JOIN zero bucket — unbounded-key
+    count planner + customer-keyset semi-filter; DuckDB parity +
+    agg-mode agreement in tests/test_tpch_more.py."""
+    from .tpch_more import q13_customer_distribution
+
+    return q13_customer_distribution(sf_dir)
+
+
+def q_q21_waiting_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H Q21 shape (extras surface): sole-returning suppliers on
+    multi-supplier finalized orders via the (order, supplier) pair
+    census — EXISTS/NOT-EXISTS double correlation; DuckDB parity +
+    pair-mode agreement in tests/test_tpch_more.py."""
+    from .tpch_more import q21_waiting_suppliers
+
+    return q21_waiting_suppliers(sf_dir)
+
+
 def q_q22_stale_customers(sf_dir: str) -> pa.Table:
     """TPC-H Q22 shape (extras surface): high-balance customers with no
     recent orders, per segment — scalar-avg partials + anti-join
@@ -4197,6 +4217,8 @@ QUERIES = {
     "q18_large_volume": q_q18_large_volume,
     "q19_disjunctive": q_q19_disjunctive,
     "q22_stale_customers": q_q22_stale_customers,
+    "q13_customer_distribution": q_q13_customer_distribution,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
     "anova_report": q_anova_report,
     "concentration_report": q_concentration_report,
     "pacf_report": q_pacf_report,

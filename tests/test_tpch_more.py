@@ -234,3 +234,62 @@ def test_q22_modes_agree(ray_session):
     pd.testing.assert_frame_equal(d, s, check_dtype=False)
     with pytest.raises(ValueError):
         q22_stale_customers(SF_DIR, anti_mode="nope")
+
+
+def test_q13_matches_duckdb(ray_session, con):
+    from cerberus_ray.pipelines.tpch_more import q13_customer_distribution
+    mine = q13_customer_distribution(SF_DIR).to_pandas()
+    theirs = con.execute("""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey,
+                     CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""").df()
+    assert len(mine) > 1
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+
+
+def test_q13_mode_agreement(ray_session):
+    from cerberus_ray.pipelines.tpch_more import q13_customer_distribution
+    a = q13_customer_distribution(SF_DIR, agg_mode="driver").to_pandas()
+    b = q13_customer_distribution(SF_DIR, agg_mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    with pytest.raises(ValueError):
+        q13_customer_distribution(SF_DIR, agg_mode="bogus")
+
+
+def test_q21_matches_duckdb(ray_session, con):
+    from cerberus_ray.pipelines.tpch_more import q21_waiting_suppliers
+    mine = q21_waiting_suppliers(SF_DIR).to_pandas()
+    theirs = con.execute("""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT * FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT * FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100""").df()
+    assert len(mine) > 0
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+
+
+def test_q21_mode_agreement(ray_session):
+    from cerberus_ray.pipelines.tpch_more import q21_waiting_suppliers
+    a = q21_waiting_suppliers(SF_DIR, pair_mode="driver").to_pandas()
+    b = q21_waiting_suppliers(SF_DIR, pair_mode="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    with pytest.raises(ValueError):
+        q21_waiting_suppliers(SF_DIR, pair_mode="bogus")
