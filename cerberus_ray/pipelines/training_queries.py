@@ -979,6 +979,26 @@ def q_constraint_check_report(sf_dir: str) -> pa.Table:
         "n_monotonic_violations": pa.array([mono.count()], pa.int64())})
 
 
+def q_dc_violations_report(sf_dir: str) -> pa.Table:
+    """Denial-constraint validation (extras surface): "no customer may
+    place a later order with a smaller total" — the two-atom
+    Holoclean-style pair predicate checked pairs-free via the
+    prefix/suffix-extrema kernel over one keyed exchange. DuckDB
+    self-join parity in tests/test_constraints.py."""
+    from ..stages.constraints import denial_constraint_violations
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate", "o_totalprice"])
+    v = denial_constraint_violations(
+        orders, "o_custkey", "o_orderdate", "o_totalprice",
+        b_op="<", id_col="o_orderkey")
+    n = v.count()
+    return pa.Table.from_pydict({
+        "rule": pa.array(["dc-o_custkey-o_orderdate>-o_totalprice<"]),
+        "n_flagged_rows": pa.array([n], pa.int64())})
+
+
 def q_bpe_report(sf_dir: str) -> pa.Table:
     """BPE tokenizer training (extras surface): fit 40 merges on the
     documents table, re-encode the corpus, report vocabulary shape and
@@ -4104,6 +4124,7 @@ QUERIES = {
     "incremental_validation_report": q_incremental_validation_report,
     "bpe_report": q_bpe_report,
     "constraint_check_report": q_constraint_check_report,
+    "dc_violations_report": q_dc_violations_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "ppl_bucket_report": q_ppl_bucket_report,

@@ -147,3 +147,117 @@ def monotonic_violations(ds, key_col: str, order_col: str, value_col: str,
         return out[["doc_id", "rule", "path", "detail"]]
 
     return keyed_apply(ds, key_col, kernel, n_buckets=n_buckets)
+
+
+def denial_constraint_violations(ds, eq_cols, a_col: str, b_col: str, *,
+                                 b_op: str = "<", id_col: str = "doc_id",
+                                 rule: str | None = None,
+                                 n_buckets: int = 32):
+    """Denial-constraint check (Holoclean-style): no two rows agreeing
+    on every ``eq_cols`` column may satisfy ``t1.a > t2.a AND t1.b
+    <b_op> t2.b`` — e.g. "no customer may place a LATER order with a
+    SMALLER total". → violations Dataset flagging every row that
+    participates in at least one violating pair (either side).
+
+    ``b_op`` ∈ {'<', '>', '!='} (the a-atom is always the strict '>';
+    swap a/b or negate a column for other orientations). NULLs in
+    a/b never satisfy a comparison atom (SQL semantics).
+
+    Scale shape: one hash-bucketed keyed exchange on the composite
+    equality key (`keyed_window.keyed_apply` — every eq-group lands
+    whole in one bucket), then a VECTORIZED no-pairs kernel: rows sort
+    by (group, a); running prefix/suffix extrema of b taken at the
+    previous/next distinct-a block boundary decide each row's
+    violation in O(g log g) per group — never the O(g²) self-join the
+    SQL oracle runs. Reference analogue: the cross-booking conflict
+    predicates of /root/reference/cerberus/models/booking.py.
+    """
+    if b_op not in ("<", ">", "!="):
+        raise ValueError(f"unknown b_op {b_op!r}")
+    eq_cols = [eq_cols] if isinstance(eq_cols, str) else list(eq_cols)
+    rule = rule or f"dc-{'+'.join(eq_cols)}-{a_col}>-{b_col}{b_op}"
+    _KEY = "__dc_key"
+
+    def add_key(b: pa.Table) -> pa.Table:
+        cols = [np.asarray(b[c].to_numpy(zero_copy_only=False),
+                           dtype=object) for c in eq_cols]
+        if len(cols) == 1:
+            key = cols[0].astype(str)
+        else:
+            key = np.char.add(cols[0].astype(str), "\x1e")
+            for c in cols[1:-1]:
+                key = np.char.add(np.char.add(key, c.astype(str)),
+                                  "\x1e")
+            key = np.char.add(key, cols[-1].astype(str))
+        return b.append_column(_KEY, pa.array(key.astype(str)))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[_KEY, id_col, a_col, b_col]].dropna(
+            subset=[a_col, b_col])
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=str),
+                                 "rule": [], "path": [], "detail": []})
+        df = df.sort_values([_KEY, a_col, id_col],
+                            kind="mergesort").reset_index(drop=True)
+        g = df[_KEY].to_numpy()
+        a = df[a_col].to_numpy()
+        b = df[b_col].to_numpy()
+        n = len(df)
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = g[1:] != g[:-1]
+        new_blk = new_grp.copy()
+        new_blk[1:] |= a[1:] != a[:-1]
+        gcodes = np.cumsum(new_grp) - 1
+        gs = pd.Series(b)
+        gb = gs.groupby(gcodes)
+        cmax = gb.cummax().to_numpy()
+        cmin = gb.cummin().to_numpy()
+        # suffix extrema: cummax/cummin over the reversed rows (group
+        # codes are symmetric under reversal of the whole frame)
+        rmax = gs[::-1].groupby(gcodes[::-1]).cummax()[::-1].to_numpy()
+        rmin = gs[::-1].groupby(gcodes[::-1]).cummin()[::-1].to_numpy()
+        # value of the running extrema at the END of the previous
+        # distinct-a block (strictly-smaller-a witness set), and at the
+        # START of the next block (strictly-larger-a witness set)
+        blk_id = np.cumsum(new_blk) - 1
+        starts = np.flatnonzero(new_blk)
+        n_blk = len(starts)
+        ends = np.empty(n_blk, dtype=np.int64)
+        ends[:-1] = starts[1:] - 1
+        ends[-1] = n - 1
+        has_prev = ~new_grp[starts]          # prev block in same group
+        has_next = np.zeros(n_blk, dtype=bool)
+        has_next[:-1] = ~new_grp[starts[1:]]
+        pre_max = np.where(has_prev, cmax[starts - 1], np.nan)[blk_id]
+        pre_min = np.where(has_prev, cmin[starts - 1], np.nan)[blk_id]
+        nxt = np.minimum(ends + 1, n - 1)
+        suf_max = np.where(has_next, rmax[nxt], np.nan)[blk_id]
+        suf_min = np.where(has_next, rmin[nxt], np.nan)[blk_id]
+        hp = has_prev[blk_id]
+        hn = has_next[blk_id]
+        with np.errstate(invalid="ignore"):
+            if b_op == "<":
+                bad = (hp & (pre_max > b)) | (hn & (suf_min < b))
+            elif b_op == ">":
+                bad = (hp & (pre_min < b)) | (hn & (suf_max > b))
+            else:  # "!=": any strictly-smaller/larger-a row with b' != b
+                bad = (hp & ((pre_min != b) | (pre_max != b))
+                       ) | (hn & ((suf_min != b) | (suf_max != b)))
+        out = df.loc[bad, [id_col]].copy()
+        out["rule"] = rule
+        out["path"] = f"{a_col},{b_col}"
+        wit = np.where(hp, pre_max if b_op == "<" else pre_min, suf_min
+                       if b_op == "<" else suf_max)[bad]
+        out["detail"] = [f"{b_col}={v} conflicts with {w} in "
+                         f"{'+'.join(eq_cols)} group"
+                         for v, w in zip(b[bad], wit)]
+        out = out.rename(columns={id_col: "doc_id"})
+        out["doc_id"] = out["doc_id"].astype(str)
+        return out[["doc_id", "rule", "path", "detail"]]
+
+    from .keyed_window import keyed_apply
+
+    return keyed_apply(keyed, _KEY, kernel, n_buckets=n_buckets)

@@ -106,3 +106,83 @@ def test_sf0001_constraint_report_pin(ray_session):
     ).fetchone()[0]
     assert t["n_fd_violations"] == [int(exp_fd)]
     assert t["n_monotonic_violations"] == [int(exp_mono)]
+
+
+def test_dc_matches_duckdb_on_orders(ray_session):
+    """Denial constraint on real sf0.001 orders: no customer may have a
+    later order with a smaller total — flagged set == the O(n²) SQL
+    self-join's DISTINCT participant list."""
+    from cerberus_ray.sources.io import read_table
+    from cerberus_ray.stages.constraints import (
+        denial_constraint_violations)
+
+    ds = read_table(f"{SF}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"])
+    v = denial_constraint_violations(
+        ds, "o_custkey", "o_orderdate", "o_totalprice",
+        b_op="<", id_col="o_orderkey").to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH t AS (SELECT * FROM read_parquet('{SF}/orders.parquet'))
+        SELECT DISTINCT id FROM (
+          SELECT r.o_orderkey AS id FROM t r JOIN t s
+            ON r.o_custkey = s.o_custkey
+           AND ((r.o_orderdate > s.o_orderdate
+                 AND r.o_totalprice < s.o_totalprice)
+                OR (s.o_orderdate > r.o_orderdate
+                    AND s.o_totalprice < r.o_totalprice)))
+        ORDER BY id""").df()
+    assert len(v) > 0
+    assert sorted(v["doc_id"]) == sorted(exp["id"].astype(str))
+    assert set(v.columns) == {"doc_id", "rule", "path", "detail"}
+    assert v["doc_id"].is_unique
+
+
+@pytest.mark.parametrize("b_op", [">", "!="])
+def test_dc_other_ops_match_bruteforce(ray_session, b_op):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "doc_id": [f"r{i}" for i in range(400)],
+        "g": rng.integers(0, 25, 400),
+        "a": rng.integers(0, 12, 400),
+        "b": rng.integers(0, 6, 400).astype(float)})
+    from cerberus_ray.stages.constraints import (
+        denial_constraint_violations)
+
+    ds = rd.from_pandas(df, override_num_blocks=4).materialize()
+    v = denial_constraint_violations(ds, "g", "a", "b",
+                                     b_op=b_op).to_pandas()
+    flagged = set()
+    for _, grp in df.groupby("g"):
+        av, bv, ids = (grp["a"].to_numpy(), grp["b"].to_numpy(),
+                       grp["doc_id"].to_numpy())
+        for i in range(len(grp)):
+            for j in range(len(grp)):
+                if av[i] > av[j] and (
+                        bv[i] < bv[j] if b_op == "<" else
+                        bv[i] > bv[j] if b_op == ">" else
+                        bv[i] != bv[j]):
+                    flagged.add(ids[i])
+                    flagged.add(ids[j])
+    assert sorted(v["doc_id"]) == sorted(flagged)
+
+
+def test_dc_composite_key_nulls_and_guard(ray_session):
+    from cerberus_ray.stages.constraints import (
+        denial_constraint_violations)
+
+    df = pd.DataFrame({
+        "doc_id": ["x1", "x2", "x3", "x4", "x5"],
+        "k1": ["a", "a", "a", "b", "a"],
+        "k2": [1, 1, 2, 1, 1],
+        "a": [1.0, 2.0, 2.0, 2.0, np.nan],
+        "b": [5.0, 4.0, 9.0, 9.0, 0.0]})
+    ds = rd.from_pandas(df).materialize()
+    # only (x1, x2) share the (a,1) composite group with a-order and
+    # a b-inversion; x3 is in (a,2), x4 in (b,1), x5 has NULL a
+    v = denial_constraint_violations(ds, ["k1", "k2"], "a", "b",
+                                     b_op="<").to_pandas()
+    assert sorted(v["doc_id"]) == ["x1", "x2"]
+    with pytest.raises(ValueError):
+        denial_constraint_violations(ds, "k1", "a", "b", b_op="<=")
