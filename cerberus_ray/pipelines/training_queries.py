@@ -1713,6 +1713,18 @@ def q_event_rate_anomalies(sf_dir: str) -> pa.Table:
     return event_rate_anomalies(ds)
 
 
+def q_volume_anomaly_report(sf_dir: str) -> pa.Table:
+    """Trailing-baseline partition-volume validation (extras surface):
+    per-stream daily counts vs their own trailing 7-day median band —
+    the Deequ-style row-count anomaly check; warm-up days exempt.
+    DuckDB window-median parity in tests/test_drift.py."""
+    from ..stages.drift import trailing_volume_anomalies
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_type"])
+    return trailing_volume_anomalies(ds)
+
+
 def q_tfidf_report(sf_dir: str) -> pa.Table:
     """TF-IDF keyword extraction (extras surface): each document's top
     term by tf·idf; returns the 10 lowest doc_ids' rank-1 rows
@@ -4141,6 +4153,7 @@ QUERIES = {
     "tfidf_report": q_tfidf_report,
     "events_weekly_drift": q_events_weekly_drift,
     "event_rate_anomalies": q_event_rate_anomalies,
+    "volume_anomaly_report": q_volume_anomaly_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,

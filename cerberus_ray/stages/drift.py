@@ -403,3 +403,81 @@ def event_rate_anomalies(events_ds, *, type_col: str = "event_type",
         "mean": pa.array([r[3] for r in out_rows], pa.float64()),
         "std": pa.array([r[4] for r in out_rows], pa.float64()),
         "z": pa.array([r[5] for r in out_rows], pa.float64())})
+
+
+def trailing_volume_anomalies(events_ds, *, type_col: str = "event_type",
+                              ts_col: str = "ts", window: int = 7,
+                              min_history: int = 3,
+                              lo_frac: float = 0.5,
+                              hi_frac: float = 2.0) -> pa.Table:
+    """Trailing-baseline partition-volume validation (the Deequ/GX
+    "row-count anomaly" check): bucket rows into DAYS per stream,
+    gap-fill the global calendar with zeros (a missing partition is the
+    worst anomaly), and flag days whose count leaves the
+    ``[lo_frac, hi_frac] ×`` band around the TRAILING ``window``-day
+    median — each day judged against its own recent history, unlike
+    `event_rate_anomalies`' series-global center. Days with fewer than
+    ``min_history`` prior days are warm-up and never flagged.
+
+    ``lo_frac``/``hi_frac`` should be exactly-representable binary
+    fractions (0.5, 2.0, 0.25 …) so the band compare is bit-identical
+    to the SQL oracle's.
+
+    Ray shape: one streamed pass of per-block (stream, day) count
+    partials; the driver merges O(#streams × #days) rows (time-domain
+    bounded). Gap-fill and the trailing median are vectorized pandas on
+    the merged frame. → (event_type, day, n_events, trailing_median,
+    status) for flagged days, ordered by (event_type, day).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b[ts_col], unit="day"),
+                      pa.timestamp("us"))
+        t = pa.Table.from_arrays([b[type_col], day], names=["t", "d"])
+        g = t.group_by(["t", "d"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays([g["t"], g["d"], g["count_all"]],
+                                    names=["t", "d", "n"])
+
+    pdf = events_ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    empty = pa.Table.from_pydict({
+        "event_type": pa.array([], pa.string()),
+        "day": pa.array([], pa.timestamp("us")),
+        "n_events": pa.array([], pa.int64()),
+        "trailing_median": pa.array([], pa.float64()),
+        "status": pa.array([], pa.string())})
+    if not len(pdf):
+        return empty
+    g = pdf.groupby(["t", "d"], as_index=False)["n"].sum()
+    cal = pd.date_range(g["d"].min(), g["d"].max(), freq="D")
+    types = np.sort(g["t"].unique())
+    full = (pd.MultiIndex.from_product([types, cal], names=["t", "d"])
+            .to_frame(index=False)
+            .merge(g, on=["t", "d"], how="left").fillna({"n": 0}))
+    full["n"] = full["n"].astype("int64")
+    full = full.sort_values(["t", "d"], kind="mergesort"
+                            ).reset_index(drop=True)
+    prev = full.groupby("t")["n"].shift(1)
+    med = (prev.groupby(full["t"])
+           .rolling(window, min_periods=min_history).median()
+           .reset_index(level=0, drop=True))
+    nhist = (prev.groupby(full["t"])
+             .rolling(window, min_periods=1).count()
+             .reset_index(level=0, drop=True))
+    nv = full["n"].to_numpy(dtype="float64")
+    mv = med.to_numpy(dtype="float64")
+    ok_hist = nhist.to_numpy() >= min_history
+    with np.errstate(invalid="ignore"):
+        low = ok_hist & ~np.isnan(mv) & (nv < lo_frac * mv)
+        high = ok_hist & ~np.isnan(mv) & (nv > hi_frac * mv)
+    bad = low | high
+    out = full.loc[bad, ["t", "d", "n"]].copy()
+    out["trailing_median"] = mv[bad]
+    out["status"] = np.where(low[bad], "low", "high")
+    out = out.rename(columns={"t": "event_type", "d": "day",
+                              "n": "n_events"})
+    out = out.sort_values(["event_type", "day"],
+                          kind="mergesort").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

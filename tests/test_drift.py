@@ -161,3 +161,91 @@ def test_event_rate_robust_catches_masked_gap(ray_session):
     robust = event_rate_anomalies(ds, robust=True).to_pandas()
     assert (robust["n_events"] == 300).sum() == 1     # spike still flagged
     assert (robust["n_events"] == 0).sum() == 1       # gap now flagged
+
+
+def test_trailing_volume_anomalies_duckdb_parity(ray_session):
+    """Engine trailing-median band == DuckDB window-median SQL on the
+    real sf0.001 events table (gap-filled global calendar)."""
+    import duckdb
+
+    from cerberus_ray.sources.io import read_table
+    from cerberus_ray.stages.drift import trailing_volume_anomalies
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(f"{sf}/events.parquet",
+                    columns=["event_type", "ts"])
+    mine = trailing_volume_anomalies(ev).to_pandas()
+    con = duckdb.connect()
+    theirs = con.execute(f"""
+        WITH c AS (
+          SELECT event_type AS t, date_trunc('day', ts) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2),
+        cal AS (
+          SELECT UNNEST(generate_series(
+              (SELECT MIN(d) FROM c), (SELECT MAX(d) FROM c),
+              INTERVAL 1 DAY)) AS d),
+        f AS (
+          SELECT ty.t, cal.d, COALESCE(c.n, 0) AS n
+          FROM (SELECT DISTINCT t FROM c) ty CROSS JOIN cal
+          LEFT JOIN c ON c.t = ty.t AND c.d = cal.d),
+        w AS (
+          SELECT t, d, n,
+                 MEDIAN(n) OVER (PARTITION BY t ORDER BY d
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS med,
+                 COUNT(n) OVER (PARTITION BY t ORDER BY d
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nh
+          FROM f)
+        SELECT t AS event_type, CAST(d AS TIMESTAMP) AS day,
+               n AS n_events, med AS trailing_median,
+               CASE WHEN n < 0.5 * med THEN 'low'
+                    ELSE 'high' END AS status
+        FROM w
+        WHERE nh >= 3 AND (n < 0.5 * med OR n > 2.0 * med)
+        ORDER BY event_type, day""").df()
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False)
+
+
+def test_trailing_volume_planted_outage(ray_session):
+    """A planted zero-volume day inside a steady stream is flagged low;
+    a 10x spike is flagged high; warm-up days never flag."""
+    import ray.data as rd
+
+    from cerberus_ray.stages.drift import trailing_volume_anomalies
+
+    rows = []
+    for day in range(20):
+        if day == 12:
+            continue  # outage: no rows at all that day
+        n = 1000 if day != 16 else 100  # day 16: 10x spike... inverse
+        for i in range(n if day != 16 else 10000):
+            rows.append({"event_type": "steady",
+                         "ts": pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=day, seconds=i % 863)})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df, override_num_blocks=6).materialize()
+    out = trailing_volume_anomalies(ds).to_pandas()
+    flagged = {(r.day.day, r.status) for r in out.itertuples()}
+    assert (13, "low") in flagged      # Jan 13 == planted outage day 12
+    assert (17, "high") in flagged     # Jan 17 == planted spike day 16
+    # warm-up: first min_history days never flagged
+    assert out["day"].min() >= pd.Timestamp("2024-01-04")
+
+
+def test_trailing_volume_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.drift import trailing_volume_anomalies
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b"], 5000),
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 40 * 86400, 5000), unit="s")})
+    a = trailing_volume_anomalies(
+        rd.from_pandas(df, override_num_blocks=1).materialize()
+    ).to_pandas()
+    b = trailing_volume_anomalies(
+        rd.from_pandas(df.sample(frac=1.0, random_state=1),
+                       override_num_blocks=9).materialize()).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
