@@ -1725,6 +1725,34 @@ def q_volume_anomaly_report(sf_dir: str) -> pa.Table:
     return trailing_volume_anomalies(ds)
 
 
+def q_spc_report(sf_dir: str) -> pa.Table:
+    """SPC level monitoring (extras surface): EWMA and CUSUM charts
+    over each event stream's value series (self-calibrated from the
+    stream's warm-up), reporting out-of-control point counts per
+    (stream, chart, side). Recursion-reference parity in
+    tests/test_spc.py."""
+    from ..stages.spc import cusum_chart, ewma_chart
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "ts", "event_type", "value"]
+                    ).materialize()
+    ew = ewma_chart(ds, "event_type", "ts", "value",
+                    id_col="event_id").to_pandas()
+    cu = cusum_chart(ds, "event_type", "ts", "value",
+                     id_col="event_id").to_pandas()
+    rows = []
+    for chart, f in (("ewma", ew), ("cusum", cu)):
+        g = f.groupby(["event_type", "side"]).size() if len(f) else {}
+        for (et, side), n in (g.items() if len(f) else []):
+            rows.append({"event_type": et, "chart": chart,
+                         "side": side, "n_flagged": int(n)})
+    out = pd.DataFrame(rows, columns=["event_type", "chart", "side",
+                                      "n_flagged"])
+    out = out.sort_values(["event_type", "chart", "side"]
+                          ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_tfidf_report(sf_dir: str) -> pa.Table:
     """TF-IDF keyword extraction (extras surface): each document's top
     term by tf·idf; returns the 10 lowest doc_ids' rank-1 rows
@@ -4154,6 +4182,7 @@ QUERIES = {
     "events_weekly_drift": q_events_weekly_drift,
     "event_rate_anomalies": q_event_rate_anomalies,
     "volume_anomaly_report": q_volume_anomaly_report,
+    "spc_report": q_spc_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,
