@@ -999,6 +999,25 @@ def q_dc_violations_report(sf_dir: str) -> pa.Table:
         "n_flagged_rows": pa.array([n], pa.int64())})
 
 
+def q_cfd_violations_report(sf_dir: str) -> pa.Table:
+    """Conditional-FD validation (extras surface): within finalized
+    orders only (pattern o_orderstatus='F'), o_custkey must determine
+    o_orderpriority — the pattern-tableau FD; rows outside the pattern
+    are exempt. DuckDB parity in tests/test_constraints.py."""
+    from ..stages.constraints import conditional_fd_violations
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderstatus", "o_orderpriority"])
+    v = conditional_fd_violations(
+        orders, "o_custkey", "o_orderpriority",
+        {"o_orderstatus": "F"}, key_col="o_orderkey")
+    return pa.Table.from_pydict({
+        "rule": pa.array(["cfd-o_orderstatus=F:o_custkey->"
+                          "o_orderpriority"]),
+        "n_flagged_rows": pa.array([v.count()], pa.int64())})
+
+
 def q_bpe_report(sf_dir: str) -> pa.Table:
     """BPE tokenizer training (extras surface): fit 40 merges on the
     documents table, re-encode the corpus, report vocabulary shape and
@@ -4165,6 +4184,7 @@ QUERIES = {
     "bpe_report": q_bpe_report,
     "constraint_check_report": q_constraint_check_report,
     "dc_violations_report": q_dc_violations_report,
+    "cfd_violations_report": q_cfd_violations_report,
     "quality_prune_report": q_quality_prune_report,
     "lm_quality_report": q_lm_quality_report,
     "ppl_bucket_report": q_ppl_bucket_report,

@@ -261,3 +261,43 @@ def denial_constraint_violations(ds, eq_cols, a_col: str, b_col: str, *,
     from .keyed_window import keyed_apply
 
     return keyed_apply(keyed, _KEY, kernel, n_buckets=n_buckets)
+
+
+def conditional_fd_violations(ds, det_col: str, dep_col: str,
+                              condition: dict, *,
+                              key_col: str = "doc_id",
+                              mode: str = "driver",
+                              rule: str | None = None):
+    """Conditional functional dependency (Bohannon et al. 2007): the FD
+    ``det_col → dep_col`` must hold only among rows matching the
+    pattern tableau ``condition`` ({col: constant, ...} — all equality
+    atoms must match; rows outside the pattern are exempt). → the same
+    violations Dataset as `functional_dependency_violations`, flagging
+    every MATCHING row whose determinant maps to >1 dependent value
+    within the matching subset.
+
+    Scale shape: the pattern filter is pushed into the per-block
+    distinct-pair partial (the same map-side combine as the
+    unconditional FD; filtering before the pair census shrinks the
+    exchange, never grows it). SQL parity in tests/test_constraints.py.
+    """
+    if not condition:
+        raise ValueError("empty condition: use "
+                         "functional_dependency_violations")
+    rule = rule or (
+        "cfd-" + ",".join(f"{c}={v}" for c, v in sorted(
+            condition.items())) + f":{det_col}->{dep_col}")
+
+    def matching(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = None
+        for c, v in condition.items():
+            e = pc.equal(b[c], pa.scalar(v))
+            e = pc.fill_null(e, False)
+            m = e if m is None else pc.and_(m, e)
+        return b.filter(m)
+
+    sub = ds.map_batches(matching, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return functional_dependency_violations(
+        sub, det_col, dep_col, key_col=key_col, mode=mode, rule=rule)

@@ -186,3 +186,51 @@ def test_dc_composite_key_nulls_and_guard(ray_session):
     assert sorted(v["doc_id"]) == ["x1", "x2"]
     with pytest.raises(ValueError):
         denial_constraint_violations(ds, "k1", "a", "b", b_op="<=")
+
+
+def test_cfd_matches_duckdb_and_exempts_nonmatching(ray_session):
+    """CFD (pattern o_orderstatus='F': o_custkey → o_orderpriority)
+    flags exactly DuckDB's matching-subset FD violators; rows outside
+    the pattern are exempt even when the unconditional FD fails."""
+    from cerberus_ray.sources.io import read_table
+    from cerberus_ray.stages.constraints import conditional_fd_violations
+
+    ds = read_table(f"{SF}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey",
+                             "o_orderstatus", "o_orderpriority"])
+    v = conditional_fd_violations(
+        ds, "o_custkey", "o_orderpriority", {"o_orderstatus": "F"},
+        key_col="o_orderkey").to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH m AS (SELECT * FROM read_parquet('{SF}/orders.parquet')
+                   WHERE o_orderstatus = 'F')
+        SELECT CAST(o_orderkey AS VARCHAR) AS id FROM m
+        WHERE o_custkey IN (SELECT o_custkey FROM m GROUP BY o_custkey
+                            HAVING COUNT(DISTINCT o_orderpriority) > 1)
+        ORDER BY id""").df()
+    assert len(v) > 0
+    assert sorted(v["doc_id"]) == sorted(exp["id"])
+    # modes agree; empty condition guarded
+    v2 = conditional_fd_violations(
+        ds, "o_custkey", "o_orderpriority", {"o_orderstatus": "F"},
+        key_col="o_orderkey", mode="shuffle").to_pandas()
+    assert sorted(v2["doc_id"]) == sorted(v["doc_id"])
+    with pytest.raises(ValueError):
+        conditional_fd_violations(ds, "o_custkey", "o_orderpriority",
+                                  {}, key_col="o_orderkey")
+
+
+def test_cfd_null_condition_rows_exempt(ray_session):
+    from cerberus_ray.stages.constraints import conditional_fd_violations
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "cond": ["x", "x", None, "y"],
+        "det": ["g", "g", "g", "g"],
+        "dep": ["1", "2", "3", "4"]})
+    ds = rd.from_pandas(df).materialize()
+    v = conditional_fd_violations(ds, "det", "dep", {"cond": "x"}
+                                  ).to_pandas()
+    # only a, b match the pattern; they disagree on dep → both flagged
+    assert sorted(v["doc_id"]) == ["a", "b"]
