@@ -1772,6 +1772,21 @@ def q_spc_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_grouped_hll_report(sf_dir: str) -> pa.Table:
+    """Per-group approximate distinct (extras surface): users per
+    event type via one HLL sketch per group — the sketch path for
+    unbounded groups × unbounded values, bit-identical across block
+    layouts (register max). Error-bound + layout tests in
+    tests/test_grouped_hll.py; the exact twin is the oracle-gated
+    events_users_per_type."""
+    from ..stages.groupagg import grouped_approx_distinct
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "user_id"])
+    out = grouped_approx_distinct(ev, "event_type", "user_id", p=12)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_tfidf_report(sf_dir: str) -> pa.Table:
     """TF-IDF keyword extraction (extras surface): each document's top
     term by tf·idf; returns the 10 lowest doc_ids' rank-1 rows
@@ -4203,6 +4218,7 @@ QUERIES = {
     "event_rate_anomalies": q_event_rate_anomalies,
     "volume_anomaly_report": q_volume_anomaly_report,
     "spc_report": q_spc_report,
+    "grouped_hll_report": q_grouped_hll_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,

@@ -369,3 +369,82 @@ def grouped_first_last(ds, group_cols: Sequence[str],
         out[f"first_{v}"] = f[v].to_numpy()
         out[f"last_{v}"] = la[v].reindex(f.index).to_numpy()
     return (out.sort_values(group_cols).reset_index(drop=True))
+
+
+def grouped_approx_distinct(ds, group_col: str, value_col: str, *,
+                            p: int = 12, mode: str = "driver",
+                            n_buckets: int = 32) -> pd.DataFrame:
+    """Per-group approximate COUNT(DISTINCT value) via one HyperLogLog
+    sketch per group — the scale path when BOTH the group count and the
+    per-group value cardinality are unbounded (the exact grouped
+    distinct of events_users_per_type shuffles every (group, value)
+    pair; this ships #groups × 2^p bytes instead, error ≈ 1.04/√2^p).
+
+    Per-block partial: one vectorized scatter-max into a
+    (#block-groups × 2^p) register matrix (no per-group Python), one
+    binary register row per (block, group). Merge is elementwise max —
+    commutative/associative, so the estimate is BIT-IDENTICAL across
+    block layouts and retries (unlike sampled estimators).
+    ``mode='driver'`` reduceat-merges the partials on the driver
+    (#groups × #blocks rows); ``'shuffle'`` routes them through one
+    hash-bucketed keyed exchange. → (group, approx_distinct) sorted.
+    """
+    import numpy as np
+
+    from ..determinism import hash_strings, splitmix64
+    from ..state.hll import HyperLogLog
+    from .keyed_window import keyed_apply
+
+    if mode not in ("driver", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        h = (splitmix64(v.astype(np.uint64)) if v.dtype.kind in "iu"
+             else hash_strings(np.asarray(v, dtype=object)))
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(g, return_inverse=True)
+        idx = (h & np.uint64(m - 1)).astype(np.int64)
+        w = h >> np.uint64(p)
+        bl = np.frexp(w.astype(np.float64))[1]
+        rank = np.clip(64 - p - bl + 1, 1, 64).astype(np.uint8)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rank)
+        return pa.Table.from_pydict({
+            "g": pa.array(uniq),
+            "regs": pa.array([r.tobytes() for r in regs],
+                             pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def merge_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per-group register max + per-group estimate."""
+        pdf = pdf.sort_values("g", kind="mergesort")
+        stack = np.frombuffer(b"".join(pdf["regs"]), dtype=np.uint8
+                              ).reshape(len(pdf), m)
+        gv = pdf["g"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, gv[1:] != gv[:-1]])
+        merged = np.maximum.reduceat(stack, starts, axis=0)
+        ests = []
+        for row in merged:
+            s = HyperLogLog(p)
+            s.registers = row.copy()
+            ests.append(s.estimate())
+        return pd.DataFrame({group_col: gv[starts],
+                             "approx_distinct": np.asarray(
+                                 ests, dtype="float64")})
+
+    if mode == "driver":
+        pdf = parts.to_pandas()
+        if not len(pdf):
+            return pd.DataFrame({group_col: [], "approx_distinct": []})
+        out = merge_frame(pdf)
+    else:
+        res = keyed_apply(parts, "g", merge_frame,
+                          n_buckets=n_buckets).to_pandas()
+        if not len(res):
+            return pd.DataFrame({group_col: [], "approx_distinct": []})
+        out = res.sort_values(group_col, kind="mergesort")
+    return out.reset_index(drop=True)
