@@ -1772,6 +1772,28 @@ def q_spc_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_span_grammar_report(sf_dir: str) -> pa.Table:
+    """Span-sequence grammar validation (extras surface) over the
+    deterministic interleaved table: counts for a forbid rule (no two
+    adjacent same-kind media spans) and a require rule (must open with
+    a text span). DuckDB RE2 parity in tests/test_span_grammar.py."""
+    from ..datagen import GenConfig, docs_dataset
+    from ..rules.row_rules import span_sequence_violations
+
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000)
+    docs = docs_dataset(GenConfig(n_docs=n, n_media=max(n // 4, 50)),
+                        fragment_size=max(n // 8, 250)).materialize()
+    forbid = span_sequence_violations(docs, "ii|aa|bb", mode="forbid")
+    req = span_sequence_violations(docs, "t[tiab?v]*", mode="require")
+    return pa.Table.from_pydict({
+        "rule": pa.array(["span-seq-forbid(ii|aa|bb)",
+                          "span-seq-require(^t)"]),
+        "n_flagged_docs": pa.array([forbid.count(), req.count()],
+                                   pa.int64()),
+        "n_docs": pa.array([n, n], pa.int64())})
+
+
 def q_grouped_hll_report(sf_dir: str) -> pa.Table:
     """Per-group approximate distinct (extras surface): users per
     event type via one HLL sketch per group — the sketch path for
@@ -4219,6 +4241,7 @@ QUERIES = {
     "volume_anomaly_report": q_volume_anomaly_report,
     "spc_report": q_spc_report,
     "grouped_hll_report": q_grouped_hll_report,
+    "span_grammar_report": q_span_grammar_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,

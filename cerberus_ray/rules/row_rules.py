@@ -228,3 +228,86 @@ def interleaved_ruleset(text_max_len: int = SPAN_TEXT_MAX_LEN) -> RuleSet:
                 params={"child_key": "spans.media_ref", "parent": "media_catalog",
                         "parent_key": "media_ref"}, kind="referential"))
     return rs
+
+
+#: kind → sequence character for the span-grammar validator (one char
+#: per catalog kind; unknown kinds map to '?'). Shared with the SQL
+#: parity CASE in tests so the two sides cannot drift.
+SEQ_KIND_CHARS = {"text": "t", "image": "i", "audio": "a",
+                  "table": "b"}
+
+
+def span_sequence_violations(ds, pattern: str, *, mode: str = "require",
+                             rule: str | None = None,
+                             max_detail_chars: int = 48):
+    """Span-GRAMMAR validation: each document's span-KIND sequence,
+    rendered as a one-char-per-span string (`SEQ_KIND_CHARS`), is
+    checked against an RE2 ``pattern`` — ``mode='require'`` flags docs
+    whose whole sequence does NOT match (the pattern is anchored), and
+    ``mode='forbid'`` flags docs CONTAINING a match (e.g.
+    ``'ii|aa|bb'`` = no two adjacent media spans of the same kind).
+    The structural rule the per-span pack cannot express: it
+    constrains the ORDER ACROSS spans, not any single span.
+
+    Vectorized: kinds flatten zero-copy, map to bytes through a
+    256-entry lookup table, each doc's sequence is one O(len) buffer
+    slice, and the regex runs once per batch through pyarrow's RE2 —
+    the same engine DuckDB uses, so SQL parity is exact
+    (tests/test_span_grammar.py). → violations Dataset.
+
+    Reference analogue: the FSM chain-validity rules
+    (cerberus/models/booking.py) — a regular language over an ordered
+    per-entity sequence, here over the span axis of one document.
+    """
+    if mode not in ("require", "forbid"):
+        raise ValueError(f"unknown mode {mode!r}")
+    rule = rule or f"span-seq-{mode}"
+    rx = pattern if mode == "forbid" else f"^(?:{pattern})$"
+
+    # kind string → single byte via a first-char+length discriminator
+    # is fragile; build an explicit dictionary-encode per batch instead.
+    def check(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        spans = batch["spans"]
+        counts = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(spans)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        kinds = pc.fill_null(flat.field("kind"), "")  # null kind → '?'
+        # dictionary-encode once, map the (tiny) dictionary to chars
+        enc = pc.dictionary_encode(kinds)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dic = enc.dictionary.to_pylist()
+        lut = np.array([ord(SEQ_KIND_CHARS.get(k, "?")) for k in dic],
+                       dtype=np.uint8)
+        codes = lut[enc.indices.to_numpy(zero_copy_only=False)] \
+            if len(dic) else np.zeros(0, np.uint8)
+        buf = codes.tobytes()
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        seqs = [buf[s:e].decode("ascii")
+                for s, e in zip(starts, ends)]
+        arr = pa.array(seqs, pa.string())
+        hit = pc.match_substring_regex(arr, rx).to_numpy(
+            zero_copy_only=False)
+        bad = hit if mode == "forbid" else ~hit
+        if not bad.any():
+            return VIOLATIONS.empty_table()
+        ids = doc_ids[bad]
+        sq = [s if len(s) <= max_detail_chars
+              else s[:max_detail_chars] + "…" for i, s in
+              enumerate(seqs) if bad[i]]
+        word = "matches forbidden" if mode == "forbid" \
+            else "does not match required"
+        return pa.Table.from_arrays([
+            pa.array(ids.astype(object), pa.string()),
+            pa.array(np.full(len(ids), rule, dtype=object), pa.string()),
+            pa.array(np.full(len(ids), "spans", dtype=object),
+                     pa.string()),
+            pa.array([f"kind sequence '{s}' {word} /{pattern}/"
+                      for s in sq], pa.string())], schema=VIOLATIONS)
+
+    return ds.map_batches(check, batch_format="pyarrow",
+                          zero_copy_batch=True)

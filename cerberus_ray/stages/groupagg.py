@@ -401,8 +401,12 @@ def grouped_approx_distinct(ds, group_col: str, value_col: str, *,
 
     def partial(b: pa.Table) -> pa.Table:
         v = b[value_col].to_numpy(zero_copy_only=False)
-        h = (splitmix64(v.astype(np.uint64)) if v.dtype.kind in "iu"
-             else hash_strings(np.asarray(v, dtype=object)))
+        if v.dtype.kind in "iu":
+            h = splitmix64(v.astype(np.uint64))
+        else:
+            # any non-integer dtype hashes by its string form (floats,
+            # dates, objects) — deterministic and dtype-safe
+            h = hash_strings(np.asarray(v.astype(str), dtype=object))
         g = b[group_col].to_numpy(zero_copy_only=False)
         uniq, codes = np.unique(g, return_inverse=True)
         idx = (h & np.uint64(m - 1)).astype(np.int64)
