@@ -111,3 +111,113 @@ def resolve_entities(ds, key_col: str, text_col: str, *, k: int = 1,
         {"value": list(ent), "canonical": [ent[v] for v in ent]})
         .sort_values("value").reset_index(drop=True))
     return tagged, ent_frame
+
+
+def sorted_neighborhood_pairs(ds, id_col: str, text_col: str, *,
+                              window: int = 5,
+                              n_buckets: int = 32) -> pd.DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order
+    all rows by the normalized identity key and emit every candidate
+    pair within ``window`` positions — the classic alternative to hash
+    blocking when matches share PREFIXES rather than whole tokens
+    (typos late in the string stay adjacent in sort order).
+
+    Scale shape: one range-partition sort (via
+    `global_rank.global_row_number`'s no-driver-state plan), then rows
+    route to ``rank // window`` AND the following bucket — a pair
+    within the window spans at most two adjacent buckets, so every
+    candidate appears in exactly the bucket of its LARGER rank (the
+    dedup rule; boundary pairs are never lost, the same
+    boundary-duplication idiom as the interval-overlap rule). Pair
+    expansion per bucket is a vectorized searchsorted + repeat — no
+    per-row Python. Output ≤ (window−1) pairs per row.
+
+    → pandas frame (a, b, key_a, key_b, rank_gap) with (a, b) the
+    id pair sorted by rank, deduplicated, sorted.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.global_rank import global_row_number
+    from ..stages.keyed_window import keyed_apply
+
+    if window < 2:
+        raise ValueError(f"window must be ≥ 2: {window}")
+
+    def norm(b: pa.Table) -> pa.Table:
+        key = normalize_identity(
+            b[text_col].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({
+            "_id": pc.cast(b[id_col], pa.string()),
+            "_key": pa.array(key, pa.string())})
+
+    keyed = ds.map_batches(norm, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ranked = global_row_number(keyed, ["_key", "_id"], out_col="_rn")
+
+    def route(b: pa.Table) -> pa.Table:
+        """Duplicate each row into its home bucket and the next one —
+        every windowed pair then co-locates in the larger rank's
+        bucket (boundary-duplication idiom)."""
+        df = b.to_pandas()
+        home = (df["_rn"].to_numpy(dtype=np.int64) - 1) // window
+        dup = pd.concat([df.assign(_bkt=home),
+                         df.assign(_bkt=home + 1)], ignore_index=True)
+        return pa.Table.from_pandas(dup, preserve_index=False)
+
+    routed = keyed_apply(
+        ranked.map_batches(route, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "_bkt", lambda g: _sn_bucket_pairs(g, window))
+    pdf = routed.to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({"a": [], "b": [], "key_a": [],
+                             "key_b": [], "rank_gap": []})
+    out = pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return out.reset_index(drop=True)
+
+
+def _sn_bucket_pairs(g: pd.DataFrame, window: int) -> pd.DataFrame:
+    """Vectorized windowed pair expansion for one keyed_apply frame.
+    The frame may hold SEVERAL _bkt groups (hash-bucket collisions);
+    each group is a contiguous rank range of natives plus the previous
+    bucket's duplicates. Sorting by (_bkt, _rn) and offsetting ranks
+    per group keeps one global searchsorted from crossing groups."""
+    g = g.sort_values(["_bkt", "_rn"], kind="mergesort"
+                      ).reset_index(drop=True)
+    rn = g["_rn"].to_numpy(dtype=np.int64)
+    bk = g["_bkt"].to_numpy(dtype=np.int64)
+    if not len(g):
+        return pd.DataFrame({"a": [], "b": [], "key_a": [],
+                             "key_b": [], "rank_gap": []})
+    # disjoint monotone key per group: gaps between groups ≥ window
+    off = np.int64(rn.max() + window)
+    adj = rn + (bk - bk.min()) * off
+    native = ((rn - 1) // window) == bk
+    # for native row at position p, pair with positions q < p whose
+    # rank is within the window (same group by construction of adj)
+    lo = np.searchsorted(adj, adj - (window - 1), side="left")
+    p = np.flatnonzero(native)
+    counts = p - lo[p]
+    m = counts > 0
+    p, counts = p[m], counts[m]
+    if not len(p):
+        return pd.DataFrame({"a": [], "b": [], "key_a": [],
+                             "key_b": [], "rank_gap": []})
+    total = int(counts.sum())
+    starts = np.zeros(len(counts), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    q = (np.arange(total) - np.repeat(starts, counts)
+         + np.repeat(lo[p], counts))
+    pj = np.repeat(p, counts)
+    # a duplicate copy and a native of the SAME row can both sit in
+    # one group when rn makes them window-adjacent — impossible by
+    # construction (each rank routed once per bucket), but self-pairs
+    # are cheap to assert away
+    keep = rn[pj] != rn[q]
+    q, pj = q[keep], pj[keep]
+    ids = g["_id"].to_numpy(dtype=object)
+    keys = g["_key"].to_numpy(dtype=object)
+    return pd.DataFrame({
+        "a": ids[q], "b": ids[pj],
+        "key_a": keys[q], "key_b": keys[pj],
+        "rank_gap": (rn[pj] - rn[q]).astype("int64")})

@@ -2266,6 +2266,29 @@ def q_global_rank_report(sf_dir: str) -> pa.Table:
              "prio_pct_rank_max"]], preserve_index=False)
 
 
+def q_sorted_neighborhood_report(sf_dir: str) -> pa.Table:
+    """Sorted-neighborhood blocking (extras surface): windowed
+    candidate pairs over the customer-name sort order — the prefix-
+    locality complement of deletion/hash blocking; pair volume bounded
+    by (window−1)·n. Brute-force + boundary parity in
+    tests/test_entity_resolution.py."""
+    from .entity_resolution import sorted_neighborhood_pairs
+
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_name"])
+    pairs = sorted_neighborhood_pairs(cust, "c_custkey", "c_name",
+                                      window=3)
+    same_prefix = (pairs["key_a"].str[:10]
+                   == pairs["key_b"].str[:10]).sum() if len(pairs) \
+        else 0
+    return pa.Table.from_pydict({
+        "n_candidate_pairs": pa.array([len(pairs)], pa.int64()),
+        "n_same_prefix10": pa.array([int(same_prefix)], pa.int64()),
+        "max_rank_gap": pa.array(
+            [int(pairs["rank_gap"].max()) if len(pairs) else 0],
+            pa.int64())})
+
+
 def q_entity_resolution_report(sf_dir: str) -> pa.Table:
     """Entity resolution (extras surface): plant a deterministic 1-char-
     deletion typo row for every 5th part name, then recover the
@@ -4242,6 +4265,7 @@ QUERIES = {
     "spc_report": q_spc_report,
     "grouped_hll_report": q_grouped_hll_report,
     "span_grammar_report": q_span_grammar_report,
+    "sorted_neighborhood_report": q_sorted_neighborhood_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,

@@ -93,3 +93,72 @@ def test_cc_mode_agreement(ray_session):
     pd.testing.assert_frame_equal(
         a.sort_values("id").reset_index(drop=True),
         b.sort_values("id").reset_index(drop=True))
+
+
+def test_sorted_neighborhood_matches_bruteforce(ray_session):
+    """Distributed SN pairs == brute-force windowed pairs on the
+    globally sorted normalized keys (incl. bucket-boundary pairs)."""
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.entity_resolution import (
+        normalize_identity, sorted_neighborhood_pairs)
+
+    rng = np.random.default_rng(9)
+    names = [f"Name {chr(65 + i % 24)}{i % 97:02d}" for i in range(400)]
+    df = pd.DataFrame({"rid": [f"r{i}" for i in range(400)],
+                       "name": rng.permutation(names)})
+    W = 4
+    out = sorted_neighborhood_pairs(
+        rd.from_pandas(df, override_num_blocks=7).materialize(),
+        "rid", "name", window=W)
+    # brute force on the driver
+    key = normalize_identity(df["name"].to_numpy())
+    order = np.lexsort((df["rid"].to_numpy(dtype=object), key))
+    sid = df["rid"].to_numpy(dtype=object)[order]
+    exp = set()
+    for j in range(len(sid)):
+        for d in range(1, W):
+            if j - d >= 0:
+                exp.add((sid[j - d], sid[j]))
+    got = {(r.a, r.b) for r in out.itertuples()}
+    assert got == exp
+    assert (out["rank_gap"] < W).all() and (out["rank_gap"] >= 1).all()
+
+
+def test_sorted_neighborhood_layout_invariance_and_guard(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.entity_resolution import (
+        sorted_neighborhood_pairs)
+
+    df = pd.DataFrame({"rid": [f"x{i}" for i in range(120)],
+                       "name": [f"acme corp {i % 37}" for i in
+                                range(120)]})
+    a = sorted_neighborhood_pairs(
+        rd.from_pandas(df, override_num_blocks=1).materialize(),
+        "rid", "name", window=3)
+    b = sorted_neighborhood_pairs(
+        rd.from_pandas(df.sample(frac=1.0, random_state=3),
+                       override_num_blocks=8).materialize(),
+        "rid", "name", window=3)
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(rd.from_pandas(df), "rid", "name",
+                                  window=1)
+
+
+def test_sorted_neighborhood_finds_typo_neighbors(ray_session):
+    """Near-identical names land adjacent in sort order and pair even
+    when hash blocking on whole tokens would separate them."""
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.entity_resolution import (
+        sorted_neighborhood_pairs)
+
+    df = pd.DataFrame({
+        "rid": ["a", "b", "c", "d"],
+        "name": ["Jonathan Smith", "Jonathan Smyth",
+                 "Zebra Inc", "Aardvark LLC"]})
+    out = sorted_neighborhood_pairs(
+        rd.from_pandas(df).materialize(), "rid", "name", window=2)
+    assert ("a", "b") in {(r.a, r.b) for r in out.itertuples()}
