@@ -221,3 +221,89 @@ def _sn_bucket_pairs(g: pd.DataFrame, window: int) -> pd.DataFrame:
         "a": ids[q], "b": ids[pj],
         "key_a": keys[q], "key_b": keys[pj],
         "rank_gap": (rn[pj] - rn[q]).astype("int64")})
+
+
+def fs_em_weights(pairs_ds, agree_cols, *, max_iter: int = 3000,
+                  tol: float = 1e-7, lam0: float = 0.1,
+                  m0: float = 0.9, u0: float = 0.1) -> dict:
+    """Fellegi-Sunter match/non-match parameter estimation (Fellegi &
+    Sunter 1969; EM per Winkler 1988) over a candidate-pair Dataset
+    with boolean per-field agreement columns.
+
+    The EM never iterates over pairs: one distributed AGREEMENT-PATTERN
+    census (group by the k boolean columns — map-side combined, output
+    bounded by 2^k patterns regardless of pair count) feeds a driver
+    EM on the pattern frequency table (O(2^k · iters)). Deterministic:
+    fixed init, fixed iteration order. → {'lambda', 'm': {col: m_f},
+    'u': {col: u_f}, 'log2_weights': {col: (agree_w, disagree_w)},
+    'n_pairs', 'n_iter', 'converged'} with weights
+    log2(m/u) / log2((1−m)/(1−u)).
+    """
+    agree_cols = list(agree_cols)
+    k = len(agree_cols)
+    if not 1 <= k <= 20:
+        raise ValueError(f"need 1..20 agreement columns, got {k}")
+
+    from ..stages.groupagg import grouped_agg
+
+    cen = grouped_agg(pairs_ds, agree_cols,
+                      {"n": (agree_cols[0], "count")})
+    if not len(cen):
+        raise ValueError("no candidate pairs")
+    G = cen[agree_cols].to_numpy(dtype="float64")       # (P, k) in {0,1}
+    n = cen["n"].to_numpy(dtype="float64")              # (P,)
+    N = float(n.sum())
+    lam = float(lam0)
+    m = np.full(k, float(m0))
+    u = np.full(k, float(u0))
+    it, converged = 0, False
+    for it in range(1, max_iter + 1):
+        pm = np.exp(G @ np.log(m) + (1 - G) @ np.log1p(-m))
+        pu = np.exp(G @ np.log(u) + (1 - G) @ np.log1p(-u))
+        w = lam * pm / (lam * pm + (1 - lam) * pu)
+        lam_new = float((w * n).sum() / N)
+        wm = (w * n)
+        wu = ((1 - w) * n)
+        m_new = np.clip((G.T @ wm) / wm.sum(), 1e-9, 1 - 1e-9)
+        u_new = np.clip((G.T @ wu) / wu.sum(), 1e-9, 1 - 1e-9)
+        delta = max(abs(lam_new - lam),
+                    float(np.abs(m_new - m).max()),
+                    float(np.abs(u_new - u).max()))
+        lam, m, u = lam_new, m_new, u_new
+        if delta < tol:
+            converged = True
+            break
+    return {
+        "lambda": lam,
+        "m": dict(zip(agree_cols, m.tolist())),
+        "u": dict(zip(agree_cols, u.tolist())),
+        "log2_weights": {
+            c: (float(np.log2(m[i] / u[i])),
+                float(np.log2((1 - m[i]) / (1 - u[i]))))
+            for i, c in enumerate(agree_cols)},
+        "n_pairs": int(N), "n_iter": it, "converged": converged}
+
+
+def fs_score_pairs(pairs_ds, agree_cols, params: dict):
+    """→ the pairs Dataset with a ``match_weight`` column: Σ_f
+    log2(m_f/u_f) on agreement, log2((1−m_f)/(1−u_f)) on disagreement
+    — the Fellegi-Sunter decision statistic, one vectorized dot
+    product per batch against the broadcast weight vectors."""
+    import ray
+
+    cols = list(agree_cols)
+    aw = np.array([params["log2_weights"][c][0] for c in cols])
+    dw = np.array([params["log2_weights"][c][1] for c in cols])
+    ref = ray.put((aw, dw))
+
+    def score(b: pa.Table) -> pa.Table:
+        a, d = ray.get(ref)
+        G = np.column_stack([
+            b[c].to_numpy(zero_copy_only=False).astype("float64")
+            for c in cols])
+        wgt = G @ a + (1 - G) @ d
+        return b.append_column("match_weight",
+                               pa.array(wgt, pa.float64()))
+
+    return pairs_ds.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)

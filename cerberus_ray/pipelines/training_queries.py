@@ -2289,6 +2289,48 @@ def q_sorted_neighborhood_report(sf_dir: str) -> pa.Table:
             pa.int64())})
 
 
+def q_fs_em_report(sf_dir: str) -> pa.Table:
+    """Fellegi-Sunter EM (extras surface): match/non-match parameters
+    estimated from the agreement-pattern census of sorted-neighborhood
+    candidate pairs over customers (fields: market segment, nation,
+    account-balance sign). Generative-recovery + full-reference-EM
+    parity in tests/test_entity_resolution.py."""
+    import pyarrow.dataset as pads  # noqa: F401
+
+    from .entity_resolution import fs_em_weights, \
+        sorted_neighborhood_pairs
+
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_name", "c_nationkey",
+                               "c_mktsegment", "c_acctbal"]
+                      ).materialize()
+    pairs = sorted_neighborhood_pairs(cust, "c_custkey", "c_name",
+                                      window=3)
+    attrs = cust.to_pandas().set_index(
+        cust.to_pandas()["c_custkey"].astype(str))
+    a = attrs.loc[pairs["a"].to_numpy(dtype=object)]
+    b = attrs.loc[pairs["b"].to_numpy(dtype=object)]
+    agree = pd.DataFrame({
+        "f_seg": (a["c_mktsegment"].to_numpy()
+                  == b["c_mktsegment"].to_numpy()).astype("int64"),
+        "f_nation": (a["c_nationkey"].to_numpy()
+                     == b["c_nationkey"].to_numpy()).astype("int64"),
+        "f_balsign": ((a["c_acctbal"].to_numpy() >= 0)
+                      == (b["c_acctbal"].to_numpy() >= 0)
+                      ).astype("int64")})
+    import ray.data as rd
+
+    p = fs_em_weights(rd.from_pandas(agree).materialize(),
+                      ["f_seg", "f_nation", "f_balsign"])
+    rows = [{"field": c, "m": p["m"][c], "u": p["u"][c],
+             "w_agree": p["log2_weights"][c][0],
+             "w_disagree": p["log2_weights"][c][1],
+             "lam": p["lambda"], "n_pairs": p["n_pairs"]}
+            for c in ("f_seg", "f_nation", "f_balsign")]
+    return pa.Table.from_pandas(pd.DataFrame(rows),
+                                preserve_index=False)
+
+
 def q_entity_resolution_report(sf_dir: str) -> pa.Table:
     """Entity resolution (extras surface): plant a deterministic 1-char-
     deletion typo row for every 5th part name, then recover the
@@ -4266,6 +4308,7 @@ QUERIES = {
     "grouped_hll_report": q_grouped_hll_report,
     "span_grammar_report": q_span_grammar_report,
     "sorted_neighborhood_report": q_sorted_neighborhood_report,
+    "fs_em_report": q_fs_em_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,

@@ -162,3 +162,85 @@ def test_sorted_neighborhood_finds_typo_neighbors(ray_session):
     out = sorted_neighborhood_pairs(
         rd.from_pandas(df).materialize(), "rid", "name", window=2)
     assert ("a", "b") in {(r.a, r.b) for r in out.itertuples()}
+
+
+def _fs_pairs_frame(n=30_000, seed=13):
+    """Synthetic candidate pairs with KNOWN generative (lambda, m, u)."""
+    rng = np.random.default_rng(seed)
+    lam, m, u = 0.15, np.array([0.95, 0.85, 0.7]), \
+        np.array([0.08, 0.2, 0.35])
+    is_match = rng.random(n) < lam
+    G = np.where(is_match[:, None],
+                 rng.random((n, 3)) < m,
+                 rng.random((n, 3)) < u).astype("int64")
+    return pd.DataFrame({"f_name": G[:, 0], "f_city": G[:, 1],
+                         "f_year": G[:, 2]}), lam, m, u, is_match
+
+
+def test_fs_em_recovers_generative_params(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.entity_resolution import fs_em_weights
+
+    df, lam, m, u, _ = _fs_pairs_frame()
+    ds = rd.from_pandas(df, override_num_blocks=6).materialize()
+    cols = ["f_name", "f_city", "f_year"]
+    p = fs_em_weights(ds, cols)
+    assert p["converged"] and p["n_pairs"] == len(df)
+    assert abs(p["lambda"] - lam) < 0.03
+    for i, c in enumerate(cols):
+        assert abs(p["m"][c] - m[i]) < 0.06
+        assert abs(p["u"][c] - u[i]) < 0.03
+    # agreement on a strong field must carry positive log2 weight
+    assert p["log2_weights"]["f_name"][0] > 1.0
+    assert p["log2_weights"]["f_name"][1] < 0.0
+
+
+def test_fs_em_matches_full_reference_and_is_layout_invariant(
+        ray_session):
+    """Pattern-census EM == an explicit EM over every pair (numpy),
+    and the census makes the result block-layout invariant."""
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.entity_resolution import fs_em_weights
+
+    df, *_ = _fs_pairs_frame(n=4000, seed=7)
+    cols = ["f_name", "f_city", "f_year"]
+    p1 = fs_em_weights(
+        rd.from_pandas(df, override_num_blocks=1).materialize(), cols)
+    p2 = fs_em_weights(
+        rd.from_pandas(df.sample(frac=1.0, random_state=1),
+                       override_num_blocks=9).materialize(), cols)
+    assert p1 == p2
+    # reference: EM iterating over raw pairs
+    G = df[cols].to_numpy(dtype="float64")
+    lam, m, u = 0.1, np.full(3, 0.9), np.full(3, 0.1)
+    for _ in range(p1["n_iter"]):
+        pm = np.exp(G @ np.log(m) + (1 - G) @ np.log1p(-m))
+        pu = np.exp(G @ np.log(u) + (1 - G) @ np.log1p(-u))
+        w = lam * pm / (lam * pm + (1 - lam) * pu)
+        lam = w.mean()
+        m = np.clip(G.T @ w / w.sum(), 1e-9, 1 - 1e-9)
+        u = np.clip(G.T @ (1 - w) / (1 - w).sum(), 1e-9, 1 - 1e-9)
+    assert abs(p1["lambda"] - lam) < 1e-6
+    for i, c in enumerate(cols):
+        assert abs(p1["m"][c] - m[i]) < 1e-6
+        assert abs(p1["u"][c] - u[i]) < 1e-6
+
+
+def test_fs_score_separates_matches(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.entity_resolution import (
+        fs_em_weights, fs_score_pairs)
+
+    df, _, _, _, is_match = _fs_pairs_frame(n=20_000, seed=3)
+    ds = rd.from_pandas(df, override_num_blocks=4).materialize()
+    cols = ["f_name", "f_city", "f_year"]
+    p = fs_em_weights(ds, cols)
+    scored = fs_score_pairs(ds, cols, p).to_pandas()
+    hi = scored["match_weight"].to_numpy()[is_match].mean()
+    lo = scored["match_weight"].to_numpy()[~is_match].mean()
+    assert hi > lo + 2.0          # clear separation in FS weight units
+    with pytest.raises(ValueError):
+        fs_em_weights(ds, [])
