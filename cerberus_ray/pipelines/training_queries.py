@@ -2289,6 +2289,49 @@ def q_sorted_neighborhood_report(sf_dir: str) -> pa.Table:
             pa.int64())})
 
 
+def q_phonetic_blocking_report(sf_dir: str) -> pa.Table:
+    """Phonetic ER blocking (extras surface): a deterministic person-
+    name roster derived from customer keys (surname pool + planted
+    phonetic misspellings every 7th key) buckets by first-token
+    Soundex, candidate pairs verify with the DuckDB-bit-exact
+    Jaro-Winkler kernel. (Template 'Customer#...' names all share one
+    Soundex code — the roster gives the blocking real key diversity.)
+    Canonical Soundex vectors + JW parity fuzz in
+    tests/test_entity_resolution.py."""
+    from .entity_resolution import soundex_blocking_pairs
+
+    pool = ["Robert Miller", "Katherine Oneal", "Pfister Gomez",
+            "Tymczak Herrera", "Ashcraft Young", "Washington Cole",
+            "Gutierrez Park", "Honeyman Reyes", "Jackson Wu",
+            "Dixon Ferrara"]
+    typo = {"Robert Miller": "Rupert Miller",
+            "Ashcraft Young": "Ashcroft Young",
+            "Katherine Oneal": "Catherine Oneal"}
+
+    def roster(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False)
+        base = np.array(pool, dtype=object)[k % len(pool)]
+        alt = np.array([typo.get(s, s) for s in base], dtype=object)
+        name = np.where(k % 7 == 0, alt, base)
+        return pa.Table.from_pydict({
+            "rid": pa.array(k.astype(str)),
+            "name": pa.array(name, pa.string())})
+
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey"]).map_batches(
+        roster, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = soundex_blocking_pairs(cust, "rid", "name",
+                                   jw_threshold=0.85)
+    return pa.Table.from_pydict({
+        "n_verified_pairs": pa.array([len(pairs)], pa.int64()),
+        "max_sim": pa.array(
+            [float(pairs["sim"].max()) if len(pairs) else 0.0],
+            pa.float64()),
+        "mean_sim": pa.array(
+            [float(pairs["sim"].mean()) if len(pairs) else 0.0],
+            pa.float64())})
+
+
 def q_fs_em_report(sf_dir: str) -> pa.Table:
     """Fellegi-Sunter EM (extras surface): match/non-match parameters
     estimated from the agreement-pattern census of sorted-neighborhood
@@ -4309,6 +4352,7 @@ QUERIES = {
     "span_grammar_report": q_span_grammar_report,
     "sorted_neighborhood_report": q_sorted_neighborhood_report,
     "fs_em_report": q_fs_em_report,
+    "phonetic_blocking_report": q_phonetic_blocking_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,

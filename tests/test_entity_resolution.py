@@ -244,3 +244,60 @@ def test_fs_score_separates_matches(ray_session):
     assert hi > lo + 2.0          # clear separation in FS weight units
     with pytest.raises(ValueError):
         fs_em_weights(ds, [])
+
+
+def test_soundex_canonical_vectors():
+    from cerberus_ray.pipelines.entity_resolution import soundex
+
+    vec = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+           "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+           "Honeyman": "H555", "Jackson": "J250",
+           "Washington": "W252", "Lee": "L000", "Gutierrez": "G362",
+           "O'Brien": "O165", "": "", "123": ""}
+    got = soundex(np.array(list(vec), dtype=object))
+    assert list(got) == list(vec.values())
+
+
+def test_jaro_winkler_matches_duckdb_exactly(ray_session):
+    """Bit-exact parity with DuckDB's jaro_winkler_similarity on a
+    fuzzed ASCII corpus (same p=0.1 scaling, 0.7 boost threshold,
+    4-char prefix cap, and the both-empty→0 convention)."""
+    import duckdb
+
+    from cerberus_ray.pipelines.entity_resolution import jaro_winkler
+
+    rng = np.random.default_rng(21)
+    alpha = np.array(list("abcdefgh "))
+    def rnd():
+        return "".join(rng.choice(alpha, rng.integers(0, 12)))
+    a = [rnd() for _ in range(300)] + ["", "martha", "dixon"]
+    b = [rnd() for _ in range(300)] + ["", "marhta", "dicksonx"]
+    mine = jaro_winkler(a, b)
+    con = duckdb.connect()
+    theirs = [con.execute(
+        "select jaro_winkler_similarity(?, ?)", [x, y]).fetchone()[0]
+        for x, y in zip(a, b)]
+    assert np.max(np.abs(mine - np.array(theirs))) < 1e-12
+
+
+def test_soundex_blocking_pairs_finds_phonetic_matches(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.entity_resolution import (
+        soundex_blocking_pairs)
+
+    df = pd.DataFrame({
+        "rid": range(8),
+        "name": ["Robert Smith", "Rupert Smith", "Robert Smith",
+                 "Catherine Jones", "Katherine Jones",
+                 "Ashcraft Ltd", "Ashcroft Ltd", "Zzyzx Corp"]})
+    out = soundex_blocking_pairs(
+        rd.from_pandas(df, override_num_blocks=3).materialize(),
+        "rid", "name", jw_threshold=0.8)
+    got = {(r.a, r.b) for r in out.itertuples()}
+    assert ("ashcraft ltd", "ashcroft ltd") in got
+    assert ("robert smith", "rupert smith") in got
+    # different soundex block (C/K) never pairs even though similar
+    assert not any("catherine" in a and "katherine" in b
+                   for a, b in got)
+    assert (out["sim"] >= 0.8).all()
