@@ -1794,6 +1794,23 @@ def q_span_grammar_report(sf_dir: str) -> pa.Table:
         "n_docs": pa.array([n, n], pa.int64())})
 
 
+def q_rule_suggestion_report(sf_dir: str) -> pa.Table:
+    """Constraint suggestion (extras surface): profile orders once,
+    propose Deequ-style rules (not-null / range / enum / max-length /
+    unique), and re-validate the table under its own suggestions —
+    the invariant is zero violations. tests/test_suggest.py."""
+    from ..stages.suggest import apply_suggested_rules, suggest_rules
+
+    ds = read_table(f"{sf_dir}/orders.parquet").materialize()
+    sug = suggest_rules(ds)
+    v = apply_suggested_rules(ds, sug, key_col="o_orderkey")
+    counts = sug.groupby("rule").size().sort_index()
+    return pa.Table.from_pydict({
+        "rule": pa.array(list(counts.index) + ["(violations)"]),
+        "n": pa.array([int(x) for x in counts.to_numpy()]
+                      + [v.count()], pa.int64())})
+
+
 def q_grouped_hll_report(sf_dir: str) -> pa.Table:
     """Per-group approximate distinct (extras surface): users per
     event type via one HLL sketch per group — the sketch path for
@@ -4353,6 +4370,7 @@ QUERIES = {
     "sorted_neighborhood_report": q_sorted_neighborhood_report,
     "fs_em_report": q_fs_em_report,
     "phonetic_blocking_report": q_phonetic_blocking_report,
+    "rule_suggestion_report": q_rule_suggestion_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,

@@ -409,7 +409,8 @@ def trailing_volume_anomalies(events_ds, *, type_col: str = "event_type",
                               ts_col: str = "ts", window: int = 7,
                               min_history: int = 3,
                               lo_frac: float = 0.5,
-                              hi_frac: float = 2.0) -> pa.Table:
+                              hi_frac: float = 2.0,
+                              season: int | None = None) -> pa.Table:
     """Trailing-baseline partition-volume validation (the Deequ/GX
     "row-count anomaly" check): bucket rows into DAYS per stream,
     gap-fill the global calendar with zeros (a missing partition is the
@@ -422,6 +423,12 @@ def trailing_volume_anomalies(events_ds, *, type_col: str = "event_type",
     ``lo_frac``/``hi_frac`` should be exactly-representable binary
     fractions (0.5, 2.0, 0.25 …) so the band compare is bit-identical
     to the SQL oracle's.
+
+    ``season=s`` makes the baseline SEASONAL-PHASE-aware: each day is
+    judged against the trailing ``window`` days of the SAME phase
+    (day-index mod s; s=7 = same weekday) — a weekly-troughed stream
+    stops false-flagging its own Sundays. Warm-up then counts prior
+    SAME-PHASE days.
 
     Ray shape: one streamed pass of per-block (stream, day) count
     partials; the driver merges O(#streams × #days) rows (time-domain
@@ -459,13 +466,26 @@ def trailing_volume_anomalies(events_ds, *, type_col: str = "event_type",
     full["n"] = full["n"].astype("int64")
     full = full.sort_values(["t", "d"], kind="mergesort"
                             ).reset_index(drop=True)
-    prev = full.groupby("t")["n"].shift(1)
-    med = (prev.groupby(full["t"])
+    if season:
+        # phase = day index mod season (per the global calendar) —
+        # rows stay globally sorted by (t, d), so within each
+        # (t, phase) group order is still chronological
+        day_idx = ((full["d"] - cal[0]) // pd.Timedelta(days=1)
+                   ).astype("int64")
+        full["_ph"] = (day_idx % season).to_numpy()
+        gkey = [full["t"], full["_ph"]]
+        prev = full.groupby(["t", "_ph"])["n"].shift(1)
+    else:
+        gkey = [full["t"]]
+        prev = full.groupby("t")["n"].shift(1)
+    med = (prev.groupby(gkey)
            .rolling(window, min_periods=min_history).median()
-           .reset_index(level=0, drop=True))
-    nhist = (prev.groupby(full["t"])
+           .reset_index(level=list(range(len(gkey))), drop=True)
+           .sort_index())    # back to row order (groups interleave)
+    nhist = (prev.groupby(gkey)
              .rolling(window, min_periods=1).count()
-             .reset_index(level=0, drop=True))
+             .reset_index(level=list(range(len(gkey))), drop=True)
+             .sort_index())
     nv = full["n"].to_numpy(dtype="float64")
     mv = med.to_numpy(dtype="float64")
     ok_hist = nhist.to_numpy() >= min_history

@@ -249,3 +249,72 @@ def test_trailing_volume_layout_invariance(ray_session):
         rd.from_pandas(df.sample(frac=1.0, random_state=1),
                        override_num_blocks=9).materialize()).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_trailing_volume_seasonal_phase_baseline(ray_session):
+    """A weekly-troughed stream false-flags its troughs under the flat
+    baseline but is clean under season=7; a planted missing TROUGH day
+    still flags (judged against trough history). DuckDB phase-window
+    parity."""
+    import duckdb
+    import ray.data as rd
+
+    from cerberus_ray.stages.drift import trailing_volume_anomalies
+
+    rows = []
+    for day in range(63):
+        trough = day % 7 == 6
+        n = 100 if trough else 1000
+        if day == 41:          # a trough day (41 % 7 == 6): outage
+            n = 0
+        for i in range(n):
+            rows.append({"event_type": "wk",
+                         "ts": pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=day, seconds=i)})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df, override_num_blocks=5).materialize()
+    flat = trailing_volume_anomalies(ds).to_pandas()
+    seasonal = trailing_volume_anomalies(ds, season=7).to_pandas()
+    # flat baseline mistakes every trough for an outage
+    assert len(flat) > 5
+    # seasonal baseline flags exactly the planted outage
+    assert len(seasonal) == 1
+    assert seasonal["day"].iloc[0] == pd.Timestamp("2024-01-01") \
+        + pd.Timedelta(days=41)
+    assert seasonal["status"].iloc[0] == "low"
+    # DuckDB parity for the seasonal variant
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    con.register("ev", pa.Table.from_pandas(df))
+    theirs = con.execute("""
+        WITH c AS (
+          SELECT event_type AS t, date_trunc('day', ts) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1, 2),
+        cal AS (
+          SELECT UNNEST(generate_series(
+              (SELECT MIN(d) FROM c), (SELECT MAX(d) FROM c),
+              INTERVAL 1 DAY)) AS d),
+        f AS (
+          SELECT ty.t, cal.d, COALESCE(c.n, 0) AS n,
+                 CAST(date_diff('day',
+                      (SELECT MIN(d) FROM c), cal.d) % 7 AS BIGINT)
+                     AS ph
+          FROM (SELECT DISTINCT t FROM c) ty CROSS JOIN cal
+          LEFT JOIN c ON c.t = ty.t AND c.d = cal.d),
+        w AS (
+          SELECT t, d, n,
+                 MEDIAN(n) OVER (PARTITION BY t, ph ORDER BY d
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS med,
+                 COUNT(n) OVER (PARTITION BY t, ph ORDER BY d
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nh
+          FROM f)
+        SELECT t AS event_type, CAST(d AS TIMESTAMP) AS day,
+               n AS n_events, med AS trailing_median,
+               CASE WHEN n < 0.5 * med THEN 'low'
+                    ELSE 'high' END AS status
+        FROM w
+        WHERE nh >= 3 AND (n < 0.5 * med OR n > 2.0 * med)
+        ORDER BY event_type, day""").df()
+    pd.testing.assert_frame_equal(seasonal, theirs, check_dtype=False)

@@ -1,65 +1,72 @@
-"""Rule autogeneration: suggested rules validate the profiled snapshot
-with zero violations, catch planted drift in a future snapshot, skip
-enums on high-cardinality columns, stay layout-invariant, and round-trip
-through the config exporter hash-identically."""
+"""Constraint suggestion: the suggestion invariant (profiled data
+validates clean under its own suggested rules), expected rule shapes on
+a real table, planted-dirty-row detection, and layout invariance."""
 
+import numpy as np
 import pandas as pd
-import pyarrow as pa
+import pytest
 import ray.data as rd
 
-from cerberus_ray.rules.config import ruleset_from_config
-from cerberus_ray.rules.core import ruleset_hash
-from cerberus_ray.rules.suggest import (profile_columns, ruleset_to_config,
-                                        suggest_rules)
 from cerberus_ray.sources.io import read_table
-from cerberus_ray.stages.validate import validate
+from cerberus_ray.stages.suggest import apply_suggested_rules, suggest_rules
 
 SF = "/root/testdata/sf0.001"
 
 
-def docs_ds(ray_session, blocks=3):
-    return read_table(f"{SF}/documents.parquet").repartition(
-        blocks).materialize()
+def test_suggests_expected_shapes_on_orders(ray_session):
+    ds = read_table(f"{SF}/orders.parquet")
+    sug = suggest_rules(ds)
+    by = {(r["column"], r["rule"]): r["params"]
+          for _, r in sug.iterrows()}
+    assert ("o_orderkey", "unique") in by
+    assert ("o_totalprice", "range") in by
+    assert ("o_orderstatus", "enum") in by
+    assert ("o_orderpriority", "enum") in by
+    assert ("o_orderkey", "not-null") in by
+    # enum domains are the exact observed value sets
+    import json
+    assert set(json.loads(by[("o_orderstatus", "enum")])["values"]) \
+        == {"F", "O", "P"}
+    # custkey repeats → never suggested unique
+    assert ("o_custkey", "unique") not in by
 
 
-def test_suggested_rules_are_clean_on_profiled_snapshot(ray_session):
-    ds = docs_ds(ray_session)
-    rs = suggest_rules(ds, "doc_id")
-    assert len(rs.rules) > 0
-    v = validate(ds, rs)
+def test_suggestion_invariant_clean_on_own_data(ray_session):
+    ds = read_table(f"{SF}/orders.parquet").materialize()
+    sug = suggest_rules(ds)
+    v = apply_suggested_rules(ds, sug, key_col="o_orderkey")
     assert v.count() == 0
 
 
-def test_suggestions_catch_future_drift(ray_session):
-    ds = docs_ds(ray_session)
-    rs = suggest_rules(ds, "doc_id")
-    future = pd.DataFrame({
-        "doc_id": [9_000_001, 9_000_002, 9_000_003],
-        "text": ["ok text", None, "fine"],          # null text
-        "lang": ["xx", "en", "en"],                 # new enum value
-        "source": ["web", "web", "web"],
-        "n_chars": [7, 4, -5]})                     # below observed min
-    got = validate(rd.from_pandas(future), rs).to_pandas()
-    rules = set(got["rule"])
-    assert "enum-lang" in rules
-    assert "not-null-text" in rules
-    assert "range-n_chars" in rules
+def test_planted_dirty_rows_caught(ray_session):
+    clean = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(200)],
+        "status": np.where(np.arange(200) % 2 == 0, "ok", "warn"),
+        "score": np.linspace(1.0, 9.0, 200),
+        "note": ["short"] * 200})
+    ds = rd.from_pandas(clean, override_num_blocks=4).materialize()
+    sug = suggest_rules(ds)
+    dirty = pd.concat([clean, pd.DataFrame({
+        "doc_id": ["bad1", "bad2", "bad3", "bad4"],
+        "status": ["ok", "BOGUS", "ok", None],
+        "score": [99.0, 5.0, 5.0, 5.0],
+        "note": ["short", "short", "x" * 40, "short"]})],
+        ignore_index=True)
+    dds = rd.from_pandas(dirty, override_num_blocks=3).materialize()
+    v = apply_suggested_rules(dds, sug).to_pandas()
+    got = {(r.doc_id, r.rule) for r in v.itertuples()}
+    assert ("bad1", "suggested-range-score") in got
+    assert ("bad2", "suggested-enum-status") in got
+    assert ("bad3", "suggested-maxlen-note") in got
+    assert ("bad4", "suggested-not-null-status") in got
+    # the clean rows never flag
+    assert not any(d.startswith("d") for d, _ in got)
 
 
-def test_high_cardinality_gets_maxlen_not_enum(ray_session):
-    ds = docs_ds(ray_session)
-    prof = profile_columns(ds)
-    assert prof["text"].get("overflow")  # free text overflows the enum cap
-    rs = suggest_rules(ds, "doc_id")
-    names = {r.name for r in rs.rules}
-    assert "maxlen-text" in names and "enum-text" not in names
-    # bounded-domain columns DO get enums
-    assert "enum-lang" in names and "enum-source" in names
-
-
-def test_layout_invariance_and_config_roundtrip(ray_session):
-    a = suggest_rules(docs_ds(ray_session, blocks=1), "doc_id")
-    b = suggest_rules(docs_ds(ray_session, blocks=7), "doc_id")
-    assert ruleset_hash(a) == ruleset_hash(b)
-    cfg = ruleset_to_config(a, "doc_id")
-    assert ruleset_hash(ruleset_from_config(cfg)) == ruleset_hash(a)
+def test_suggestions_layout_invariant(ray_session):
+    ds1 = read_table(f"{SF}/customer.parquet")
+    a = suggest_rules(ds1)
+    df = ds1.to_pandas().sample(frac=1.0, random_state=2)
+    b = suggest_rules(rd.from_pandas(df, override_num_blocks=9
+                                     ).materialize())
+    pd.testing.assert_frame_equal(a, b)
