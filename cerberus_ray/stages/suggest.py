@@ -193,3 +193,28 @@ def apply_suggested_rules(ds, suggestions: pd.DataFrame, *,
 
     return ds.map_batches(check, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def suggest_diff(old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+    """Contract drift between two suggestion snapshots of the same
+    table: which rules appeared, disappeared, or changed parameters —
+    the RULE-level complement of `schema_check` (type drift) and
+    `drift` (value drift). A disappeared 'not-null' means nulls
+    arrived; a widened 'range' means new extremes; a changed 'enum'
+    means new categories. → (column, rule, change, old_params,
+    new_params) sorted; ``change`` ∈ {'added', 'removed', 'changed'}.
+    """
+    ko = {(r["column"], r["rule"]): r["params"]
+          for _, r in old.iterrows()}
+    kn = {(r["column"], r["rule"]): r["params"]
+          for _, r in new.iterrows()}
+    rows = []
+    for k in sorted(set(ko) | set(kn)):
+        if k not in kn:
+            rows.append((*k, "removed", ko[k], None))
+        elif k not in ko:
+            rows.append((*k, "added", None, kn[k]))
+        elif ko[k] != kn[k]:
+            rows.append((*k, "changed", ko[k], kn[k]))
+    return pd.DataFrame(rows, columns=["column", "rule", "change",
+                                       "old_params", "new_params"])

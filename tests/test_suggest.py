@@ -70,3 +70,23 @@ def test_suggestions_layout_invariant(ray_session):
     b = suggest_rules(rd.from_pandas(df, override_num_blocks=9
                                      ).materialize())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_suggest_diff_classifies_contract_drift(ray_session):
+    from cerberus_ray.stages.suggest import suggest_diff
+
+    clean = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(100)],
+        "status": ["ok"] * 100,
+        "score": np.linspace(1.0, 5.0, 100)})
+    drifted = clean.copy()
+    drifted.loc[5, "status"] = None          # nulls arrived
+    drifted.loc[7, "score"] = 50.0           # new extreme
+    a = suggest_rules(rd.from_pandas(clean).materialize())
+    b = suggest_rules(rd.from_pandas(drifted).materialize())
+    d = suggest_diff(a, b)
+    ch = {(r.column, r.rule, r.change) for r in d.itertuples()}
+    assert ("status", "not-null", "removed") in ch
+    assert ("score", "range", "changed") in ch
+    # unchanged table diffs empty
+    assert len(suggest_diff(a, a)) == 0
