@@ -294,42 +294,23 @@ def unique_violations(ds, keys: Sequence[str], *, rule: str | None = None,
 def approx_distinct_by_group(ds, group_col: str, key: str, *,
                              p: int = 14) -> "pd.DataFrame":
     """Per-group HLL distinct estimates → DataFrame (group_col, approx):
-    one sketch per (block, group) — mergeable, no shuffle; the driver
-    merge is O(#blocks × #groups) tiny sketch rows, bounded by the group
-    DOMAIN (event types, languages, sources), not input rows. The
-    sketch-path analogue of the exact grouped distinct
-    (events_users_per_type)."""
+    mergeable register rows, no shuffle, driver merge bounded by the
+    group DOMAIN — the sketch-path analogue of the exact grouped
+    distinct (events_users_per_type). Thin wrapper over the single
+    grouped-HLL implementation (`groupagg.grouped_approx_distinct`:
+    one vectorized scatter-max per block instead of a per-group Python
+    loop; same register/estimate math), kept for its original
+    string-group/`approx` output contract."""
     import pandas as pd
 
-    def sketch(batch: pa.Table) -> pa.Table:
-        groups, payloads = [], []
-        t = batch.select([group_col, key])
-        gi = t[group_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(gi.astype(str), kind="stable")
-        gs = gi[order]
-        starts = np.flatnonzero(
-            np.r_[True, gs[1:] != gs[:-1]]) if len(gs) else []
-        keys_sorted = t[key].to_numpy(zero_copy_only=False)[order]
-        bounds = list(starts) + [len(gs)]
-        for i in range(len(bounds) - 1):
-            h = HyperLogLog(p=p)
-            h.update_strings(pa.array(
-                keys_sorted[bounds[i]:bounds[i + 1]].astype(str)))
-            groups.append(str(gs[bounds[i]]))
-            payloads.append(h.to_bytes())
-        return pa.Table.from_pydict({
-            "g": pa.array(groups, pa.string()),
-            "sketch": pa.array(payloads, pa.binary())})
+    from .groupagg import grouped_approx_distinct
 
-    parts = ds.map_batches(sketch, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
-    out = {}
-    for _, r in parts.iterrows():
-        acc = out.setdefault(r["g"], HyperLogLog(p=p))
-        acc.merge_bytes(r["sketch"])
-    return pd.DataFrame(
-        {group_col: sorted(out),
-         "approx": [out[g].estimate() for g in sorted(out)]})
+    out = grouped_approx_distinct(ds, group_col, key, p=p,
+                                  mode="driver")
+    res = pd.DataFrame({
+        group_col: out[group_col].astype(str).to_numpy(),
+        "approx": out["approx_distinct"].to_numpy()})
+    return res.sort_values(group_col).reset_index(drop=True)
 
 
 def approx_distinct(ds, key: str, *, p: int = 14) -> float:
