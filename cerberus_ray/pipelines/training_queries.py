@@ -1796,19 +1796,25 @@ def q_span_grammar_report(sf_dir: str) -> pa.Table:
 
 def q_rule_suggestion_report(sf_dir: str) -> pa.Table:
     """Constraint suggestion (extras surface): profile orders once,
-    propose Deequ-style rules (not-null / range / enum / max-length /
-    unique), and re-validate the table under its own suggestions —
-    the invariant is zero violations. tests/test_suggest.py."""
-    from ..stages.suggest import apply_suggested_rules, suggest_rules
+    autogenerate the validating RuleSet (not-null / range / enum /
+    max-length via rules/suggest.py), and re-validate the table under
+    its own suggestions — the invariant is zero violations.
+    tests/test_rule_autogen.py."""
+    from collections import Counter
+
+    from ..rules.suggest import ruleset_to_config, suggest_rules
+    from ..stages.validate import validate
 
     ds = read_table(f"{sf_dir}/orders.parquet").materialize()
-    sug = suggest_rules(ds)
-    v = apply_suggested_rules(ds, sug, key_col="o_orderkey")
-    counts = sug.groupby("rule").size().sort_index()
+    rs = suggest_rules(ds, "o_orderkey")
+    v = validate(ds, rs)
+    cfg = ruleset_to_config(rs, "o_orderkey")
+    counts = Counter(s["type"] for s in cfg["rules"])
+    kinds = sorted(counts)
     return pa.Table.from_pydict({
-        "rule": pa.array(list(counts.index) + ["(violations)"]),
-        "n": pa.array([int(x) for x in counts.to_numpy()]
-                      + [v.count()], pa.int64())})
+        "rule": pa.array(kinds + ["(violations)"]),
+        "n": pa.array([counts[k] for k in kinds] + [v.count()],
+                      pa.int64())})
 
 
 def q_grouped_hll_report(sf_dir: str) -> pa.Table:

@@ -35,7 +35,8 @@ import pyarrow.compute as pc
 
 from .core import RuleSet, enum_domain, max_len, not_null, range_rule
 
-__all__ = ["profile_columns", "suggest_rules", "ruleset_to_config"]
+__all__ = ["profile_columns", "suggest_rules", "ruleset_to_config",
+           "suggest_diff"]
 
 
 def profile_columns(ds, *, columns: Optional[Sequence[str]] = None,
@@ -154,3 +155,31 @@ def ruleset_to_config(rs: RuleSet, key: str) -> dict:
         else:
             raise ValueError(f"rule {r.name!r} is not config-expressible")
     return {"name": rs.name, "key": key, "rules": specs}
+
+
+def suggest_diff(old_cfg: dict, new_cfg: dict) -> List[dict]:
+    """Contract drift between two suggestion snapshots (the
+    ``ruleset_to_config`` dict shape): which suggested rules appeared,
+    disappeared, or changed parameters — the RULE-level complement of
+    schema (type) and value (distribution) drift. A vanished
+    ``not_null`` means nulls arrived; a widened ``range`` means new
+    extremes; a changed ``enum`` means new categories. → list of
+    {col, type, change, old, new} sorted by (col, type);
+    ``change`` ∈ {'added', 'removed', 'changed'}."""
+    def index(cfg: dict) -> Dict[tuple, dict]:
+        return {(s["col"], s["type"]): s for s in cfg["rules"]}
+
+    ko, kn = index(old_cfg), index(new_cfg)
+    out = []
+    for k in sorted(set(ko) | set(kn)):
+        col, typ = k
+        if k not in kn:
+            out.append({"col": col, "type": typ, "change": "removed",
+                        "old": ko[k], "new": None})
+        elif k not in ko:
+            out.append({"col": col, "type": typ, "change": "added",
+                        "old": None, "new": kn[k]})
+        elif ko[k] != kn[k]:
+            out.append({"col": col, "type": typ, "change": "changed",
+                        "old": ko[k], "new": kn[k]})
+    return out
