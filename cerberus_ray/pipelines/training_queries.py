@@ -1794,6 +1794,26 @@ def q_span_grammar_report(sf_dir: str) -> pa.Table:
         "n_docs": pa.array([n, n], pa.int64())})
 
 
+def q_fd_repair_report(sf_dir: str) -> pa.Table:
+    """Majority-vote FD repair (extras surface): enforce o_custkey →
+    o_orderpriority on orders by rewriting each violating customer's
+    orders to their modal priority; re-check finds zero violations.
+    tests/test_profile.py."""
+    from ..stages.profile import fd_repair, fd_violations
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey",
+                             "o_orderpriority"]).materialize()
+    repaired, log = fd_repair(ds, ["o_custkey"], "o_orderpriority",
+                              key_col="o_orderkey")
+    left = fd_violations(repaired.materialize(), ["o_custkey"],
+                         "o_orderpriority")
+    return pa.Table.from_pydict({
+        "n_rows_rewritten": pa.array([len(log)], pa.int64()),
+        "n_violating_determinants_after": pa.array([len(left)],
+                                                   pa.int64())})
+
+
 def q_rule_suggestion_report(sf_dir: str) -> pa.Table:
     """Constraint suggestion (extras surface): profile orders once,
     autogenerate the validating RuleSet (not-null / range / enum /
@@ -4377,6 +4397,7 @@ QUERIES = {
     "fs_em_report": q_fs_em_report,
     "phonetic_blocking_report": q_phonetic_blocking_report,
     "rule_suggestion_report": q_rule_suggestion_report,
+    "fd_repair_report": q_fd_repair_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,

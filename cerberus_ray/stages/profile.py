@@ -452,3 +452,133 @@ def pattern_profile(ds, cols: Sequence[str], *, top_k: int = 10,
     agg["rank"] = agg.groupby("column").cumcount() + 1
     out = agg[agg["rank"] <= top_k].reset_index(drop=True)
     return out[["column", "mask", "n", "frac", "rank"]]
+
+
+def fd_repair(ds, det_cols: Sequence[str], dep_col: str, *,
+              key_col: str = "doc_id", mode: str = "auto",
+              n_buckets: int = 32, driver_band: int = 5_000_000):
+    """Apply the majority-vote FD repair (Holoclean-lite, single
+    dependency): for every determinant violating det → dep, rewrite
+    the dependent to its most frequent value (ties → smallest, both
+    engines deterministic). The APPLY step downstream of
+    `fd_violations`' survivorship signal.
+
+    → (repaired Dataset, repair-log frame (key, det..., old, new)
+    sorted by key). Scale shape: the (det, dep, rowcount) census
+    reuses fd_violations' planner (driver merge in the band, keyed
+    exchange beyond); only VIOLATING determinants broadcast back —
+    ∝ violation rate, never the determinant universe. The rewrite is
+    one vectorized map_batches pass. Post-repair,
+    ``fd_violations(repaired)`` is empty (tested).
+    """
+    import ray
+
+    det = list(det_cols)
+    cols = det + [dep_col]
+
+    def part(b: pa.Table) -> pa.Table:
+        return (b.select(cols).group_by(cols)
+                .aggregate([([], "count_all")]))
+
+    pairs_ds = ds.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    m = mode
+    if m == "auto":
+        m = "driver" if ds.count() <= driver_band else "shuffle"
+
+    def majorities(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(det + [dep_col], dropna=False, as_index=False)
+             ["count_all"].sum())
+        g = g.sort_values(det + ["count_all", dep_col],
+                          ascending=[True] * len(det) + [False, True],
+                          kind="mergesort")
+        gb = g.groupby(det, dropna=False, sort=False)
+        agg = gb.agg(n_dep=(dep_col, "nunique")).reset_index()
+        first = gb.nth(0).reset_index(drop=True)
+        agg["keep"] = first[dep_col].to_numpy()
+        return agg[agg["n_dep"] > 1][det + ["keep"]]
+
+    if m == "driver":
+        fix = majorities(pairs_ds.to_pandas())
+    elif m == "shuffle":
+        from .keyed_window import keyed_apply
+        from .setops import _KEY, _encode_key
+
+        keyed = pairs_ds.map_batches(
+            lambda b, _d=det: _encode_key(b, _d),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            return majorities(g.drop(columns=[_KEY]))
+
+        fix = keyed_apply(keyed, _KEY, kern,
+                          n_buckets=n_buckets).to_pandas()
+    else:
+        raise ValueError(f"unknown mode {m!r}")
+    # broadcast the violating-determinant → majority map; the lookup
+    # is a searchsorted over the composite STRING key, so sort by that
+    # key (sorting by the raw det columns breaks for numeric dets:
+    # int order "99" < "100" ≠ string order)
+    comp = fix[det].astype(str).agg("\x1e".join, axis=1).to_numpy(
+        dtype=object) if len(fix) else np.array([], dtype=object)
+    keep = fix["keep"].to_numpy(dtype=object) if len(fix) else \
+        np.array([], dtype=object)
+    if len(comp):
+        order = np.argsort(comp.astype(str), kind="mergesort")
+        comp, keep = comp[order], keep[order]
+    ref = ray.put((comp, keep))
+
+    def rewrite(b: pa.Table) -> dict:
+        import pyarrow.compute as pc
+        ck, kv = ray.get(ref)
+        parts_ = [pc.cast(b[c], pa.string()).to_numpy(
+            zero_copy_only=False).astype(str) for c in det]
+        key = parts_[0]
+        for pcol in parts_[1:]:
+            key = np.char.add(np.char.add(key, "\x1e"), pcol)
+        key = key.astype(object)
+        pos = np.clip(np.searchsorted(ck, key), 0,
+                      max(len(ck) - 1, 0))
+        hit = (ck[pos] == key) if len(ck) else np.zeros(len(key),
+                                                        bool)
+        old = b[dep_col].to_numpy(zero_copy_only=False)
+        new = old.copy()
+        if hit.any():
+            new[hit] = kv[pos[hit]]
+        changed = hit & (old != new)
+        out = b.set_column(b.schema.get_field_index(dep_col), dep_col,
+                           pa.array(new, b[dep_col].type))
+        return out, changed, old
+
+    def repaired_batch(b: pa.Table) -> pa.Table:
+        out, _, _ = rewrite(b)
+        return out
+
+    def log_batch(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        _, changed, old = rewrite(b)
+        idx = np.flatnonzero(changed)
+        cols_out = {"key": pc.cast(b[key_col], pa.string()).to_numpy(
+            zero_copy_only=False)[idx]}
+        for c in det:
+            cols_out[c] = b[c].to_numpy(zero_copy_only=False)[idx]
+        ck, kv = ray.get(ref)
+        cols_out["old"] = old[idx].astype(str)
+        # recompute the assigned value for the log
+        parts_ = [pc.cast(b[c], pa.string()).to_numpy(
+            zero_copy_only=False).astype(str) for c in det]
+        key = parts_[0]
+        for pcol in parts_[1:]:
+            key = np.char.add(np.char.add(key, "\x1e"), pcol)
+        pos = np.clip(np.searchsorted(ck, key.astype(object)), 0,
+                      max(len(ck) - 1, 0))
+        cols_out["new"] = kv[pos[idx]].astype(str)
+        return pa.Table.from_pydict(cols_out)
+
+    repaired = ds.map_batches(repaired_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    log = ds.map_batches(log_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    log = log.sort_values("key", kind="mergesort").reset_index(
+        drop=True)
+    return repaired, log

@@ -359,3 +359,87 @@ def test_mode_agreement(ray_session):
     k_drv = candidate_key_profile(dsa, [["x"]], mode="driver")
     k_shf = candidate_key_profile(dsa, [["x"]], mode="shuffle")
     pd.testing.assert_frame_equal(k_drv, k_shf)
+
+
+def test_fd_repair_majority_and_idempotence(ray_session):
+    """Majority-vote FD repair: violating determinants rewrite to
+    their most frequent dependent (ties → smallest), the repair log
+    lists exactly the changed rows, and re-checking the repaired
+    dataset finds zero FD violations. Driver ≡ shuffle."""
+    import ray.data as rd
+
+    from cerberus_ray.stages.profile import fd_repair, fd_violations
+
+    rows = []
+    for i in range(60):
+        det = f"g{i % 6}"
+        dep = "major"
+        if det == "g2" and i < 18:
+            dep = "minor"                 # g2: 3 minor vs 7 major
+        rows.append({"doc_id": f"r{i:03d}", "det": det, "dep": dep})
+    df = pd.DataFrame(rows)
+    counts = df[df["det"] == "g2"]["dep"].value_counts()
+    assert counts["major"] > counts["minor"]
+    ds = rd.from_pandas(df, override_num_blocks=4).materialize()
+    repaired, log = fd_repair(ds, ["det"], "dep", key_col="doc_id",
+                              mode="driver")
+    rp = repaired.to_pandas()
+    # every g2 row now holds the majority value
+    assert (rp[rp["det"] == "g2"]["dep"] == "major").all()
+    # other groups untouched
+    assert (rp[rp["det"] != "g2"]["dep"] == "major").all()
+    # the log lists exactly the rewritten rows
+    assert len(log) == int(counts["minor"])
+    assert (log["old"] == "minor").all() and (log["new"]
+                                              == "major").all()
+    # idempotent: the repaired table has no FD violations left
+    rds = rd.from_pandas(rp).materialize()
+    assert len(fd_violations(rds, ["det"], "dep", mode="driver")) == 0
+    # shuffle mode agrees
+    rep2, log2 = fd_repair(ds, ["det"], "dep", key_col="doc_id",
+                           mode="shuffle")
+    pd.testing.assert_frame_equal(
+        rep2.to_pandas().sort_values("doc_id").reset_index(drop=True),
+        rp.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(log2, log)
+
+
+def test_fd_repair_tie_breaks_smallest_and_guard(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.stages.profile import fd_repair
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "det": ["g", "g", "g", "g"],
+        "dep": ["zz", "zz", "aa", "aa"]})   # 2-2 tie → 'aa' kept
+    ds = rd.from_pandas(df).materialize()
+    repaired, log = fd_repair(ds, ["det"], "dep")
+    assert set(repaired.to_pandas()["dep"]) == {"aa"}
+    assert sorted(log["key"]) == ["a", "b"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fd_repair(ds, ["det"], "dep", mode="bogus")
+
+
+def test_fd_repair_integer_determinants_string_sort_regression(
+        ray_session):
+    """Numeric determinants: the broadcast map must sort by the
+    composite STRING key (int order '99' < '100' diverges from string
+    order) — all 101 violating groups repair, none missed."""
+    import ray.data as rd
+
+    from cerberus_ray.stages.profile import fd_repair, fd_violations
+
+    rows = []
+    for det in range(1, 102):            # spans 1..101: '100' < '99'
+        for j in range(3):
+            rows.append({"doc_id": f"r{det}_{j}", "det": det,
+                         "dep": "maj" if j < 2 else "min"})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df, override_num_blocks=5).materialize()
+    repaired, log = fd_repair(ds, ["det"], "dep")
+    assert len(log) == 101               # one 'min' per group
+    rds = rd.from_pandas(repaired.to_pandas()).materialize()
+    assert len(fd_violations(rds, ["det"], "dep",
+                             top_k=1000)) == 0
