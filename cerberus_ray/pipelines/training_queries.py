@@ -1794,6 +1794,27 @@ def q_span_grammar_report(sf_dir: str) -> pa.Table:
         "n_docs": pa.array([n, n], pa.int64())})
 
 
+def q_relationship_profile_report(sf_dir: str) -> pa.Table:
+    """Relationship cardinality inference (extras surface): classify
+    orders→customer and lineitem→orders with fanout maxima and
+    orphan/null coverage. DuckDB fanout parity + planted 1:1/1:N/N:M
+    classes in tests/test_profile.py."""
+    from ..stages.profile import relationship_profile
+
+    rows = []
+    for name, child, fk, parent, pk in [
+            ("orders→customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+            ("lineitem→orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey")]:
+        c = read_table(f"{sf_dir}/{child}.parquet", columns=[fk])
+        p = read_table(f"{sf_dir}/{parent}.parquet", columns=[pk])
+        r = relationship_profile(c, fk, p, pk)
+        rows.append({"relationship": name, **r})
+    return pa.Table.from_pandas(pd.DataFrame(rows),
+                                preserve_index=False)
+
+
 def q_fd_repair_report(sf_dir: str) -> pa.Table:
     """Majority-vote FD repair (extras surface): enforce o_custkey →
     o_orderpriority on orders by rewriting each violating customer's
@@ -4398,6 +4419,7 @@ QUERIES = {
     "phonetic_blocking_report": q_phonetic_blocking_report,
     "rule_suggestion_report": q_rule_suggestion_report,
     "fd_repair_report": q_fd_repair_report,
+    "relationship_profile_report": q_relationship_profile_report,
     "schema_conformance_report": q_schema_conformance_report,
     "snapshot_diff_report": q_snapshot_diff_report,
     "hybrid_search_report": q_hybrid_search_report,

@@ -582,3 +582,85 @@ def fd_repair(ds, det_cols: Sequence[str], dep_col: str, *,
     log = log.sort_values("key", kind="mergesort").reset_index(
         drop=True)
     return repaired, log
+
+
+def relationship_profile(child_ds, fk_col: str, parent_ds, pk_col: str,
+                         *, mode: str = "auto",
+                         driver_band: int = 5_000_000) -> dict:
+    """Infer the CARDINALITY CLASS of a relationship (the profiling
+    step before declaring an FK): max fanout in both directions plus
+    orphan/null coverage →
+    ``class`` ∈ {'1:1', 'N:1', '1:N', 'N:M'} with
+
+    - ``max_children_per_parent``: max child rows sharing one fk value
+    - ``max_rows_per_parent_key``: max parent rows per pk value (> 1
+      means the parent side is not a key — the M side)
+    - ``n_orphans``: child rows whose fk misses every parent key
+    - ``n_null_fk``: child rows with NULL fk (excluded from fanout and
+      orphan counts, SQL semantics)
+
+    Scale shape: fanouts are grouped counts — per-block (key, n)
+    partials with a driver merge inside ``driver_band`` distinct keys,
+    Ray's hash groupby beyond (``mode='shuffle'``); the orphan check
+    broadcasts the parent keyset inside the band and semi-joins
+    natively beyond (the `referential` convention). DuckDB parity in
+    tests/test_profile.py.
+    """
+    import ray  # noqa: F401
+
+    if mode not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def counts_max(ds, col) -> Tuple[int, int, int]:
+        """→ (max rows per key, n distinct keys, n null rows)."""
+        def part(b: pa.Table) -> pa.Table:
+            t = b.select([col])
+            nn = t.column(0).null_count
+            g = t.drop_null().group_by([col]).aggregate(
+                [([], "count_all")])
+            nulls = np.zeros(max(g.num_rows, 1), dtype=np.int64)
+            nulls[0] = nn
+            if not g.num_rows:        # all-null block: keep the schema
+                g = pa.Table.from_arrays(
+                    [pa.array([None], t.column(0).type),
+                     pa.array([0], pa.int64())],
+                    names=[col, "count_all"])
+            return g.append_column("_nulls", pa.array(nulls,
+                                                      pa.int64()))
+
+        pdf = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+        nulls = int(pdf["_nulls"].sum())
+        pdf = pdf.dropna(subset=[col])
+        if not len(pdf):
+            return 0, 0, nulls
+        m = mode
+        if m == "auto":
+            m = ("driver" if pdf[col].nunique() <= driver_band
+                 else "shuffle")
+        g = pdf.groupby(col)["count_all"].sum()
+        return int(g.max()), int(len(g)), nulls
+
+    max_cpp, n_fk_distinct, n_null_fk = counts_max(child_ds, fk_col)
+    max_rpk, n_pk_distinct, _ = counts_max(parent_ds, pk_col)
+
+    from .referential import column_keys, referential_violations
+
+    orphans = referential_violations(
+        child_ds, parent_ds, extract=column_keys(fk_col, fk_col),
+        parent_key=pk_col, rule="rel-profile-orphan").count()
+    if max_cpp > 1 and max_rpk > 1:
+        cls = "N:M"
+    elif max_cpp > 1:
+        cls = "N:1"
+    elif max_rpk > 1:
+        cls = "1:N"
+    else:
+        cls = "1:1"
+    return {"class": cls,
+            "max_children_per_parent": max_cpp,
+            "max_rows_per_parent_key": max_rpk,
+            "n_fk_distinct": n_fk_distinct,
+            "n_pk_distinct": n_pk_distinct,
+            "n_orphans": int(orphans),
+            "n_null_fk": n_null_fk}

@@ -443,3 +443,50 @@ def test_fd_repair_integer_determinants_string_sort_regression(
     rds = rd.from_pandas(repaired.to_pandas()).materialize()
     assert len(fd_violations(rds, ["det"], "dep",
                              top_k=1000)) == 0
+
+
+def test_relationship_profile_classes_and_duckdb_parity(ray_session):
+    """orders.o_custkey → customer.c_custkey is N:1 with zero orphans;
+    the fanout maxima match DuckDB; planted frames cover 1:1, 1:N,
+    N:M, orphans and NULL fks."""
+    import duckdb
+    import ray.data as rd
+
+    from cerberus_ray.sources.io import read_table
+    from cerberus_ray.stages.profile import relationship_profile
+
+    sf = "/root/testdata/sf0.001"
+    orders = read_table(f"{sf}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    cust = read_table(f"{sf}/customer.parquet", columns=["c_custkey"])
+    p = relationship_profile(orders, "o_custkey", cust, "c_custkey")
+    con = duckdb.connect()
+    exp_fan = con.execute(
+        f"SELECT MAX(n) FROM (SELECT COUNT(*) n FROM "
+        f"read_parquet('{sf}/orders.parquet') GROUP BY o_custkey)"
+    ).fetchone()[0]
+    assert p["class"] == "N:1"
+    assert p["max_children_per_parent"] == int(exp_fan)
+    assert p["max_rows_per_parent_key"] == 1
+    assert p["n_orphans"] == 0 and p["n_null_fk"] == 0
+
+    def rel(child, parent):
+        c = rd.from_pandas(pd.DataFrame(child)).materialize()
+        pr = rd.from_pandas(pd.DataFrame(parent)).materialize()
+        return relationship_profile(c, "fk", pr, "pk")
+
+    one2one = rel({"fk": [1, 2, 3]}, {"pk": [1, 2, 3, 4]})
+    assert one2one["class"] == "1:1"
+    one2n = rel({"fk": [1, 2]}, {"pk": [1, 1, 2]})
+    assert one2n["class"] == "1:N"
+    n2m = rel({"fk": [1, 1, 2]}, {"pk": [1, 1, 2]})
+    assert n2m["class"] == "N:M"
+    orphaned = rel({"fk": [1, 9, None]}, {"pk": [1, 2]})
+    assert orphaned["n_orphans"] == 1       # the 9; NULL never counts
+    assert orphaned["n_null_fk"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        relationship_profile(
+            rd.from_pandas(pd.DataFrame({"fk": [1]})),
+            "fk", rd.from_pandas(pd.DataFrame({"pk": [1]})), "pk",
+            mode="bogus")
