@@ -145,6 +145,8 @@ QUERY_NAMES = [
     # drift, t-closeness privacy census)
     "wminhash_dedup_report", "mmd_drift_report", "t_closeness_report",
     "freshness_report",
+    # fourteenth-session extras
+    "gbdt_quality_report",
 ]
 
 

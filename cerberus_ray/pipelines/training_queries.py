@@ -2702,6 +2702,59 @@ def q_logreg_quality_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def q_gbdt_quality_report(sf_dir: str) -> pa.Table:
+    """Histogram gradient-boosted trees (extras surface): predict
+    unit-price-above-2000 (a RATIO boundary — axis-aligned trees must
+    staircase quantity × extendedprice interactions, so boosted depth-2
+    trees demonstrably learn where a stump cannot) via streamed
+    t-digest binning + mergeable (grad, hess) histograms — the
+    LightGBM recipe Ray-Data-first; exact in-memory reference parity +
+    layout invariance in tests/test_gbdt.py."""
+    from .gbdt import fit_gbdt, score_gbdt
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_quantity", "l_extendedprice",
+                             "l_discount", "l_tax"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # label computed INLINE per batch (no driver id→label map)
+        unit = pc.divide(b["l_extendedprice"], b["l_quantity"])
+        return b.append_column("label", pc.cast(
+            pc.greater(unit, 2000.0), pa.int64()))
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    train = li.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    model = fit_gbdt(train, cols, "label", n_rounds=4, depth=2,
+                     n_bins=32)
+    scored = score_gbdt(train, model)
+
+    def acc_part(b: pa.Table) -> pa.Table:
+        p = b["score"].to_numpy(zero_copy_only=False)
+        y = b["label"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "ok": pa.array([int(((p > 0.5) == (y == 1)).sum())],
+                           pa.int64()),
+            "sp": pa.array([float(p[y == 1].sum())], pa.float64()),
+            "np_": pa.array([int((y == 1).sum())], pa.int64()),
+            "sn": pa.array([float(p[y == 0].sum())], pa.float64()),
+            "nn": pa.array([int((y == 0).sum())], pa.int64())})
+
+    ap = scored.map_batches(acc_part, batch_format="pyarrow").to_pandas()
+    n = int(ap["np_"].sum() + ap["nn"].sum())
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_trees": pa.array([len(model.trees)], pa.int64()),
+        "logloss_first": pa.array([round(model.train_logloss[0], 6)]),
+        "logloss_last": pa.array([round(model.train_logloss[-1], 6)]),
+        "mean_p_pos": pa.array(
+            [round(float(ap["sp"].sum() / max(ap["np_"].sum(), 1)), 4)]),
+        "mean_p_neg": pa.array(
+            [round(float(ap["sn"].sum() / max(ap["nn"].sum(), 1)), 4)]),
+        "train_acc": pa.array(
+            [round(float(ap["ok"].sum() / max(n, 1)), 4)])})
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4447,6 +4500,7 @@ QUERIES = {
     "k_anonymity_report": q_k_anonymity_report,
     "coreset_report": q_coreset_report,
     "logreg_quality_report": q_logreg_quality_report,
+    "gbdt_quality_report": q_gbdt_quality_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
