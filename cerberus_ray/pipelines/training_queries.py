@@ -2755,6 +2755,34 @@ def q_gbdt_quality_report(sf_dir: str) -> pa.Table:
             [round(float(ap["ok"].sum() / max(n, 1)), 4)])})
 
 
+def q_als_recs_report(sf_dir: str) -> pa.Table:
+    """Implicit-ALS matrix factorization (extras surface): factorize
+    the user × event-type interaction log (Hu et al. 2008 confidence
+    weighting), one streamed bucket pass per iteration with the tiny
+    item matrix broadcast and user factors recomputed statelessly;
+    dense numpy reference parity in tests/test_als.py. Report: loss
+    trajectory endpoints + per-item share of top-1 recommendations
+    (bounded: n_items rows)."""
+    from .als import fit_implicit_als, recommend_items
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+    m = fit_implicit_als(ev, "user_id", "event_type", k=6, alpha=20.0,
+                         reg=0.5, n_iters=4, n_buckets=32)
+    top1 = recommend_items(m, top_n=1)
+
+    def part(b: pa.Table) -> pa.Table:
+        return b.group_by("item").aggregate([([], "count_all")])
+
+    pdf = (top1.map_batches(part, batch_format="pyarrow")
+           .to_pandas().groupby("item", as_index=False).sum()
+           .rename(columns={"count_all": "n_top1"})
+           .sort_values("item").reset_index(drop=True))
+    pdf["loss_first"] = round(m.losses[0], 2)
+    pdf["loss_last"] = round(m.losses[-1], 2)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4501,6 +4529,7 @@ QUERIES = {
     "coreset_report": q_coreset_report,
     "logreg_quality_report": q_logreg_quality_report,
     "gbdt_quality_report": q_gbdt_quality_report,
+    "als_recs_report": q_als_recs_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
