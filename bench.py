@@ -146,7 +146,7 @@ QUERY_NAMES = [
     "wminhash_dedup_report", "mmd_drift_report", "t_closeness_report",
     "freshness_report",
     # fourteenth-session extras
-    "gbdt_quality_report", "als_recs_report",
+    "gbdt_quality_report", "als_recs_report", "ipw_ate_report",
 ]
 
 

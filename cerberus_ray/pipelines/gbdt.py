@@ -56,6 +56,14 @@ class GBDTModel:
     depth: int = 2
     learning_rate: float = 0.3
     train_logloss: List[float] = field(default_factory=list)
+    # total split gain per feature (the LightGBM 'gain' importance)
+    feature_gain: np.ndarray = field(
+        default_factory=lambda: np.empty(0))
+
+    def feature_importance(self) -> dict:
+        tot = self.feature_gain.sum()
+        return {c: round(float(g / tot), 6) if tot > 0 else 0.0
+                for c, g in zip(self.feature_cols, self.feature_gain)}
 
     @property
     def n_bins(self) -> int:
@@ -180,7 +188,8 @@ def fit_gbdt(ds, feature_cols: Sequence[str], label_col: str, *,
     p0 = min(max(pos / max(n, 1), 1e-6), 1 - 1e-6)
     model = GBDTModel(feature_cols=cols, bin_edges=edges,
                       base_score=float(np.log(p0 / (1 - p0))),
-                      depth=depth, learning_rate=learning_rate)
+                      depth=depth, learning_rate=learning_rate,
+                      feature_gain=np.zeros(len(cols)))
 
     nf = len(cols)
 
@@ -255,6 +264,7 @@ def fit_gbdt(ds, feature_cols: Sequence[str], label_col: str, *,
                     continue
                 feat[base_idx + nd] = j // (nb - 1)
                 split[base_idx + nd] = j % (nb - 1)
+                model.feature_gain[j // (nb - 1)] += float(gain.flat[j])
         # leaf values from the last level's histograms + chosen splits
         G, H, level, _, _ = last
         n_leaves = 2 ** depth

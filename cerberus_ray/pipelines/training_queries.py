@@ -2783,6 +2783,28 @@ def q_als_recs_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_ipw_ate_report(sf_dir: str) -> pa.Table:
+    """Stratified/IPW observational contrast (extras surface): the
+    'click' vs other-event effect on events.value adjusted for
+    hour-of-day strata — ONE mergeable (n, Σy, Σy²)-per-arm census,
+    estimator math on the census frame; bias-removal + DuckDB parity
+    in tests/test_causal.py."""
+    from ..stages.causal import ipw_ate_report
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "hour": pc.hour(b["ts"]),
+            "t": pc.cast(pc.equal(b["event_type"], "click"), pa.int64()),
+            "value": b["value"]})
+
+    return ipw_ate_report(ev.map_batches(prep, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          "t", "value", ["hour"])
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4530,6 +4552,7 @@ QUERIES = {
     "logreg_quality_report": q_logreg_quality_report,
     "gbdt_quality_report": q_gbdt_quality_report,
     "als_recs_report": q_als_recs_report,
+    "ipw_ate_report": q_ipw_ate_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,

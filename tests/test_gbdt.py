@@ -157,6 +157,16 @@ def test_partition_invariance(ray_session):
     assert abs(a.train_logloss[-1] - b.train_logloss[-1]) < 0.02
 
 
+def test_feature_importance_ignores_noise(ray_session):
+    df = _frame(n=1500, seed=21)
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    m = fit_gbdt(ds, COLS, "y", n_rounds=4, depth=2, n_bins=16)
+    imp = m.feature_importance()
+    assert abs(sum(imp.values()) - 1.0) < 1e-6
+    assert imp["x3"] < 0.05                 # pure-noise feature
+    assert imp["x1"] > 0.3 and imp["x2"] > 0.1
+
+
 def test_constant_feature_never_chosen_and_depth1(ray_session):
     df = _frame(n=600, seed=3)
     df["const"] = 1.0
