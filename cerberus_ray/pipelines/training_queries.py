@@ -2805,6 +2805,68 @@ def q_ipw_ate_report(sf_dir: str) -> pa.Table:
                           "t", "value", ["hour"])
 
 
+def q_gmm_report(sf_dir: str) -> pa.Table:
+    """Diagonal-covariance Gaussian-mixture EM (extras surface): soft
+    clustering of the embeddings table — one streamed
+    sufficient-statistics pass per iteration against the broadcast
+    O(k·d) parameters; in-memory EM parity + monotone log-likelihood
+    in tests/test_gmm.py. → one row per component (weight, n_assigned)
+    + loglik endpoints."""
+    from .gmm import assign_gmm, fit_gmm
+
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
+    m = fit_gmm(emb, k=4, n_iters=6)
+    out = assign_gmm(emb, m)
+
+    def part(b: pa.Table) -> pa.Table:
+        return b.select(["component"]).group_by("component").aggregate(
+            [([], "count_all")])
+
+    pdf = (out.map_batches(part, batch_format="pyarrow")
+           .to_pandas().groupby("component", as_index=False).sum()
+           .rename(columns={"count_all": "n_assigned"})
+           .sort_values("component").reset_index(drop=True))
+    pdf["weight"] = np.round(m.weights[pdf["component"]], 4)
+    pdf["loglik_first"] = round(m.loglik[0], 4)
+    pdf["loglik_last"] = round(m.loglik[-1], 4)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_iforest_report(sf_dir: str) -> pa.Table:
+    """Isolation-forest anomaly scan (extras surface): jointly-unusual
+    lineitem rows (quantity × price × discount × tax) — driver fit on
+    the seeded ψ=256 subsamples, one streamed vectorized scoring pass;
+    per-row reference parity + planted-outlier separation in
+    tests/test_iforest.py. → one row of score-distribution stats."""
+    from .iforest import fit_iforest, score_iforest
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+    m = fit_iforest(li, cols, n_trees=64)
+    scored = score_iforest(li, m)
+
+    def part(b: pa.Table) -> pa.Table:
+        s = b["anomaly_score"].to_numpy(zero_copy_only=False)
+        s = s[~np.isnan(s)]
+        return pa.Table.from_pydict({
+            "n": pa.array([len(s)], pa.int64()),
+            "sum_s": pa.array([float(s.sum())], pa.float64()),
+            "n_06": pa.array([int((s > 0.6).sum())], pa.int64()),
+            "n_07": pa.array([int((s > 0.7).sum())], pa.int64()),
+            "max_s": pa.array([float(s.max()) if len(s) else 0.0])})
+
+    p = scored.map_batches(part, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    return pa.Table.from_pydict({
+        "n_rows": pa.array([n], pa.int64()),
+        "mean_score": pa.array([round(float(p["sum_s"].sum() / max(n, 1)),
+                                      4)]),
+        "n_above_06": pa.array([int(p["n_06"].sum())], pa.int64()),
+        "n_above_07": pa.array([int(p["n_07"].sum())], pa.int64()),
+        "max_score": pa.array([round(float(p["max_s"].max()), 4)])})
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4553,6 +4615,8 @@ QUERIES = {
     "gbdt_quality_report": q_gbdt_quality_report,
     "als_recs_report": q_als_recs_report,
     "ipw_ate_report": q_ipw_ate_report,
+    "gmm_report": q_gmm_report,
+    "iforest_report": q_iforest_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
