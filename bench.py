@@ -147,7 +147,7 @@ QUERY_NAMES = [
     "freshness_report",
     # fourteenth-session extras
     "gbdt_quality_report", "als_recs_report", "ipw_ate_report",
-    "gmm_report", "iforest_report",
+    "gmm_report", "iforest_report", "seq_patterns_report",
 ]
 
 

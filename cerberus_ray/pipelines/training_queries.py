@@ -2867,6 +2867,19 @@ def q_iforest_report(sf_dir: str) -> pa.Table:
         "max_score": pa.array([round(float(p["max_s"].max()), 4)])})
 
 
+def q_seq_patterns_report(sf_dir: str):
+    """Length-2 sequential pattern census (extras surface): which
+    event-type orderings (a strictly-before b, per user) are frequent —
+    the GSP length-2 support table via one keyed first/last-occurrence
+    pass; DuckDB EXISTS-self-join parity in tests/test_seqpat.py."""
+    from .seqpat import frequent_sequences
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type"])
+    return frequent_sequences(ev, "user_id", "ts", "event_type",
+                              min_support=0.05, n_buckets=32)
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4617,6 +4630,7 @@ QUERIES = {
     "ipw_ate_report": q_ipw_ate_report,
     "gmm_report": q_gmm_report,
     "iforest_report": q_iforest_report,
+    "seq_patterns_report": q_seq_patterns_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
