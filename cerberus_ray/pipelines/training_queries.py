@@ -2880,6 +2880,33 @@ def q_seq_patterns_report(sf_dir: str):
                               min_support=0.05, n_buckets=32)
 
 
+def q_unigram_tokenizer_report(sf_dir: str) -> pa.Table:
+    """Unigram-LM tokenizer training (extras surface): Kudo-2018
+    Viterbi-EM over the distributed word-frequency table (the BPE
+    module's factorization) + a distributed encode pass; round-trip /
+    NLL-descent / layout-invariance in tests/test_unigram_lm.py."""
+    from ..stages.groupagg import grouped_agg
+    from .unigram_lm import encode_unigram, fit_unigram
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    m = fit_unigram(docs, vocab_size=512, n_iters=2)
+    out = encode_unigram(docs, m)
+
+    def part(b: pa.Table) -> pa.Table:
+        n = b["n_unigram_tokens"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "n_docs": pa.array([len(n)], pa.int64()),
+            "n_tokens": pa.array([int(n.sum())], pa.int64())})
+
+    p = out.map_batches(part, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pydict({
+        "n_docs": pa.array([int(p["n_docs"].sum())], pa.int64()),
+        "n_tokens": pa.array([int(p["n_tokens"].sum())], pa.int64()),
+        "vocab_pieces": pa.array([len(m.logprobs)], pa.int64()),
+        "nll_first": pa.array([round(m.nll_per_iter[0], 4)]),
+        "nll_last": pa.array([round(m.nll_per_iter[-1], 4)])})
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4631,6 +4658,7 @@ QUERIES = {
     "gmm_report": q_gmm_report,
     "iforest_report": q_iforest_report,
     "seq_patterns_report": q_seq_patterns_report,
+    "unigram_tokenizer_report": q_unigram_tokenizer_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
