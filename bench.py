@@ -148,7 +148,8 @@ QUERY_NAMES = [
     # fourteenth-session extras
     "gbdt_quality_report", "als_recs_report", "ipw_ate_report",
     "gmm_report", "iforest_report", "seq_patterns_report",
-    "unigram_tokenizer_report",
+    "unigram_tokenizer_report", "mahalanobis_report",
+    "grid_density_report",
 ]
 
 

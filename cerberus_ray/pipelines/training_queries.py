@@ -2907,6 +2907,44 @@ def q_unigram_tokenizer_report(sf_dir: str) -> pa.Table:
         "nll_last": pa.array([round(m.nll_per_iter[-1], 4)])})
 
 
+def q_mahalanobis_report(sf_dir: str) -> pa.Table:
+    """Mahalanobis multivariate outliers (extras surface): exact
+    mergeable (n, Σx, Σxxᵀ) moments → broadcast (μ, Σ⁻¹) → streamed
+    d² scoring against the χ² threshold; numpy parity + calibration in
+    tests/test_mahalanobis.py."""
+    from ..stages.mahalanobis import mahalanobis_outlier_report
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return mahalanobis_outlier_report(li, cols, p=0.999)
+
+
+def q_grid_density_report(sf_dir: str) -> pa.Table:
+    """Grid-density clustering (extras surface): DBSCAN on the ε-grid
+    over the embeddings' first two PCA-free dims (vector components) —
+    cell census → core-cell union-find → broadcast labeling; exact
+    reference parity in tests/test_griddbscan.py."""
+    from .griddbscan import grid_density_clusters
+
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        X = np.stack(b["embedding"].to_pandas().to_numpy())
+        return pa.Table.from_pydict({
+            "vec_id": b["vec_id"],
+            "x0": pa.array(X[:, 0].astype(np.float64)),
+            "x1": pa.array(X[:, 1].astype(np.float64))})
+
+    pts = emb.map_batches(proj, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    labeled, summary = grid_density_clusters(pts, ["x0", "x1"],
+                                             eps=0.05, min_pts=4)
+    out = labeled.to_pandas()
+    summary["n_noise"] = int((out["cluster"] == -1).sum())
+    return pa.Table.from_pandas(summary.head(20), preserve_index=False)
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4659,6 +4697,8 @@ QUERIES = {
     "iforest_report": q_iforest_report,
     "seq_patterns_report": q_seq_patterns_report,
     "unigram_tokenizer_report": q_unigram_tokenizer_report,
+    "mahalanobis_report": q_mahalanobis_report,
+    "grid_density_report": q_grid_density_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
