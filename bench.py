@@ -149,7 +149,8 @@ QUERY_NAMES = [
     "gbdt_quality_report", "als_recs_report", "ipw_ate_report",
     "gmm_report", "iforest_report", "seq_patterns_report",
     "unigram_tokenizer_report", "mahalanobis_report",
-    "grid_density_report",
+    "grid_density_report", "keyphrase_report", "quantreg_report",
+    "copula_synth_report",
 ]
 
 

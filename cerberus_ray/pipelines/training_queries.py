@@ -2945,6 +2945,81 @@ def q_grid_density_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(summary.head(20), preserve_index=False)
 
 
+def q_keyphrase_report(sf_dir: str):
+    """RAKE keyphrase extraction (extras surface): corpus-level
+    phrase-degree/frequency scores from one streamed mergeable pass;
+    reference parity in tests/test_keyphrases.py."""
+    from .keyphrases import extract_keyphrases
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return extract_keyphrases(docs, top_k=20, max_phrase_len=3,
+                              min_count=2)
+
+
+def q_quantreg_report(sf_dir: str) -> pa.Table:
+    """Quantile regression (extras surface): conditional q10/q50/q90
+    of lineitem extendedprice on quantity via IRLS pinball fits (one
+    O(d²) partial pass per iteration); numpy parity + coverage
+    calibration in tests/test_quantreg.py."""
+    from .quantreg import fit_quantreg_multi
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_quantity", "l_extendedprice"])
+    models = fit_quantreg_multi(li, ["l_quantity"], "l_extendedprice",
+                                (0.1, 0.5, 0.9), n_iters=40,
+                                init="ols")
+    rows = [(m.q, round(float(m.coef[0]), 4), round(m.intercept, 4),
+             m.coverage, round(m.pinball[-1], 4)) for m in models]
+    return pa.Table.from_pydict({
+        "q": pa.array([r[0] for r in rows]),
+        "slope": pa.array([r[1] for r in rows]),
+        "intercept": pa.array([r[2] for r in rows]),
+        "coverage": pa.array([r[3] for r in rows]),
+        "pinball": pa.array([r[4] for r in rows])})
+
+
+def q_copula_synth_report(sf_dir: str) -> pa.Table:
+    """Gaussian-copula synthetic data (extras surface): fit aggregate
+    state only (t-digest marginals + O(d²) correlation) on lineitem
+    numerics, regenerate 10k rows counter-deterministically, report
+    marginal-median and correlation fidelity; tests/test_copula.py."""
+    from .copula import fit_copula, sample_copula
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+    m = fit_copula(li, cols)
+    syn = sample_copula(m, 10_000, seed=7).materialize()
+
+    def mom(b: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        return pa.Table.from_pydict({
+            "n": pa.array([len(X)], pa.int64()),
+            "sx": [X.sum(axis=0).tobytes()],
+            "sxx": [(X.T @ X).tobytes()]})
+
+    def corr_of(ds_):
+        p = ds_.map_batches(mom, batch_format="pyarrow").to_pandas()
+        n = int(p["n"].sum())
+        sx = sum(np.frombuffer(x) for x in p["sx"])
+        sxx = sum(np.frombuffer(x).reshape(len(cols), len(cols))
+                  for x in p["sxx"])
+        mu = sx / n
+        cov = sxx / n - np.outer(mu, mu)
+        sd = np.sqrt(np.maximum(np.diag(cov), 1e-12))
+        return cov / np.outer(sd, sd)
+
+    rho_s = corr_of(syn)
+    rows = {"n_fit": pa.array([m.n], pa.int64()),
+            "n_synth": pa.array([10_000], pa.int64()),
+            "corr_q_price_orig": pa.array([round(float(m.corr[0, 1]),
+                                                 4)]),
+            "corr_q_price_synth": pa.array([round(float(rho_s[0, 1]),
+                                                  4)])}
+    return pa.Table.from_pydict(rows)
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4699,6 +4774,9 @@ QUERIES = {
     "unigram_tokenizer_report": q_unigram_tokenizer_report,
     "mahalanobis_report": q_mahalanobis_report,
     "grid_density_report": q_grid_density_report,
+    "keyphrase_report": q_keyphrase_report,
+    "quantreg_report": q_quantreg_report,
+    "copula_synth_report": q_copula_synth_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
