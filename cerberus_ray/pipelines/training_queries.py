@@ -3020,6 +3020,24 @@ def q_copula_synth_report(sf_dir: str) -> pa.Table:
     return pa.Table.from_pydict(rows)
 
 
+def q_nmf_topics_report(sf_dir: str):
+    """NMF topic modeling (extras surface): Lee-Seung multiplicative
+    updates with broadcast H and stateless per-block W recompute —
+    ONE streamed pass per iteration; numpy parity + planted-topic
+    recovery in tests/test_nmf.py. → top words per topic read through
+    the shared hash (vocabulary = corpus top words)."""
+    from .bpe import word_counts
+    from .nmf import fit_nmf, topic_top_words
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    m = fit_nmf(docs, k=4, n_features=512, n_iters=6)
+    vocab = list(word_counts(docs, max_words=200).index)
+    top = topic_top_words(m, vocab, top_n=5)
+    top["loss_first"] = round(m.losses[0], 6)
+    top["loss_last"] = round(m.losses[-1], 6)
+    return top
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4777,6 +4795,7 @@ QUERIES = {
     "keyphrase_report": q_keyphrase_report,
     "quantreg_report": q_quantreg_report,
     "copula_synth_report": q_copula_synth_report,
+    "nmf_topics_report": q_nmf_topics_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
