@@ -150,7 +150,7 @@ QUERY_NAMES = [
     "gmm_report", "iforest_report", "seq_patterns_report",
     "unigram_tokenizer_report", "mahalanobis_report",
     "grid_density_report", "keyphrase_report", "quantreg_report",
-    "copula_synth_report", "nmf_topics_report",
+    "copula_synth_report", "nmf_topics_report", "poisson_rate_report",
 ]
 
 

@@ -3038,6 +3038,41 @@ def q_nmf_topics_report(sf_dir: str):
     return top
 
 
+def q_poisson_rate_report(sf_dir: str) -> pa.Table:
+    """Poisson GLM (extras surface): per-(user, day) event counts
+    regressed on day-of-week harmonics — the count-outcome regression
+    family; numpy IRLS parity in tests/test_poisson.py."""
+    from ..stages.groupagg import grouped_agg
+    from .poisson import fit_poisson
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts"])
+
+    def day_key(b: pa.Table) -> pa.Table:
+        d = pc.strftime(b["ts"], format="%Y-%m-%d")
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"], "day": d,
+            "dow": pc.cast(pc.day_of_week(b["ts"]), pa.float64())})
+
+    keyed = ev.map_batches(day_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    census = grouped_agg(keyed, ["user_id", "day"],
+                         {"y": ("", "count"), "dow": ("dow", "mean")})
+    census["s1"] = np.sin(2 * np.pi * census["dow"] / 7.0)
+    census["c1"] = np.cos(2 * np.pi * census["dow"] / 7.0)
+    import ray.data as rd
+
+    cds = rd.from_pandas(census[["s1", "c1", "y"]])
+    m = fit_poisson(cds, ["s1", "c1"], "y", n_iters=10)
+    return pa.Table.from_pydict({
+        "n_user_days": pa.array([m.n], pa.int64()),
+        "coef_sin": pa.array([round(float(m.coef[0]), 4)]),
+        "coef_cos": pa.array([round(float(m.coef[1]), 4)]),
+        "intercept": pa.array([round(m.intercept, 4)]),
+        "dev_first": pa.array([round(m.deviance[0], 4)]),
+        "dev_last": pa.array([round(m.deviance[-1], 4)])})
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4796,6 +4831,7 @@ QUERIES = {
     "quantreg_report": q_quantreg_report,
     "copula_synth_report": q_copula_synth_report,
     "nmf_topics_report": q_nmf_topics_report,
+    "poisson_rate_report": q_poisson_rate_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
