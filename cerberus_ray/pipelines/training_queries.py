@@ -3073,6 +3073,30 @@ def q_poisson_rate_report(sf_dir: str) -> pa.Table:
         "dev_last": pa.array([round(m.deviance[-1], 4)])})
 
 
+def q_bayes_ab_report(sf_dir: str):
+    """Beta-Binomial Bayesian A/B (extras surface): hash-split users
+    into arms, success = purchase event; P(B>A) by deterministic
+    quadrature (Evan-Miller closed-form parity in
+    tests/test_bayes_ab.py)."""
+    from ..stages.abtest import bayes_ab_test
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        arm = pc.if_else(
+            pc.equal(pc.bit_wise_and(b["user_id"], 1), 0), "A", "B")
+        return pa.Table.from_pydict({
+            "arm": arm,
+            "converted": pc.cast(pc.equal(b["event_type"], "purchase"),
+                                 pa.int64())})
+
+    return bayes_ab_test(ev.map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         "arm", "converted", control="A",
+                         treatment="B")
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4832,6 +4856,7 @@ QUERIES = {
     "copula_synth_report": q_copula_synth_report,
     "nmf_topics_report": q_nmf_topics_report,
     "poisson_rate_report": q_poisson_rate_report,
+    "bayes_ab_report": q_bayes_ab_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
