@@ -165,6 +165,22 @@ def ks_distance(a: NumericProfile, b: NumericProfile, *, grid: int = 201) -> flo
     return float(np.max(np.abs(a.digest.cdf(xs) - b.digest.cdf(xs))))
 
 
+def wasserstein_distance(a: NumericProfile, b: NumericProfile, *,
+                         grid: int = 512) -> float:
+    """1-Wasserstein (earth-mover) distance between the two numeric
+    profiles via the quantile form W₁ = ∫₀¹ |Q_a(u) − Q_b(u)| du on a
+    midpoint grid — the MAGNITUDE-aware drift metric beside the
+    scale-free KS gap and the bucketed PSI (a constant shift c gives
+    exactly W₁ = |c| while KS saturates). t-digest accuracy contract
+    as the other profile metrics (tests bound the error vs exact
+    sample W₁ and verify the shift identity)."""
+    if a.count == 0 or b.count == 0:
+        return float("nan")
+    u = (np.arange(grid) + 0.5) / grid
+    return float(np.mean(np.abs(a.digest.quantile(u)
+                                - b.digest.quantile(u))))
+
+
 def psi_numeric(baseline: NumericProfile, current: NumericProfile,
                 *, buckets: int = 10, eps: float = 1e-4) -> float:
     """PSI over baseline-decile buckets (bucket edges from the baseline

@@ -318,3 +318,30 @@ def test_trailing_volume_seasonal_phase_baseline(ray_session):
         WHERE nh >= 3 AND (n < 0.5 * med OR n > 2.0 * med)
         ORDER BY event_type, day""").df()
     pd.testing.assert_frame_equal(seasonal, theirs, check_dtype=False)
+
+
+def test_wasserstein_shift_identity_and_exact_parity(ray_session):
+    from cerberus_ray.stages.drift import wasserstein_distance
+
+    base = profile_dataset(rd.from_pandas(epoch(seed=7)),
+                           numeric=["value"])
+    shifted = profile_dataset(rd.from_pandas(epoch(shift=20, seed=7)),
+                              numeric=["value"])
+    w = wasserstein_distance(base.columns["value"],
+                             shifted.columns["value"])
+    # identical samples shifted by +20 → W1 = 20 exactly
+    assert abs(w - 20.0) < 0.5, w
+    # exact sample W1 parity on different draws (t-digest tolerance)
+    a, b = epoch(seed=1)["value"], epoch(seed=2)["value"]
+    pa_, pb_ = (profile_dataset(rd.from_pandas(pd.DataFrame({"value": s})),
+                                numeric=["value"])
+                for s in (a, b))
+    exact = np.mean(np.abs(np.sort(a.to_numpy())
+                           - np.sort(b.to_numpy())))
+    got = wasserstein_distance(pa_.columns["value"],
+                               pb_.columns["value"])
+    assert abs(got - exact) < max(0.1, 0.1 * exact), (got, exact)
+    # self-distance ~ 0
+    self_w = wasserstein_distance(base.columns["value"],
+                                  base.columns["value"])
+    assert self_w < 1e-9
