@@ -3097,6 +3097,26 @@ def q_bayes_ab_report(sf_dir: str):
                          treatment="B")
 
 
+def q_hmm_report(sf_dir: str) -> pa.Table:
+    """Hidden Markov model (extras surface): 2-state Baum-Welch over
+    per-user event-type sequences — one keyed forward-backward pass
+    per EM iteration with broadcast (π, A, B); reference parity +
+    regime recovery in tests/test_hmm.py."""
+    from .hmm import fit_hmm
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type"])
+    m = fit_hmm(ev, "user_id", "ts", "event_type", n_states=2,
+                n_iters=4, n_buckets=32)
+    return pa.Table.from_pydict({
+        "n_states": pa.array([m.n_states], pa.int64()),
+        "n_symbols": pa.array([len(m.symbols)], pa.int64()),
+        "a00": pa.array([round(float(m.A[0, 0]), 4)]),
+        "a11": pa.array([round(float(m.A[1, 1]), 4)]),
+        "loglik_first": pa.array([round(m.loglik[0], 4)]),
+        "loglik_last": pa.array([round(m.loglik[-1], 4)])})
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4857,6 +4877,7 @@ QUERIES = {
     "nmf_topics_report": q_nmf_topics_report,
     "poisson_rate_report": q_poisson_rate_report,
     "bayes_ab_report": q_bayes_ab_report,
+    "hmm_report": q_hmm_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
