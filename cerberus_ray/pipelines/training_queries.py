@@ -3117,6 +3117,54 @@ def q_hmm_report(sf_dir: str) -> pa.Table:
         "loglik_last": pa.array([round(m.loglik[-1], 4)])})
 
 
+def q_coxph_report(sf_dir: str) -> pa.Table:
+    """Cox proportional hazards (extras surface): per-user time from
+    first event to first purchase (censored at the last observed
+    event), activity as covariate — per-distinct-time census partials
+    + driver suffix-cumsum Newton; reference parity in
+    tests/test_coxph.py."""
+    import ray.data as rd
+
+    from ..stages.groupagg import grouped_agg
+    from .coxph import fit_coxph
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = (ts_i := pc.cast(b["ts"], pa.int64()))
+        is_p = pc.equal(b["event_type"], "purchase")
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"], "ts_us": us,
+            "p_ts": pc.if_else(is_p, ts_i, pa.scalar(None, pa.int64())),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    g = grouped_agg(keyed, ["user_id"],
+                    {"n": ("", "count"), "first": ("ts_us", "min"),
+                     "last": ("ts_us", "max"), "fp": ("p_ts", "min")})
+    event = g["fp"].notna()
+    end = np.where(event, g["fp"], g["last"]).astype(np.float64)
+    hours = np.maximum((end - g["first"].to_numpy(np.float64))
+                       / 3.6e9, 1e-3)
+    x = np.log(g["n"].to_numpy(np.float64))
+    x = (x - x.mean()) / max(x.std(), 1e-9)
+    cohort = pd.DataFrame({
+        "time": np.round(hours, 1),      # coarsened tie grid
+        "event": event.astype(int), "activity": x})
+    m = fit_coxph(rd.from_pandas(cohort), "time", "event",
+                  ["activity"], n_iters=6)
+    return pa.Table.from_pydict({
+        "n_users": pa.array([m.n], pa.int64()),
+        "n_converted": pa.array([m.n_events], pa.int64()),
+        "coef_activity": pa.array([round(float(m.coef[0]), 4)]),
+        "hazard_ratio": pa.array(
+            [m.hazard_ratios()["activity"]]),
+        "ll_first": pa.array([round(m.loglik[0], 4)]),
+        "ll_last": pa.array([round(m.loglik[-1], 4)])})
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4878,6 +4926,7 @@ QUERIES = {
     "poisson_rate_report": q_poisson_rate_report,
     "bayes_ab_report": q_bayes_ab_report,
     "hmm_report": q_hmm_report,
+    "coxph_report": q_coxph_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
