@@ -3165,6 +3165,25 @@ def q_coxph_report(sf_dir: str) -> pa.Table:
         "ll_last": pa.array([round(m.loglik[-1], 4)])})
 
 
+def q_word_vectors_report(sf_dir: str):
+    """PPMI-SVD word vectors (extras surface): windowed co-occurrence
+    census over the top vocabulary → driver PPMI + SVD (Levy-Goldberg
+    2014); synonym recovery + census parity in
+    tests/test_word_embed.py. → nearest neighbors of the corpus's
+    most frequent content word."""
+    from .bpe import word_counts
+    from .word_embed import fit_word_vectors, similar_words
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    m = fit_word_vectors(docs, vocab_size=300, window=2, dim=32)
+    counts = word_counts(docs, max_words=300)
+    probe = next(w for w in counts.index
+                 if len(w) > 3 and w in m.words)
+    out = similar_words(m, probe, top_n=8)
+    out.insert(0, "probe", probe)
+    return out
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4927,6 +4946,7 @@ QUERIES = {
     "bayes_ab_report": q_bayes_ab_report,
     "hmm_report": q_hmm_report,
     "coxph_report": q_coxph_report,
+    "word_vectors_report": q_word_vectors_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
