@@ -3184,6 +3184,26 @@ def q_word_vectors_report(sf_dir: str):
     return out
 
 
+def q_woe_iv_report(sf_dir: str):
+    """WOE/IV feature screen (extras surface): which lineitem numerics
+    carry evidence about high-unit-price rows — t-digest bin edges +
+    one (feature, bin)-census pass; DuckDB shared-edge parity in
+    tests/test_woe.py."""
+    from ..stages.woe import woe_iv_report
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def prep(b: pa.Table) -> pa.Table:
+        unit = pc.divide(b["l_extendedprice"], b["l_quantity"])
+        return b.append_column("label", pc.cast(
+            pc.greater(unit, 2000.0), pa.int64()))
+
+    return woe_iv_report(li.map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         cols, "label", n_bins=10)
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4947,6 +4967,7 @@ QUERIES = {
     "hmm_report": q_hmm_report,
     "coxph_report": q_coxph_report,
     "word_vectors_report": q_word_vectors_report,
+    "woe_iv_report": q_woe_iv_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
