@@ -92,3 +92,51 @@ def predict_ols(ds, model: OLSModel, *, out_col: str = "pred"):
 
     return ds.map_batches(pred, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def grouped_simple_ols(ds, group_col: str, x_col: str, y_col: str, *,
+                       min_n: int = 3) -> pd.DataFrame:
+    """Per-group simple linear regression — SQL's windowless
+    ``regr_slope/regr_intercept/regr_r2 ... GROUP BY`` re-expressed as
+    ONE streamed pass of per-(group) moment partials (n, Σx, Σy, Σxy,
+    Σx², Σy² — SQL regr_* semantics: rows where EITHER side is NULL
+    are excluded pairwise) and closed forms on the census frame.
+    Groups with fewer than ``min_n`` pairs or zero x-variance return
+    NULL slope (SQL returns NULL on zero variance too).
+
+    → frame (group, n, slope, intercept, r2) sorted by group;
+    DuckDB regr_* parity in tests/test_linreg.py."""
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, x_col, y_col]).to_pandas().dropna()
+        x = df[x_col].to_numpy(np.float64)
+        y = df[y_col].to_numpy(np.float64)
+        g = (df.assign(_n=1.0, _sx=x, _sy=y, _sxy=x * y, _sxx=x * x,
+                       _syy=y * y)
+             .groupby(group_col, as_index=False)
+             [["_n", "_sx", "_sy", "_sxy", "_sxx", "_syy"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cen = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .to_pandas().groupby(group_col, as_index=False).sum())
+    n = cen["_n"].to_numpy()
+    sx, sy = cen["_sx"].to_numpy(), cen["_sy"].to_numpy()
+    sxy = cen["_sxy"].to_numpy()
+    sxx, syy = cen["_sxx"].to_numpy(), cen["_syy"].to_numpy()
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    cov = sxy - sx * sy / n
+    ok = (n >= min_n) & (vx > 0)
+    slope = np.where(ok, cov / np.where(vx > 0, vx, 1.0), np.nan)
+    intercept = np.where(ok, (sy - slope * sx) / n, np.nan)
+    r2 = np.where(ok & (vy > 0),
+                  np.where(vy > 0, cov * cov
+                           / np.where((vx * vy) > 0, vx * vy, 1.0),
+                           np.nan),
+                  np.nan)
+    out = pd.DataFrame({group_col: cen[group_col],
+                        "n": n.astype(np.int64),
+                        "slope": np.round(slope, 10),
+                        "intercept": np.round(intercept, 10),
+                        "r2": np.round(r2, 10)})
+    return out.sort_values(group_col).reset_index(drop=True)

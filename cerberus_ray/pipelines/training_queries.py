@@ -3234,6 +3234,45 @@ def q_sinkhorn_drift_report(sf_dir: str) -> pa.Table:
         "k": pa.array([info["k"]], pa.int64())})
 
 
+def q_grouped_ols_report(sf_dir: str):
+    """Per-group regression (extras surface): price-vs-quantity slope
+    per returnflag — SQL regr_* GROUP BY semantics from one moment-
+    census pass; DuckDB parity in tests/test_linreg.py."""
+    from .linreg import grouped_simple_ols
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    return grouped_simple_ols(li, "l_returnflag", "l_quantity",
+                              "l_extendedprice")
+
+
+def q_uplift_report(sf_dir: str):
+    """T-learner uplift (extras surface): hash-split pseudo-treatment
+    on events (purchase outcome, hour/dow features) — a NULL design,
+    so the report validates calibration: per-decile observed uplift
+    hovers near zero; planted-effect recovery in
+    tests/test_uplift.py."""
+    from .uplift import fit_t_learner, score_uplift, uplift_by_decile
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "hour": pc.cast(pc.hour(b["ts"]), pa.float64()),
+            "dow": pc.cast(pc.day_of_week(b["ts"]), pa.float64()),
+            "t": pc.cast(pc.bit_wise_and(b["user_id"], 1), pa.int64()),
+            "y": pc.cast(pc.equal(b["event_type"], "purchase"),
+                         pa.int64())})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    m1, m0 = fit_t_learner(ds, "t", "y", ["hour", "dow"], n_rounds=3)
+    scored = score_uplift(ds, m1, m0).materialize()
+    return uplift_by_decile(scored, "t", "y", n_deciles=5)
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -4999,6 +5038,8 @@ QUERIES = {
     "word_vectors_report": q_word_vectors_report,
     "woe_iv_report": q_woe_iv_report,
     "sinkhorn_drift_report": q_sinkhorn_drift_report,
+    "grouped_ols_report": q_grouped_ols_report,
+    "uplift_report": q_uplift_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,

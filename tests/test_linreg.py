@@ -75,3 +75,48 @@ def test_underdetermined_raises(ray_session):
     df = pd.DataFrame({"x1": [1.0], "x2": [2.0], "y": [3.0]})
     with pytest.raises(ValueError):
         fit_ols(rd.from_pandas(df), ["x1", "x2"], "y")
+
+
+def test_grouped_simple_ols_matches_duckdb(ray_session):
+    import duckdb
+
+    from cerberus_ray.pipelines.linreg import grouped_simple_ols
+
+    rng = np.random.default_rng(44)
+    n = 3000
+    g = rng.choice(["a", "b", "c"], n)
+    slopes = {"a": 2.0, "b": -1.0, "c": 0.5}
+    x = rng.uniform(0, 10, n)
+    y = np.vectorize(slopes.get)(g) * x + 3.0 + rng.normal(0, 0.5, n)
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    df.loc[:20, "x"] = np.nan          # pairwise-null exclusion
+    got = grouped_simple_ols(rd.from_pandas(df, override_num_blocks=5),
+                             "g", "x", "y")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        select g, regr_count(y, x)::bigint n, regr_slope(y, x) slope,
+               regr_intercept(y, x) intercept, regr_r2(y, x) r2
+        from t group by g order by g""").df()
+    np.testing.assert_allclose(got["slope"], want["slope"], atol=1e-8)
+    np.testing.assert_allclose(got["intercept"], want["intercept"],
+                               atol=1e-8)
+    np.testing.assert_allclose(got["r2"], want["r2"], atol=1e-8)
+    assert list(got["n"]) == list(want["n"])
+    for k, s in slopes.items():
+        row = got[got["g"] == k].iloc[0]
+        assert abs(row["slope"] - s) < 0.05
+
+
+def test_grouped_simple_ols_degenerate_groups(ray_session):
+    from cerberus_ray.pipelines.linreg import grouped_simple_ols
+
+    df = pd.DataFrame({
+        "g": ["tiny", "tiny", "const", "const", "const", "const"],
+        "x": [1.0, 2.0, 5.0, 5.0, 5.0, 5.0],
+        "y": [1.0, 2.0, 1.0, 2.0, 3.0, 4.0]})
+    got = grouped_simple_ols(rd.from_pandas(df), "g", "x", "y")
+    const = got[got["g"] == "const"].iloc[0]
+    tiny = got[got["g"] == "tiny"].iloc[0]
+    assert np.isnan(const["slope"])     # zero x-variance
+    assert np.isnan(tiny["slope"])      # below min_n
