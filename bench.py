@@ -153,7 +153,7 @@ QUERY_NAMES = [
     "copula_synth_report", "nmf_topics_report", "poisson_rate_report",
     "bayes_ab_report", "hmm_report", "coxph_report",
     "word_vectors_report", "woe_iv_report", "sinkhorn_drift_report",
-    "grouped_ols_report", "uplift_report",
+    "grouped_ols_report", "uplift_report", "softmax_topic_report",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Multinomial (softmax) text classification — the multiclass
+extension of `logreg.fit_logreg` (binary) over the same hashed-TF
+features.
+
+Full-batch gradient descent with mergeable per-block partials: each
+pass emits Xᵀ(P − Y) (B × C floats) plus the cross-entropy loss; the
+driver applies an L2-regularized step with the logistic-family
+Lipschitz step size (the `logreg` GD convention, 0.5 curvature bound
+for softmax). Deterministic: zero init, sorted-bytes partial merge.
+
+Trains a REAL multiclass model where the engine's language-ID stage
+is a fixed heuristic — the classic complement (train on labeled docs,
+score the corpus). Exact numpy parity, separable-vocabulary accuracy
+and layout determinism in tests/test_softmax.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .doc_cluster import _doc_vectors
+
+__all__ = ["SoftmaxModel", "fit_softmax", "score_softmax"]
+
+
+@dataclass
+class SoftmaxModel:
+    classes: List[str]
+    W: np.ndarray                # (B+1, C) — last row is bias
+    n_features: int
+    losses: List[float] = field(default_factory=list)
+
+
+def _probs(X: np.ndarray, W: np.ndarray) -> np.ndarray:
+    Z = X @ W[:-1] + W[-1][None, :]
+    Z -= Z.max(axis=1, keepdims=True)
+    e = np.exp(Z)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def fit_softmax(ds, *, text_col: str = "text", label_col: str = "label",
+                n_features: int = 512, iters: int = 20,
+                reg: float = 1e-3, lr: float = 1.0,
+                momentum: float = 0.0) -> SoftmaxModel:
+    """``momentum`` > 0 switches to Nesterov-accelerated GD (gradient
+    at the lookahead point) — deterministic, same per-pass cost,
+    ~4× fewer passes to a given accuracy on near-separable data."""
+    classes = sorted(ds.groupby(label_col).count()
+                     .to_pandas()[label_col].tolist())
+    if len(classes) < 2:
+        raise ValueError("need >= 2 classes")
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    C = len(classes)
+    W = np.zeros((n_features + 1, C))
+    V = np.zeros_like(W)
+    model = SoftmaxModel(classes=classes, W=W, n_features=n_features)
+
+    for _ in range(iters):
+        Wc = (W + momentum * V).copy()     # Nesterov lookahead
+
+        def partial(b: pa.Table, _W=Wc) -> pa.Table:
+            texts = b[text_col].to_numpy(zero_copy_only=False)
+            X = _doc_vectors(texts, n_features)
+            y = b[label_col].to_pandas().map(cls_idx).to_numpy(
+                np.int64)
+            P = _probs(X, _W)
+            loss = float(-np.log(np.clip(
+                P[np.arange(len(y)), y], 1e-12, 1)).sum())
+            D = P.copy()
+            D[np.arange(len(y)), y] -= 1.0
+            G = np.vstack([X.T @ D, D.sum(axis=0)[None, :]])
+            return pa.Table.from_pydict({
+                "g": pa.array([G.tobytes()], pa.binary()),
+                "loss": pa.array([loss]), "n": pa.array([len(y)])})
+
+        p = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+        G = np.zeros_like(W)
+        for raw in sorted(p["g"]):        # order-pinned float merge
+            G += np.frombuffer(raw).reshape(W.shape)
+        n = int(p["n"].sum())
+        model.losses.append(round(float(p["loss"].sum()) / n, 10))
+        G = G / n
+        G[:-1] += reg * Wc[:-1]
+        V = momentum * V - (lr / (0.5 + reg)) * G
+        W = W + V
+    model.W = W
+    return model
+
+
+def score_softmax(ds, model: SoftmaxModel, *, text_col: str = "text",
+                  out_col: str = "pred"):
+    """Append argmax class + its probability."""
+    W, classes, B = model.W, np.asarray(model.classes,
+                                        dtype=object), model.n_features
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        P = _probs(_doc_vectors(texts, B), W)
+        j = np.argmax(np.round(P, 12), axis=1)
+        return (b.append_column(out_col, pa.array(classes[j]))
+                .append_column("p_max", pa.array(
+                    P[np.arange(len(j)), j])))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

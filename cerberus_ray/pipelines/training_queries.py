@@ -3273,6 +3273,53 @@ def q_uplift_report(sf_dir: str):
     return uplift_by_decile(scored, "t", "y", n_deciles=5)
 
 
+def q_softmax_topic_report(sf_dir: str) -> pa.Table:
+    """Multinomial softmax classifier (extras surface): 3-class
+    topic label computed INLINE per batch (dominant concept among
+    join/scan/sort token families — learnable by construction, the
+    multiclass analogue of logreg's 'contains spark' weak label;
+    the synthetic corpus's lang/source columns are deliberately NOT
+    vocabulary-separable) with per-class train accuracy; numpy parity
+    in tests/test_softmax.py."""
+    from ..stages.groupagg import grouped_agg
+    from .softmax import fit_softmax, score_softmax
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pc.coalesce(b["text"], "")
+        n_join = pc.count_substring(t, "join")
+        n_scan = pc.count_substring(t, "scan")
+        n_sort = pc.count_substring(t, "sort")
+        lab = pc.if_else(
+            pc.and_(pc.greater_equal(n_join, n_scan),
+                    pc.greater_equal(n_join, n_sort)), "joiny",
+            pc.if_else(pc.greater_equal(n_scan, n_sort), "scanny",
+                       "sorty"))
+        return b.append_column("label", lab)
+
+    train = docs.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    m = fit_softmax(train, label_col="label", n_features=512,
+                    iters=20, momentum=0.9)
+    out = score_softmax(train, m)
+
+    def acc(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "label": b["label"],
+            "ok": pc.cast(pc.equal(b["pred"], b["label"]), pa.int64())})
+
+    g = grouped_agg(out.map_batches(acc, batch_format="pyarrow"),
+                    ["label"], {"n": ("", "count"),
+                                "acc": ("ok", "mean")})
+    g["acc"] = g["acc"].astype(np.float64).round(4)
+    g["loss_first"] = round(m.losses[0], 4)
+    g["loss_last"] = round(m.losses[-1], 4)
+    return pa.Table.from_pandas(g.sort_values("label")
+                                .reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -5040,6 +5087,7 @@ QUERIES = {
     "sinkhorn_drift_report": q_sinkhorn_drift_report,
     "grouped_ols_report": q_grouped_ols_report,
     "uplift_report": q_uplift_report,
+    "softmax_topic_report": q_softmax_topic_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
