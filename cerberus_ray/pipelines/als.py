@@ -88,13 +88,23 @@ def fit_implicit_als(ds, user_col: str, item_col: str, *, k: int = 8,
                      n_iters: int = 8, n_buckets: int = 32,
                      count_col: Optional[str] = None,
                      max_items: int = 10_000, seed: int = 42,
-                     materialize_users: bool = True) -> ALSModel:
+                     materialize_users: bool = True,
+                     mode: str = "auto") -> ALSModel:
     """Fit the implicit-ALS factorization. Requires the item domain to
     be bounded (``max_items`` guard) — the engine's small-side
     assumption; a two-big-sides factorization would need a blocked
-    item exchange this module deliberately does not implement."""
+    item exchange this module deliberately does not implement.
+
+    ``mode``: 'bucket' = the keyed-shuffle pass per iteration (the
+    at-scale path); 'driver' = pull the (user, item, count) census
+    once and run the SAME bucket kernel locally — right when the
+    census is small, where n_iters keyed exchanges are pure fixed
+    cost; 'auto' picks by census row count (agreement-tested)."""
     from ..determinism import hash_strings
     from ..stages.keyed_window import keyed_apply
+
+    if mode not in ("auto", "driver", "bucket"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     census, cnt_name = _census(ds, user_col, item_col, count_col)
     # item vocabulary (small by contract)
@@ -119,6 +129,10 @@ def fit_implicit_als(ds, user_col: str, item_col: str, *, k: int = 8,
 
     interactions = census.map_batches(
         prep, batch_format="pyarrow").materialize()
+    if mode == "auto":
+        mode = ("driver" if interactions.count() <= 2_000_000
+                else "bucket")
+    local = interactions.to_pandas() if mode == "driver" else None
 
     rng = np.random.default_rng(seed)
     Y = 0.1 * rng.standard_normal((n_items, k))
@@ -164,8 +178,11 @@ def fit_implicit_als(ds, user_col: str, item_col: str, *, k: int = 8,
                 "XtX": [XtX.tobytes()], "loss": [loss],
                 "n_users": [len(uniq)]})
 
-        parts = keyed_apply(interactions, user_col, partial,
-                            n_buckets=n_buckets).to_pandas()
+        if mode == "driver":              # same kernel, one bucket
+            parts = partial(local)
+        else:
+            parts = keyed_apply(interactions, user_col, partial,
+                                n_buckets=n_buckets).to_pandas()
         A_sum = np.zeros((n_items, k, k))
         b_sum = np.zeros((n_items, k))
         XtX = np.zeros((k, k))
@@ -194,9 +211,14 @@ def fit_implicit_als(ds, user_col: str, item_col: str, *, k: int = 8,
                 out[f"f{j}"] = X[:, j]
             return pd.DataFrame(out)
 
-        model.user_factors = keyed_apply(
-            interactions, user_col, emit,
-            n_buckets=n_buckets).materialize()
+        if mode == "driver":
+            import ray.data as rd
+
+            model.user_factors = rd.from_pandas(emit(local))
+        else:
+            model.user_factors = keyed_apply(
+                interactions, user_col, emit,
+                n_buckets=n_buckets).materialize()
     return model
 
 

@@ -117,6 +117,23 @@ def test_layout_invariance(ray_session):
     np.testing.assert_allclose(a.losses, b.losses, rtol=1e-8)
 
 
+def test_driver_bucket_mode_agreement(ray_session):
+    df = _log(n_users=25, seed=12)
+    ds = rd.from_pandas(df, override_num_blocks=3)
+    a = fit_implicit_als(ds, "user_id", "item", k=3, n_iters=3,
+                         n_buckets=4, mode="driver")
+    b = fit_implicit_als(ds, "user_id", "item", k=3, n_iters=3,
+                         n_buckets=4, mode="bucket")
+    np.testing.assert_allclose(a.item_factors, b.item_factors,
+                               atol=1e-9)
+    np.testing.assert_allclose(a.losses, b.losses, rtol=1e-9)
+    ua = a.user_factors.to_pandas().sort_values("user_id")
+    ub = b.user_factors.to_pandas().sort_values("user_id")
+    np.testing.assert_allclose(
+        ua[[f"f{j}" for j in range(3)]].to_numpy(),
+        ub[[f"f{j}" for j in range(3)]].to_numpy(), atol=1e-9)
+
+
 def test_count_col_equivalent_to_repeats(ray_session):
     df = _log(n_users=20, seed=7)
     pre = (df.groupby(["user_id", "item"], as_index=False)
