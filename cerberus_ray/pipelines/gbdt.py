@@ -56,6 +56,7 @@ class GBDTModel:
     depth: int = 2
     learning_rate: float = 0.3
     train_logloss: List[float] = field(default_factory=list)
+    objective: str = "logistic"          # or "l2" (regression)
     # total split gain per feature (the LightGBM 'gain' importance)
     feature_gain: np.ndarray = field(
         default_factory=lambda: np.empty(0))
@@ -156,15 +157,21 @@ def fit_gbdt(ds, feature_cols: Sequence[str], label_col: str, *,
              n_rounds: int = 5, depth: int = 2, n_bins: int = 32,
              learning_rate: float = 0.3, reg_lambda: float = 1.0,
              gamma: float = 0.0, min_child_hess: float = 1e-3,
-             bin_edges: List[np.ndarray] | None = None) -> GBDTModel:
+             bin_edges: List[np.ndarray] | None = None,
+             objective: str = "logistic") -> GBDTModel:
     """Fit ``n_rounds`` depth-``depth`` trees by streamed histogram
-    passes. Given fixed ``bin_edges`` the fit is exactly
+    passes. ``objective``: 'logistic' (binary classification,
+    grad = p−y, hess = p(1−p), tracked loss = logloss) or 'l2'
+    (regression, grad = pred−y, hess = 1, tracked loss = MSE,
+    base = global mean). Given fixed ``bin_edges`` the fit is exactly
     block-layout-invariant (rounded-gain argmax with (feature, bin)
     lexicographic tie-break); sketch-derived edges vary slightly with
     layout like any t-digest profile does."""
     cols = list(feature_cols)
     if depth < 1 or n_rounds < 1:
         raise ValueError("depth and n_rounds must be >= 1")
+    if objective not in ("logistic", "l2"):
+        raise ValueError(f"unknown objective {objective!r}")
     edges = (list(bin_edges) if bin_edges is not None
              else quantile_bin_edges(ds, cols, n_bins=n_bins))
     if len(edges) != len(cols):
@@ -181,14 +188,20 @@ def fit_gbdt(ds, feature_cols: Sequence[str], label_col: str, *,
     binned = ds.map_batches(encode, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
 
-    # base score: log-odds of the global positive rate (one tiny pass)
+    # base score: log-odds of the positive rate (logistic) or the
+    # global mean (l2) — one tiny pass either way
     from ray.data.aggregate import Count, Sum
     tot = binned.aggregate(Sum("y"), Count())
-    pos, n = float(tot["sum(y)"] or 0.0), int(tot["count()"])
-    p0 = min(max(pos / max(n, 1), 1e-6), 1 - 1e-6)
+    ysum, n = float(tot["sum(y)"] or 0.0), int(tot["count()"])
+    if objective == "logistic":
+        p0 = min(max(ysum / max(n, 1), 1e-6), 1 - 1e-6)
+        base = float(np.log(p0 / (1 - p0)))
+    else:
+        base = ysum / max(n, 1)
     model = GBDTModel(feature_cols=cols, bin_edges=edges,
-                      base_score=float(np.log(p0 / (1 - p0))),
+                      base_score=base,
                       depth=depth, learning_rate=learning_rate,
+                      objective=objective,
                       feature_gain=np.zeros(len(cols)))
 
     nf = len(cols)
@@ -202,10 +215,15 @@ def fit_gbdt(ds, feature_cols: Sequence[str], label_col: str, *,
                 for j in range(nf)])
             y = b["y"].to_numpy(zero_copy_only=False)
             m = _margin(bins, trees, model.base_score)
-            p = 1.0 / (1.0 + np.exp(-m))
-            g, h = p - y, p * (1.0 - p)
-            ll = float(-(y * np.log(np.clip(p, 1e-12, 1))
-                         + (1 - y) * np.log(np.clip(1 - p, 1e-12, 1))).sum())
+            if objective == "logistic":
+                p = 1.0 / (1.0 + np.exp(-m))
+                g, h = p - y, p * (1.0 - p)
+                ll = float(-(y * np.log(np.clip(p, 1e-12, 1))
+                             + (1 - y) * np.log(
+                                 np.clip(1 - p, 1e-12, 1))).sum())
+            else:
+                g, h = m - y, np.ones(len(y))
+                ll = float(((m - y) ** 2).sum())
             node = _partial_leaf_ids(bins, feat, split, level)
             idx = ((node[:, None] * nf + np.arange(nf)[None, :]) * nb
                    + bins.astype(np.int64)).ravel()
@@ -294,15 +312,17 @@ def fit_gbdt(ds, feature_cols: Sequence[str], label_col: str, *,
 
 
 def score_gbdt(ds, model: GBDTModel, *, out_col: str = "score"):
-    """Append P(label=1) — stateless vectorized application."""
+    """Append P(label=1) (logistic) or the raw prediction (l2) —
+    stateless vectorized application."""
     cols, edges = model.feature_cols, model.bin_edges
     trees, base = model.trees, model.base_score
+    logistic = model.objective == "logistic"
 
     def score(b: pa.Table) -> pa.Table:
         bins = _bin_matrix(b, cols, edges)
         m = _margin(bins, trees, base)
-        return b.append_column(
-            out_col, pa.array(1.0 / (1.0 + np.exp(-m)), pa.float64()))
+        out = 1.0 / (1.0 + np.exp(-m)) if logistic else m
+        return b.append_column(out_col, pa.array(out, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)

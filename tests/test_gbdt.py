@@ -198,3 +198,26 @@ def test_bad_params(ray_session):
         fit_gbdt(ds, COLS, "y", n_rounds=0)
     with pytest.raises(ValueError):
         fit_gbdt(ds, COLS, "y", depth=0)
+
+
+def test_l2_regression_objective(ray_session):
+    rng = np.random.default_rng(41)
+    n = 2000
+    x1 = rng.uniform(-2, 2, n)
+    x2 = rng.uniform(-2, 2, n)
+    y = np.sin(x1) * 2 + (x2 > 0) * 1.5 + rng.normal(0, 0.1, n)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    m = fit_gbdt(ds, ["x1", "x2"], "y", n_rounds=20, depth=2,
+                 n_bins=32, objective="l2", learning_rate=0.3)
+    # MSE loss drops by >5x and predictions track the surface
+    assert m.train_logloss[-1] < m.train_logloss[0] / 5, \
+        m.train_logloss[::5]
+    assert abs(m.base_score - y.mean()) < 1e-9
+    s = score_gbdt(ds, m).to_pandas()
+    resid = s["score"] - s["y"]
+    assert resid.abs().mean() < 0.4
+    # regression scores are NOT squashed to (0,1)
+    assert s["score"].max() > 1.5
+    with pytest.raises(ValueError, match="objective"):
+        fit_gbdt(ds, ["x1"], "y", objective="huber")
