@@ -56,24 +56,26 @@ def frequent_sequences(ds, key_col: str, ts_col: str, item_col: str, *,
         last = ts[np.r_[seg[1:] - 1, len(ts) - 1]]
         k_seg = keys[seg]
         i_seg = items[seg]
-        # per-key item grids
+        # per-key item grids, expanded FULLY VECTORIZED (no per-key
+        # Python): for a key with c distinct items enumerate all c²
+        # ordered pairs via arithmetic on a flat pair index
         kb = np.flatnonzero(np.r_[True, k_seg[1:] != k_seg[:-1]])
         counts = np.diff(np.append(kb, len(k_seg)))
         if counts.max(initial=0) > max_items_per_key:
             raise ValueError("distinct items per key exceed "
                              f"max_items_per_key={max_items_per_key}")
-        rows = []
-        for s, c in zip(kb, counts):
-            f = first[s:s + c]
-            l = last[s:s + c]
-            it = i_seg[s:s + c]
-            sup = f[:, None] < l[None, :]          # a→b strict order
-            ai, bi = np.nonzero(sup)
-            if len(ai):
-                rows.append(pd.DataFrame({"a": it[ai], "b": it[bi]}))
         n_keys_bucket = len(kb)
-        if rows:
-            out = (pd.concat(rows, ignore_index=True)
+        tot = counts * counts
+        within = (np.arange(int(tot.sum()))
+                  - np.repeat(np.cumsum(tot) - tot, tot))
+        c_pair = np.repeat(counts, tot)
+        start = np.repeat(kb, tot)
+        ga = start + within // c_pair
+        gb = start + within % c_pair
+        sup = first[ga] < last[gb]               # a→b strict order
+        if sup.any():
+            out = (pd.DataFrame({"a": i_seg[ga[sup]],
+                                 "b": i_seg[gb[sup]]})
                    .groupby(["a", "b"], as_index=False).size()
                    .rename(columns={"size": "n"}))
         else:
