@@ -154,6 +154,7 @@ QUERY_NAMES = [
     "bayes_ab_report", "hmm_report", "coxph_report",
     "word_vectors_report", "woe_iv_report", "sinkhorn_drift_report",
     "grouped_ols_report", "uplift_report", "softmax_topic_report",
+    "learning_curve_report",
 ]
 
 

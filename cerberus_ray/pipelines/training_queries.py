@@ -3320,6 +3320,25 @@ def q_softmax_topic_report(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_learning_curve_report(sf_dir: str):
+    """Learning-curve harness (extras surface): held-out accuracy of
+    the logreg 'contains spark' concept at nested leak-free training
+    fractions — the do-we-need-more-data artifact; split discipline
+    in tests/test_learning_curve.py."""
+    from .learning_curve import learning_curve
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column("label", pc.cast(pc.match_substring(
+            pc.coalesce(b["text"], ""), "spark"), pa.int64()))
+
+    ds = docs.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    return learning_curve(ds, fractions=(0.1, 0.3, 1.0), iters=8,
+                          n_features=512)
+
+
 def q_ols_report(sf_dir: str) -> pa.Table:
     """Multivariate OLS (extras surface): events.value regressed on
     hour-of-day and day-of-week — the one-pass normal-equation fit;
@@ -5088,6 +5107,7 @@ QUERIES = {
     "grouped_ols_report": q_grouped_ols_report,
     "uplift_report": q_uplift_report,
     "softmax_topic_report": q_softmax_topic_report,
+    "learning_curve_report": q_learning_curve_report,
     "ols_report": q_ols_report,
     "cdf_report": q_cdf_report,
     "forecast_report": q_forecast_report,
