@@ -52,6 +52,7 @@ class ALSModel:
     reg: float
     losses: List[float] = field(default_factory=list)
     user_factors: Optional[object] = None   # Dataset (user, f0..f{k-1})
+    user_col: Optional[str] = None          # set at fit time (schema-safe)
 
 
 def _census(ds, user_col: str, item_col: str, count_col: Optional[str]):
@@ -138,7 +139,7 @@ def fit_implicit_als(ds, user_col: str, item_col: str, *, k: int = 8,
     Y = 0.1 * rng.standard_normal((n_items, k))
     eye = reg * np.eye(k)
     model = ALSModel(item_ids=np.asarray(items), item_factors=Y, k=k,
-                     alpha=alpha, reg=reg)
+                     alpha=alpha, reg=reg, user_col=user_col)
 
     for _ in range(n_iters):
         YtY_reg = Y.T @ Y + eye
@@ -230,8 +231,11 @@ def recommend_items(model: ALSModel, *, top_n: int = 3):
     Y = model.item_factors
     ids = model.item_ids
     k = model.k
-    user_col = [c for c in model.user_factors.schema().names
-                if not c.startswith("f")][0]
+    # the column name is recorded at fit time — inferring it from the
+    # materialized schema would misclassify user keys like 'from_id'
+    user_col = model.user_col or [
+        c for c in model.user_factors.schema().names
+        if not c.startswith("f")][0]
     top_n = min(top_n, len(ids))
 
     def score(b: pa.Table) -> pa.Table:

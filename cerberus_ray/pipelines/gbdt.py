@@ -76,6 +76,9 @@ def quantile_bin_edges(ds, feature_cols: Sequence[str], *,
                        compression: float = 200.0) -> List[np.ndarray]:
     """Per-feature interior bin edges from one streamed t-digest pass
     (deduplicated — constant features give zero edges)."""
+    if not 2 <= n_bins <= 256:
+        raise ValueError(
+            f"n_bins must be in [2, 256] (uint8 bin codes): got {n_bins}")
     cols = list(feature_cols)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -176,6 +179,12 @@ def fit_gbdt(ds, feature_cols: Sequence[str], label_col: str, *,
              else quantile_bin_edges(ds, cols, n_bins=n_bins))
     if len(edges) != len(cols):
         raise ValueError("bin_edges must align with feature_cols")
+    too_wide = max((len(e) for e in edges), default=0)
+    if too_wide > 255:
+        # uint8 bin codes: >255 interior edges would silently wrap
+        raise ValueError(
+            f"at most 255 interior edges per feature (got {too_wide}); "
+            f"lower n_bins or pass coarser bin_edges")
     nb = max((len(e) for e in edges), default=0) + 1
 
     def encode(b: pa.Table) -> pa.Table:

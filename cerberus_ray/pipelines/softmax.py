@@ -33,7 +33,12 @@ class SoftmaxModel:
     classes: List[str]
     W: np.ndarray                # (B+1, C) — last row is bias
     n_features: int
+    #: per-iteration training loss at the point the GRADIENT was taken —
+    #: under Nesterov momentum that is the lookahead point W + m·V, not
+    #: the iterate itself (and the last entry precedes the final update).
+    #: ``final_loss`` is evaluated at the returned W.
     losses: List[float] = field(default_factory=list)
+    final_loss: float = float("nan")
 
 
 def _probs(X: np.ndarray, W: np.ndarray) -> np.ndarray:
@@ -90,6 +95,21 @@ def fit_softmax(ds, *, text_col: str = "text", label_col: str = "label",
         V = momentum * V - (lr / (0.5 + reg)) * G
         W = W + V
     model.W = W
+
+    def loss_only(b: pa.Table, _W=W) -> pa.Table:
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        X = _doc_vectors(texts, n_features)
+        y = b[label_col].to_pandas().map(cls_idx).to_numpy(np.int64)
+        P = _probs(X, _W)
+        loss = float(-np.log(np.clip(
+            P[np.arange(len(y)), y], 1e-12, 1)).sum())
+        return pa.Table.from_pydict({"loss": pa.array([loss]),
+                                     "n": pa.array([len(y)])})
+
+    fl = ds.map_batches(loss_only, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    model.final_loss = round(float(fl["loss"].sum()) / int(fl["n"].sum()),
+                             10)
     return model
 
 

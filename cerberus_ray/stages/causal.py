@@ -67,6 +67,16 @@ def ipw_ate_report(ds, treatment_col: str, outcome_col: str,
     s2t, s2c = census["_sy2t"].to_numpy(), census["_sy2c"].to_numpy()
     mt = np.divide(syt, nt, out=np.zeros_like(syt), where=nt > 0)
     mc = np.divide(syc, nc, out=np.zeros_like(syc), where=nc > 0)
+    if not on.any():
+        # no stratum has both arms: 'no overlap', not 'no effect' —
+        # n_off_support flags the condition, the estimate is undefined
+        return pa.Table.from_pydict({
+            "n_rows": pa.array([int(N)], pa.int64()),
+            "n_strata": pa.array([len(census)], pa.int64()),
+            "n_off_support": pa.array([len(census)], pa.int64()),
+            "naive_diff": pa.array([round(naive, 6)], pa.float64()),
+            "ate_ipw": pa.array([float("nan")], pa.float64()),
+            "ate_se": pa.array([float("nan")], pa.float64())})
     w = n[on] / n[on].sum()
     ate = float((w * (mt[on] - mc[on])).sum())
     # stratified SE: Σ w² (v_t/n_t + v_c/n_c), sample variances

@@ -104,6 +104,17 @@ def test_monotone_loss_and_recovery(ray_session):
     assert (odd.isin(ITEMS[3:])).mean() > 0.9
 
 
+def test_user_col_starting_with_f(ray_session):
+    # recommend_items must use the fit-time column name, not infer it
+    # from the schema (a 'from_id' key would look like a factor column)
+    df = _log(n_users=20, seed=3).rename(columns={"user_id": "from_id"})
+    m = fit_implicit_als(rd.from_pandas(df), "from_id", "item", k=4,
+                         n_iters=3, materialize_users=True)
+    recs = recommend_items(m, top_n=2).to_pandas()
+    assert "from_id" in recs.columns
+    assert set(recs["from_id"]) == set(df["from_id"])
+
+
 def test_layout_invariance(ray_session):
     df = _log(n_users=30, seed=5)
     a = fit_implicit_als(rd.from_pandas(df, override_num_blocks=2),

@@ -69,6 +69,18 @@ def test_off_support_strata_counted_not_dropped_silently(ray_session):
     assert abs(r["ate_ipw"] - 2.0) < 0.25
 
 
+def test_all_off_support_reports_nan_not_zero(ray_session):
+    # every stratum single-armed: 'no overlap' must read as NaN, not 0.0
+    df = pd.DataFrame({"z": ["a"] * 30 + ["b"] * 30,
+                       "t": [1] * 30 + [0] * 30,
+                       "y": np.linspace(0, 1, 60)})
+    r = ipw_ate_report(rd.from_pandas(df), "t", "y",
+                       ["z"]).to_pandas().iloc[0]
+    assert r["n_off_support"] == 2 and r["n_strata"] == 2
+    assert np.isnan(r["ate_ipw"]) and np.isnan(r["ate_se"])
+    assert np.isfinite(r["naive_diff"])
+
+
 def test_layout_invariance(ray_session):
     df = _confounded(n=1000, seed=5)
     a = ipw_ate_report(rd.from_pandas(df, override_num_blocks=2),

@@ -198,6 +198,11 @@ def test_bad_params(ray_session):
         fit_gbdt(ds, COLS, "y", n_rounds=0)
     with pytest.raises(ValueError):
         fit_gbdt(ds, COLS, "y", depth=0)
+    with pytest.raises(ValueError, match="uint8"):
+        fit_gbdt(ds, COLS, "y", n_bins=300)  # would wrap uint8 codes
+    with pytest.raises(ValueError, match="255"):
+        fit_gbdt(ds, COLS, "y",
+                 bin_edges=[np.arange(300.0) for _ in COLS])
 
 
 def test_l2_regression_objective(ray_session):

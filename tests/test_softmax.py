@@ -65,6 +65,14 @@ def test_matches_reference_with_momentum(ray_session):
                                     momentum=0.9)
     np.testing.assert_allclose(m.W, W, atol=1e-9)
     np.testing.assert_allclose(m.losses, losses, atol=1e-9)
+    # final_loss is evaluated at the RETURNED W (not a lookahead point)
+    X = _doc_vectors(df["text"].to_numpy(), 128)
+    y = df["label"].map({c: i for i, c in enumerate(classes)}
+                       ).to_numpy(np.int64)
+    P = _probs(X, W)
+    want = float(-np.log(np.clip(P[np.arange(len(y)), y],
+                                 1e-12, 1)).mean())
+    np.testing.assert_allclose(m.final_loss, want, atol=1e-9)
 
 
 def test_accuracy_and_monotone_loss(ray_session):
