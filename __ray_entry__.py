@@ -41,15 +41,17 @@ def entry() -> Any:
 #: entries the task spec names as first-class — flagship/CRM/corpus/drift
 #: plus the non-SQL-expressible dedup family). The remainder stay covered
 #: by pytest and are exported via extra_queries().
+#: round 4 promoted flagship_violations / flagship_verdicts (golden-
+#: parquet oracles from generator bookkeeping) and dedup_simhash /
+#: dedup_ngram_verified (pure-SQL md5-simhash + exact-Jaccard self-
+#: joins) into the oracle-gated set; the remainder are genuinely
+#: non-SQL-expressible (probabilistic minhash estimates, float32 LSH
+#: sims, sketch comparisons, fixture-corpus rule pack).
 _ROWS_ONLY_KEEP = [
-    "flagship_violations",
-    "flagship_verdicts",
     "crm_violations",
     "training_corpus_report",
     "events_drift_check",
     "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_verified",
     "emb_near_dup",
 ]
 
@@ -86,6 +88,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per queries() key."""
     from cerberus_ray.pipelines.relational import ORACLE_SQL
     from cerberus_ray.pipelines.relational2 import ORACLE_SQL as O2
-    from cerberus_ray.pipelines.training_queries import ORACLE_SQL as TO
+    from cerberus_ray.pipelines.training_queries import (
+        ORACLE_SQL as TO,
+        ensure_flagship_goldens,
+    )
 
+    # flagship oracles read generator-side golden parquet — write it
+    # (idempotent) before the SQL can run
+    ensure_flagship_goldens()
     return dict(ORACLE_SQL) | dict(O2) | dict(TO)

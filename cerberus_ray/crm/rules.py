@@ -148,7 +148,8 @@ def booking_unique_customer_slot(bookings_ds) -> pa.Table:
     """unique_together (customer, _booking_slot), slot NULLs excluded."""
     nn = bookings_ds.map_batches(
         lambda b: b.filter(pc.is_valid(b["slot_id"])), batch_format="pyarrow")
-    dup = duplicate_key_counts(nn, ["customer_id", "slot_id"], mode="driver")
+    # mode='auto': the planner picks driver/cms/shuffle by input size
+    dup = duplicate_key_counts(nn, ["customer_id", "slot_id"])
     rows = []
     for r in dup.to_pylist():
         key = f"{int(r['customer_id'])}|{int(r['slot_id'])}"
@@ -159,25 +160,63 @@ def booking_unique_customer_slot(bookings_ds) -> pa.Table:
 
 def booking_pets_belong(bookings_ds, pets_ds) -> pa.Table:
     """All pets on a booking must belong to the booking's customer
-    (flatten the pets M2M list; broadcast the pet→customer dim)."""
-    pet_owner = {r["pet_id"]: r["customer_id"] for r in pets_ds.take_all()}
-    ref = ray.put(pet_owner)
+    (cross-entity rule, booking.py:298-300).
 
-    def check(b: pa.Table) -> pa.Table:
-        owners = ray.get(ref)
-        rows = []
-        bids = b["booking_id"].to_pylist()
-        custs = b["customer_id"].to_pylist()
-        for bid, cust, pets in zip(bids, custs, b["pet_ids"].to_pylist()):
-            for p in pets or []:
-                if owners.get(p) != cust:
-                    rows.append((str(bid), "pets-belong-to-customer",
-                                 "pet_ids",
-                                 f"pet {p} belongs to customer "
-                                 f"{owners.get(p)}, booking is for {cust}"))
-        return _v(rows)
+    Streamed shape: the M2M list explodes VECTORIZED (list_flatten +
+    list_parent_indices — no per-row Python) into (pet, booking,
+    customer) rows, which meet the pets table on the keyed_compare
+    exchange hash-bucketed by pet id; ownership is compared once per
+    bucket with a vectorized pandas kernel. Pets is fact-sized at
+    target scale — nothing is collected to the driver or broadcast."""
+    from ..stages.aggcheck import keyed_compare
 
-    out = bookings_ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    def child(b: pa.Table) -> pa.Table:
+        pets = b["pet_ids"]
+        if isinstance(pets, pa.ChunkedArray):
+            pets = pets.combine_chunks()
+        flat = pc.list_flatten(pets)
+        parent = pc.list_parent_indices(pets)
+        bids = pc.cast(b["booking_id"], pa.string()).take(parent)
+        custs = pc.cast(b["customer_id"], pa.float64()).take(parent)
+        return pa.Table.from_arrays(
+            [pc.cast(flat, pa.string()), custs,
+             pa.array(["c"] * len(flat), type=pa.string()),
+             pc.cast(bids, pa.string())],
+            names=["k", "v", "src", "extra"])
+
+    def parent(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(b["pet_id"], pa.string()),
+             pc.cast(b["customer_id"], pa.float64()),
+             pa.array(["p"] * n, type=pa.string()),
+             pa.array([""] * n, type=pa.string())],
+            names=["k", "v", "src", "extra"])
+
+    def compare(d: pd.DataFrame) -> pd.DataFrame:
+        ch = d.loc[d["src"] == "c"]
+        if not len(ch):
+            return pd.DataFrame()
+        owner_of = (d.loc[d["src"] == "p"].drop_duplicates("k")
+                    .set_index("k")["v"])
+        owner = ch["k"].map(owner_of).to_numpy(dtype="float64")
+        cust = ch["v"].to_numpy(dtype="float64")
+        bad = np.flatnonzero(~(owner == cust))  # NaN (unknown pet) → bad
+        if not len(bad):
+            return pd.DataFrame()
+        pets_ = ch["k"].to_numpy()[bad]
+        bids = ch["extra"].to_numpy()[bad]
+        ow, cu = owner[bad], cust[bad]
+        return pd.DataFrame(
+            [{"doc_id": bids[i], "rule": "pets-belong-to-customer",
+              "path": "pet_ids",
+              "detail": f"pet {pets_[i]} belongs to customer "
+                        f"{None if np.isnan(ow[i]) else int(ow[i])}, "
+                        f"booking is for {int(cu[i])}"}
+             for i in range(len(bad))])
+
+    out = keyed_compare(bookings_ds, pets_ds, child_side=child,
+                        parent_side=parent, compare=compare).to_pandas()
     if not len(out):
         return VIOLATIONS.empty_table()
     return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
@@ -186,33 +225,60 @@ def booking_pets_belong(bookings_ds, pets_ds) -> pa.Table:
 def slot_capacity(bookings_ds, services_ds) -> pa.Table:
     """Per-slot capacity: Σ pets ≤ service.max_pet, distinct customers ≤
     service.max_customer; canceled bookings excluded (ActiveBookingManager
-    baseline filter, booking.py:212-214)."""
+    baseline filter, booking.py:212-214; limits from booking.py:165-176 +
+    service.py:23-24).
+
+    Streamed shape: bookings project to (slot, service, n_pets, customer)
+    per block and hash-bucket on slot_id (keyed_apply) — the per-slot
+    Σpets / distinct-customer aggregate and the threshold compare run as
+    ONE vectorized pandas kernel per bucket. Only the services table (a
+    true dimension) is collected and broadcast (ray.put once); no
+    O(#bookings) driver structure."""
+    from ..stages.keyed_window import keyed_apply
+
     limits = {r["service_id"]: (r["max_pet"], r["max_customer"])
               for r in services_ds.take_all()}
+    lref = ray.put(limits)
 
     def partial(b: pa.Table) -> pa.Table:
         t = b.filter(pc.and_(pc.invert(pc.equal(b["state"], "canceled")),
                              pc.is_valid(b["slot_id"])))
         n_pets = pc.list_value_length(t["pet_ids"])
         return pa.Table.from_arrays(
-            [t["slot_id"], t["service_id"], pc.cast(n_pets, pa.int64()),
+            [pc.cast(t["slot_id"], pa.int64()), t["service_id"],
+             pc.cast(pc.fill_null(n_pets, 0), pa.int64()),
              t["customer_id"]],
             names=["slot_id", "service_id", "n_pets", "customer_id"])
 
-    pdf = bookings_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rows = []
-    for slot_id, g in pdf.groupby("slot_id"):
-        svc = g["service_id"].iloc[0]
-        max_pet, max_cust = limits.get(svc, (10**9, 10**9))
-        tot = int(g["n_pets"].sum())
-        ncust = g["customer_id"].nunique()
-        if tot > max_pet:
-            rows.append((str(int(slot_id)), "slot-max-pets", "pet_ids",
-                         f"{tot} pets > max {max_pet} for service {svc}"))
-        if ncust > max_cust:
-            rows.append((str(int(slot_id)), "slot-max-customers", "customer_id",
-                         f"{ncust} customers > max {max_cust}"))
-    return _v(rows)
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        lim = ray.get(lref)
+        agg = (g.groupby("slot_id", as_index=False)
+               .agg(svc=("service_id", "first"),
+                    tot=("n_pets", "sum"),
+                    ncust=("customer_id", "nunique")))
+        mp = agg["svc"].map(lambda s: lim.get(s, (10**9, 10**9))[0])
+        mcst = agg["svc"].map(lambda s: lim.get(s, (10**9, 10**9))[1])
+        rows = []
+        for i in np.flatnonzero(agg["tot"].to_numpy() > mp.to_numpy()):
+            rows.append({"doc_id": str(int(agg["slot_id"][i])),
+                         "rule": "slot-max-pets", "path": "pet_ids",
+                         "detail": f"{int(agg['tot'][i])} pets > max "
+                                   f"{mp[i]} for service {agg['svc'][i]}"})
+        for i in np.flatnonzero(agg["ncust"].to_numpy() > mcst.to_numpy()):
+            rows.append({"doc_id": str(int(agg["slot_id"][i])),
+                         "rule": "slot-max-customers",
+                         "path": "customer_id",
+                         "detail": f"{int(agg['ncust'][i])} customers > "
+                                   f"max {mcst[i]}"})
+        return pd.DataFrame(rows)
+
+    pr = bookings_ds.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    out = keyed_apply(pr, "slot_id", check).to_pandas()
+    if not len(out):
+        return VIOLATIONS.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False,
+                                schema=VIOLATIONS)
 
 
 def slot_overlap(slots_ds) -> pa.Table:

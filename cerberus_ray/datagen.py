@@ -318,6 +318,37 @@ def expected_violations(cfg: GenConfig) -> pa.Table:
     return t.sort_by([("doc_id", "ascending"), ("rule", "ascending")])
 
 
+#: rules attributed to a doc OTHER than the one carrying them, or needing
+#: global state — excluded from row-local verdict golden derivation
+_GLOBAL_RULES = ("unique-doc-id", "fk-missing")
+
+
+def expected_fragment_verdicts(cfg: GenConfig, fragment_size: int) -> pa.Table:
+    """Golden per-fragment verdicts for the ROW-LOCAL ruleset (the
+    fragment_verdicts/validate pipeline surface): recomputed from the
+    generator's injection bookkeeping, never from the validator.
+    → (fragment_id, pass, n_rows, n_violations) sorted by fragment."""
+    import pandas as pd
+
+    golden = expected_violations(cfg).to_pandas()
+    golden = golden[~golden["rule"].isin(_GLOBAL_RULES)]
+    vidx = golden["doc_id"].str[1:].astype(np.int64) // fragment_size
+    nv = vidx.value_counts()
+    n_frags = -(-cfg.n_docs // fragment_size)
+    frag_idx = np.arange(n_frags, dtype=np.int64)
+    rows = np.full(n_frags, fragment_size, dtype=np.int64)
+    rows[-1] = cfg.n_docs - fragment_size * (n_frags - 1)
+    nviol = (pd.Series(0, index=frag_idx).add(nv, fill_value=0)
+             .astype("int64").to_numpy())
+    return pa.Table.from_pydict({
+        "fragment_id": pa.array(
+            np.char.mod("frag-%06d", frag_idx).astype(object),
+            type=pa.string()),
+        "pass": pa.array(nviol == 0),
+        "n_rows": pa.array(rows),
+        "n_violations": pa.array(nviol)})
+
+
 def docs_dataset(cfg: GenConfig, *, parallelism: int = -1,
                  fragment_size: int = 0):
     """Distributed generation: ray.data.range → map_batches(gen_docs_batch).

@@ -671,12 +671,9 @@ def verify_pairs_weighted(pairs_table: pa.Table, ds, *,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(texts: np.ndarray) -> np.ndarray:
-    """64-bit SimHash per text (token sign accumulation), vectorized."""
-    token_lists = _tokenize(texts)
-    counts = np.array([max(len(t), 1) for t in token_lists], dtype=np.int64)
-    flat = [t for lst in token_lists for t in (lst or [""])]
-    h = hash_strings(np.array(flat, dtype=object))
+def _simhash_accumulate(h: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Sign-accumulate per-token uint64 hashes into 64-bit fingerprints
+    (``counts[i]`` consecutive hashes belong to text i), vectorized."""
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
                          bitorder="little").astype(np.int32) * 2 - 1
     starts = np.zeros(len(counts), dtype=np.int64)
@@ -684,6 +681,48 @@ def simhash64(texts: np.ndarray) -> np.ndarray:
     acc = np.add.reduceat(bits, starts, axis=0)
     out_bits = (acc > 0).astype(np.uint8)
     return np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64).ravel()
+
+
+def _flat_tokens(texts: np.ndarray):
+    token_lists = _tokenize(texts)
+    counts = np.array([max(len(t), 1) for t in token_lists], dtype=np.int64)
+    flat = [t for lst in token_lists for t in (lst or [""])]
+    return flat, counts
+
+
+def simhash64(texts: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per text (token sign accumulation), vectorized.
+
+    Token hash is the polars 64-bit hash (fast, the scale default); for
+    a DuckDB-oracle-reproducible fingerprint use :func:`simhash64_md5`."""
+    flat, counts = _flat_tokens(texts)
+    h = hash_strings(np.array(flat, dtype=object))
+    return _simhash_accumulate(h, counts)
+
+
+def md5_token_hash64(tokens: np.ndarray) -> np.ndarray:
+    """uint64 per token — EXACTLY DuckDB's ``md5_number_lower``: bytes
+    8:16 of the md5 digest, little-endian. The SQL-reproducible token
+    hash (dual-path oracle pattern, cf. the reference's recompute-both-
+    ways invoice test, cerberus/tests/test_invoices.py:107-131)."""
+    import hashlib
+
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        out[i] = int.from_bytes(
+            hashlib.md5(t.encode("utf-8")).digest()[8:16], "little")
+    return out
+
+
+def simhash64_md5(texts: np.ndarray) -> np.ndarray:
+    """SimHash with the md5 token hash — bit-identical to a pure-SQL
+    DuckDB recomputation (md5_number_lower + bit ops), so pair outputs
+    can be oracle-checked exactly. md5 runs once per DISTINCT token
+    (vocabulary-bounded), not per occurrence."""
+    flat, counts = _flat_tokens(texts)
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    h = md5_token_hash64(uniq)[inv]
+    return _simhash_accumulate(h, counts)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -942,7 +981,8 @@ def ngram_jaccard(text_a: str, text_b: str, *, w: int = 3) -> float:
 def connected_components_shuffle(pairs_table: pa.Table, *,
                                  a_col: str = "doc_id_a",
                                  b_col: str = "doc_id_b",
-                                 max_rounds: int = 20) -> pa.Table:
+                                 max_rounds: int = 20,
+                                 num_partitions: int | None = None) -> pa.Table:
     """Distributed min-label propagation: each round is one
     hash-partitioned ``groupby(node).min(label)`` over (neighbour-label
     messages ∪ current labels) — the 10^9-edge path where the candidate
@@ -962,6 +1002,10 @@ def connected_components_shuffle(pairs_table: pa.Table, *,
     if len(a) == 0:
         return pa.Table.from_pydict({"doc_id": pa.array([], pa.string()),
                                      "cluster_id": pa.array([], pa.string())})
+    if num_partitions is None:
+        # parallelism ∝ edge count (directed edges = 2×pairs): a 10⁹-edge
+        # graph must not serialize through a fixed 8-partition exchange
+        num_partitions = int(min(1024, max(8, (2 * len(a)) // 250_000 + 1)))
     # both directions so a label can flow either way along an edge
     edges = rd.from_arrow(pa.Table.from_pydict({
         "src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}))
@@ -985,7 +1029,8 @@ def connected_components_shuffle(pairs_table: pa.Table, *,
     converged = False
     prev = _checksum(labels)
     for _ in range(max_rounds):
-        msgs = (edges.join(labels, join_type="inner", num_partitions=8,
+        msgs = (edges.join(labels, join_type="inner",
+                           num_partitions=num_partitions,
                            on=("src",), right_on=("node",))
                 .map_batches(lambda t: pa.Table.from_arrays(
                     [t["dst"], t["label"]], names=["node", "label"]),
@@ -997,7 +1042,7 @@ def connected_components_shuffle(pairs_table: pa.Table, *,
         # ("no match for FieldRef node"); coalescing drops them.
         labels = (labels.union(msgs).groupby("node")
                   .aggregate(Min("label", alias_name="label"))
-                  .repartition(8).materialize())
+                  .repartition(num_partitions).materialize())
         cur = _checksum(labels)
         if cur == prev:
             converged = True
@@ -1107,9 +1152,13 @@ def verify_pairs_exact(pairs_table: pa.Table, ds, *, text_col: str = "text",
     jac = np.array([ngram_jaccard(lookup.get(x, ""), lookup.get(y, ""), w=w)
                     for x, y in zip(a, b)])
     keep = jac >= threshold
+    from ..determinism import round_away
+
+    # half-away-from-zero like SQL ROUND (not numpy banker's) so the
+    # jaccard column is bit-identical to the DuckDB oracle's
     out = pd.DataFrame({"doc_id_a": np.array(a, dtype=object)[keep],
                         "doc_id_b": np.array(b, dtype=object)[keep],
-                        "jaccard": jac[keep].round(4)})
+                        "jaccard": round_away(jac[keep], 4)})
     out = out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -152,7 +152,13 @@ def sorted_neighborhood_pairs(ds, id_col: str, text_col: str, *,
 
     keyed = ds.map_batches(norm, batch_format="pyarrow",
                            zero_copy_batch=True)
-    ranked = global_row_number(keyed, ["_key", "_id"], out_col="_rn")
+    ranked = global_row_number(keyed, ["_key", "_id"],
+                               out_col="_rn").materialize()
+    # route duplicates every ranked row into two buckets; size the pair
+    # exchange once from the materialized (metadata-backed) count
+    from ..stages.keyed_window import auto_buckets
+
+    nb = auto_buckets(2 * ranked.count())
 
     def route(b: pa.Table) -> pa.Table:
         """Duplicate each row into its home bucket and the next one —
@@ -167,7 +173,7 @@ def sorted_neighborhood_pairs(ds, id_col: str, text_col: str, *,
     routed = keyed_apply(
         ranked.map_batches(route, batch_format="pyarrow",
                            zero_copy_batch=True),
-        "_bkt", lambda g: _sn_bucket_pairs(g, window))
+        "_bkt", lambda g: _sn_bucket_pairs(g, window), n_buckets=nb)
     pdf = routed.to_pandas()
     if not len(pdf):
         return pd.DataFrame({"a": [], "b": [], "key_a": [],

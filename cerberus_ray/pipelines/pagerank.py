@@ -131,13 +131,16 @@ def _shuffle(edges_ds, src, dst, damping, tol, max_rounds) -> pd.DataFrame:
     streamed O(#blocks) partial reduction). State materializes per round
     (iterative Dataset algorithms must cut lineage, see
     ``dedup.connected_components_shuffle``)."""
-    from ..stages.keyed_window import keyed_apply
+    from ..stages.keyed_window import auto_buckets, keyed_apply
 
     edges = edges_ds.map_batches(
         lambda b: pa.Table.from_pydict({
             "key": b[src].cast(pa.string()),
             "d": b[dst].cast(pa.string())}),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # size the keyed exchanges ONCE from the (materialized, metadata-
+    # backed) edge count — never auto-count inside the round loop
+    nb = auto_buckets(edges.count())
 
     # state bootstrap: per-block (node, outdeg-partial) rows from both
     # endpoints, merged per node in one keyed exchange
@@ -156,8 +159,8 @@ def _shuffle(edges_ds, src, dst, damping, tol, max_rounds) -> pd.DataFrame:
     state = keyed_apply(
         parts, "key",
         lambda g: g.groupby("key", sort=False, as_index=False)["deg"]
-        .sum().rename(columns={"key": "node", "deg": "outdeg"})
-    ).materialize()
+        .sum().rename(columns={"key": "node", "deg": "outdeg"}),
+        n_buckets=nb).materialize()
     n = state.count()
     if n == 0:
         return pd.DataFrame({"node": [], "rank": []})
@@ -196,7 +199,8 @@ def _shuffle(edges_ds, src, dst, damping, tol, max_rounds) -> pd.DataFrame:
             return pd.DataFrame({"key": e["d"].to_numpy(dtype=object),
                                  "c": e["key"].map(contrib).to_numpy()})
 
-        contribs = keyed_apply(e_tag.union(r_tag), "key", push)
+        contribs = keyed_apply(e_tag.union(r_tag), "key", push,
+                               n_buckets=nb)
 
         # exchange 2: by destination — new rank per node
         c_tag = contribs.map_batches(
@@ -224,7 +228,8 @@ def _shuffle(edges_ds, src, dst, damping, tol, max_rounds) -> pd.DataFrame:
         # repartition: map_groups emits one block per bucket-run, so the
         # state's block count otherwise doubles per round (measured
         # 9→21→45→93… with per-round cost following it)
-        new_state = (keyed_apply(c_tag.union(r2_tag), "key", pull)
+        new_state = (keyed_apply(c_tag.union(r2_tag), "key", pull,
+                                 n_buckets=nb)
                      .repartition(8).materialize())
         delta = scalar_sum(
             new_state, lambda df: (df["rank"] - df["rank_old"]).abs().sum())

@@ -50,15 +50,35 @@ def q_dedup_minhash(sf_dir: str) -> pa.Table:
 
 
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
-    return DD.simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+    """SimHash near-dup pairs (hamming ≤ 3), oracle-checked exactly:
+    fingerprints use the md5 token hash (simhash64_md5) so DuckDB can
+    recompute them in pure SQL (md5_number_lower + bit ops) and self-join
+    on bit_count(xor) — recall is exact by the 4-chunk pigeonhole, so
+    engine pairs == the SQL all-pairs answer."""
+
+    def fp(b: pa.Table) -> pa.Table:
+        sh = DD.simhash64_md5(b["text"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"],
+            "sim64": pa.array(sh.view(np.int64))})
+
+    withfp = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True)
+    return DD.simhash_near_dup_pairs(withfp, hash_col="sim64",
                                      max_hamming=3)
 
 
 def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
     """MinHash candidates re-verified with EXACT n-gram Jaccard (the
-    estimate→verify two-stage dedup): (doc_id_a, doc_id_b, jaccard)."""
+    estimate→verify two-stage dedup): (doc_id_a, doc_id_b, jaccard).
+
+    Oracle-checked against a DuckDB exact-Jaccard self-join: the
+    candidate gate is relaxed to 0.4 (recall headroom — the corpus's
+    injected near-dups sit at J ≥ 0.89 where band recall ≈ 1) and the
+    exact verify keeps only J ≥ 0.5, so engine output == the SQL
+    all-pairs answer; jaccard uses half-away rounding for bit parity."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    cand = DD.minhash_near_dup_pairs(docs, threshold=0.5)
+    cand = DD.minhash_near_dup_pairs(docs, threshold=0.4)
     return DD.verify_pairs_exact(cand, docs, threshold=0.5)
 
 
@@ -2034,6 +2054,57 @@ def _flagship_cfg(sf_dir: str):
     return GenConfig(n_docs=n, n_media=max(200, n // 5))
 
 
+#: golden-parquet directory for the flagship oracle (generator-side
+#: expected outputs — the validator never touches these)
+_GOLDEN_DIR = "/tmp/cerberus_ray_golden"
+
+
+def ensure_flagship_goldens() -> str:
+    """Write the generator's EXPECTED flagship outputs (violations +
+    per-fragment verdicts) for every sf level to parquet, so DuckDB can
+    serve them as the oracle side of flagship_violations /
+    flagship_verdicts — the dual-path golden pattern
+    (cf. /root/reference/cerberus/tests/ golden fixtures): the expected
+    table is recomputed from injection bookkeeping
+    (datagen.expected_violations / expected_fragment_verdicts), never by
+    running the engine. One file per surface with an ``n_docs`` column;
+    the SQL selects the row set matching the sf level it runs at.
+    Idempotent; returns the directory."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..datagen import (GenConfig, expected_fragment_verdicts,
+                           expected_violations)
+
+    os.makedirs(_GOLDEN_DIR, exist_ok=True)
+    vio_path = os.path.join(_GOLDEN_DIR, "flagship_expected.parquet")
+    ver_path = os.path.join(_GOLDEN_DIR, "flagship_verdicts.parquet")
+    if os.path.exists(vio_path) and os.path.exists(ver_path):
+        return _GOLDEN_DIR
+    vio, ver = [], []
+    for n in sorted(set(_FLAGSHIP_DOCS.values())):
+        cfg = GenConfig(n_docs=n, n_media=max(200, n // 5))
+        g = expected_violations(cfg).sort_by([
+            ("doc_id", "ascending"), ("rule", "ascending"),
+            ("path", "ascending"), ("detail", "ascending")])
+        vio.append(g.append_column(
+            "n_docs", pa.array([n] * g.num_rows, pa.int64())))
+        fv = expected_fragment_verdicts(cfg, max(n // 8, 1))
+        ver.append(fv.append_column(
+            "n_docs", pa.array([n] * fv.num_rows, pa.int64())))
+    _pq.write_table(pa.concat_tables(vio), vio_path)
+    _pq.write_table(pa.concat_tables(ver), ver_path)
+    return _GOLDEN_DIR
+
+
+#: lineitem row count → flagship table size (the sf-level fingerprint
+#: visible from inside SQL; default mirrors _flagship_cfg's fallback)
+_FLAGSHIP_GATE_SQL = """CASE (SELECT COUNT(*) FROM lineitem)
+              WHEN 6000 THEN 2000 WHEN 60000 THEN 5000
+              WHEN 600000 THEN 20000 ELSE 2000 END"""
+
+
 def q_flagship_violations(sf_dir: str) -> pa.Table:
     """The core engine itself as a driver query: full interleaved
     validation (row rules + uniqueness + referential) over the seed-42
@@ -2050,7 +2121,10 @@ def q_flagship_violations(sf_dir: str) -> pa.Table:
     docs = docs_dataset(cfg, fragment_size=max(cfg.n_docs // 8, 1)).materialize()
     res = run_flagship(docs, media_dataset(cfg),
                        text_max_len=cfg.text_max_len, with_verdicts=False)
-    return res.violations
+    # deterministic order for the golden-parquet oracle compare
+    return res.violations.sort_by([
+        ("doc_id", "ascending"), ("rule", "ascending"),
+        ("path", "ascending"), ("detail", "ascending")])
 
 
 def q_flagship_verdicts(sf_dir: str) -> pa.Table:
@@ -5280,6 +5354,89 @@ def _quality_sql() -> str:
 
 
 ORACLE_SQL = {
+    "flagship_violations": f"""
+        SELECT doc_id, rule, path, detail
+        FROM read_parquet('{_GOLDEN_DIR}/flagship_expected.parquet')
+        WHERE n_docs = ({_FLAGSHIP_GATE_SQL})
+        ORDER BY doc_id, rule, path, detail
+    """,
+    "flagship_verdicts": f"""
+        SELECT fragment_id, "pass", n_rows, n_violations
+        FROM read_parquet('{_GOLDEN_DIR}/flagship_verdicts.parquet')
+        WHERE n_docs = ({_FLAGSHIP_GATE_SQL})
+        ORDER BY fragment_id
+    """,
+    # SimHash pairs recomputed in PURE SQL: md5 token hash
+    # (md5_number_lower == dedup.md5_token_hash64), sign-accumulated
+    # bits, self-join on bit_count(xor) ≤ 3 — recall-exact on the
+    # engine side by the 4-chunk pigeonhole, so the sets coincide.
+    "dedup_simhash": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), tok AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(ws) = 0 THEN [''] ELSE ws END) AS tok
+          FROM d
+        ), h AS (
+          SELECT doc_id, md5_number_lower(tok) AS hv FROM tok
+        ), bits AS (
+          SELECT doc_id, bb.b AS b,
+                 SUM(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+          GROUP BY doc_id, bb.b
+        ), fp AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN s > 0
+                        THEN (1::UBIGINT << CAST(b AS INTEGER))
+                        ELSE 0::UBIGINT END) AS f
+          FROM bits GROUP BY doc_id
+        )
+        SELECT CAST(a.doc_id AS VARCHAR) AS doc_id_a,
+               CAST(b2.doc_id AS VARCHAR) AS doc_id_b,
+               CAST(bit_count(xor(CAST(a.f AS UBIGINT),
+                                  CAST(b2.f AS UBIGINT))) AS BIGINT)
+                   AS hamming
+        FROM fp a JOIN fp b2
+          ON CAST(a.doc_id AS VARCHAR) < CAST(b2.doc_id AS VARCHAR)
+        WHERE bit_count(xor(CAST(a.f AS UBIGINT),
+                            CAST(b2.f AS UBIGINT))) <= 3
+        ORDER BY doc_id_a, doc_id_b
+    """,
+    # exact 3-gram word-shingle Jaccard self-join (the estimate→verify
+    # dedup's ground truth); the engine's relaxed candidate gate keeps
+    # recall total, the exact verify keeps precision total.
+    "dedup_ngram_verified": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                      WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_distinct(
+                          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           for i in range(1, len(ws) - 1)])
+                 END AS s
+          FROM d
+        ), p AS (
+          SELECT CAST(a.doc_id AS VARCHAR) AS doc_id_a,
+                 CAST(b.doc_id AS VARCHAR) AS doc_id_b,
+                 CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                      ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                           / len(list_distinct(list_concat(a.s, b.s)))
+                 END AS j
+          FROM sh a JOIN sh b
+            ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+        )
+        SELECT doc_id_a, doc_id_b, ROUND(j, 4) AS jaccard
+        FROM p WHERE j >= 0.5
+        ORDER BY doc_id_a, doc_id_b
+    """,
     "doc_langid": _LANGID_SQL,
     "doc_quality": _quality_sql(),
     "doc_pii_scan": rf"""

@@ -38,7 +38,7 @@ _EMPTY_V = pd.DataFrame({c: pd.Series(dtype=object)
 def keyed_compare(child_ds, parent_ds, *, child_side: Callable,
                   parent_side: Callable,
                   compare: Callable[[pd.DataFrame], pd.DataFrame],
-                  n_buckets: int = 16):
+                  n_buckets: int | None = None, n_rows_hint: int = 0):
     """Generic streamed child-vs-parent keyed comparison.
 
     ``child_side(batch) -> pa.Table`` and ``parent_side(batch) ->
@@ -51,7 +51,8 @@ def keyed_compare(child_ds, parent_ds, *, child_side: Callable,
                              zero_copy_batch=True)
     p = parent_ds.map_batches(parent_side, batch_format="pyarrow",
                               zero_copy_batch=True)
-    out = keyed_apply(c.union(p), "k", compare, n_buckets=n_buckets)
+    out = keyed_apply(c.union(p), "k", compare, n_buckets=n_buckets,
+                      n_rows_hint=n_rows_hint)
 
     def cast(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

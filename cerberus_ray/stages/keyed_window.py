@@ -29,20 +29,46 @@ from ..determinism import splitmix64
 _BUCKET = "__kw_bucket"
 
 
+#: auto-sizing target: rows per bucket ≈ one kernel invocation's heap
+#: residency. 200k rows × ~100 B ≈ 20 MB — comfortably inside a worker
+#: heap while keeping kernel-call overhead amortized.
+_TARGET_ROWS_PER_BUCKET = 200_000
+#: floor keeps every core of a small cluster busy; cap bounds the
+#: shuffle partition count (beyond ~4096 the per-partition fixed cost
+#: dominates at any realistic block size)
+_MIN_BUCKETS, _MAX_BUCKETS = 16, 4096
+
+
+def auto_buckets(n_rows: int,
+                 target_rows_per_bucket: int = _TARGET_ROWS_PER_BUCKET) -> int:
+    """Bucket count for a keyed sweep over ``n_rows`` rows: scales
+    linearly with input (the 100-TB lever), clamped to
+    [{_MIN_BUCKETS}, {_MAX_BUCKETS}]."""
+    want = -(-max(n_rows, 1) // max(target_rows_per_bucket, 1))
+    return int(min(_MAX_BUCKETS, max(_MIN_BUCKETS, want)))
+
+
 def keyed_apply(ds, key_col: str, fn: Callable[[pd.DataFrame], pd.DataFrame],
-                *, n_buckets: int = 32):
+                *, n_buckets: int | None = None, n_rows_hint: int = 0):
     """Apply ``fn`` (a vectorized multi-group pandas kernel) to every
     hash bucket of ``key_col``. ``fn`` receives a DataFrame holding all
     rows of every key in the bucket (unordered — the kernel sorts) and
     returns any DataFrame; bucket outputs are concatenated.
 
     Sizing: one bucket is one kernel invocation AND one shuffle
-    partition, so pick ``n_buckets ≈ total_rows / rows_per_call`` where
+    partition, so ``n_buckets ≈ total_rows / rows_per_call`` where
     rows_per_call fits a worker's heap (and ≥ cluster cores to keep every
-    worker busy). The default suits driver-query scale; a 100-TB run
-    raises it proportionally. A single pathologically hot key still lands
-    in one bucket — inherent to whole-key window semantics (the same
-    skew bound any engine's window partitioning has)."""
+    worker busy). With ``n_buckets=None`` (the default) the count is
+    auto-sized via :func:`auto_buckets` from ``n_rows_hint`` if given,
+    else ``ds.count()`` — thread the hint when the input is a computed
+    lineage (count() re-executes it; parquet-scan counts are metadata).
+    Iterative callers should size ONCE outside their loop and pass the
+    explicit count. A single pathologically hot key still lands in one
+    bucket — inherent to whole-key window semantics (the same skew
+    bound any engine's window partitioning has)."""
+    if n_buckets is None:
+        n_buckets = auto_buckets(n_rows_hint if n_rows_hint > 0
+                                 else ds.count())
 
     def add_bucket(b: pa.Table) -> pa.Table:
         k = b[key_col].to_numpy(zero_copy_only=False)

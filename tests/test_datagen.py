@@ -76,3 +76,20 @@ def test_docs_dataset_parallelism_invariant(ray_session):
     a = docs_dataset(cfg, parallelism=2).to_pandas().sort_values("doc_id")
     b = docs_dataset(cfg, parallelism=16).to_pandas().sort_values("doc_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_expected_fragment_verdicts_match_pipeline(ray_session):
+    """Golden verdict derivation (generator bookkeeping) must equal the
+    validate→fragment_verdicts pipeline output — the dual-path pattern
+    that backs the flagship_verdicts DuckDB oracle."""
+    from cerberus_ray.datagen import docs_dataset, expected_fragment_verdicts
+    from cerberus_ray.rules.row_rules import interleaved_ruleset
+    from cerberus_ray.stages.validate import fragment_verdicts, validate
+
+    cfg = GenConfig(n_docs=2000, n_media=400)
+    frag = max(cfg.n_docs // 8, 1)
+    docs = docs_dataset(cfg, fragment_size=frag).materialize()
+    rs = interleaved_ruleset(text_max_len=cfg.text_max_len)
+    got = fragment_verdicts(docs, validate(docs, rs))
+    want = expected_fragment_verdicts(cfg, frag)
+    assert got.equals(want), (got.to_pandas(), want.to_pandas())

@@ -77,3 +77,47 @@ def test_keyed_apply_sees_whole_groups_once(ray_session, df):
     assert not got["user_id"].duplicated().any()
     ref = df.groupby("user_id").size()
     assert dict(zip(got["user_id"], got["n"])) == ref.to_dict()
+
+
+def test_auto_buckets_scales_with_input():
+    from cerberus_ray.stages.keyed_window import (
+        _MAX_BUCKETS,
+        _MIN_BUCKETS,
+        auto_buckets,
+    )
+
+    assert auto_buckets(0) == _MIN_BUCKETS
+    assert auto_buckets(10_000) == _MIN_BUCKETS
+    # linear growth past the floor
+    assert auto_buckets(200_000 * 100) == 100
+    assert auto_buckets(200_000 * 1000) == 1000
+    # capped (shuffle partition fixed cost dominates beyond)
+    assert auto_buckets(10**12) == _MAX_BUCKETS
+    # monotone non-decreasing in n
+    prev = 0
+    for n in [0, 1, 10**5, 10**6, 10**7, 10**9, 10**12]:
+        b = auto_buckets(n)
+        assert b >= prev
+        prev = b
+
+
+def test_keyed_apply_auto_sizing_semantics(ray_session):
+    """n_buckets=None (auto) and an explicit count must agree — bucket
+    count is an execution detail; the hint skips the count() pass."""
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"user_id": rng.integers(0, 50, 500),
+                       "v": rng.normal(size=500)})
+
+    def kern(d: pd.DataFrame) -> pd.DataFrame:
+        return (d.groupby("user_id", as_index=False)["v"].sum())
+
+    auto = (keyed_apply(rd.from_pandas(df), "user_id", kern)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    hinted = (keyed_apply(rd.from_pandas(df), "user_id", kern,
+                          n_rows_hint=10**9)  # forces max buckets
+              .to_pandas().sort_values("user_id").reset_index(drop=True))
+    explicit = (keyed_apply(rd.from_pandas(df), "user_id", kern,
+                            n_buckets=7)
+                .to_pandas().sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(auto, explicit)
+    pd.testing.assert_frame_equal(auto, hinted)

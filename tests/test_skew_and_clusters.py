@@ -92,6 +92,23 @@ def test_connected_components_shuffle_agrees(ray_session):
     assert set(shf[shf["doc_id"] == "d"]["cluster_id"]) == {"a"}
 
 
+def test_connected_components_shuffle_partition_invariance(ray_session):
+    """The clustering must not depend on the exchange partition count
+    (num_partitions is a parallelism knob, defaulting ∝ edge count)."""
+    import pyarrow as pa
+
+    from cerberus_ray.pipelines.dedup import connected_components_shuffle
+
+    pairs = pa.Table.from_pydict({
+        "doc_id_a": ["a", "b", "c", "x", "m", "n"],
+        "doc_id_b": ["b", "c", "d", "y", "n", "o"]})
+    base = connected_components_shuffle(pairs).to_pandas()
+    for np_ in (3, 16):
+        got = connected_components_shuffle(
+            pairs, num_partitions=np_).to_pandas()
+        assert base.equals(got), np_
+
+
 def test_connected_components_shuffle_raises_on_nonconvergence(ray_session):
     """A component deeper than max_rounds must raise, not silently return
     partially-propagated (wrong) labels."""
