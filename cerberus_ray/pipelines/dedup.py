@@ -44,6 +44,13 @@ def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_md5", pa.array(h, type=pa.string()))
 
 
+def _join_partitions(n_rows: int) -> int:
+    """Hash-join exchange partitions ∝ input rows (~2M rows/partition),
+    clamped to [8, 1024] — the beyond-driver-memory paths must not
+    serialize through a fixed partition count at 10^9 rows."""
+    return int(min(1024, max(8, n_rows // 2_000_000 + 1)))
+
+
 def exact_dedup_keep_first(ds, *, text_col: str = "text",
                            key_col: str = "doc_id", mode: str = "auto",
                            n_rows_hint: int = 0):
@@ -64,8 +71,9 @@ def exact_dedup_keep_first(ds, *, text_col: str = "text",
       DISTINCT document) . Output-identical (agreement-tested)."""
     import ray
 
+    # count only when the planner or the join sizing actually needs it
+    n = n_rows_hint or (ds.count() if mode in ("auto", "join") else 0)
     if mode == "auto":
-        n = n_rows_hint or ds.count()
         mode = "driver" if n <= 2_000_000 else "join"
     if mode not in ("driver", "join"):
         raise ValueError(f"unknown keep-first mode: {mode!r}")
@@ -106,7 +114,8 @@ def exact_dedup_keep_first(ds, *, text_col: str = "text",
                                     names=["_keep_md5", "_keep_key"])
 
     keepers = keepers.map_batches(tidy, batch_format="pyarrow")
-    joined = hashed.join(keepers, join_type="inner", num_partitions=8,
+    joined = hashed.join(keepers, join_type="inner",
+                         num_partitions=_join_partitions(n),
                          on=("text_md5", key_col),
                          right_on=("_keep_md5", "_keep_key"))
 
@@ -186,8 +195,8 @@ def exact_dedup_against(ds, reference_ds, *, text_col: str = "text",
     """
     import ray
 
+    n = n_ref_hint or reference_ds.count()
     if mode == "auto":
-        n = n_ref_hint or reference_ds.count()
         mode = "broadcast" if n <= 2_000_000 else "join"
     if mode not in ("broadcast", "join"):
         raise ValueError(f"unknown cross-dedup mode: {mode!r}")
@@ -224,8 +233,9 @@ def exact_dedup_against(ds, reference_ds, *, text_col: str = "text",
                                   zero_copy_batch=True)
 
     # ---- join mode: distributed anti-join on the content hash ----
+    nparts = _join_partitions(n)
     distinct_ref = (ref_h.groupby("text_md5").count()
-                    .repartition(8))  # coalesce schema-less empties
+                    .repartition(nparts))  # coalesce schema-less empties
 
     def mark(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "text_md5" not in b.column_names:
@@ -238,7 +248,8 @@ def exact_dedup_against(ds, reference_ds, *, text_col: str = "text",
             names=["_ref_md5", "_in_ref"])
 
     marked = distinct_ref.map_batches(mark, batch_format="pyarrow")
-    joined = hashed.join(marked, join_type="left_outer", num_partitions=8,
+    joined = hashed.join(marked, join_type="left_outer",
+                         num_partitions=nparts,
                          on=("text_md5",), right_on=("_ref_md5",))
 
     def keep_misses(b: pa.Table) -> pa.Table:
