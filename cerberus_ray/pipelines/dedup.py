@@ -731,8 +731,9 @@ def simhash64_md5(texts: np.ndarray) -> np.ndarray:
     can be oracle-checked exactly. md5 runs once per DISTINCT token
     (vocabulary-bounded), not per occurrence."""
     flat, counts = _flat_tokens(texts)
-    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
-    h = md5_token_hash64(uniq)[inv]
+    # factorize (C hashtable) beats np.unique's object-array sort ~15×
+    codes, uniq = pd.factorize(np.array(flat, dtype=object))
+    h = md5_token_hash64(np.asarray(uniq, dtype=object))[codes]
     return _simhash_accumulate(h, counts)
 
 

@@ -26,6 +26,17 @@ def _docs(sf_dir, columns):
     return read_table(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _docs_nrows(sf_dir) -> int:
+    """Row count from parquet footer metadata (free) — threaded as
+    n_rows_hint so mode planners never re-execute a computed lineage."""
+    import pyarrow.parquet as _pq
+
+    try:
+        return _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    except Exception:
+        return 0
+
+
 def _emb(sf_dir):
     return read_table(f"{sf_dir}/embeddings.parquet")
 
@@ -65,7 +76,8 @@ def q_dedup_simhash(sf_dir: str) -> pa.Table:
     withfp = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow", zero_copy_batch=True)
     return DD.simhash_near_dup_pairs(withfp, hash_col="sim64",
-                                     max_hamming=3)
+                                     max_hamming=3,
+                                     n_rows_hint=_docs_nrows(sf_dir))
 
 
 def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
