@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..determinism import hash_strings, splitmix64
+from ..scale import join_partitions as _join_partitions
 
 _MERSENNE = (1 << 61) - 1
 
@@ -42,13 +43,6 @@ def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
     h = np.array([hashlib.md5((t or "").encode()).hexdigest() for t in texts],
                  dtype=object)
     return batch.append_column("text_md5", pa.array(h, type=pa.string()))
-
-
-def _join_partitions(n_rows: int) -> int:
-    """Hash-join exchange partitions ∝ input rows (~2M rows/partition),
-    clamped to [8, 1024] — the beyond-driver-memory paths must not
-    serialize through a fixed partition count at 10^9 rows."""
-    return int(min(1024, max(8, n_rows // 2_000_000 + 1)))
 
 
 def exact_dedup_keep_first(ds, *, text_col: str = "text",

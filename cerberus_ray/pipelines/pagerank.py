@@ -230,7 +230,7 @@ def _shuffle(edges_ds, src, dst, damping, tol, max_rounds) -> pd.DataFrame:
         # 9→21→45→93… with per-round cost following it)
         new_state = (keyed_apply(c_tag.union(r2_tag), "key", pull,
                                  n_buckets=nb)
-                     .repartition(8).materialize())
+                     .repartition(min(nb, 64)).materialize())
         delta = scalar_sum(
             new_state, lambda df: (df["rank"] - df["rank_old"]).abs().sum())
         state = new_state.map_batches(

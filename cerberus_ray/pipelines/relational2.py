@@ -27,6 +27,14 @@ def _t(sf_dir, name, columns=None):
     return read_table(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _nparts(sf_dir: str, table: str) -> int:
+    """Join partitions ∝ the fact side's parquet-footer row count."""
+    from ..scale import join_partitions, table_nrows
+
+    return join_partitions(table_nrows(f"{sf_dir}/{table}.parquet"))
+
+
+
 #: broadcast a lookup side only while it plausibly fits every worker's
 #: heap; beyond this the planner switches to the native hash-partitioned
 #: Dataset.join (customer is a FACT table at target scale, not a dim)
@@ -77,7 +85,8 @@ def q_revenue_per_nation(sf_dir: str, *, mode: str = "auto") -> pa.Table:
         orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         cust_ds = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
         joined = orders.join(cust_ds, join_type="left_outer",
-                             num_partitions=8, on=("o_custkey",),
+                             num_partitions=_nparts(sf_dir, "orders"),
+                             on=("o_custkey",),
                              right_on=("c_custkey",))
         nref = ray.put(nation_name)
 
@@ -346,7 +355,8 @@ def q_top_orders_per_nation(sf_dir: str, *, mode: str = "auto") -> pa.Table:
         orders = _t(sf_dir, "orders",
                     ["o_orderkey", "o_custkey", "o_totalprice"])
         cust_ds = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-        joined = orders.join(cust_ds, join_type="inner", num_partitions=8,
+        joined = orders.join(cust_ds, join_type="inner",
+                             num_partitions=_nparts(sf_dir, "orders"),
                              on=("o_custkey",), right_on=("c_custkey",))
         nref = ray.put(nation.set_index("n_nationkey")["n_name"]
                        if "n_nationkey" in nation.columns
@@ -494,7 +504,8 @@ def q_native_join_orders_nation(sf_dir: str) -> pa.Table:
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=_nparts(sf_dir, "orders"),
                          on=("o_custkey",), right_on=("c_custkey",))
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     n2name = nation.set_index("n_nationkey")["n_name"]

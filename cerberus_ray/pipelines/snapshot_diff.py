@@ -63,6 +63,7 @@ def _classify_np(n_a, n_b, h_a, h_b) -> np.ndarray:
 
 
 def snapshot_diff(ds_a, ds_b, *, key_col: str = "doc_id",
+                  agg_partitions: int = 64,
                   text_col: str = "text", mode: str = "auto"):
     """→ Dataset (key, status ∈ {added, removed, changed, unchanged}):
     per-document diff of snapshot B against snapshot A. Keys must be
@@ -104,7 +105,8 @@ def snapshot_diff(ds_a, ds_b, *, key_col: str = "doc_id",
                          zero_copy_batch=True)
             .groupby("key")
             .aggregate(Sum("na"), Sum("nb"), Max("ha"), Max("hb"))
-            .repartition(8))  # hash aggregate can emit schema-less empties
+            # coalesce schema-less empties; width ∝ the key universe
+            .repartition(agg_partitions))
 
     def classify(t: pa.Table) -> pa.Table:
         n_a = t["sum(na)"].to_numpy(zero_copy_only=False)

@@ -44,6 +44,13 @@ __all__ = ["q3_shipping_priority", "q10_returned_items",
 _BROADCAST_MAX_ROWS = 5_000_000
 
 
+
+def _nparts(sf_dir: str, table: str) -> int:
+    """Join partitions ∝ the fact side's parquet-footer row count."""
+    from ..scale import join_partitions, table_nrows
+
+    return join_partitions(table_nrows(f"{sf_dir}/{table}.parquet"))
+
 def _rev_e4(b: pa.Table) -> pa.Array:
     """Exact per-row revenue in 10⁻⁴ currency units (int64)."""
     price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -130,7 +137,8 @@ def q3_shipping_priority(sf_dir: str, *, mode: str = "auto",
     else:
         # the join coalesces the key pair into the left name, so only
         # o_custkey remains to drop
-        orders = orders.join(cust, join_type="inner", num_partitions=8,
+        orders = orders.join(cust, join_type="inner",
+                     num_partitions=_nparts(sf_dir, "orders"),
                              on=("o_custkey",), right_on=("c_custkey",)
                              ).drop_columns(["o_custkey"])
 
@@ -155,7 +163,8 @@ def q3_shipping_priority(sf_dir: str, *, mode: str = "auto",
         joined = _attach_order_attrs(
             lane, orders, ["o_orderdate", "o_orderpriority"])
     elif join_mode == "shuffle":
-        joined = lane.join(orders, join_type="inner", num_partitions=8,
+        joined = lane.join(orders, join_type="inner",
+                   num_partitions=_nparts(sf_dir, "lineitem"),
                            on=("l_orderkey",), right_on=("o_orderkey",))
     else:
         raise ValueError(f"unknown join_mode: {join_mode!r}")
@@ -205,7 +214,8 @@ def q10_returned_items(sf_dir: str, *, join_mode: str = "auto",
     if join_mode == "broadcast":
         joined = _attach_order_attrs(lane, orders, ["o_custkey"])
     elif join_mode == "shuffle":
-        joined = lane.join(orders, join_type="inner", num_partitions=8,
+        joined = lane.join(orders, join_type="inner",
+                   num_partitions=_nparts(sf_dir, "lineitem"),
                            on=("l_orderkey",), right_on=("o_orderkey",))
     else:
         raise ValueError(f"unknown join_mode: {join_mode!r}")
@@ -303,7 +313,8 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
         orders = orders.map_batches(attach_cn, batch_format="pyarrow",
                                     zero_copy_batch=True)
     elif cust_mode == "shuffle":
-        orders = (orders.join(cust, join_type="inner", num_partitions=8,
+        orders = (orders.join(cust, join_type="inner",
+                     num_partitions=_nparts(sf_dir, "orders"),
                               on=("o_custkey",), right_on=("c_custkey",))
                   .map_batches(
                       lambda b: pa.Table.from_pydict({
@@ -339,7 +350,8 @@ def q5_local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
     if join_mode == "broadcast":
         joined = _attach_order_attrs(lane, orders, ["cust_nation"])
     elif join_mode == "shuffle":
-        joined = lane.join(orders, join_type="inner", num_partitions=8,
+        joined = lane.join(orders, join_type="inner",
+                   num_partitions=_nparts(sf_dir, "lineitem"),
                            on=("l_orderkey",), right_on=("o_orderkey",))
     else:
         raise ValueError(f"unknown join_mode: {join_mode!r}")
@@ -424,7 +436,8 @@ def q7_volume_shipping(sf_dir: str, *, nation_a: str = "NATION_3",
         orders = orders.map_batches(attach_cn, batch_format="pyarrow",
                                     zero_copy_batch=True)
     elif cust_mode == "shuffle":
-        orders = (orders.join(cust, join_type="inner", num_partitions=8,
+        orders = (orders.join(cust, join_type="inner",
+                     num_partitions=_nparts(sf_dir, "orders"),
                               on=("o_custkey",), right_on=("c_custkey",))
                   .map_batches(
                       lambda b: pa.Table.from_pydict({
@@ -465,7 +478,8 @@ def q7_volume_shipping(sf_dir: str, *, nation_a: str = "NATION_3",
     if join_mode == "broadcast":
         joined = _attach_order_attrs(lane, orders, ["cust_nation"])
     elif join_mode == "shuffle":
-        joined = lane.join(orders, join_type="inner", num_partitions=8,
+        joined = lane.join(orders, join_type="inner",
+                   num_partitions=_nparts(sf_dir, "lineitem"),
                            on=("l_orderkey",), right_on=("o_orderkey",))
     else:
         raise ValueError(f"unknown join_mode: {join_mode!r}")
@@ -588,7 +602,8 @@ def q8_market_share(sf_dir: str, *, region: str = "ASIA",
     if join_mode == "broadcast":
         joined = _attach_order_attrs(lane, orders, ["o_year"])
     elif join_mode == "shuffle":
-        joined = lane.join(orders, join_type="inner", num_partitions=8,
+        joined = lane.join(orders, join_type="inner",
+                   num_partitions=_nparts(sf_dir, "lineitem"),
                            on=("l_orderkey",), right_on=("o_orderkey",))
     else:
         raise ValueError(f"unknown join_mode: {join_mode!r}")

@@ -42,6 +42,13 @@ __all__ = ["q4_order_priority", "q6_revenue_change",
            "q22_stale_customers"]
 
 
+
+def _nparts(sf_dir: str, table: str) -> int:
+    """Join partitions ∝ the fact side's parquet-footer row count."""
+    from ..scale import join_partitions, table_nrows
+
+    return join_partitions(table_nrows(f"{sf_dir}/{table}.parquet"))
+
 def _disc_e2(b: pa.Table) -> np.ndarray:
     """l_discount as exact integer percent (2-dp decimal → int64)."""
     d = b["l_discount"].to_numpy(zero_copy_only=False)
@@ -144,7 +151,7 @@ def q4_order_priority(sf_dir: str, *, date_lo: str = "1996-01-01",
     elif exists_mode == "shuffle":
         distinct = lane.groupby("l_orderkey").count()
         orders = orders.join(distinct, join_type="inner",
-                             num_partitions=8, on=("o_orderkey",),
+                             num_partitions=_nparts(sf_dir, "orders"), on=("o_orderkey",),
                              right_on=("l_orderkey",)
                              ).drop_columns(["count()"])
     else:
@@ -183,7 +190,8 @@ def q12_priority_class(sf_dir: str, *, date_lo: str = "1996-01-01",
     if join_mode == "broadcast":
         joined = _attach_order_attrs(lane, orders, ["o_orderpriority"])
     elif join_mode == "shuffle":
-        joined = lane.join(orders, join_type="inner", num_partitions=8,
+        joined = lane.join(orders, join_type="inner",
+                   num_partitions=_nparts(sf_dir, "lineitem"),
                            on=("l_orderkey",), right_on=("o_orderkey",))
     else:
         raise ValueError(f"unknown join_mode: {join_mode!r}")
@@ -641,7 +649,8 @@ def q21_waiting_suppliers(sf_dir: str, *, k: int = 100,
         lane = lane.map_batches(semi, batch_format="pyarrow",
                                 zero_copy_batch=True)
     else:
-        lane = lane.join(orders_f, join_type="inner", num_partitions=8,
+        lane = lane.join(orders_f, join_type="inner",
+                 num_partitions=_nparts(sf_dir, "lineitem"),
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pair_partial(b: pa.Table) -> pa.Table:

@@ -129,6 +129,7 @@ def _grouped_token_counts_block(b: pa.Table, text_col: str,
 
 
 def token_top_k_by_group(ds, *, text_col: str = "text",
+                         agg_partitions: int = 64,
                          group_col: str = "lang", k: int = 20,
                          mode: str = "auto", n_rows_hint: int = 0) -> pa.Table:
     """Per-group heavy hitters: the k most frequent whitespace tokens
@@ -172,8 +173,10 @@ def token_top_k_by_group(ds, *, text_col: str = "text",
     # full vocabulary ----
     from ray.data.aggregate import Sum
 
+    # coalesce the hash aggregate's schema-less empty blocks; width
+    # scales with the (group x token) universe the shuffle path serves
     agg = (counts_ds.groupby(["group", "token"]).aggregate(Sum("n"))
-           .repartition(8))  # hash aggregate can emit schema-less empties
+           .repartition(agg_partitions))
 
     def local_topk(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "group" not in b.column_names:

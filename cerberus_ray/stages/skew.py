@@ -54,6 +54,7 @@ def salted_grouped_sum(ds, key: str, value: str, *, n_salts: int = 16,
 
 
 def key_skew_report(ds, key: str, *, mode: str = "driver",
+                    agg_partitions: int = 64,
                     top_n: int = 10) -> "pa.Table":
     """Key-distribution diagnostic for shuffle planning: BEFORE keying a
     groupby/join/window on ``key``, measure how hot the hot keys are.
@@ -91,7 +92,9 @@ def key_skew_report(ds, key: str, *, mode: str = "driver",
         counts = (pdf.groupby("k")["c"].sum().to_numpy(dtype=np.int64)
                   if len(pdf) else np.array([], dtype=np.int64))
     else:
-        agg = ds.groupby(key).count().repartition(8)
+        # coalesce schema-less empties; width ∝ the distinct-key
+        # universe a 100-TB run expects (knob, not a constant)
+        agg = ds.groupby(key).count().repartition(agg_partitions)
 
         def grab(b: pa.Table) -> pa.Table:
             if b.num_rows == 0 or "count()" not in b.column_names:

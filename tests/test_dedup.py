@@ -514,3 +514,42 @@ def test_wminhash_finds_template_spam_pairs(ray_session):
     ver = DD.verify_pairs_weighted(cand, ds2, threshold=0.8).to_pandas()
     assert list(ver["doc_id_a"]) == ["s001", "x001"]
     assert ver["wjaccard"].iloc[1] == 1.0
+
+
+def test_md5_token_hash64_matches_duckdb():
+    """The md5-simhash token hash must equal DuckDB's md5_number_lower
+    bit-for-bit — the contract the dedup_simhash SQL oracle rests on."""
+    import duckdb
+
+    toks = ["the", "quick", "brown", "", "naïve", "a b", "123"]
+    got = DD.md5_token_hash64(np.array(toks, dtype=object))
+    con = duckdb.connect()
+    for t, g in zip(toks, got):
+        want = con.execute("select md5_number_lower(?)", [t]).fetchone()[0]
+        assert int(g) == int(want), t
+
+
+def test_simhash64_md5_matches_scalar_reference():
+    """Vectorized md5-simhash vs a per-doc scalar recomputation
+    (tokenize → ±1 bit accumulation → sign fingerprint)."""
+    import hashlib
+
+    texts = np.array(["the quick brown fox", "the quick brown fox",
+                      "lorem ipsum dolor sit amet", "", "one"],
+                     dtype=object)
+    got = DD.simhash64_md5(texts)
+
+    def scalar(text):
+        toks = (text or "").lower().split() or [""]
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[8:16], "little")
+            for b in range(64):
+                acc[b] += 2 * ((h >> b) & 1) - 1
+        return sum(1 << b for b in range(64) if acc[b] > 0)
+
+    for t, g in zip(texts, got):
+        assert int(g) == scalar(t)
+    # identical texts → identical fingerprints; distance 0 pair survives
+    assert got[0] == got[1]
