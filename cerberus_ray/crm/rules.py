@@ -148,8 +148,11 @@ def booking_unique_customer_slot(bookings_ds) -> pa.Table:
     """unique_together (customer, _booking_slot), slot NULLs excluded."""
     nn = bookings_ds.map_batches(
         lambda b: b.filter(pc.is_valid(b["slot_id"])), batch_format="pyarrow")
-    # mode='auto': the planner picks driver/cms/shuffle by input size
-    dup = duplicate_key_counts(nn, ["customer_id", "slot_id"])
+    # mode='auto': the planner picks driver/cms/shuffle by input size;
+    # the raw count (metadata) upper-bounds the filtered lineage so the
+    # planner never executes the filter just to size itself
+    dup = duplicate_key_counts(nn, ["customer_id", "slot_id"],
+                               n_rows_hint=bookings_ds.count())
     rows = []
     for r in dup.to_pylist():
         key = f"{int(r['customer_id'])}|{int(r['slot_id'])}"
@@ -170,6 +173,9 @@ def booking_pets_belong(bookings_ds, pets_ds) -> pa.Table:
     target scale — nothing is collected to the driver or broadcast."""
     from ..stages.aggcheck import keyed_compare
 
+    # the customer id rides the exchange as a STRING: exact at any key
+    # width (float64 would alias ids past 2^53) and null-safe (a null
+    # customer renders as None, like the pre-vectorized rule did)
     def child(b: pa.Table) -> pa.Table:
         pets = b["pet_ids"]
         if isinstance(pets, pa.ChunkedArray):
@@ -177,7 +183,7 @@ def booking_pets_belong(bookings_ds, pets_ds) -> pa.Table:
         flat = pc.list_flatten(pets)
         parent = pc.list_parent_indices(pets)
         bids = pc.cast(b["booking_id"], pa.string()).take(parent)
-        custs = pc.cast(b["customer_id"], pa.float64()).take(parent)
+        custs = pc.cast(b["customer_id"], pa.string()).take(parent)
         return pa.Table.from_arrays(
             [pc.cast(flat, pa.string()), custs,
              pa.array(["c"] * len(flat), type=pa.string()),
@@ -188,7 +194,7 @@ def booking_pets_belong(bookings_ds, pets_ds) -> pa.Table:
         n = b.num_rows
         return pa.Table.from_arrays(
             [pc.cast(b["pet_id"], pa.string()),
-             pc.cast(b["customer_id"], pa.float64()),
+             pc.cast(b["customer_id"], pa.string()),
              pa.array(["p"] * n, type=pa.string()),
              pa.array([""] * n, type=pa.string())],
             names=["k", "v", "src", "extra"])
@@ -199,20 +205,24 @@ def booking_pets_belong(bookings_ds, pets_ds) -> pa.Table:
             return pd.DataFrame()
         owner_of = (d.loc[d["src"] == "p"].drop_duplicates("k")
                     .set_index("k")["v"])
-        owner = ch["k"].map(owner_of).to_numpy(dtype="float64")
-        cust = ch["v"].to_numpy(dtype="float64")
-        bad = np.flatnonzero(~(owner == cust))  # NaN (unknown pet) → bad
+        ow = ch["k"].map(owner_of)                    # str, or NaN
+        cu = ch["v"]                                  # str, or null
+        # exact string compare, null-safe: ok iff equal, or both null
+        # (matches the pre-vectorized dict semantics: None == None)
+        ok = (ow == cu) | (ow.isna() & cu.isna())
+        bad = np.flatnonzero(~ok.to_numpy())
         if not len(bad):
             return pd.DataFrame()
         pets_ = ch["k"].to_numpy()[bad]
         bids = ch["extra"].to_numpy()[bad]
-        ow, cu = owner[bad], cust[bad]
+        # NaN → None so details render like the dict-based rule did
+        ow_o = ow.astype(object).where(ow.notna(), None).to_numpy()[bad]
+        cu_o = cu.astype(object).where(cu.notna(), None).to_numpy()[bad]
         return pd.DataFrame(
             [{"doc_id": bids[i], "rule": "pets-belong-to-customer",
               "path": "pet_ids",
-              "detail": f"pet {pets_[i]} belongs to customer "
-                        f"{None if np.isnan(ow[i]) else int(ow[i])}, "
-                        f"booking is for {int(cu[i])}"}
+              "detail": f"pet {pets_[i]} belongs to customer {ow_o[i]}, "
+                        f"booking is for {cu_o[i]}"}
              for i in range(len(bad))])
 
     out = keyed_compare(bookings_ds, pets_ds, child_side=child,
@@ -274,7 +284,10 @@ def slot_capacity(bookings_ds, services_ds) -> pa.Table:
 
     pr = bookings_ds.map_batches(partial, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    out = keyed_apply(pr, "slot_id", check).to_pandas()
+    # hint from the raw input (metadata count) — counting pr would
+    # execute the projection once just to size buckets
+    out = keyed_apply(pr, "slot_id", check,
+                      n_rows_hint=bookings_ds.count()).to_pandas()
     if not len(out):
         return VIOLATIONS.empty_table()
     return pa.Table.from_pandas(out, preserve_index=False,
@@ -472,7 +485,9 @@ def invoice_total_consistency(invoices_ds, charges_ds, *, tol=0.01) -> pa.Table:
                                zero_copy_batch=True)
     p = invoices_ds.map_batches(parent, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    out = keyed_apply(c.union(p), "k", compare).to_pandas()
+    out = keyed_apply(
+        c.union(p), "k", compare,
+        n_rows_hint=charges_ds.count() + invoices_ds.count()).to_pandas()
     if not len(out):
         return VIOLATIONS.empty_table()
     return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
@@ -766,7 +781,9 @@ def frozen_fields(current_ds, snapshot_ds, *, frozen=("adjustment",),
                                zero_copy_batch=True)
     s = snapshot_ds.map_batches(snap_side, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    out = keyed_apply(c.union(s), "k", compare).to_pandas()
+    out = keyed_apply(
+        c.union(s), "k", compare,
+        n_rows_hint=current_ds.count() + snapshot_ds.count()).to_pandas()
     if not len(out):
         return VIOLATIONS.empty_table()
     return pa.Table.from_pandas(out, preserve_index=False, schema=VIOLATIONS)
@@ -819,7 +836,8 @@ def fsm_log_validity(state_log_ds,
 
     keyed = state_log_ds.map_batches(add_key, batch_format="pyarrow",
                                      zero_copy_batch=True)
-    pdf = keyed_apply(keyed, "_fsm_key", kernel).to_pandas()
+    pdf = keyed_apply(keyed, "_fsm_key", kernel,
+                      n_rows_hint=state_log_ds.count()).to_pandas()
     if not len(pdf):
         return VIOLATIONS.empty_table()
     return pa.Table.from_pandas(

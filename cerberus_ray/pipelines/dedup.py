@@ -189,7 +189,9 @@ def exact_dedup_against(ds, reference_ds, *, text_col: str = "text",
     """
     import ray
 
-    n = n_ref_hint or reference_ds.count()
+    # count only when the planner or the join sizing actually needs it
+    n = n_ref_hint or (reference_ds.count()
+                       if mode in ("auto", "join") else 0)
     if mode == "auto":
         mode = "broadcast" if n <= 2_000_000 else "join"
     if mode not in ("broadcast", "join"):
@@ -970,6 +972,273 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text",
               .reset_index(drop=True))
     pdf["hamming"] = pdf["hamming"].astype("int64")
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def _doc_shingle_hashes(texts: np.ndarray, w: int):
+    """Per doc: DISTINCT w-shingle uint64 hashes (sorted ascending).
+    Zero-shingle docs (empty text) get the sentinel hash of '' so empty
+    docs still pair with each other (Jaccard('','') = 1 by convention).
+    → (flat_hashes, counts) with counts[i] = #distinct shingles of doc i
+    (≥ 1)."""
+    shingle_lists = [_word_shingles(t, w) for t in _tokenize(texts)]
+    flat = [s for lst in shingle_lists for s in (lst or [""])]
+    counts = np.array([max(len(lst), 1) for lst in shingle_lists],
+                      dtype=np.int64)
+    h = hash_strings(np.array(flat, dtype=object))
+    # distinct within each doc
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    order = np.lexsort((h, doc_of))
+    doc_s, h_s = doc_of[order], h[order]
+    keep = np.ones(len(h_s), dtype=bool)
+    keep[1:] = ~((doc_s[1:] == doc_s[:-1]) & (h_s[1:] == h_s[:-1]))
+    doc_s, h_s = doc_s[keep], h_s[keep]
+    new_counts = np.bincount(doc_s, minlength=len(counts)).astype(np.int64)
+    return h_s, new_counts
+
+
+def _prefix_lengths(m: np.ndarray, threshold: float) -> np.ndarray:
+    """AllPairs prefix bound for Jaccard ≥ t: a qualifying pair shares
+    ≥ ⌈t·m⌉ elements, so its globally-smallest shared element lies in
+    the first m − ⌈t·m⌉ + 1 canonical elements of BOTH sets."""
+    return m - np.ceil(threshold * m).astype(np.int64) + 1
+
+
+def _prefix_postings(h_s: np.ndarray, counts: np.ndarray,
+                     keys: np.ndarray, threshold: float,
+                     df_of) -> Tuple[np.ndarray, np.ndarray]:
+    """Canonically order each doc's distinct shingle hashes by
+    (df, hash) ascending — rare shingles first, so prefix postings stay
+    short — and emit the prefix entries. → (posting_hash, doc_key)."""
+    df = df_of(h_s)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    order = np.lexsort((h_s, df, doc_of))
+    h_c = h_s[order]
+    p = _prefix_lengths(counts, threshold)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # vectorized prefix take (positions [starts[i], starts[i]+p[i])):
+    # offsets within each doc's run via the cumsum-of-lengths idiom —
+    # no per-doc Python loop
+    total = int(p.sum())
+    cs = np.cumsum(p)
+    offs = np.arange(total) - np.repeat(cs - p, p)
+    idx = np.repeat(starts, p) + offs
+    return h_c[idx], np.repeat(keys, p)
+
+
+def _hash_jaccard_filter(cand: pd.DataFrame, keys: np.ndarray,
+                         h_sorted: np.ndarray, counts: np.ndarray,
+                         threshold: float,
+                         slack: float = 0.005) -> pd.DataFrame:
+    """Vectorized EXACT hash-set Jaccard for candidate pairs, via
+    full-posting co-occurrence counting (|A∩B| = #shingles the pair
+    shares = pair-event count across postings; |A∪B| = m_a + m_b −
+    |A∩B|). Keeps hash-J ≥ threshold − slack; the downstream STRING
+    verify stays authoritative — the slack absorbs the ~2⁻⁶⁴ shingle-
+    hash collision band, so a collision can only cost extra verify
+    work, never a wrong answer. Cost ∝ Σ_shingle C(df, 2) pair events
+    (the same co-occurrence volume an exact SQL self-join pays)."""
+    from ..stages.keyed_window import bucket_pair_indices, bucket_runs
+
+    n = len(keys)
+    ai = np.searchsorted(keys, cand["a"].to_numpy())
+    bi = np.searchsorted(keys, cand["b"].to_numpy())
+    cand_packed = ai.astype(np.int64) * n + bi
+    order = np.argsort(cand_packed)
+    cand_sorted = cand_packed[order]
+
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    d_col, _, starts, cnts = bucket_runs(h_sorted.view(np.int64), doc_idx)
+    ii, jj = bucket_pair_indices(starts, cnts, cap=max(len(d_col), 1))
+    inter = np.zeros(len(cand_sorted), dtype=np.int64)
+    if len(ii):
+        ev = d_col[ii] * np.int64(n) + d_col[jj]
+        pos = np.clip(np.searchsorted(cand_sorted, ev),
+                      0, len(cand_sorted) - 1)
+        hit = cand_sorted[pos] == ev
+        inter += np.bincount(pos[hit], minlength=len(cand_sorted))
+    m_a = counts[ai][order]
+    m_b = counts[bi][order]
+    jac = inter / (m_a + m_b - inter)
+    keep_sorted = jac >= threshold - slack
+    keep = np.zeros(len(cand_packed), dtype=bool)
+    keep[order] = keep_sorted
+    return cand.loc[keep].reset_index(drop=True)
+
+
+def _posting_pairs(post_h: np.ndarray, post_key: np.ndarray) -> pd.DataFrame:
+    """All (a < b) key pairs co-occurring in a posting — NO cap: unlike
+    an LSH bucket, dropping a posting pair here would lose recall. The
+    df-ascending canonical order keeps postings short (frequent shingles
+    sort out of prefixes); a degenerate all-identical corpus emits its
+    true O(n²) answer blockwise via the size-grouped expansion."""
+    from ..stages.keyed_window import bucket_pair_indices, bucket_runs
+
+    key_arr, _, starts, counts = bucket_runs(
+        post_h.view(np.int64), post_key.astype(object))
+    ii, jj = bucket_pair_indices(starts, counts, cap=len(key_arr) or 1)
+    if not len(ii):
+        return pd.DataFrame({"a": pd.Series(dtype=object),
+                             "b": pd.Series(dtype=object)})
+    return (pd.DataFrame({"a": key_arr[ii], "b": key_arr[jj]})
+            .drop_duplicates())
+
+
+def ssjoin_pairs(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                 w: int = 3, threshold: float = 0.5, mode: str = "auto",
+                 n_rows_hint: int = 0,
+                 shuffle_buckets: int | None = None) -> pa.Table:
+    """EXACT set-similarity self-join: ALL pairs with w-shingle Jaccard
+    ≥ ``threshold`` — recall 1 by construction (prefix filtering,
+    AllPairs/PPJoin family: Bayardo, Ma & Srikant, WWW 2007; Chaudhuri,
+    Ganti & Kaushik, ICDE 2006), unlike the probabilistic MinHash band
+    recall. → (doc_id_a, doc_id_b, jaccard), keys string-sorted.
+
+    Plan: distinct shingle hashes per doc → global document frequency →
+    per-doc canonical (df, hash) order → index only each doc's PREFIX
+    (m − ⌈t·m⌉ + 1 rarest shingles) → pairs sharing a posting →
+    exact-Jaccard verify (ships only candidate texts). The df order is
+    the pruning lever: frequent shingles sort out of every prefix, so
+    postings stay short; candidates are a superset of the answer and
+    the verify step is exact, so precision is also 1.
+
+    Modes (planner convention; output-identical, agreement-tested):
+
+    - 'driver' (≤ ~500k docs): one distributed pass emits per-doc
+      distinct hashes; df, prefixes, postings and pairing are local
+      vectorized numpy.
+    - 'shuffle': df via distributed groupby(hash); doc-shingle rows
+      attach df on a keyed exchange, regroup by doc for prefixes,
+      regroup by posting for pairs (three keyed_apply exchanges, each
+      ∝ corpus shingles, driver sees only candidate pairs).
+    """
+    import ray
+
+    if mode == "auto":
+        n = n_rows_hint or ds.count()
+        mode = "driver" if n <= 500_000 else "shuffle"
+    if mode not in ("driver", "shuffle"):
+        raise ValueError(f"unknown ssjoin mode: {mode!r}")
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        h_s, counts = _doc_shingle_hashes(texts, w)
+        return pa.Table.from_pydict({
+            "h": pa.array(h_s.view(np.int64)),
+            "key": pa.array(np.repeat(keys, counts), pa.string())})
+
+    rows = ds.map_batches(doc_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    if mode == "driver":
+        pdf = rows.to_pandas()
+        if not len(pdf):
+            return pa.Table.from_pydict(
+                {"doc_id_a": pa.array([], pa.string()),
+                 "doc_id_b": pa.array([], pa.string()),
+                 "jaccard": pa.array([], pa.float64())})
+        h_all = pdf["h"].to_numpy().view(np.uint64)
+        key_of_row = pdf["key"].to_numpy()
+        # rows arrive grouped per doc (doc_rows emits contiguous runs,
+        # block order unknown but runs stay whole) — rebuild counts
+        keys, starts_u, counts = np.unique(key_of_row,
+                                           return_index=True,
+                                           return_counts=True)
+        # np.unique sorts by key; reorder hashes into that key order
+        order = np.argsort(key_of_row, kind="stable")
+        h_sorted = h_all[order]
+        uniq_h, df_cnt = np.unique(h_sorted, return_counts=True)
+
+        def df_of(hs):
+            return df_cnt[np.searchsorted(uniq_h, hs)]
+
+        post_h, post_key = _prefix_postings(h_sorted, counts, keys,
+                                            threshold, df_of)
+        cand = _posting_pairs(post_h, post_key)
+        if len(cand):
+            # vectorized hash-Jaccard cut: the string verify below then
+            # touches ~|answer| pairs, not ~|candidates| (409k → 256 at
+            # sf0.1; each string verify is a Python shingle-set build)
+            cand = _hash_jaccard_filter(cand, keys, h_sorted, counts,
+                                        threshold)
+    else:
+        from ..stages.keyed_window import auto_buckets, keyed_apply
+
+        nb = shuffle_buckets or auto_buckets(
+            n_rows_hint or ds.count())
+        # rows feeds the df aggregate AND the tagged union — pin it so
+        # the shingle pass doesn't execute twice through lazy lineage
+        rows = rows.materialize()
+        # exchange 1: attach df — tagged union on the shingle hash
+        dft = (rows.groupby("h").count())
+
+        def tag_df(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "count()" not in t.column_names:
+                return pa.Table.from_pydict(
+                    {"h": pa.array([], pa.int64()),
+                     "key": pa.array([], pa.string()),
+                     "df": pa.array([], pa.int64())})
+            return pa.Table.from_pydict(
+                {"h": t["h"],
+                 "key": pa.nulls(t.num_rows, pa.string()),
+                 "df": t["count()"]})
+
+        def tag_row(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"h": t["h"], "key": t["key"],
+                 "df": pa.nulls(t.num_rows, pa.int64())})
+
+        tagged = (dft.map_batches(tag_df, batch_format="pyarrow")
+                  .union(rows.map_batches(tag_row,
+                                          batch_format="pyarrow")))
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            dfm = (g.loc[g["df"].notna()]
+                   .drop_duplicates("h").set_index("h")["df"])
+            r = g.loc[g["df"].isna(), ["h", "key"]].copy()
+            r["df"] = r["h"].map(dfm).astype("int64")
+            return r
+
+        with_df = keyed_apply(tagged, "h", attach, n_buckets=nb)
+
+        # exchange 2: per-doc canonical order → prefix emission
+        def prefixes(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["key", "df", "h"], kind="stable")
+            m = g.groupby("key", sort=False)["h"].transform("size")
+            pos = g.groupby("key", sort=False).cumcount()
+            plen = (m - np.ceil(threshold * m).astype("int64") + 1)
+            keep = pos < plen
+            return g.loc[keep, ["h", "key"]]
+
+        pref = keyed_apply(with_df, "key", prefixes, n_buckets=nb)
+
+        # exchange 3: posting pairs
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            return _posting_pairs(g["h"].to_numpy().view(np.uint64),
+                                  g["key"].to_numpy())
+
+        cand = keyed_apply(pref, "h", pairs, n_buckets=nb).to_pandas()
+        if len(cand):
+            cand = cand.drop_duplicates()
+
+    if not len(cand):
+        return pa.Table.from_pydict(
+            {"doc_id_a": pa.array([], pa.string()),
+             "doc_id_b": pa.array([], pa.string()),
+             "jaccard": pa.array([], pa.float64())})
+    pairs_t = pa.Table.from_pydict({
+        "doc_id_a": pa.array(cand["a"].to_numpy(), pa.string()),
+        "doc_id_b": pa.array(cand["b"].to_numpy(), pa.string())})
+    return verify_pairs_exact(pairs_t, ds, text_col=text_col,
+                              key_col=key_col, w=w, threshold=threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -27,11 +27,7 @@ def _t(sf_dir, name, columns=None):
     return read_table(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-def _nparts(sf_dir: str, table: str) -> int:
-    """Join partitions ∝ the fact side's parquet-footer row count."""
-    from ..scale import join_partitions, table_nrows
-
-    return join_partitions(table_nrows(f"{sf_dir}/{table}.parquet"))
+from ..scale import fact_join_partitions as _nparts  # noqa: E402
 
 
 

@@ -45,11 +45,7 @@ _BROADCAST_MAX_ROWS = 5_000_000
 
 
 
-def _nparts(sf_dir: str, table: str) -> int:
-    """Join partitions ∝ the fact side's parquet-footer row count."""
-    from ..scale import join_partitions, table_nrows
-
-    return join_partitions(table_nrows(f"{sf_dir}/{table}.parquet"))
+from ..scale import fact_join_partitions as _nparts  # noqa: E402
 
 def _rev_e4(b: pa.Table) -> pa.Array:
     """Exact per-row revenue in 10⁻⁴ currency units (int64)."""

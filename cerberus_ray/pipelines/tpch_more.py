@@ -43,11 +43,7 @@ __all__ = ["q4_order_priority", "q6_revenue_change",
 
 
 
-def _nparts(sf_dir: str, table: str) -> int:
-    """Join partitions ∝ the fact side's parquet-footer row count."""
-    from ..scale import join_partitions, table_nrows
-
-    return join_partitions(table_nrows(f"{sf_dir}/{table}.parquet"))
+from ..scale import fact_join_partitions as _nparts  # noqa: E402
 
 def _disc_e2(b: pa.Table) -> np.ndarray:
     """l_discount as exact integer percent (2-dp decimal → int64)."""

@@ -81,17 +81,17 @@ def q_dedup_simhash(sf_dir: str) -> pa.Table:
 
 
 def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
-    """MinHash candidates re-verified with EXACT n-gram Jaccard (the
-    estimate→verify two-stage dedup): (doc_id_a, doc_id_b, jaccard).
-
-    Oracle-checked against a DuckDB exact-Jaccard self-join: the
-    candidate gate is relaxed to 0.4 (recall headroom — the corpus's
-    injected near-dups sit at J ≥ 0.89 where band recall ≈ 1) and the
-    exact verify keeps only J ≥ 0.5, so engine output == the SQL
-    all-pairs answer; jaccard uses half-away rounding for bit parity."""
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    cand = DD.minhash_near_dup_pairs(docs, threshold=0.4)
-    return DD.verify_pairs_exact(cand, docs, threshold=0.5)
+    """EXACT n-gram-Jaccard near-dup pairs (doc_id_a, doc_id_b,
+    jaccard ≥ 0.5) via the prefix-filter set-similarity self-join
+    (dedup.ssjoin_pairs, AllPairs/PPJoin family): recall AND precision
+    are 1 BY CONSTRUCTION, so equality with the DuckDB exact self-join
+    oracle is a theorem, not a property of the current corpus (the
+    MinHash estimate→verify two-stage remains the approximate scale
+    path, covered by dedup_minhash + wminhash_dedup_report); jaccard
+    uses half-away rounding for bit parity with SQL ROUND."""
+    return DD.ssjoin_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                           threshold=0.5,
+                           n_rows_hint=_docs_nrows(sf_dir))
 
 
 def q_mmd_drift_report(sf_dir: str) -> pa.Table:
@@ -2059,10 +2059,19 @@ def q_hll_distinct_check(sf_dir: str) -> pa.Table:
 _FLAGSHIP_DOCS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 20000}
 
 
+#: lineitem row count → flagship table size: the SAME key the SQL-side
+#: golden gate uses (_FLAGSHIP_GATE_SQL), so engine and oracle always
+#: agree on which golden set applies, whatever the directory is named
+_FLAGSHIP_BY_LINEITEM = {6000: 2000, 60000: 5000, 600000: 20000}
+
+
 def _flagship_cfg(sf_dir: str):
     from ..datagen import GenConfig
+    from ..scale import table_nrows
 
-    n = _FLAGSHIP_DOCS.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000)
+    n = _FLAGSHIP_BY_LINEITEM.get(
+        table_nrows(f"{sf_dir}/lineitem.parquet"),
+        _FLAGSHIP_DOCS.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000))
     return GenConfig(n_docs=n, n_media=max(200, n // 5))
 
 
@@ -2081,7 +2090,8 @@ def ensure_flagship_goldens() -> str:
     (datagen.expected_violations / expected_fragment_verdicts), never by
     running the engine. One file per surface with an ``n_docs`` column;
     the SQL selects the row set matching the sf level it runs at.
-    Idempotent; returns the directory."""
+    Regenerated on every call (never served stale across generator
+    versions) with an atomic rename publish; returns the directory."""
     import os
 
     import pyarrow.parquet as _pq
@@ -2092,8 +2102,6 @@ def ensure_flagship_goldens() -> str:
     os.makedirs(_GOLDEN_DIR, exist_ok=True)
     vio_path = os.path.join(_GOLDEN_DIR, "flagship_expected.parquet")
     ver_path = os.path.join(_GOLDEN_DIR, "flagship_verdicts.parquet")
-    if os.path.exists(vio_path) and os.path.exists(ver_path):
-        return _GOLDEN_DIR
     vio, ver = [], []
     for n in sorted(set(_FLAGSHIP_DOCS.values())):
         cfg = GenConfig(n_docs=n, n_media=max(200, n // 5))
@@ -2105,8 +2113,15 @@ def ensure_flagship_goldens() -> str:
         fv = expected_fragment_verdicts(cfg, max(n // 8, 1))
         ver.append(fv.append_column(
             "n_docs", pa.array([n] * fv.num_rows, pa.int64())))
-    _pq.write_table(pa.concat_tables(vio), vio_path)
-    _pq.write_table(pa.concat_tables(ver), ver_path)
+    # ALWAYS regenerate (an exists-check would silently serve goldens
+    # from an older generator version) and publish atomically so a
+    # concurrent reader never sees a half-written file
+    pid = os.getpid()
+    for table, path in ((pa.concat_tables(vio), vio_path),
+                        (pa.concat_tables(ver), ver_path)):
+        tmp = f"{path}.{pid}.tmp"
+        _pq.write_table(table, tmp)
+        os.replace(tmp, path)
     return _GOLDEN_DIR
 
 

@@ -19,6 +19,11 @@ def join_partitions(n_rows: int) -> int:
     return int(min(1024, max(8, n_rows // 2_000_000 + 1)))
 
 
+def fact_join_partitions(sf_dir: str, table: str) -> int:
+    """Join partitions ∝ a named fact table's parquet-footer row count."""
+    return join_partitions(table_nrows(f"{sf_dir}/{table}.parquet"))
+
+
 def table_nrows(path: str) -> int:
     """Row count from a parquet file/directory footer — free (metadata
     only, no scan). Returns 0 when unreadable; callers treat 0 as

@@ -47,6 +47,14 @@ def keyed_compare(child_ds, parent_ds, *, child_side: Callable,
     multi-key pandas kernel returning violation rows) runs once per
     bucket. Every row of a key lands in exactly one bucket, so compare
     sees whole keys. → Dataset of VIOLATIONS-schema rows."""
+    if n_buckets is None and n_rows_hint <= 0:
+        # size from the RAW inputs (metadata-backed for table scans and
+        # from_arrow — free), never by counting the mapped union, which
+        # would execute the whole exchange lineage once just for sizing.
+        # Side emitters usually project/aggregate (input sum ≈ exchange
+        # rows); a list-exploding child is off by its mean list length —
+        # fine for a bucket-count heuristic, pass n_rows_hint to pin it.
+        n_rows_hint = child_ds.count() + parent_ds.count()
     c = child_ds.map_batches(child_side, batch_format="pyarrow",
                              zero_copy_batch=True)
     p = parent_ds.map_batches(parent_side, batch_format="pyarrow",

@@ -42,8 +42,7 @@ _MIN_BUCKETS, _MAX_BUCKETS = 16, 4096
 def auto_buckets(n_rows: int,
                  target_rows_per_bucket: int = _TARGET_ROWS_PER_BUCKET) -> int:
     """Bucket count for a keyed sweep over ``n_rows`` rows: scales
-    linearly with input (the 100-TB lever), clamped to
-    [{_MIN_BUCKETS}, {_MAX_BUCKETS}]."""
+    linearly with input (the 100-TB lever), clamped to [16, 4096]."""
     want = -(-max(n_rows, 1) // max(target_rows_per_bucket, 1))
     return int(min(_MAX_BUCKETS, max(_MIN_BUCKETS, want)))
 

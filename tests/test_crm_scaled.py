@@ -52,6 +52,28 @@ def test_scaled_pets_and_unique(scaled):
     assert booking_unique_customer_slot(ds["bookings"]).num_rows == 0
 
 
+def test_pets_belong_null_and_unknown_edges(ray_session):
+    """Null customer_id and unknown pet ids must yield violations (or
+    silence when both sides are null), never a crash — the exchange
+    carries ids as strings, so huge keys can't alias either."""
+    import pyarrow as pa
+
+    bookings = pa.table({
+        "booking_id": [1, 2, 3],
+        "customer_id": pa.array([None, 7, 2**60 + 1], pa.int64()),
+        "pet_ids": pa.array([[10], [11], [12]],
+                            pa.list_(pa.int64()))})
+    pets = pa.table({
+        "pet_id": [10, 11, 12],
+        "customer_id": pa.array([5, 7, 2**60 + 2], pa.int64())})
+    v = booking_pets_belong(rd.from_arrow(bookings), rd.from_arrow(pets))
+    got = dict(zip(v["doc_id"].to_pylist(), v["detail"].to_pylist()))
+    assert set(got) == {"1", "3"}  # booking 2 is clean
+    assert "belongs to customer 5, booking is for None" in got["1"]
+    # 2^60-scale ids compare exactly (float64 would have aliased them)
+    assert str(2**60 + 2) in got["3"] and str(2**60 + 1) in got["3"]
+
+
 def test_scaled_slot_overlap(scaled):
     ds, exp = scaled
     t0 = time.time()

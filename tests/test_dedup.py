@@ -553,3 +553,66 @@ def test_simhash64_md5_matches_scalar_reference():
         assert int(g) == scalar(t)
     # identical texts → identical fingerprints; distance 0 pair survives
     assert got[0] == got[1]
+
+
+def _ssjoin_brute(texts, ids, t, w=3):
+    ref = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sorted([str(ids[i]), str(ids[j])])
+            ai, bi = (i, j) if str(ids[i]) == a else (j, i)
+            jv = DD.ngram_jaccard(texts[ai], texts[bi], w=w)
+            if jv >= t:
+                ref.append((a, b))
+    return sorted(ref)
+
+
+def test_ssjoin_matches_bruteforce(ray_session):
+    """Prefix-filter self-join must equal the O(n²) exact answer —
+    recall AND precision 1 (unlike MinHash candidates)."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts, ids = [], []
+    for i in range(60):
+        n = rng.integers(0, 12)
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+        ids.append(f"d{i:03d}")
+    # planted near-identical pairs + two empty docs (J=1 by convention)
+    texts[10] = texts[11] = "a b c d e f g h"
+    texts[12] = "a b c d e f g x"
+    texts[20] = texts[21] = ""
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}),
+                        override_num_blocks=4)
+    got = DD.ssjoin_pairs(ds, threshold=0.5).to_pandas()
+    got_pairs = sorted(zip(got["doc_id_a"], got["doc_id_b"]))
+    assert got_pairs == _ssjoin_brute(texts, ids, 0.5)
+    assert ("d010", "d011") in got_pairs
+    assert ("d020", "d021") in got_pairs  # empty docs pair at J=1
+
+
+def test_ssjoin_mode_agreement(ray_session):
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 15))))
+             for _ in range(80)]
+    texts[5] = texts[6]
+    ids = [f"x{i:03d}" for i in range(80)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}),
+                        override_num_blocks=5)
+    drv = DD.ssjoin_pairs(ds, threshold=0.6, mode="driver").to_pandas()
+    shf = DD.ssjoin_pairs(ds, threshold=0.6, mode="shuffle",
+                          shuffle_buckets=7).to_pandas()
+    pd.testing.assert_frame_equal(drv, shf)
+    assert len(drv) >= 1
+
+
+def test_ssjoin_identical_flood(ray_session):
+    """Degenerate all-identical corpus: the TRUE answer is all C(n,2)
+    pairs — no cap may drop any."""
+    n = 40
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [f"p{i:02d}" for i in range(n)],
+         "text": ["same text again and again"] * n}))
+    got = DD.ssjoin_pairs(ds, threshold=0.9).to_pandas()
+    assert len(got) == n * (n - 1) // 2
+    assert (got["jaccard"] == 1.0).all()
