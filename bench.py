@@ -39,6 +39,7 @@ DOCS_CACHE = f"/tmp/cerberus_bench/docs_{N_DOCS}"
 # representative operator set timed individually (small outputs each)
 QUERY_NAMES = [
     "rule_counts_lineitem", "unique_custkey", "ref_lineitem_orderkey",
+    "dedup_ngram_verified",
     "order_totalprice_check", "q1_pricing_summary", "events_weekly",
     "events_users_per_type", "events_close_pairs", "doc_nchars_check",
     "dedup_exact_stats", "dedup_minhash", "dedup_simhash",
