@@ -616,3 +616,50 @@ def test_ssjoin_identical_flood(ray_session):
     got = DD.ssjoin_pairs(ds, threshold=0.9).to_pandas()
     assert len(got) == n * (n - 1) // 2
     assert (got["jaccard"] == 1.0).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _corpus(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    n = draw(st.integers(min_value=2, max_value=25))
+    texts = []
+    for i in range(n):
+        k = draw(st.integers(min_value=0, max_value=8))
+        toks = [vocab[draw(st.integers(0, len(vocab) - 1))]
+                for _ in range(k)]
+        texts.append(" ".join(toks))
+    return texts
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(_corpus(), st.sampled_from([0.3, 0.5, 0.8]))
+def test_ssjoin_property_bruteforce(ray_session, texts, thr):
+    """Arbitrary tiny-vocab corpora (dense overlap, duplicates, empties)
+    against the O(n²) reference at several thresholds — the prefix
+    bound, sentinel handling and hash-Jaccard cut must never lose or
+    invent a pair."""
+    ids = [f"h{i:03d}" for i in range(len(texts))]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}),
+                        override_num_blocks=3)
+    got = DD.ssjoin_pairs(ds, threshold=thr).to_pandas()
+    assert sorted(zip(got["doc_id_a"], got["doc_id_b"])) == \
+        _ssjoin_brute(texts, ids, thr)
+
+
+def test_ssjoin_layout_invariance(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"v{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(2, 10))))
+             for _ in range(70)]
+    ids = [f"z{i:03d}" for i in range(70)]
+    outs = []
+    for nb in (1, 4, 9):
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}),
+                            override_num_blocks=nb)
+        outs.append(DD.ssjoin_pairs(ds, threshold=0.5).to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
