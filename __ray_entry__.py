@@ -42,17 +42,17 @@ def entry() -> Any:
 #: plus the non-SQL-expressible dedup family). The remainder stay covered
 #: by pytest and are exported via extra_queries().
 #: round 4 promoted flagship_violations / flagship_verdicts (golden-
-#: parquet oracles from generator bookkeeping) and dedup_simhash /
-#: dedup_ngram_verified (pure-SQL md5-simhash + exact-Jaccard self-
-#: joins) into the oracle-gated set; the remainder are genuinely
-#: non-SQL-expressible (probabilistic minhash estimates, float32 LSH
-#: sims, sketch comparisons, fixture-corpus rule pack).
+#: parquet oracles from generator bookkeeping), dedup_simhash /
+#: dedup_ngram_verified (pure-SQL md5-simhash + exact-Jaccard
+#: self-joins) and emb_near_dup (exact blocked-matmul cosine join vs
+#: list_cosine_similarity) into the oracle-gated set; the remainder
+#: are genuinely non-SQL-expressible (probabilistic minhash estimates,
+#: sketch comparisons, fixture-corpus rule pack, corpus funnel).
 _ROWS_ONLY_KEEP = [
     "crm_violations",
     "training_corpus_report",
     "events_drift_check",
     "dedup_minhash",
-    "emb_near_dup",
 ]
 
 

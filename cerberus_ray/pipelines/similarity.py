@@ -380,6 +380,107 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def exact_cosine_threshold_pairs(ds, *, threshold: float,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 mode: str = "auto",
+                                 n_rows_hint: int = 0,
+                                 round_digits: int = 4) -> pa.Table:
+    """EXACT cosine-threshold self-join: ALL (id_a < id_b, sim) pairs
+    with cosine ≥ ``threshold`` — the dense-vector analogue of
+    ``dedup.ssjoin_pairs`` (no prefix filter exists for continuous
+    angles, so the exact path is a blocked matmul; the LSH operator
+    :func:`embedding_near_dup_pairs` remains the approximate path whose
+    recall the angle regime dictates — at θ ≈ 63° hyperplane LSH cannot
+    prune without losing recall, which is WHY this exact operator
+    exists). sim computed as dot/( |a|·|b| ) in float64 — the same
+    formula DuckDB's list_cosine_similarity(CAST AS DOUBLE) evaluates —
+    then rounded half-away, so the pair table is oracle-comparable
+    bit-for-bit.
+
+    Modes:
+
+    - 'driver' (≤ ~100k vectors): collect (id, vec) once, one chunked
+      local matmul. n·d floats on the driver — 51 MB at the band edge
+      (d=64).
+    - 'broadcast' (≤ ~5M vectors): the full matrix broadcasts ONCE
+      (ray.put) and every block computes block × matrixᵀ — n² compare
+      work distributed over blocks, nothing but pairs leaves a task.
+    Beyond: this join is inherently Ω(n²) compare — use the IVF/LSH
+    approximate family and document the recall, or pre-cluster.
+    Output-identical across modes (agreement-tested)."""
+    import ray
+
+    from ..determinism import round_away
+
+    if mode == "auto":
+        n = n_rows_hint or ds.count()
+        mode = "driver" if n <= 100_000 else "broadcast"
+    if mode not in ("driver", "broadcast"):
+        raise ValueError(f"unknown exact-pairs mode: {mode!r}")
+
+    def grab(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([b[id_col], b[vec_col]],
+                                    names=["id", "vec"])
+
+    tbl = pa.concat_tables(
+        [t for t in ray.get(ds.map_batches(
+            grab, batch_format="pyarrow",
+            zero_copy_batch=True).to_arrow_refs()) if t.num_rows])
+    ids = tbl["id"].to_numpy(zero_copy_only=False)
+    V = _mat(tbl["vec"])
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+
+    def block_pairs(i0: int, i1: int, Vg, ng, idsg):
+        """Pairs between rows [i0, i1) and ALL rows with larger index —
+        sim = dot / (norm·norm), the oracle's op order; one matmul and
+        one 2-D mask per block, no per-row Python."""
+        S = Vg[i0:i1] @ Vg.T
+        S /= ng[i0:i1][:, None]
+        S /= ng[None, :]
+        col = np.arange(len(idsg))
+        mask = (S >= threshold) & (col[None, :]
+                                   > np.arange(i0, i1)[:, None])
+        rr, cc = np.nonzero(mask)
+        if not len(rr):
+            return []
+        return [(idsg[i0 + rr], idsg[cc], S[rr, cc])]
+
+    if mode == "driver":
+        chunks = []
+        step = max(1, 2_000_000 // max(len(ids), 1))
+        for i0 in range(0, len(ids), step):
+            chunks.extend(block_pairs(i0, min(i0 + step, len(ids)),
+                                      V, norms, ids))
+    else:
+        ref = ray.put((V, norms, ids))
+
+        @ray.remote
+        def block_task(i0: int, i1: int):
+            Vg, ng, idsg = ray.get(ref)
+            return block_pairs(i0, i1, Vg, ng, idsg)
+
+        step = max(1, 2_000_000 // max(len(ids), 1))
+        futs = [block_task.remote(i0, min(i0 + step, len(ids)))
+                for i0 in range(0, len(ids), step)]
+        chunks = [c for f in ray.get(futs) for c in f]
+
+    if not chunks:
+        return pa.Table.from_pydict(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())})
+    a = np.concatenate([c[0] for c in chunks])
+    b = np.concatenate([c[1] for c in chunks])
+    s = round_away(np.concatenate([c[2] for c in chunks]), round_digits)
+    out = (pd.DataFrame({"id_a": a, "id_b": b, "sim": s})
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def emb_threshold_calibration(ds, *, target_fpr: float = 1e-3,
                               n_pairs: int = 20_000, seed: int = 42,
                               id_col: str = "vec_id",

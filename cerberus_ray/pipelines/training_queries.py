@@ -149,8 +149,21 @@ def q_wminhash_dedup_report(sf_dir: str) -> pa.Table:
 
 
 def q_emb_near_dup(sf_dir: str) -> pa.Table:
-    return SIM.embedding_near_dup_pairs(_emb(sf_dir), threshold=0.45,
-                                        n_bits=8)
+    """EXACT cosine-threshold pairs (sim ≥ 0.45), oracle-checked against
+    a DuckDB list_cosine_similarity self-join bit-for-bit. τ = 0.45 is
+    the synthetic embeddings' planted-pair band (θ ≈ 63°), where
+    hyperplane LSH cannot prune without losing recall — so the driver
+    query runs the exact blocked-matmul join
+    (similarity.exact_cosine_threshold_pairs); the LSH operator remains
+    the documented approximate scale path (test_similarity)."""
+    import pyarrow.parquet as _pq
+
+    try:
+        n = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    except Exception:
+        n = 0
+    return SIM.exact_cosine_threshold_pairs(_emb(sf_dir), threshold=0.45,
+                                            n_rows_hint=n)
 
 
 def _query_vectors(sf_dir, vec_ids):
@@ -5463,6 +5476,19 @@ ORACLE_SQL = {
         SELECT doc_id_a, doc_id_b, ROUND(j, 4) AS jaccard
         FROM p WHERE j >= 0.5
         ORDER BY doc_id_a, doc_id_b
+    """,
+    # exact cosine-threshold self-join (sim formula and half-away
+    # rounding match the engine's blocked matmul bit-for-bit)
+    "emb_near_dup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= 0.45
+        ORDER BY id_a, id_b
     """,
     "doc_langid": _LANGID_SQL,
     "doc_quality": _quality_sql(),

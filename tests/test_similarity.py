@@ -149,3 +149,48 @@ def test_embedding_near_dup_hot_bucket_bounded(ray_session):
     # pairs inside each chunk are found at sim 1.0
     assert len(out) > 0
     assert (out["sim"] == 1.0).all()
+
+
+def test_exact_cosine_threshold_pairs_bruteforce(ray_session):
+    """Blocked-matmul exact join must equal the all-pairs reference and
+    agree across driver/broadcast modes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.determinism import round_away
+    from cerberus_ray.pipelines.similarity import (
+        exact_cosine_threshold_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 120, 16
+    V = rng.normal(size=(n, d))
+    V[7] = V[3] + 0.01 * rng.normal(size=d)   # planted near-dup
+    ids = np.arange(n, dtype=np.int64)
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([v.astype("float32") for v in V],
+                              pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(4)
+    thr = 0.6
+    drv = exact_cosine_threshold_pairs(ds, threshold=thr,
+                                       mode="driver").to_pandas()
+    bc = exact_cosine_threshold_pairs(ds, threshold=thr,
+                                      mode="broadcast").to_pandas()
+    pd.testing.assert_frame_equal(drv, bc)
+    # all-pairs reference on the same float32-rounded inputs
+    Vf = np.stack([v.astype("float32").astype("float64") for v in V])
+    ng = np.linalg.norm(Vf, axis=1)
+    S = Vf @ Vf.T
+    S /= ng[:, None]
+    S /= ng[None, :]
+    iu = np.triu_indices(n, 1)
+    hit = S[iu] >= thr
+    ref = pd.DataFrame({"id_a": iu[0][hit], "id_b": iu[1][hit],
+                        "sim": round_away(S[iu][hit], 4)})
+    ref = ref.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, ref)
+    assert ((drv["id_a"] == 3) & (drv["id_b"] == 7)).any()
