@@ -990,8 +990,6 @@ def _doc_shingle_hashes(texts: np.ndarray, w: int):
                       dtype=np.int64)
     h = hash_strings(np.array(flat, dtype=object))
     # distinct within each doc
-    starts = np.zeros(len(counts), dtype=np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
     doc_of = np.repeat(np.arange(len(counts)), counts)
     order = np.lexsort((h, doc_of))
     doc_s, h_s = doc_of[order], h[order]
@@ -1032,18 +1030,29 @@ def _prefix_postings(h_s: np.ndarray, counts: np.ndarray,
     return h_c[idx], np.repeat(keys, p)
 
 
+#: co-occurrence expansion cap: shingles with df beyond this switch to
+#: the membership-mask path (O(n + |cand|) per shingle) instead of
+#: materializing C(df, 2) pair events — a single boilerplate shingle
+#: shared by 500k docs would otherwise allocate ~10^11 index pairs
+_COOC_DF_CAP = 256
+
+
 def _hash_jaccard_filter(cand: pd.DataFrame, keys: np.ndarray,
                          h_sorted: np.ndarray, counts: np.ndarray,
                          threshold: float,
                          slack: float = 0.005) -> pd.DataFrame:
-    """Vectorized EXACT hash-set Jaccard for candidate pairs, via
-    full-posting co-occurrence counting (|A∩B| = #shingles the pair
-    shares = pair-event count across postings; |A∪B| = m_a + m_b −
-    |A∩B|). Keeps hash-J ≥ threshold − slack; the downstream STRING
+    """Vectorized EXACT hash-set Jaccard for candidate pairs:
+    |A∩B| = pair-event count across postings, |A∪B| = m_a + m_b −
+    |A∩B|. Keeps hash-J ≥ threshold − slack; the downstream STRING
     verify stays authoritative — the slack absorbs the ~2⁻⁶⁴ shingle-
     hash collision band, so a collision can only cost extra verify
-    work, never a wrong answer. Cost ∝ Σ_shingle C(df, 2) pair events
-    (the same co-occurrence volume an exact SQL self-join pays)."""
+    work, never a wrong answer.
+
+    Cost model: shingles with df ≤ _COOC_DF_CAP (256) expand C(df, 2)
+    pair events (cheap, the common case); hotter shingles instead mark
+    a doc-membership mask and test the candidate endpoints against it —
+    O(n + |cand|) per hot shingle, so template boilerplate degrades
+    linearly instead of quadratically (and never loses a count)."""
     from ..stages.keyed_window import bucket_pair_indices, bucket_runs
 
     n = len(keys)
@@ -1052,19 +1061,29 @@ def _hash_jaccard_filter(cand: pd.DataFrame, keys: np.ndarray,
     cand_packed = ai.astype(np.int64) * n + bi
     order = np.argsort(cand_packed)
     cand_sorted = cand_packed[order]
+    ai_s, bi_s = ai[order], bi[order]
 
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
     d_col, _, starts, cnts = bucket_runs(h_sorted.view(np.int64), doc_idx)
-    ii, jj = bucket_pair_indices(starts, cnts, cap=max(len(d_col), 1))
     inter = np.zeros(len(cand_sorted), dtype=np.int64)
+    ii, jj = bucket_pair_indices(starts, cnts, cap=_COOC_DF_CAP)
     if len(ii):
         ev = d_col[ii] * np.int64(n) + d_col[jj]
         pos = np.clip(np.searchsorted(cand_sorted, ev),
                       0, len(cand_sorted) - 1)
         hit = cand_sorted[pos] == ev
         inter += np.bincount(pos[hit], minlength=len(cand_sorted))
-    m_a = counts[ai][order]
-    m_b = counts[bi][order]
+    hot = np.nonzero(cnts > _COOC_DF_CAP)[0]
+    if len(hot):
+        mask = np.zeros(n, dtype=bool)
+        for hb in hot:
+            o, c = int(starts[hb]), int(cnts[hb])
+            members = d_col[o:o + c]
+            mask[members] = True
+            inter += mask[ai_s] & mask[bi_s]
+            mask[members] = False
+    m_a = counts[ai_s]
+    m_b = counts[bi_s]
     jac = inter / (m_a + m_b - inter)
     keep_sorted = jac >= threshold - slack
     keep = np.zeros(len(cand_packed), dtype=bool)
@@ -1120,6 +1139,10 @@ def ssjoin_pairs(ds, *, text_col: str = "text", key_col: str = "doc_id",
     """
     import ray
 
+    if not 0.0 < threshold <= 1.0:
+        # t=0 would make every prefix m+1 elements (index past the set);
+        # 'all pairs' is threshold→0+, which is a cross join, not a join
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
     if mode == "auto":
         n = n_rows_hint or ds.count()
         mode = "driver" if n <= 500_000 else "shuffle"
@@ -1172,11 +1195,13 @@ def ssjoin_pairs(ds, *, text_col: str = "text", key_col: str = "doc_id",
     else:
         from ..stages.keyed_window import auto_buckets, keyed_apply
 
-        nb = shuffle_buckets or auto_buckets(
-            n_rows_hint or ds.count())
         # rows feeds the df aggregate AND the tagged union — pin it so
         # the shingle pass doesn't execute twice through lazy lineage
         rows = rows.materialize()
+        # the exchanges carry SHINGLE rows (~10-100× the doc count) —
+        # size buckets from the materialized (metadata-free) row count,
+        # not the document count
+        nb = shuffle_buckets or auto_buckets(rows.count())
         # exchange 1: attach df — tagged union on the shingle hash
         dft = (rows.groupby("h").count())
 
@@ -1228,6 +1253,30 @@ def ssjoin_pairs(ds, *, text_col: str = "text", key_col: str = "doc_id",
         cand = keyed_apply(pref, "h", pairs, n_buckets=nb).to_pandas()
         if len(cand):
             cand = cand.drop_duplicates()
+        if len(cand):
+            # hash-Jaccard cut before the per-pair string verify, same
+            # as driver mode: fetch ONLY the candidate docs' shingle
+            # rows (semi-join via broadcast id set — ∝ candidates, not
+            # corpus) and reuse the vectorized kernel
+            wanted = np.unique(np.concatenate(
+                [cand["a"].to_numpy(), cand["b"].to_numpy()]))
+            wref = ray.put(wanted)
+
+            def grab_rows(b: pa.Table) -> pa.Table:
+                ids = ray.get(wref)
+                k = b["key"].to_numpy(zero_copy_only=False)
+                m = np.isin(k.astype(str), ids.astype(str))
+                return pa.Table.from_arrays(
+                    [b["h"].filter(pa.array(m)),
+                     b["key"].filter(pa.array(m))], names=["h", "key"])
+
+            sub = rows.map_batches(grab_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+            k2 = sub["key"].to_numpy()
+            keys2, cnt2 = np.unique(k2, return_counts=True)
+            h2 = sub["h"].to_numpy().view(np.uint64)[
+                np.argsort(k2, kind="stable")]
+            cand = _hash_jaccard_filter(cand, keys2, h2, cnt2, threshold)
 
     if not len(cand):
         return pa.Table.from_pydict(

@@ -396,7 +396,12 @@ def exact_cosine_threshold_pairs(ds, *, threshold: float,
     exists). sim computed as dot/( |a|·|b| ) in float64 — the same
     formula DuckDB's list_cosine_similarity(CAST AS DOUBLE) evaluates —
     then rounded half-away, so the pair table is oracle-comparable
-    bit-for-bit.
+    bit-for-bit. (Known residual: BLAS summation order differs from
+    DuckDB's sequential sum, so a sim within 1 ulp of the threshold or
+    of a 0.00005 rounding boundary could diverge — the same last-ulp
+    band every float oracle in this repo carries; on the driver corpora
+    the nearest sim sits 1e-4 from the threshold, verified EXACT at
+    sf0.001/0.01/0.1.)
 
     Modes:
 
@@ -423,10 +428,15 @@ def exact_cosine_threshold_pairs(ds, *, threshold: float,
         return pa.Table.from_arrays([b[id_col], b[vec_col]],
                                     names=["id", "vec"])
 
-    tbl = pa.concat_tables(
-        [t for t in ray.get(ds.map_batches(
-            grab, batch_format="pyarrow",
-            zero_copy_batch=True).to_arrow_refs()) if t.num_rows])
+    parts = [t for t in ray.get(ds.map_batches(
+        grab, batch_format="pyarrow",
+        zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    if not parts:  # all blocks empty — typed empty result, not a crash
+        return pa.Table.from_pydict(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())})
+    tbl = pa.concat_tables(parts)
     ids = tbl["id"].to_numpy(zero_copy_only=False)
     V = _mat(tbl["vec"])
     order = np.argsort(ids)
@@ -449,9 +459,12 @@ def exact_cosine_threshold_pairs(ds, *, threshold: float,
             return []
         return [(idsg[i0 + rr], idsg[cc], S[rr, cc])]
 
+    # block size targets a fixed per-task COMPARE budget (step × n ≈
+    # 2·10⁸ score entries ≈ 1.6 GB of transient float64) — sizing by
+    # rows would collapse to 1-row tasks at large n
+    step = int(min(len(ids), max(256, 200_000_000 // max(len(ids), 1))))
     if mode == "driver":
         chunks = []
-        step = max(1, 2_000_000 // max(len(ids), 1))
         for i0 in range(0, len(ids), step):
             chunks.extend(block_pairs(i0, min(i0 + step, len(ids)),
                                       V, norms, ids))
@@ -463,7 +476,6 @@ def exact_cosine_threshold_pairs(ds, *, threshold: float,
             Vg, ng, idsg = ray.get(ref)
             return block_pairs(i0, i1, Vg, ng, idsg)
 
-        step = max(1, 2_000_000 // max(len(ids), 1))
         futs = [block_task.remote(i0, min(i0 + step, len(ids)))
                 for i0 in range(0, len(ids), step)]
         chunks = [c for f in ray.get(futs) for c in f]

@@ -156,14 +156,11 @@ def q_emb_near_dup(sf_dir: str) -> pa.Table:
     query runs the exact blocked-matmul join
     (similarity.exact_cosine_threshold_pairs); the LSH operator remains
     the documented approximate scale path (test_similarity)."""
-    import pyarrow.parquet as _pq
+    from ..scale import table_nrows
 
-    try:
-        n = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    except Exception:
-        n = 0
-    return SIM.exact_cosine_threshold_pairs(_emb(sf_dir), threshold=0.45,
-                                            n_rows_hint=n)
+    return SIM.exact_cosine_threshold_pairs(
+        _emb(sf_dir), threshold=0.45,
+        n_rows_hint=table_nrows(f"{sf_dir}/embeddings.parquet"))
 
 
 def _query_vectors(sf_dir, vec_ids):
@@ -2103,11 +2100,16 @@ def ensure_flagship_goldens() -> str:
     (datagen.expected_violations / expected_fragment_verdicts), never by
     running the engine. One file per surface with an ``n_docs`` column;
     the SQL selects the row set matching the sf level it runs at.
-    Regenerated on every call (never served stale across generator
-    versions) with an atomic rename publish; returns the directory."""
+    Regenerated once per PROCESS (a module-global memo — never served
+    stale across generator versions, since a new version is a new
+    process; repeat calls within a driver run are free) with an atomic
+    rename publish; returns the directory."""
     import os
 
     import pyarrow.parquet as _pq
+
+    if getattr(ensure_flagship_goldens, "_done", False):
+        return _GOLDEN_DIR
 
     from ..datagen import (GenConfig, expected_fragment_verdicts,
                            expected_violations)
@@ -2135,6 +2137,7 @@ def ensure_flagship_goldens() -> str:
         tmp = f"{path}.{pid}.tmp"
         _pq.write_table(table, tmp)
         os.replace(tmp, path)
+    ensure_flagship_goldens._done = True
     return _GOLDEN_DIR
 
 

@@ -663,3 +663,31 @@ def test_ssjoin_layout_invariance(ray_session):
         outs.append(DD.ssjoin_pairs(ds, threshold=0.5).to_pandas())
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_ssjoin_hot_shingle_mask_path(ray_session):
+    """A shingle shared by > _COOC_DF_CAP docs must route through the
+    membership-mask counting path and still yield exact answers."""
+    n = 300  # df of the shared shingle > 256 cap
+    rng = np.random.default_rng(13)
+    vocab = [f"u{i}" for i in range(400)]
+    texts = []
+    for i in range(n):
+        tail = " ".join(rng.choice(vocab, size=6, replace=False))
+        texts.append(f"common head shingle {tail}")
+    texts[50] = texts[51]  # one exact pair
+    ids = [f"q{i:03d}" for i in range(n)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}),
+                        override_num_blocks=4)
+    got = DD.ssjoin_pairs(ds, threshold=0.8).to_pandas()
+    pairs = sorted(zip(got["doc_id_a"], got["doc_id_b"]))
+    assert pairs == _ssjoin_brute(texts, ids, 0.8)
+    assert ("q050", "q051") in pairs
+
+
+def test_ssjoin_threshold_validation(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ["a"], "text": ["x"]}))
+    with pytest.raises(ValueError, match="threshold"):
+        DD.ssjoin_pairs(ds, threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        DD.ssjoin_pairs(ds, threshold=1.5)
