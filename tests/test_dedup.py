@@ -691,3 +691,23 @@ def test_ssjoin_threshold_validation(ray_session):
         DD.ssjoin_pairs(ds, threshold=0.0)
     with pytest.raises(ValueError, match="threshold"):
         DD.ssjoin_pairs(ds, threshold=1.5)
+
+
+def test_ssjoin_hot_shingle_shuffle_mode(ray_session):
+    """The shuffle path's candidate-doc hash-cut must agree with driver
+    mode on a hot-shingle corpus (df > _COOC_DF_CAP)."""
+    n = 280
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [f"shared lead tokens " + " ".join(
+        rng.choice(vocab, size=5, replace=False)) for _ in range(n)]
+    texts[7] = texts[8]
+    ids = [f"s{i:03d}" for i in range(n)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}),
+                        override_num_blocks=4)
+    drv = DD.ssjoin_pairs(ds, threshold=0.8, mode="driver").to_pandas()
+    shf = DD.ssjoin_pairs(ds, threshold=0.8, mode="shuffle",
+                          shuffle_buckets=5).to_pandas()
+    pd.testing.assert_frame_equal(drv, shf)
+    assert (("s007", "s008") in list(zip(drv["doc_id_a"],
+                                         drv["doc_id_b"])))
