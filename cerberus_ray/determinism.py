@@ -89,6 +89,25 @@ def hash_strings(arr) -> np.ndarray:
         return splitmix64(out)
 
 
+def hash_keys(arr) -> np.ndarray:
+    """uint64 hash of a key array for sketch updates: integer dtypes go
+    through splitmix64 directly; strings (including Arrow string arrays,
+    passed through UNCONVERTED so hash_strings' zero-copy polars path
+    applies) through hash_strings. The shared dispatch for
+    Bloom/CMS/HLL — one definition, one semantics."""
+    import pyarrow as pa
+
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(arr.type):
+            return splitmix64(
+                arr.to_numpy(zero_copy_only=False).astype(np.uint64))
+        return hash_strings(arr)
+    a = np.asarray(arr)
+    if a.dtype.kind in "iu":
+        return splitmix64(a.astype(np.uint64))
+    return hash_strings(a)
+
+
 def round_away(x, ndigits: int = 2) -> np.ndarray:
     """SQL ROUND semantics (half away from zero) with a CORRECTLY-ROUNDED
     result double.

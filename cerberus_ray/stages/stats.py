@@ -377,7 +377,7 @@ def approx_cdf_column(ds, col: str, *, k: int = 200,
                            zero_copy_batch=True).to_pandas()
     acc = KLL(k=k)
     for raw in sorted(parts["s"]):       # order-pinned merge
-        acc = acc.merge(KLL.from_bytes(raw))  # merge returns NEW sketch
+        acc.merge(KLL.from_bytes(raw))  # in-place, like all sketches
     items, weights = [], []
     for j, lvl in enumerate(acc.levels):
         if len(lvl):

@@ -36,13 +36,34 @@ import pyarrow.parquet as pq
 from ..schema import VIOLATIONS
 
 
+def _publish_tmp(tmp: str, path: str) -> None:
+    """fsync + umask-honoring chmod + atomic rename: the durability the
+    module docstring promises. Without the fsync, a crash after the
+    rename can persist the manifest but not the data blocks — resume
+    would then skip a fragment whose violations file is truncated.
+    mkstemp creates 0600 files and os.replace preserves that, locking
+    out other readers of a shared checkpoint root — restore the
+    process-umask default."""
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    umask = os.umask(0)
+    os.umask(umask)
+    os.chmod(tmp, 0o666 & ~umask)
+    os.replace(tmp, path)
+
+
 def _atomic_write_bytes(path: str, data: bytes) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(data)
-        os.replace(tmp, path)
+            f.flush()
+            os.fsync(f.fileno())
+        _publish_tmp(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -55,7 +76,7 @@ def _atomic_write_table(path: str, table: pa.Table) -> None:
     os.close(fd)
     try:
         pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        _publish_tmp(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -85,28 +106,20 @@ class CheckpointManager:
 
     def completed_fragments(self) -> Set[str]:
         """Fragments whose manifest exists AND was produced under the
-        CURRENT rule-set hash (stale hashes are treated as incomplete)."""
-        out = set()
-        d = os.path.join(self.root, "fragments")
-        for fn in os.listdir(d):
-            if not fn.endswith(".json"):
-                continue
-            try:
-                with open(os.path.join(d, fn)) as f:
-                    m = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                continue
-            if (m.get("ruleset_hash") == self.ruleset_hash
-                    and m.get("layout", "") == self.layout):
-                out.add(m["fragment_id"])
-        return out
+        CURRENT rule-set hash (stale hashes are treated as incomplete).
+        Delegates to fragment_manifests so the staleness filter has ONE
+        definition — resume skip-decisions can never drift from run-
+        summary accounting."""
+        return {m["fragment_id"] for m in self.fragment_manifests()}
 
     def record_fragment(self, fragment_id: str, violations: pa.Table,
                         n_rows: int) -> None:
         _atomic_write_table(self._violations_path(fragment_id), violations)
-        counts: Dict[str, int] = {}
-        for r in violations["rule"].to_pylist():
-            counts[r] = counts.get(r, 0) + 1
+        vc = violations["rule"].combine_chunks() if isinstance(
+            violations["rule"], pa.ChunkedArray) else violations["rule"]
+        counts: Dict[str, int] = {
+            str(r["values"]): int(r["counts"])
+            for r in pa.compute.value_counts(vc).to_pylist()}
         manifest = {
             "fragment_id": fragment_id,
             "ruleset_hash": self.ruleset_hash,

@@ -22,12 +22,11 @@ class CountMinSketch:
         self.table = np.zeros((depth, width), dtype=np.int64)
 
     def _hash(self, arr) -> np.ndarray:
-        if isinstance(arr, (pa.Array, pa.ChunkedArray)):
-            arr = arr.to_numpy(zero_copy_only=False)
-        arr = np.asarray(arr)
-        if arr.dtype.kind in "iu":
-            return splitmix64(arr.astype(np.uint64))
-        return hash_strings(arr)
+        # shared dispatch (determinism.hash_keys): Arrow strings pass
+        # through zero-copy into the polars hash — no per-key Python
+        from ..determinism import hash_keys
+
+        return hash_keys(arr)
 
     def add(self, arr, counts=None) -> None:
         h = self._hash(arr)

@@ -32,8 +32,9 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, rank)
 
     def update_strings(self, arr) -> None:
-        if isinstance(arr, (pa.Array, pa.ChunkedArray)):
-            arr = arr.to_numpy(zero_copy_only=False)
+        # Arrow arrays pass through UNCONVERTED — hash_strings' polars
+        # fast path is zero-copy from Arrow; a numpy-object detour would
+        # materialize a Python object per key
         self.update_hashes(hash_strings(arr))
 
     def update_ints(self, arr: np.ndarray) -> None:

@@ -16,9 +16,12 @@ statistically equivalent alternation, reproducible across reruns and
 merge orders that present the same data (the same trick as the engine's
 seeded generators, `determinism.py`).
 
-Compactors hold SORTED numpy arrays; level j items carry weight 2^j.
-Rank queries take the weighted rank over all levels (vectorized
-searchsorted per level — levels are few: log2(n/k)).
+Level j items carry weight 2^j; level 0 buffers arrive unsorted
+(compaction sorts). Rank queries take the weighted rank over all levels
+with an order-independent count per level. Compaction CONSERVES total
+weight: an odd-sized level retains its one unpaired item (the classical
+KLL rule) — promoting all ⌈L/2⌉ items would drift total weight by
+±2^j per compaction, eating the rank-error budget.
 """
 
 from __future__ import annotations
@@ -50,17 +53,25 @@ class KLL:
     def _coin(self, level: int) -> int:
         h = splitmix64(np.array(
             [(level << 32) ^ self._compactions[level]], dtype=np.uint64))[0]
-        return int(h) & 1
+        return int(h)
 
     def _compact(self) -> None:
         for lvl in range(len(self.levels)):
             if len(self.levels[lvl]) <= self._capacity(lvl):
                 continue
             a = np.sort(self.levels[lvl])
-            off = self._coin(lvl)
+            h = self._coin(lvl)
             self._compactions[lvl] += 1
-            promoted = a[off::2]
-            self.levels[lvl] = np.empty(0, dtype=np.float64)
+            retained = np.empty(0, dtype=np.float64)
+            if len(a) % 2 == 1:
+                # weight conservation: the unpaired item STAYS at this
+                # level (deterministic end choice — coin bit 1)
+                if h & 2:
+                    retained, a = a[-1:], a[:-1]
+                else:
+                    retained, a = a[:1], a[1:]
+            promoted = a[(h & 1)::2]
+            self.levels[lvl] = retained
             if lvl + 1 == len(self.levels):
                 self.levels.append(np.empty(0, dtype=np.float64))
                 self._compactions.append(0)
@@ -81,25 +92,29 @@ class KLL:
             self._compact()
 
     def merge(self, other: "KLL") -> "KLL":
-        out = KLL(k=min(self.k, other.k))
-        out.n = self.n + other.n
+        """Merge ``other`` INTO self (like every sketch in this
+        package: Bloom/HLL/CMS/TDigest all mutate in place) and return
+        self, so both ``acc.merge(x)`` and ``acc = acc.merge(x)``
+        styles stay correct."""
+        self.k = min(self.k, other.k)
+        self.n += other.n
         depth = max(len(self.levels), len(other.levels))
-        out.levels = []
-        out._compactions = []
+        levels, compactions = [], []
         for j in range(depth):
             a = self.levels[j] if j < len(self.levels) else \
                 np.empty(0, dtype=np.float64)
             b = other.levels[j] if j < len(other.levels) else \
                 np.empty(0, dtype=np.float64)
-            out.levels.append(np.sort(np.concatenate([a, b])))
-            out._compactions.append(
+            levels.append(np.sort(np.concatenate([a, b])))
+            compactions.append(
                 (self._compactions[j] if j < len(self._compactions) else 0)
                 + (other._compactions[j] if j < len(other._compactions)
                    else 0))
-        while any(len(out.levels[j]) > out._capacity(j)
-                  for j in range(len(out.levels))):
-            out._compact()
-        return out
+        self.levels, self._compactions = levels, compactions
+        while any(len(self.levels[j]) > self._capacity(j)
+                  for j in range(len(self.levels))):
+            self._compact()
+        return self
 
     def quantile(self, q: float) -> float:
         if not 0.0 <= q <= 1.0:
@@ -121,7 +136,9 @@ class KLL:
         return float(x[min(i, len(x) - 1)])
 
     def rank(self, value: float) -> float:
-        """Estimated fraction of items <= value."""
+        """Estimated fraction of items <= value (order-independent
+        count per level — level 0 buffers are UNSORTED between
+        compactions, so searchsorted there would return garbage)."""
         if self.n == 0:
             return float("nan")
         tot = below = 0.0
@@ -129,7 +146,7 @@ class KLL:
             if len(lvl):
                 wj = float(1 << j)
                 tot += wj * len(lvl)
-                below += wj * np.searchsorted(lvl, value, side="right")
+                below += wj * int(np.count_nonzero(lvl <= value))
         return below / tot
 
     # -- serialization (hex-safe bytes for parquet/driver rows) ----------

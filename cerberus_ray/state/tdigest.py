@@ -59,6 +59,11 @@ class TDigest:
                        np.concatenate([self.weights, np.ones(len(v))]))
 
     def merge(self, other: "TDigest") -> "TDigest":
+        # parameter mismatch is a caller bug, like the sibling sketches
+        # (bloom/hll/cms all assert) — a silent mixed-compression merge
+        # produces an accuracy profile nobody asked for
+        assert self.compression == other.compression, (
+            self.compression, other.compression)
         if other.count:
             self._compress(np.concatenate([self.means, other.means]),
                            np.concatenate([self.weights, other.weights]))

@@ -86,3 +86,38 @@ def test_per_block_partials_via_ray(ray_session):
     assert merged.n == len(x)
     for q in QS:
         assert rank_error(merged, x, q) <= 0.025, q
+
+
+def test_rank_correct_on_unsorted_level0_buffer():
+    """Level-0 buffers are unsorted between compactions; rank must use
+    an order-independent count (a searchsorted there returned garbage)."""
+    s = KLL(k=200)
+    s.update([5.0, 1.0, 9.0, 2.0])
+    assert s.rank(6.0) == 0.75
+    assert s.rank(1.5) == 0.25
+    assert s.rank(9.0) == 1.0
+
+
+def test_compaction_conserves_total_weight():
+    """Σ level weights must equal n (classical KLL retains the unpaired
+    item of an odd-sized level; promoting it drifted weight by ±2^j,
+    eating the rank-error budget)."""
+    rng = np.random.default_rng(0)
+    for k in (64, 200):
+        s = KLL(k=k)
+        for _ in range(20):
+            s.update(rng.uniform(size=50_000))
+        total = sum((1 << j) * len(lvl) for j, lvl in enumerate(s.levels))
+        assert total == s.n == 1_000_000, (k, total, s.n)
+
+
+def test_merge_is_in_place_like_sibling_sketches():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=20_000)
+    acc = KLL(k=200)
+    for chunk in np.array_split(x, 7):
+        part = KLL(k=200)
+        part.update(chunk)
+        acc.merge(part)          # no reassignment — must still absorb
+    assert acc.n == len(x)
+    assert abs(acc.rank(float(np.quantile(x, 0.5))) - 0.5) <= 0.025
