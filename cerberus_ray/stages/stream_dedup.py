@@ -94,6 +94,11 @@ class StreamingDeduper:
         return ray.get([s.snapshot.remote() for s in self.shards])
 
     def restore(self, snaps: List[List[bytes]]) -> None:
+        if len(snaps) != self.n_shards:
+            raise ValueError(
+                f"snapshot has {len(snaps)} shards, stage has "
+                f"{self.n_shards} — hashes would silently mis-route "
+                f"(h % n changes) and seen docs re-admit as new")
         ray.get([s.restore.remote(sn)
                  for s, sn in zip(self.shards, snaps)])
 
@@ -120,7 +125,9 @@ def dedup_stream(ds, *, text_col: str = "text", n_shards: int = 4,
             if len(kept):
                 parts.append(kept)
         if not parts:
-            return pa.Table.from_pydict({})
+            # schema-stable empty (a zero-column table would KeyError
+            # downstream selects / break parquet writes)
+            return ds.schema().empty_table()
         return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
                                     preserve_index=False)
     finally:

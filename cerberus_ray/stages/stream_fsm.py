@@ -47,17 +47,24 @@ class FSMShard:
         # stable sort: equal-ts events keep feed order, so replays are
         # deterministic on ties (stream-vs-batch equivalence)
         for r in batch.sort_values("ts", kind="mergesort").itertuples():
-            key = f"{r.entity}|{int(r.entity_id)}"
+            # str() keying matches the router's astype(str) form — an
+            # int() here crashed on UUID/string entity ids the router
+            # and the batch path both accept
+            key = f"{r.entity}|{r.entity_id}"
             # guard the stage's ordering assumption: an event older than
             # the entity's last processed ts means the feed violated the
-            # ts-ordered contract — flag it rather than corrupt the chain
+            # ts-ordered contract — flag it AND DROP it: applying a
+            # stale event to newer held state would emit cascading
+            # spurious broken-chain violations and corrupt the chain
+            # the batch replay (global sort) would have validated
             prev_ts = self.last_ts.get(key)
             if prev_ts is not None and r.ts < prev_ts:
                 out.append({"doc_id": key, "rule": "fsm-out-of-order-feed",
                             "path": "ts",
                             "detail": f"event at {r.ts} arrived after "
                                       f"{prev_ts} was processed"})
-            self.last_ts[key] = max(prev_ts, r.ts) if prev_ts is not None else r.ts
+                continue
+            self.last_ts[key] = r.ts
             eset = self.edges.get(r.entity, set())
             if (r.source, r.target) not in eset:
                 out.append({"doc_id": key, "rule": "fsm-illegal-edge",
@@ -124,6 +131,10 @@ class StreamingFSMValidator:
         return ray.get([s.snapshot.remote() for s in self.shards])
 
     def restore(self, snaps: List[Dict[str, str]]) -> None:
+        if len(snaps) != self.n_shards:
+            raise ValueError(
+                f"snapshot has {len(snaps)} shards, stage has "
+                f"{self.n_shards} — keys would silently mis-route")
         ray.get([s.restore.remote(sn)
                  for s, sn in zip(self.shards, snaps)])
 

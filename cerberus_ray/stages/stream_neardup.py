@@ -71,7 +71,14 @@ class StreamingNearDeduper:
 
         sigs = minhash_signatures(texts, k=self.k, w=self.w,
                                   seed=self.seed)
-        return band_hashes(sigs, bands=self.bands)  # (n, bands) uint64
+        bh = band_hashes(sigs, bands=self.bands)   # (n, bands) uint64
+        # XOR the band INDEX into the hash — the batch LSH's bucket key
+        # (pipelines/dedup.py pass-1). Pooling bare band hashes into one
+        # seen-set would let a band-2 vs band-9 coincidence drop a doc
+        # the batch path would never bucket together (~bands× the
+        # documented per-band collision rate).
+        return bh ^ (np.arange(self.bands, dtype=np.uint64)
+                     << np.uint64(56))
 
     def feed(self, batch: pd.DataFrame, *,
              text_col: str = "text") -> pd.DataFrame:
@@ -126,6 +133,11 @@ class StreamingNearDeduper:
         return ray.get([s.snapshot.remote() for s in self.shards])
 
     def restore(self, snaps: List[List[int]]) -> None:
+        if len(snaps) != self.n_shards:
+            raise ValueError(
+                f"snapshot has {len(snaps)} shards, stage has "
+                f"{self.n_shards} — band hashes would silently "
+                f"mis-route and seen docs re-admit as new")
         ray.get([s.restore.remote(sn)
                  for s, sn in zip(self.shards, snaps)])
 
@@ -152,7 +164,9 @@ def near_dedup_stream(ds, *, text_col: str = "text", n_shards: int = 4,
             if len(kept):
                 parts.append(kept)
         if not parts:
-            return pa.Table.from_pydict({})
+            # schema-stable empty (a zero-column table would KeyError
+            # downstream selects / break parquet writes)
+            return ds.schema().empty_table()
         return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
                                     preserve_index=False)
     finally:

@@ -22,6 +22,7 @@ this is cross-batch mutable state → raw Ray actors:
 
 from __future__ import annotations
 
+import heapq
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -33,29 +34,45 @@ from ..determinism import hash_strings
 
 @ray.remote
 class TopKShard:
-    """One Space-Saving summary: key → (count, overcount_err)."""
+    """One Space-Saving summary: key → (count, overcount_err).
+
+    Eviction picks the (count, key)-minimal counter via a lazy min-heap
+    (stale entries skipped on pop) — O(log m) amortized per eviction
+    instead of a full O(m) dict scan, so high-churn streams (mostly
+    distinct keys at capacity) stay feed-bound, not eviction-bound."""
 
     def __init__(self, capacity: int):
         self.capacity = capacity
         self.counts: Dict[str, int] = {}
         self.errs: Dict[str, int] = {}
+        self._heap: List[Tuple[int, str]] = []   # (count, key), lazy
+
+    def _pop_victim(self) -> Tuple[str, int]:
+        while True:
+            c, k = heapq.heappop(self._heap)
+            # stale entries: key evicted earlier, or count since grown
+            if self.counts.get(k) == c:
+                return k, c
 
     def update(self, keys: List[str], counts: List[int]) -> None:
         for k, c in zip(keys, counts):
             if k in self.counts:
-                self.counts[k] += c
+                new = self.counts[k] + c
+                self.counts[k] = new
+                heapq.heappush(self._heap, (new, k))
             elif len(self.counts) < self.capacity:
                 self.counts[k] = c
                 self.errs[k] = 0
+                heapq.heappush(self._heap, (c, k))
             else:
                 # evict the min counter; the newcomer inherits its
                 # count as its maximum possible overcount
-                victim = min(self.counts.items(),
-                             key=lambda kv: (kv[1], kv[0]))[0]
-                base = self.counts.pop(victim)
+                victim, base = self._pop_victim()
+                self.counts.pop(victim)
                 self.errs.pop(victim)
                 self.counts[k] = base + c
                 self.errs[k] = base
+                heapq.heappush(self._heap, (base + c, k))
 
     def summary(self) -> List[Tuple[str, int, int]]:
         return [(k, self.counts[k], self.errs[k])
@@ -66,6 +83,8 @@ class TopKShard:
 
     def restore(self, snap) -> None:
         self.capacity, self.counts, self.errs = snap
+        self._heap = [(c, k) for k, c in self.counts.items()]
+        heapq.heapify(self._heap)
 
 
 class StreamingTopK:
@@ -81,8 +100,13 @@ class StreamingTopK:
 
     def feed(self, keys) -> None:
         """Ingest one batch of key occurrences (pre-aggregated within
-        the batch, then routed — one message per touched shard)."""
+        the batch, then routed — one message per touched shard). Null
+        keys are dropped, matching SQL COUNT/GROUP BY semantics (and
+        np.unique cannot sort a None/str mix)."""
         arr = np.asarray(keys, dtype=object)
+        if len(arr):
+            arr = arr[np.array([k is not None and k == k for k in arr],
+                               dtype=bool)]
         if not len(arr):
             return
         uk, cnt = np.unique(arr, return_counts=True)
@@ -112,5 +136,14 @@ class StreamingTopK:
         return ray.get([s.snapshot.remote() for s in self.shards])
 
     def restore(self, snaps) -> None:
+        if len(snaps) != self.n:
+            raise ValueError(
+                f"snapshot has {len(snaps)} shards, stage has {self.n} "
+                f"— keys would silently mis-route (h % n changes)")
         ray.get([s.restore.remote(sn)
                  for s, sn in zip(self.shards, snaps)])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

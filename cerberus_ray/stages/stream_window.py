@@ -173,6 +173,11 @@ class StreamingWindowAggregator:
                                    for s in self.shards])}
 
     def restore(self, snap: dict) -> None:
+        if len(snap["shards"]) != len(self.shards):
+            raise ValueError(
+                f"snapshot has {len(snap['shards'])} shards, stage has "
+                f"{len(self.shards)} — window keys would silently "
+                f"mis-route")
         self.watermark = snap["watermark"]
         self.n_late = snap["n_late"]
         ray.get([s.restore.remote(rows)

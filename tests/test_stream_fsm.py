@@ -137,3 +137,67 @@ def test_equal_ts_ties_replay_in_feed_order(ray_session):
             assert rows(v.collect()) == []  # in-order: no broken chain
         finally:
             v.shutdown()
+
+
+def test_out_of_order_event_is_flagged_and_dropped(ray_session):
+    """A stale event must flag fsm-out-of-order-feed and be DROPPED —
+    applying it to newer held state would cascade spurious broken-chain
+    violations the batch replay (global sort) never reports."""
+    import pandas as pd
+
+    from cerberus_ray.crm.fixtures import BOOKING_EDGES
+    from cerberus_ray.stages.stream_fsm import StreamingFSMValidator
+
+    v = StreamingFSMValidator({"booking": BOOKING_EDGES}, n_shards=2)
+    try:
+        t = pd.Timestamp
+        v.feed(pd.DataFrame({
+            "entity": ["booking"] * 2, "entity_id": [1, 1],
+            "source": ["enquiry", "preliminary"],
+            "target": ["preliminary", "confirmed"],
+            "ts": [t("2024-01-01"), t("2024-01-02")]}))
+        # stale event arrives late: must not rewind held state
+        v.feed(pd.DataFrame({
+            "entity": ["booking"], "entity_id": [1],
+            "source": ["enquiry"], "target": ["preliminary"],
+            "ts": [t("2024-01-01T06:00")]}))
+        # next legitimate event continues from 'confirmed' cleanly
+        v.feed(pd.DataFrame({
+            "entity": ["booking"], "entity_id": [1],
+            "source": ["confirmed"], "target": ["completed"],
+            "ts": [t("2024-01-03")]}))
+        out = v.collect().to_pandas()
+        assert list(out["rule"]) == ["fsm-out-of-order-feed"]
+    finally:
+        v.shutdown()
+
+
+def test_string_entity_ids_supported(ray_session):
+    import pandas as pd
+
+    from cerberus_ray.crm.fixtures import BOOKING_EDGES
+    from cerberus_ray.stages.stream_fsm import StreamingFSMValidator
+
+    v = StreamingFSMValidator({"booking": BOOKING_EDGES}, n_shards=2)
+    try:
+        v.feed(pd.DataFrame({
+            "entity": ["booking"], "entity_id": ["b7f3-uuid"],
+            "source": ["enquiry"], "target": ["preliminary"],
+            "ts": [pd.Timestamp("2024-01-01")]}))
+        assert v.collect().num_rows == 0
+    finally:
+        v.shutdown()
+
+
+def test_restore_rejects_shard_count_mismatch(ray_session):
+    from cerberus_ray.crm.fixtures import BOOKING_EDGES
+    from cerberus_ray.stages.stream_fsm import StreamingFSMValidator
+
+    a = StreamingFSMValidator({"booking": BOOKING_EDGES}, n_shards=2)
+    b = StreamingFSMValidator({"booking": BOOKING_EDGES}, n_shards=4)
+    try:
+        with pytest.raises(ValueError, match="shards"):
+            b.restore(a.snapshot())
+    finally:
+        a.shutdown()
+        b.shutdown()

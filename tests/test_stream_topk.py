@@ -81,3 +81,49 @@ def test_agreement_with_batch_heavy_hitters(ray_session):
 def test_guard(ray_session):
     with pytest.raises(ValueError):
         StreamingTopK(capacity=0)
+
+
+def test_null_keys_dropped_not_crash(ray_session):
+    from cerberus_ray.stages.stream_topk import StreamingTopK
+
+    t = StreamingTopK(n_shards=2, capacity=16)
+    try:
+        t.feed(["a", None, "b", "a", None, float("nan")])
+        out = t.topk(5)
+        assert dict(zip(out["key"], out["count_est"])) == {"a": 2, "b": 1}
+    finally:
+        t.shutdown()
+
+
+def test_shutdown_releases_actors(ray_session):
+    from cerberus_ray.stages.stream_topk import StreamingTopK
+
+    t = StreamingTopK(n_shards=2, capacity=8)
+    t.feed(["x"])
+    t.shutdown()
+    assert t.shards == []
+
+
+def test_heap_eviction_matches_space_saving_semantics(ray_session):
+    """High-churn stream at capacity: estimates keep the Space-Saving
+    guarantee est >= true and err bounds the overcount."""
+    import numpy as np
+
+    from cerberus_ray.stages.stream_topk import StreamingTopK
+
+    rng = np.random.default_rng(0)
+    t = StreamingTopK(n_shards=2, capacity=32)
+    try:
+        true = {}
+        for _ in range(30):
+            keys = [f"k{int(i)}" for i in
+                    rng.zipf(1.5, size=400) % 200]
+            for k in keys:
+                true[k] = true.get(k, 0) + 1
+            t.feed(keys)
+        out = t.topk(10)
+        for k, est, err in out.itertuples(index=False):
+            assert est >= true.get(k, 0)          # never undercounts
+            assert est - err <= true.get(k, 0)    # err bounds overcount
+    finally:
+        t.shutdown()
