@@ -65,14 +65,23 @@ def is_valid_email(values) -> pa.Array:
     return pc.match_substring_regex(a, VALID_EMAIL_RE)
 
 
+#: the FULL str.splitlines() break set (the reference is literally
+#: ``to.join(input.splitlines())``, string_utils.py:20-21): \v \f and
+#: the FS/GS/RS separators, NEL and the U+2028/U+2029 line separators
+#: split there too — web-scraped text hits them
+_LINE_BREAKS = "\n\r\v\f\x1c\x1d\x1e\x85\u2028\u2029"
+
+
 def linebreakto(values, to: str) -> pa.Array:
     """splitlines→join semantics: one trailing line break is dropped, the
-    remaining breaks become ``to``."""
+    remaining breaks become ``to`` (byte-identical to the reference's
+    to.join(x.splitlines()) on every splitlines codepoint — tested)."""
     a = _arr(values)
-    a = pc.replace_substring_regex(a, pattern=r"(\r\n|\r|\n)$", replacement="",
-                                   max_replacements=1)
-    return pc.replace_substring_regex(a, pattern=r"(\r\n|\r|\n)",
-                                      replacement=to)
+    a = pc.replace_substring_regex(
+        a, pattern=r"(\r\n|[" + _LINE_BREAKS + r"])$", replacement="",
+        max_replacements=1)
+    return pc.replace_substring_regex(
+        a, pattern=r"(\r\n|[" + _LINE_BREAKS + r"])", replacement=to)
 
 
 def unslug(values) -> pa.Array:
@@ -127,7 +136,13 @@ def split_name(values):
 
 
 def name_concat(first, last) -> pa.Array:
-    return pc.binary_join_element_wise(_arr(first), _arr(last), " ")
+    """Django ``Concat`` semantics: 'will never have a null result' —
+    each null part coerces to '' (customer.py:77 GeneratedField), so
+    the stored==recomputed parity rule holds on rows with a null part
+    instead of comparing a value against null."""
+    return pc.binary_join_element_wise(
+        _arr(first), _arr(last), " ",
+        null_handling="replace", null_replacement="")
 
 
 def truncate(values, n: int = 255) -> pa.Array:

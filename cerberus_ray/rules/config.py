@@ -75,7 +75,9 @@ def ruleset_from_config(cfg: Mapping[str, Any]) -> RuleSet:
         elif t == "regex":
             _need(spec, "col", "pattern", "rule_name")
             rs.add(regex_rule(key, spec["col"], spec["pattern"],
-                              spec["rule_name"]))
+                              spec["rule_name"],
+                              full_match=bool(spec.get("full_match",
+                                                       False))))
         else:
             raise RuleConfigError(f"unknown rule type {t!r}")
     return rs

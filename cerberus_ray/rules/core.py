@@ -52,10 +52,21 @@ class RuleSet:
         return self
 
     def rule(self, name: str, **params):
-        """Decorator registering a custom batch-rule UDF (extension surface)."""
+        """Decorator registering a custom batch-rule UDF (extension
+        surface). The UDF's BYTECODE digest joins the rule params, so
+        editing the function body changes the rule-set hash and
+        invalidates prior partition checkpoints — without it, a bug fix
+        in a custom rule would silently reuse stale checkpoints and the
+        corrected rule would never re-run on completed partitions."""
 
         def deco(fn):
-            self.add(Rule(name=name, fn=fn, params=params))
+            p = dict(params)
+            code = getattr(fn, "__code__", None)
+            if code is not None:
+                p["_code_sha"] = hashlib.sha256(
+                    code.co_code
+                    + repr(code.co_consts).encode()).hexdigest()[:16]
+            self.add(Rule(name=name, fn=fn, params=p))
             return fn
 
         return deco
@@ -134,7 +145,8 @@ def not_null(key_col: str, col: str, *, empty_is_null: bool = False) -> Rule:
     def fn(batch: pa.Table) -> pa.Table:
         a = batch[col]
         mask = pc.is_null(a).to_numpy(zero_copy_only=False)
-        if empty_is_null and pa.types.is_string(a.type):
+        if empty_is_null and (pa.types.is_string(a.type)
+                              or pa.types.is_large_string(a.type)):
             empty = pc.fill_null(pc.equal(a, ""), False)
             mask = mask | empty.to_numpy(zero_copy_only=False)
         return emit(_key_strings(batch, key_col), mask, f"not-null-{col}", col,
@@ -152,9 +164,15 @@ def enum_domain(key_col: str, col: str, allowed: Sequence[str]) -> Rule:
         a = batch[col]
         ok = pc.is_in(a, value_set=pa.array(allowed, type=a.type))
         mask = pc.and_not(pc.is_valid(a), ok).to_numpy(zero_copy_only=False)
-        vals = a.to_numpy(zero_copy_only=False).astype(object)
-        det = lambda idx: np.char.mod(  # noqa: E731 — lazy: only violating rows
-            f"value %s not in {allowed}", vals[idx].astype(str))
+        # '%%' escape: an allowed value containing '%' must not be read
+        # as a format directive; the %s placeholder is added after
+        tmpl = "value %s not in " + str(allowed).replace("%", "%%")
+
+        def det(idx):  # lazy: materializes VIOLATING rows only
+            v = (a.take(pa.array(idx)).to_numpy(zero_copy_only=False)
+                 .astype(object))
+            return np.char.mod(tmpl, v.astype(str))
+
         return emit(_key_strings(batch, key_col), mask, f"enum-{col}", col, det)
 
     return Rule(name=f"enum-{col}", fn=fn, params={"col": col, "allowed": allowed})
@@ -175,12 +193,14 @@ def range_rule(key_col: str, col: str, lo=None, hi=None,
         if hi is not None:
             bad = pc.or_(bad, pc.greater(a, hi))
         mask = pc.and_(valid, bad).to_numpy(zero_copy_only=False)
-        vals = a.to_numpy(zero_copy_only=False).astype(object)
-        det = lambda idx: np.char.mod(  # noqa: E731 — lazy: only violating rows
-            f"value %s outside [{lo}, {hi}]"
-            + (" (exclusive low)" if lo_strict else ""),
-            vals[idx].astype(str),
-        )
+        tmpl = (f"value %s outside [{lo}, {hi}]"
+                + (" (exclusive low)" if lo_strict else ""))
+
+        def det(idx):  # lazy: materializes VIOLATING rows only
+            v = (a.take(pa.array(idx)).to_numpy(zero_copy_only=False)
+                 .astype(object))
+            return np.char.mod(tmpl, v.astype(str))
+
         return emit(_key_strings(batch, key_col), mask, f"range-{col}", col, det)
 
     return Rule(name=f"range-{col}", fn=fn,

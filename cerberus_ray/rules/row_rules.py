@@ -269,8 +269,11 @@ def span_sequence_violations(ds, pattern: str, *, mode: str = "require",
     def check(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         spans = batch["spans"]
-        counts = pc.list_value_length(spans).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        # null spans rows: list_value_length is null → NaN; a raw int64
+        # cast yields INT64_MIN and corrupts the cumsum slicing for
+        # every LATER doc in the batch (same guard as _flatten_spans)
+        counts = np.nan_to_num(pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False)).astype(np.int64)
         flat = pc.list_flatten(spans)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()

@@ -150,8 +150,12 @@ def ruleset_to_config(rs: RuleSet, key: str) -> dict:
         elif r.name.startswith("maxlen-"):
             specs.append({"type": "max_len", "col": p["col"], "n": p["n"]})
         elif "pattern" in p:
+            # full_match must survive the round trip — dropping it
+            # silently weakened a full-match rule to substring match
+            # AND changed the rule-set hash (checkpoint invalidation)
             specs.append({"type": "regex", "col": p["col"],
-                          "pattern": p["pattern"], "rule_name": r.name})
+                          "pattern": p["pattern"], "rule_name": r.name,
+                          "full_match": bool(p.get("full_match", False))})
         else:
             raise ValueError(f"rule {r.name!r} is not config-expressible")
     return {"name": rs.name, "key": key, "rules": specs}
@@ -167,12 +171,15 @@ def suggest_diff(old_cfg: dict, new_cfg: dict) -> List[dict]:
     {col, type, change, old, new} sorted by (col, type);
     ``change`` ∈ {'added', 'removed', 'changed'}."""
     def index(cfg: dict) -> Dict[tuple, dict]:
-        return {(s["col"], s["type"]): s for s in cfg["rules"]}
+        # rule_name disambiguates multiple regex rules on one column —
+        # a (col, type) key alone shadowed all but the last one
+        return {(s["col"], s["type"], s.get("rule_name", "")): s
+                for s in cfg["rules"]}
 
     ko, kn = index(old_cfg), index(new_cfg)
     out = []
     for k in sorted(set(ko) | set(kn)):
-        col, typ = k
+        col, typ = k[0], k[1]
         if k not in kn:
             out.append({"col": col, "type": typ, "change": "removed",
                         "old": ko[k], "new": None})

@@ -92,3 +92,39 @@ def test_json_roundtrip(ray_session):
     import json
     rs = ruleset_from_json(json.dumps(CFG))
     assert ruleset_hash(rs) == ruleset_hash(factory_rs())
+
+
+def test_regex_full_match_survives_config_round_trip():
+    """full_match must round-trip: dropping it silently weakened a
+    full-match rule to substring match and changed the rule-set hash."""
+    from cerberus_ray.rules.config import ruleset_from_config
+    from cerberus_ray.rules.core import RuleSet, regex_rule
+    from cerberus_ray.rules.suggest import ruleset_to_config
+
+    rs = RuleSet([regex_rule("k", "status", "O|F|P", "status-domain",
+                             full_match=True)], name="t")
+    cfg = ruleset_to_config(rs, key="k")
+    assert cfg["rules"][0]["full_match"] is True
+    back = ruleset_from_config(cfg)
+    assert back.hash == rs.hash
+    import pyarrow as pa
+
+    batch = pa.table({"k": ["1"], "status": ["FOO"]})
+    assert back.evaluate(batch).num_rows == 1  # substring match missed it
+
+
+def test_custom_rule_body_change_invalidates_hash():
+    from cerberus_ray.rules.core import RuleSet
+
+    a, b = RuleSet(name="x"), RuleSet(name="x")
+
+    @a.rule("my-check")
+    def f1(batch):
+        return None
+
+    @b.rule("my-check")
+    def f2(batch):
+        _ = 1 + 1
+        return None
+
+    assert a.hash != b.hash

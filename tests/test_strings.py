@@ -144,6 +144,12 @@ def test_name_concat():
     assert out[0].as_py() == "Ada Lovelace"
 
 
+def test_name_concat_null_parts_like_django_concat():
+    # Django Concat never yields null: null parts coerce to ''
+    out = S.name_concat(["Jo", None, None], ["Smith", "Smith", None])
+    assert out.to_pylist() == ["Jo Smith", " Smith", " "]
+
+
 def test_truncate():
     assert S.truncate(["x" * 300], 255)[0].as_py() == "x" * 255
 
