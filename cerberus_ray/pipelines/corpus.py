@@ -258,7 +258,10 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     if reference_ds is not None:
         from ..pipelines.dedup import exact_dedup_against
 
-        exact = exact_dedup_against(exact, reference_ds, text_col=text_col)
+        # upper bound for the probe side (exact ≤ quality-kept rows):
+        # join mode must size its exchange from the LARGER side
+        exact = exact_dedup_against(exact, reference_ds, text_col=text_col,
+                                    n_left_hint=n_quality)
     exact = exact.materialize()
     n_exact = exact.count()
 

@@ -163,9 +163,21 @@ def exact_dup_stats(ds, *, text_col: str = "text",
     return pa.Table.from_pydict({"n_docs": [n_docs], "n_unique": [n_unique]})
 
 
+def _dataset_rows_hint(ds) -> int:
+    """Free row-count hint: dataset metadata only (parquet footers /
+    already-materialized blocks), NEVER executes lineage — returns 0
+    for unknown so callers fall back to their other sizing input."""
+    try:
+        n = ds._meta_count()
+        return int(n) if n else 0
+    except Exception:
+        return 0
+
+
 def exact_dedup_against(ds, reference_ds, *, text_col: str = "text",
                         ref_text_col: str | None = None,
-                        mode: str = "auto", n_ref_hint: int = 0):
+                        mode: str = "auto", n_ref_hint: int = 0,
+                        n_left_hint: int = 0):
     """Cross-corpus exact dedup: drop every row of ``ds`` whose content
     hash appears in ``reference_ds`` (dedup a new crawl against a prior
     corpus release / a benchmark suite — the cross-snapshot analogue of
@@ -229,7 +241,11 @@ def exact_dedup_against(ds, reference_ds, *, text_col: str = "text",
                                   zero_copy_batch=True)
 
     # ---- join mode: distributed anti-join on the content hash ----
-    nparts = _join_partitions(n)
+    # size by the LARGER side: the reference gates the planner, but the
+    # probe stream (the crawl) is usually the big one — sizing from the
+    # reference alone would funnel it through the 8-partition floor
+    nparts = _join_partitions(max(
+        n, n_left_hint or _dataset_rows_hint(ds)))
     distinct_ref = (ref_h.groupby("text_md5").count()
                     .repartition(nparts))  # coalesce schema-less empties
 

@@ -442,7 +442,19 @@ def exact_cosine_threshold_pairs(ds, *, threshold: float,
     order = np.argsort(ids)
     ids, V = ids[order], V[order]
     norms = np.linalg.norm(V, axis=1)
-    norms[norms == 0] = 1.0
+    # cosine is undefined for the zero vector; DuckDB's
+    # list_cosine_similarity divides by a zero magnitude (NaN) where the
+    # old norms==0→1 trick yielded sim=0 — either way such a row can
+    # never be a ≥-threshold near-dup, so drop it up front and the
+    # engine and oracle agree on exactly the defined pairs
+    nz = norms > 0
+    if not nz.all():
+        ids, V, norms = ids[nz], V[nz], norms[nz]
+        if not len(ids):
+            return pa.Table.from_pydict(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())})
 
     def block_pairs(i0: int, i1: int, Vg, ng, idsg):
         """Pairs between rows [i0, i1) and ALL rows with larger index —

@@ -2079,15 +2079,54 @@ def _flagship_cfg(sf_dir: str):
     from ..datagen import GenConfig
     from ..scale import table_nrows
 
+    li = table_nrows(f"{sf_dir}/lineitem.parquet")
     n = _FLAGSHIP_BY_LINEITEM.get(
-        table_nrows(f"{sf_dir}/lineitem.parquet"),
-        _FLAGSHIP_DOCS.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000))
+        li, _FLAGSHIP_DOCS.get(sf_dir.rstrip("/").rsplit("/", 1)[-1]))
+    if n is None:
+        # a silent default here would run the engine at one size while
+        # the SQL golden gate (same CASE, same keys) selects another —
+        # an sf level unknown to BOTH maps must fail loudly instead
+        raise ValueError(
+            f"unknown sf level: lineitem has {li} rows and directory "
+            f"{sf_dir!r} matches no known fixture; add it to "
+            f"_FLAGSHIP_BY_LINEITEM/_FLAGSHIP_DOCS AND _FLAGSHIP_GATE_SQL")
     return GenConfig(n_docs=n, n_media=max(200, n // 5))
 
 
-#: golden-parquet directory for the flagship oracle (generator-side
-#: expected outputs — the validator never touches these)
-_GOLDEN_DIR = "/tmp/cerberus_ray_golden"
+def _golden_dir() -> str:
+    """Golden-parquet directory for the flagship oracle (generator-side
+    expected outputs — the validator never touches these). Per-user under
+    the system temp dir (a world-shared fixed path could be pre-owned or
+    content-swapped by another user on a multi-tenant host), overridable
+    via CERBERUS_RAY_GOLDEN_DIR, and suffixed with a fingerprint of the
+    generator source so two processes running different generator
+    versions never race each other's files."""
+    import hashlib
+    import os
+    import tempfile
+
+    env = os.environ.get("CERBERUS_RAY_GOLDEN_DIR")
+    if env:
+        return env
+    from .. import datagen as _dg
+    from ..crm import fixtures as _fx
+
+    src = b""
+    for mod in (_dg, _fx):
+        try:
+            with open(mod.__file__, "rb") as f:
+                src += f.read()
+        except OSError:
+            pass
+    fp = hashlib.sha256(src).hexdigest()[:12]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(),
+                        f"cerberus_ray_golden_u{uid}_{fp}")
+
+
+#: resolved once at import (ORACLE_SQL embeds the path in its f-strings;
+#: one process sees exactly one generator version, so one path)
+_GOLDEN_DIR = _golden_dir()
 
 
 def ensure_flagship_goldens() -> str:
@@ -2145,7 +2184,9 @@ def ensure_flagship_goldens() -> str:
 #: visible from inside SQL; default mirrors _flagship_cfg's fallback)
 _FLAGSHIP_GATE_SQL = """CASE (SELECT COUNT(*) FROM lineitem)
               WHEN 6000 THEN 2000 WHEN 60000 THEN 5000
-              WHEN 600000 THEN 20000 ELSE 2000 END"""
+              WHEN 600000 THEN 20000
+              ELSE error('unknown sf level for flagship golden gate')
+              END"""
 
 
 def q_flagship_violations(sf_dir: str) -> pa.Table:

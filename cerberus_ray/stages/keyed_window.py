@@ -66,8 +66,16 @@ def keyed_apply(ds, key_col: str, fn: Callable[[pd.DataFrame], pd.DataFrame],
     bucket — inherent to whole-key window semantics (the same skew
     bound any engine's window partitioning has)."""
     if n_buckets is None:
-        n_buckets = auto_buckets(n_rows_hint if n_rows_hint > 0
-                                 else ds.count())
+        n = n_rows_hint
+        if n <= 0:
+            # free metadata path first (parquet footers / materialized
+            # blocks); count() as last resort — it executes a computed
+            # lineage once just for sizing
+            try:
+                n = int(ds._meta_count() or 0)
+            except Exception:
+                n = 0
+        n_buckets = auto_buckets(n if n > 0 else ds.count())
 
     def add_bucket(b: pa.Table) -> pa.Table:
         k = b[key_col].to_numpy(zero_copy_only=False)

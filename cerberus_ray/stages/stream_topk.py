@@ -54,12 +54,21 @@ class TopKShard:
             if self.counts.get(k) == c:
                 return k, c
 
+    def _maybe_rebuild(self) -> None:
+        # Hot-key increments push one stale tuple each; without
+        # evictions to drain them the lazy heap would grow with total
+        # updates, not capacity. Rebuild keeps memory O(capacity).
+        if len(self._heap) > 4 * self.capacity:
+            self._heap = [(c, k) for k, c in self.counts.items()]
+            heapq.heapify(self._heap)
+
     def update(self, keys: List[str], counts: List[int]) -> None:
         for k, c in zip(keys, counts):
             if k in self.counts:
                 new = self.counts[k] + c
                 self.counts[k] = new
                 heapq.heappush(self._heap, (new, k))
+                self._maybe_rebuild()
             elif len(self.counts) < self.capacity:
                 self.counts[k] = c
                 self.errs[k] = 0
