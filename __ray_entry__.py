@@ -48,11 +48,27 @@ def entry() -> Any:
 #: list_cosine_similarity) into the oracle-gated set; the remainder
 #: are genuinely non-SQL-expressible (probabilistic minhash estimates,
 #: sketch comparisons, fixture-corpus rule pack, corpus funnel).
+#: round 5 promoted crm_violations (hand-derived golden table from
+#: fixture bookkeeping, served as parquet — never computed by the
+#: validator) and training_corpus_report (the driver query rides the
+#: exact ssjoin pair stage, making every funnel count pure-SQL:
+#: shared quality CTE + md5 keep-first + exact-Jaccard self-join +
+#: recursive-CTE connected components). The remaining entries are
+#: genuinely non-SQL-expressible (probabilistic minhash estimates,
+#: sketch-quantile comparisons).
 _ROWS_ONLY_KEEP = [
-    "crm_violations",
-    "training_corpus_report",
     "events_drift_check",
     "dedup_minhash",
+]
+
+#: oracle-gated entries beyond the 50-slot registry budget (round 5
+#: added crm_violations / training_corpus_report / events_drift_psi as
+#: gated rows; something had to yield a slot). rule_counts_orders is the
+#: same rule-counts operator family as the still-registered
+#: rule_counts_lineitem — it stays fully oracle-parity-tested through
+#: all_oracle_sql() + extra_queries() in tests/test_oracle_parity.py.
+_GATED_OVERFLOW = [
+    "rule_counts_orders",
 ]
 
 
@@ -84,8 +100,10 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
     return {k: v for k, v in allq.items() if k not in main}
 
 
-def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per queries() key."""
+def all_oracle_sql() -> dict[str, str]:
+    """EVERY DuckDB oracle, including the _GATED_OVERFLOW entries whose
+    query lives in extra_queries() (test surface — the pytest parity
+    gate covers these too)."""
     from cerberus_ray.pipelines.relational import ORACLE_SQL
     from cerberus_ray.pipelines.relational2 import ORACLE_SQL as O2
     from cerberus_ray.pipelines.training_queries import (
@@ -97,3 +115,10 @@ def oracle_sql() -> dict[str, str]:
     # (idempotent) before the SQL can run
     ensure_flagship_goldens()
     return dict(ORACLE_SQL) | dict(O2) | dict(TO)
+
+
+def oracle_sql() -> dict[str, str]:
+    """DuckDB oracle SQL per queries() key (driver surface: keys are a
+    subset of the 50 registered queries)."""
+    return {k: v for k, v in all_oracle_sql().items()
+            if k not in _GATED_OVERFLOW}

@@ -216,3 +216,99 @@ def make_crm_tables() -> tuple[dict, list]:
     }
     return ({k: pa.Table.from_pandas(v, preserve_index=False)
              for k, v in tables.items()}, sorted(set(expected)))
+
+
+def expected_crm_violations() -> pa.Table:
+    """The full EXPECTED violation table for the fixture corpus —
+    hand-derived row by row from the injections documented in
+    :func:`make_crm_tables`, never by running the validator (the
+    reference's golden-fixture style, cerberus/tests/
+    test_invoices.py:107-131 applied to the whole rule pack). This is
+    the oracle side of the ``crm_violations`` driver query: DuckDB
+    serves it from golden parquet while the engine recomputes the same
+    rows from the raw tables, so the two paths stay independent.
+
+    Derivations (fixture line → expected row):
+    - charge 1 totals 30×2 = 60; refunds 4+5 total 30+40 = 70 > 60.
+    - slot 1 holds bookings 1 (+9): 2+1 = 3 pets > service-1 max_pet 2.
+    - booking 10 books pet 3 (owner: customer 2) for customer 1.
+    - booking 11 carries state 'lost' ∉ BOOKING_STATES.
+    - bookings 13/14: completed without / with-wrong-amount charge.
+    - booking 15 completed although end (BASE+35d+1h) ≥ TODAY's asof.
+    - (customer, slot) pairs 1|1, 1|2, 2|5 each appear twice.
+    - invoice 2's snapshot adjustment 2.0 → current 5.0 (frozen field);
+      its customer 3 has issues (no invoice email) although it was sent.
+    - customer 2 has no Email contact; slots 2 and 4 overlap.
+    - invoice 3: stored total 99 ≠ recomputed 30 (charge 3), stored
+      overdue=True although due is in the future.
+    - charges 3 (paid, no paid_on) and 7 (unpaid, paid_on set).
+    - payment 3 amount −5 < 0; customer 4's last name has '&';
+      invoice 5 paid while charge 10 stays unpaid.
+    - booking 6 canceled-with-slot / 7 active-without; charge 6 name is
+      300 chars; slot 6 ends before it starts; booking 8 too.
+    - state_log: booking 2 enquiry→confirmed (illegal edge), charge 2
+      paid→unpaid (illegal edge), invoice 2 unpaid → log restarts at
+      draft (broken chain).
+    """
+    asof = datetime(TODAY.year, TODAY.month, TODAY.day)
+    end15 = BASE + timedelta(hours=35 * 24 + 1)
+    states = sorted(BOOKING_STATES)
+    rows = [
+        ("1", "refund-exceeds-charge", "line",
+         "refunded 70.00 > charge 60.00"),
+        ("1", "slot-max-pets", "pet_ids", "3 pets > max 2 for service 1"),
+        ("10", "pets-belong-to-customer", "pet_ids",
+         "pet 3 belongs to customer 2, booking is for 1"),
+        ("11", "enum-state", "state", f"value lost not in {states}"),
+        ("13", "completed-no-charge", "charges",
+         "completed booking has no booking charge"),
+        ("14", "completed-charge-amount", "charges",
+         "no booking charge matches cost 30.00 (got [10.0])"),
+        ("15", "completed-before-end", "end",
+         f"completed booking ends {end15} — not before {asof}"),
+        ("1|1", "unique-customer-slot", "customer_id,slot_id", "count=2"),
+        ("1|2", "unique-customer-slot", "customer_id,slot_id", "count=2"),
+        ("2", "frozen-adjustment", "adjustment",
+         "frozen field changed from 2.0 to 5.0"),
+        ("2", "no-email-contact", "contacts",
+         "customer has no email contact"),
+        ("2", "sent-with-customer-issues", "customer_id",
+         "invoice was sent but customer 3 has issues"),
+        ("2|4", "slot-overlap", "start,end", "slots 2 and 4 overlap"),
+        ("2|5", "unique-customer-slot", "customer_id,slot_id", "count=2"),
+        ("3", "invoice-total-consistency", "total",
+         "stored 99.00 != recomputed 30.00"),
+        ("3", "no-invoice-email", "invoice_email", "no invoice email set"),
+        ("3", "overdue-parity", "overdue",
+         "stored overdue=True disagrees with recomputation"),
+        ("3", "paid-on-consistency", "paid_on",
+         "paid_on must be set iff the charge has been paid"),
+        ("3", "range-amount", "amount", "value -5.0 outside [0, None]"),
+        ("4", "suspicious-last-name", "last_name",
+         "last name doesn't look right"),
+        ("5", "paid-charges-unpaid", "charges",
+         "1 charge(s) not paid on a paid invoice"),
+        ("6", "has-booking-slot", "slot_id",
+         "canceled bookings must have no slot; "
+         "active bookings must have one"),
+        ("6", "maxlen-name", "name", "length 300 > max 255"),
+        ("6", "slot-start-before-end", "start",
+         "slot start must be before end"),
+        ("7", "has-booking-slot", "slot_id",
+         "canceled bookings must have no slot; "
+         "active bookings must have one"),
+        ("7", "paid-on-consistency", "paid_on",
+         "paid_on must be set iff the charge has been paid"),
+        ("8", "booking-start-before-end", "start",
+         "start must be before end"),
+        ("booking|2", "fsm-illegal-edge", "state",
+         "enquiry→confirmed not allowed"),
+        ("charge|2", "fsm-illegal-edge", "state",
+         "paid→unpaid not allowed"),
+        ("invoice|2", "fsm-broken-chain", "state",
+         "log jumps from unpaid to draft"),
+    ]
+    cols = list(zip(*sorted(rows)))
+    return pa.Table.from_arrays(
+        [pa.array(list(c), type=pa.string()) for c in cols],
+        names=["doc_id", "rule", "path", "detail"])

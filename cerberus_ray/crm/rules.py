@@ -654,15 +654,19 @@ def booking_completed_guard(bookings_ds, *, today) -> pa.Table:
             else today)
 
     def check(b: pa.Table) -> pa.Table:
-        bad = pc.and_(pc.equal(b["state"], "completed"),
-                      pc.greater_equal(b["end"], pa.scalar(asof)))
-        rows = [(str(int(bid)), "completed-before-end", "end",
-                 f"completed booking ends {end} — not before {asof}")
-                for bid, end, isbad in zip(b["booking_id"].to_pylist(),
-                                           b["end"].to_pylist(),
-                                           pc.fill_null(bad, False).to_pylist())
-                if isbad]
-        return _v(rows)
+        bad = pc.fill_null(
+            pc.and_(pc.equal(b["state"], "completed"),
+                    pc.greater_equal(b["end"], pa.scalar(asof))), False)
+        # detail values materialize lazily for VIOLATING rows only —
+        # the predicate stays vectorized, Python boxing is O(violations)
+        idx = np.flatnonzero(bad.to_numpy(zero_copy_only=False))
+        if not len(idx):
+            return _v([])
+        t = b.take(idx)
+        return _v([(str(int(bid)), "completed-before-end", "end",
+                    f"completed booking ends {end} — not before {asof}")
+                   for bid, end in zip(t["booking_id"].to_pylist(),
+                                       t["end"].to_pylist())])
 
     out = bookings_ds.map_batches(check, batch_format="pyarrow").to_pandas()
     if not len(out):
@@ -686,19 +690,29 @@ def invoice_send_guard(invoices_ds, customers_ds) -> pa.Table:
 
     issue_pdf = customers_ds.map_batches(
         issue_ids, batch_format="pyarrow").to_pandas()
-    issues = set(issue_pdf.get("customer_id", []))
+    issues = (np.unique(issue_pdf["customer_id"].to_numpy())
+              if "customer_id" in issue_pdf.columns and len(issue_pdf)
+              else np.array([], dtype=np.int64))
     ref = ray.put(issues)
 
     def check(b: pa.Table) -> pa.Table:
         bad_custs = ray.get(ref)
+        if not len(bad_custs):
+            return _v([])
         sent = pc.is_in(b["state"], value_set=pa.array(["unpaid", "paid"]))
-        rows = [(str(int(iid)), "sent-with-customer-issues", "customer_id",
-                 f"invoice was sent but customer {int(cid)} has issues")
-                for iid, cid, s in zip(b["invoice_id"].to_pylist(),
-                                       b["customer_id"].to_pylist(),
-                                       sent.to_pylist())
-                if s and cid in bad_custs]
-        return _v(rows)
+        inbad = pc.is_in(b["customer_id"], value_set=pa.array(bad_custs))
+        bad = pc.and_(sent, pc.fill_null(inbad, False))
+        # box only violating rows (vectorized predicate above)
+        idx = np.flatnonzero(
+            pc.fill_null(bad, False).to_numpy(zero_copy_only=False))
+        if not len(idx):
+            return _v([])
+        t = b.take(idx)
+        return _v([(str(int(iid)), "sent-with-customer-issues",
+                    "customer_id",
+                    f"invoice was sent but customer {int(cid)} has issues")
+                   for iid, cid in zip(t["invoice_id"].to_pylist(),
+                                       t["customer_id"].to_pylist())])
 
     out = invoices_ds.map_batches(check, batch_format="pyarrow").to_pandas()
     if not len(out):
@@ -717,14 +731,15 @@ def overdue_parity(invoices_ds, *, today) -> pa.Table:
                                    pc.less(due, pa.scalar(today))))
         bad = pc.xor(pc.fill_null(computed, False),
                      pc.fill_null(b["overdue"], False))
-        rows = []
-        for iid, isbad, stored in zip(b["invoice_id"].to_pylist(),
-                                      bad.to_pylist(),
-                                      b["overdue"].to_pylist()):
-            if isbad:
-                rows.append((str(int(iid)), "overdue-parity", "overdue",
-                             f"stored overdue={stored} disagrees with recomputation"))
-        return _v(rows)
+        # box only violating rows (vectorized predicate above)
+        idx = np.flatnonzero(bad.to_numpy(zero_copy_only=False))
+        if not len(idx):
+            return _v([])
+        t = b.take(idx)
+        return _v([(str(int(iid)), "overdue-parity", "overdue",
+                    f"stored overdue={stored} disagrees with recomputation")
+                   for iid, stored in zip(t["invoice_id"].to_pylist(),
+                                          t["overdue"].to_pylist())])
 
     out = invoices_ds.map_batches(check, batch_format="pyarrow").to_pandas()
     if not len(out):

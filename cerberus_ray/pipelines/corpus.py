@@ -72,6 +72,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                           mixing_weights: Optional[Dict[str, float]] = None,
                           source_col: str = "source",
                           cut_ngram: Optional[int] = None,
+                          near_exact: bool = False,
                           strip_markup: bool = False,
                           normalize_unicode: Optional[str] = None,
                           c4_rules: bool = False,
@@ -95,9 +96,12 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     exact dedup) after in-corpus exact dedup, ``ppl_keep`` (e.g.
     ``("head", "middle")``) applies the CCNet per-language perplexity
     split after the heuristic gate and keeps only the named buckets
-    (requires ``lang_col``), and ``mixing_weights`` applies deterministic
-    per-source sampling after near-dedup. Defaults leave the classic
-    4-stage funnel unchanged."""
+    (requires ``lang_col``), ``mixing_weights`` applies deterministic
+    per-source sampling after near-dedup, and ``near_exact`` swaps the
+    near-dedup pair stage from MinHash-LSH (probabilistic, the scale
+    path) to the exact prefix-filter set-similarity join (recall 1 —
+    the oracle-checkable path the driver query rides). Defaults leave
+    the classic 4-stage funnel unchanged."""
     from ..pipelines.dedup import dedup_near_keep_first, exact_dedup_keep_first
 
     # optional 0. markup strip + domain blocklist (web hygiene front door)
@@ -158,6 +162,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                       and m.get("blocklist") == block_key
                       and m.get("mixing_weights") == mk
                       and m.get("cut_ngram") == cut_ngram
+                      and m.get("near_exact", False) == near_exact
                       and m.get("near_threshold") == near_threshold
                       and m.get("bands") == bands
                       and m.get("shuffle_seed") == shuffle_seed):
@@ -278,12 +283,16 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             exact = cut_duplicated_substrings(
                 exact, dup_h, text_col=text_col, n=cut_ngram).materialize()
 
-    # 3. near-dedup (LSH → connected components → keep cluster min);
+    # 3. near-dedup (pairs → connected components → keep cluster min);
     # n_rows_hint = the count already taken above, so the mode planner
-    # doesn't re-execute the (computed) dataset for its own count()
+    # doesn't re-execute the (computed) dataset for its own count().
+    # near_exact swaps the MinHash-LSH pair stage (the probabilistic
+    # scale path) for the exact prefix-filter set-similarity join
+    # (recall/precision 1 — SQL-reproducible, hence oracle-checkable)
     deduped, clusters = dedup_near_keep_first(
         exact, text_col=text_col, key_col=key_col,
-        threshold=near_threshold, bands=bands, n_rows_hint=int(n_exact))
+        threshold=near_threshold, bands=bands, n_rows_hint=int(n_exact),
+        pair_method="exact" if near_exact else "minhash")
     # optional 3b. domain mixing (deterministic per-source sampling)
     if mixing_weights:
         from ..pipelines.mixing import sample_by_source
@@ -322,6 +331,7 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             "blocklist": block_key,
             "ppl_keep": sorted(ppl_keep) if ppl_keep else None,
             "cut_ngram": cut_ngram,
+            "near_exact": near_exact,
             "mixing_weights": ([list(t) for t in mix_key]
                                if mix_key else None),
         }

@@ -1443,13 +1443,30 @@ def connected_components(pairs_table: pa.Table, *, a_col: str = "doc_id_a",
 
 def dedup_near_keep_first(ds, *, text_col: str = "text",
                           key_col: str = "doc_id", threshold: float = 0.8,
+                          pair_method: str = "minhash",
                           **minhash_kwargs):
-    """Full near-dedup pipeline: MinHash-LSH pairs → components → drop all
-    but the min-key member of each cluster. Returns (kept_ds, clusters)."""
+    """Full near-dedup pipeline: near-dup pairs → components → drop all
+    but the min-key member of each cluster. Returns (kept_ds, clusters).
+
+    ``pair_method`` picks the pair stage: ``"minhash"`` (default — the
+    probabilistic LSH scale path) or ``"exact"`` (:func:`ssjoin_pairs`,
+    recall/precision 1 by construction — the verifiable path the
+    training_corpus_report driver oracle rides; Ω(candidates), use where
+    the corpus fits the ssjoin bands)."""
     import ray
 
-    pairs = minhash_near_dup_pairs(ds, text_col=text_col, key_col=key_col,
-                                   threshold=threshold, **minhash_kwargs)
+    if pair_method == "exact":
+        pairs = ssjoin_pairs(
+            ds, text_col=text_col, key_col=key_col,
+            w=minhash_kwargs.get("w", 3), threshold=threshold,
+            n_rows_hint=minhash_kwargs.get("n_rows_hint", 0))
+    elif pair_method == "minhash":
+        pairs = minhash_near_dup_pairs(ds, text_col=text_col,
+                                       key_col=key_col,
+                                       threshold=threshold,
+                                       **minhash_kwargs)
+    else:
+        raise ValueError(f"unknown pair_method: {pair_method!r}")
     clusters = connected_components(pairs)
     drop = {r["doc_id"] for r in clusters.to_pylist()
             if r["doc_id"] != r["cluster_id"]}

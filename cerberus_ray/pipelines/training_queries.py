@@ -2153,9 +2153,12 @@ def ensure_flagship_goldens() -> str:
     from ..datagen import (GenConfig, expected_fragment_verdicts,
                            expected_violations)
 
+    from ..crm.fixtures import expected_crm_violations
+
     os.makedirs(_GOLDEN_DIR, exist_ok=True)
     vio_path = os.path.join(_GOLDEN_DIR, "flagship_expected.parquet")
     ver_path = os.path.join(_GOLDEN_DIR, "flagship_verdicts.parquet")
+    crm_path = os.path.join(_GOLDEN_DIR, "crm_expected.parquet")
     vio, ver = [], []
     for n in sorted(set(_FLAGSHIP_DOCS.values())):
         cfg = GenConfig(n_docs=n, n_media=max(200, n // 5))
@@ -2172,7 +2175,8 @@ def ensure_flagship_goldens() -> str:
     # concurrent reader never sees a half-written file
     pid = os.getpid()
     for table, path in ((pa.concat_tables(vio), vio_path),
-                        (pa.concat_tables(ver), ver_path)):
+                        (pa.concat_tables(ver), ver_path),
+                        (expected_crm_violations(), crm_path)):
         tmp = f"{path}.{pid}.tmp"
         _pq.write_table(table, tmp)
         os.replace(tmp, path)
@@ -2226,12 +2230,18 @@ def q_flagship_verdicts(sf_dir: str) -> pa.Table:
 
 def q_crm_violations(sf_dir: str) -> pa.Table:
     """The CRM constraint pack over its deterministic fixture corpus
-    (rule-for-rule parity surface; independent of sf level)."""
+    (rule-for-rule parity surface; independent of sf level). Oracle:
+    the hand-derived golden table from fixture bookkeeping
+    (`crm.fixtures.expected_crm_violations`, served as parquet by
+    `ensure_flagship_goldens` — the dual-path pattern: engine recomputes
+    from raw tables, oracle never runs the validator)."""
     from ..crm.fixtures import TODAY, make_crm_tables
     from ..crm.rules import run_crm_pack
 
     tables, _ = make_crm_tables()
-    return run_crm_pack(tables, today=TODAY)
+    return run_crm_pack(tables, today=TODAY).sort_by([
+        ("doc_id", "ascending"), ("rule", "ascending"),
+        ("path", "ascending"), ("detail", "ascending")])
 
 
 def q_events_drift_check(sf_dir: str) -> pa.Table:
@@ -2269,6 +2279,102 @@ def q_events_drift_check(sf_dir: str) -> pa.Table:
             "doc_id": ["events"], "rule": ["drift-none"], "path": ["*"],
             "detail": ["no drift between time halves"]})
     return v
+
+
+def q_events_drift_psi(sf_dir: str) -> pa.Table:
+    """ST6 decomposition, the SQL-expressible half: per-segment PSI terms
+    between the two time halves of events (split at the exact
+    (min+max)//2 ts-microsecond midpoint — a fixed boundary, unlike the
+    t-digest median the sketch verdict uses) over FIXED equal-width
+    value bins and event_type frequencies. Counts are exact integers and
+    each psi_term is one IEEE expression over them, so DuckDB reproduces
+    the table bit-for-bit; the sketch-quantile/KS verdict stays in
+    events_drift_check (rows-only by nature). Distributed shape: two
+    tiny passes — global extremes, then per-block histogram partials
+    merged on the driver (≤ 10 + #categories rows per block)."""
+    from ..determinism import round_away
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["ts", "value", "event_type"])
+
+    def extremes(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        return pa.Table.from_pydict({
+            "ts_min": [int(ts.min()) if len(ts) else None],
+            "ts_max": [int(ts.max()) if len(ts) else None],
+            "v_min": [float(v.min()) if len(v) else None],
+            "v_max": [float(v.max()) if len(v) else None]})
+
+    ext = ds.map_batches(extremes, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    mid = int((int(ext["ts_min"].min()) + int(ext["ts_max"].max())) // 2)
+    vmin, vmax = float(ext["v_min"].min()), float(ext["v_max"].max())
+    # degenerate all-equal column: every value lands in bin 0 (the
+    # oracle's CASE WHEN vmax = vmin mirrors this)
+    span = (vmax - vmin) if vmax > vmin else 1.0
+
+    def partials(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        half = (ts >= mid).astype(np.int64)
+        comp, seg, hlf, cnt = [], [], [], []
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        if ok.any():
+            # same IEEE expression the oracle evaluates per row
+            bins = np.clip(np.floor((v[ok] - vmin) / span * 10.0)
+                           .astype(np.int64), 0, 9)
+            for h in (0, 1):
+                c = np.bincount(bins[half[ok] == h], minlength=10)
+                comp += ["value_bin"] * 10
+                seg += [str(i) for i in range(10)]
+                hlf += [h] * 10
+                cnt += c.tolist()
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        okc = np.array([x is not None for x in et], dtype=bool)
+        if okc.any():
+            key = np.char.add(et[okc].astype(str),
+                              np.char.mod("\x1e%d", half[okc]))
+            uk, c = np.unique(key, return_counts=True)
+            for k, n in zip(uk, c):
+                cat, h = k.rsplit("\x1e", 1)
+                comp.append("event_type")
+                seg.append(cat)
+                hlf.append(int(h))
+                cnt.append(int(n))
+        return pa.Table.from_pydict(
+            {"component": comp, "segment": seg, "half": hlf, "n": cnt})
+
+    pdf = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+           .groupby(["component", "segment", "half"], as_index=False)["n"]
+           .sum())
+    wide = (pdf.pivot_table(index=["component", "segment"], columns="half",
+                            values="n", fill_value=0, aggfunc="sum")
+            .reindex(columns=[0, 1], fill_value=0).reset_index())
+    wide.columns = ["component", "segment", "n_first", "n_second"]
+    # every value bin appears even when empty in both halves (stable
+    # schema; the oracle generates the same 0..9 spine)
+    spine = pd.DataFrame({"component": "value_bin",
+                          "segment": [str(i) for i in range(10)]})
+    wide = (spine.merge(wide, on=["component", "segment"], how="outer")
+            .fillna({"n_first": 0, "n_second": 0}))
+    wide["n_first"] = wide["n_first"].astype("int64")
+    wide["n_second"] = wide["n_second"].astype("int64")
+    tot = (wide.groupby("component")[["n_first", "n_second"]]
+           .transform("sum"))
+    p = wide["n_first"].to_numpy() / np.maximum(
+        tot["n_first"].to_numpy(), 1).astype(np.float64)
+    q = wide["n_second"].to_numpy() / np.maximum(
+        tot["n_second"].to_numpy(), 1).astype(np.float64)
+    pc_ = np.maximum(p, 1e-6)
+    qc_ = np.maximum(q, 1e-6)
+    wide["psi_term"] = round_away((pc_ - qc_) * np.log(pc_ / qc_), 6)
+    wide = wide.sort_values(["component", "segment"]).reset_index(drop=True)
+    return pa.Table.from_pandas(wide, preserve_index=False)
 
 
 #: unanchored in-document variants of the contact regex cascade
@@ -2333,12 +2439,18 @@ def q_doc_normalize_stats(sf_dir: str) -> pa.Table:
 
 def q_training_corpus_report(sf_dir: str) -> pa.Table:
     """The full corpus-construction pipeline (gate → exact dedup → near
-    dedup → shuffle) over the documents table; returns the funnel counts
-    (rows-only; deterministic)."""
+    dedup → shuffle) over the documents table; returns the funnel
+    counts. The driver query rides the EXACT near-dup pair stage
+    (ssjoin_pairs — recall/precision 1), so every funnel count is
+    recomputable in pure SQL (_corpus_funnel_sql: shared quality CTE +
+    md5 keep-first + exact-Jaccard self-join + recursive-CTE connected
+    components); MinHash stays the documented probabilistic scale path
+    inside build_training_corpus."""
     from .corpus import build_training_corpus
 
     r = build_training_corpus(_docs(sf_dir, ["doc_id", "text"]),
-                              out_dir=None, near_threshold=0.8)
+                              out_dir=None, near_threshold=0.8,
+                              near_exact=True)
     return pa.Table.from_pydict({
         "n_input": [r.n_input], "n_quality_pass": [r.n_quality_pass],
         "n_after_exact_dedup": [r.n_after_exact_dedup],
@@ -5119,6 +5231,7 @@ def q_cuped_report(sf_dir: str) -> pa.Table:
 QUERIES = {
     "training_corpus_report": q_training_corpus_report,
     "events_drift_check": q_events_drift_check,
+    "events_drift_psi": q_events_drift_psi,
     "doc_normalize_stats": q_doc_normalize_stats,
     "doc_pii_scan": q_doc_pii_scan,
     "flagship_violations": q_flagship_violations,
@@ -5395,16 +5508,17 @@ _LANGID_SQL = f"""
     FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """
 
-def _quality_sql() -> str:
-    """doc_quality oracle: the TextScorer kernel re-expressed in DuckDB.
-    The three regexes are interpolated from the engine's own RE2 patterns
-    (text.SUBWORD_RE/PUNCT_RE/DIGIT_RE — both sides evaluate RE2) and the
-    stopword list from _STOPWORDS, so neither side can drift. ROUND in
+def _quality_cols_cte() -> str:
+    """Shared WITH-body computing the per-doc TextScorer columns AND the
+    quality_pass gate (CTE ``q``) — one definition serving both the
+    doc_quality oracle and the training_corpus_report funnel oracle, so
+    the two can't drift. The three regexes are interpolated from the
+    engine's own RE2 patterns (text.SUBWORD_RE/PUNCT_RE/DIGIT_RE — both
+    sides evaluate RE2) and the stopword list from _STOPWORDS. ROUND in
     DuckDB is half-away-from-zero, which text._round4 mirrors."""
     from .text import DIGIT_RE, PUNCT_RE, SUBWORD_RE
 
-    return rf"""
-    WITH t AS (
+    return rf"""t AS (
       SELECT doc_id, COALESCE(text, '') AS txt,
              lower(COALESCE(text, '')) AS low
       FROM documents),
@@ -5412,32 +5526,108 @@ def _quality_sql() -> str:
       SELECT doc_id, txt, low,
              list_filter(string_split_regex(low, '\s+'),
                          x -> x <> '') AS toks
-      FROM t)
-    SELECT doc_id,
-      CAST(LENGTH(txt) AS BIGINT) AS n_chars,
-      CAST(len(toks) AS BIGINT) AS n_tokens,
-      CAST(len(regexp_extract_all(low, '{SUBWORD_RE}')) AS BIGINT)
-          AS n_subwords,
-      ROUND(len(regexp_extract_all(txt, '{PUNCT_RE}'))::DOUBLE
-            / greatest(LENGTH(txt), 1), 4) AS punct_ratio,
-      ROUND(len(regexp_extract_all(txt, '{DIGIT_RE}'))::DOUBLE
-            / greatest(LENGTH(txt), 1), 4) AS digit_ratio,
-      ROUND(len(list_filter(toks, x ->
-                list_contains([{_stopword_sql('en')}], x)))::DOUBLE
-            / greatest(len(toks), 1), 4) AS stopword_ratio,
-      ROUND(len(list_distinct(toks))::DOUBLE
-            / greatest(len(toks), 1), 4) AS unique_token_ratio,
-      ROUND(CASE WHEN len(toks) = 0 THEN 0.0
-                 ELSE list_sum(list_transform(toks, x -> LENGTH(x)))::DOUBLE
-                      / len(toks) END, 4) AS mean_word_len,
-      (n_tokens >= 5 AND n_tokens <= 100000
-       AND mean_word_len BETWEEN 2 AND 12
-       AND punct_ratio < 0.3 AND unique_token_ratio > 0.1) AS quality_pass
-    FROM tok ORDER BY doc_id
-    """
+      FROM t),
+    q AS (
+      SELECT doc_id, txt,
+        CAST(LENGTH(txt) AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(low, '{SUBWORD_RE}')) AS BIGINT)
+            AS n_subwords,
+        ROUND(len(regexp_extract_all(txt, '{PUNCT_RE}'))::DOUBLE
+              / greatest(LENGTH(txt), 1), 4) AS punct_ratio,
+        ROUND(len(regexp_extract_all(txt, '{DIGIT_RE}'))::DOUBLE
+              / greatest(LENGTH(txt), 1), 4) AS digit_ratio,
+        ROUND(len(list_filter(toks, x ->
+                  list_contains([{_stopword_sql('en')}], x)))::DOUBLE
+              / greatest(len(toks), 1), 4) AS stopword_ratio,
+        ROUND(len(list_distinct(toks))::DOUBLE
+              / greatest(len(toks), 1), 4) AS unique_token_ratio,
+        ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE list_sum(list_transform(toks,
+                                                x -> LENGTH(x)))::DOUBLE
+                        / len(toks) END, 4) AS mean_word_len,
+        (n_tokens >= 5 AND n_tokens <= 100000
+         AND mean_word_len BETWEEN 2 AND 12
+         AND punct_ratio < 0.3 AND unique_token_ratio > 0.1)
+            AS quality_pass
+      FROM tok)"""
+
+
+def _quality_sql() -> str:
+    """doc_quality oracle: the TextScorer kernel re-expressed in DuckDB
+    (see _quality_cols_cte for the shared column definitions)."""
+    return ("WITH " + _quality_cols_cte() + """
+    SELECT doc_id, n_chars, n_tokens, n_subwords, punct_ratio,
+           digit_ratio, stopword_ratio, unique_token_ratio,
+           mean_word_len, quality_pass
+    FROM q ORDER BY doc_id
+    """)
+
+
+def _corpus_funnel_sql(threshold: float = 0.8, w: int = 3) -> str:
+    """training_corpus_report oracle: the 4-stage funnel recomputed in
+    pure SQL — quality gate (shared CTE), exact dedup keep-first
+    (MIN(doc_id) per content md5, the dedup_exact_keep semantics), exact
+    w-shingle Jaccard pairs at the corpus near-dup threshold (the same
+    shingle/Jaccard formulas the dedup_ngram_verified oracle verifies
+    bit-for-bit against ssjoin_pairs), and connected components via a
+    recursive min-label propagation. The near-dedup kept count is
+    n_exact − (paired nodes − components), which is invariant to which
+    cluster member either side elects as representative."""
+    return ("WITH RECURSIVE " + _quality_cols_cte() + rf""",
+    qp AS (SELECT doc_id, txt FROM q WHERE quality_pass),
+    keep1 AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(txt) AS txt
+      FROM qp GROUP BY md5(txt)),
+    shw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(txt), '\s+'),
+                         x -> x <> '') AS ws
+      FROM keep1),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ws) < {w} THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(
+                      [array_to_string(ws[i:i+{w - 1}], ' ')
+                       for i in range(1, len(ws) - {w - 2})])
+             END AS s
+      FROM shw),
+    pr AS (
+      SELECT CAST(a.doc_id AS VARCHAR) AS na,
+             CAST(b.doc_id AS VARCHAR) AS nb
+      FROM sh a JOIN sh b
+        ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+      WHERE CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                 ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s)))
+            END >= {threshold}),
+    ed AS (SELECT na AS a, nb AS b FROM pr
+           UNION ALL SELECT nb, na FROM pr),
+    comp AS (
+      SELECT DISTINCT a AS node, a AS label FROM ed
+      UNION
+      SELECT ed.b, comp.label FROM comp JOIN ed ON ed.a = comp.node),
+    lab AS (SELECT node, MIN(label) AS root FROM comp GROUP BY node)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM qp) AS n_quality_pass,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1) AS n_after_exact_dedup,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1)
+        - ((SELECT CAST(COUNT(*) AS BIGINT) FROM lab)
+           - (SELECT CAST(COUNT(DISTINCT root) AS BIGINT) FROM lab))
+        AS n_after_near_dedup
+    """)
 
 
 ORACLE_SQL = {
+    # hand-derived golden from fixture bookkeeping (expected_crm_violations
+    # — the validator never writes this file); sf-independent corpus
+    "crm_violations": f"""
+        SELECT doc_id, rule, path, detail
+        FROM read_parquet('{_GOLDEN_DIR}/crm_expected.parquet')
+        ORDER BY doc_id, rule, path, detail
+    """,
     "flagship_violations": f"""
         SELECT doc_id, rule, path, detail
         FROM read_parquet('{_GOLDEN_DIR}/flagship_expected.parquet')
@@ -5536,6 +5726,64 @@ ORACLE_SQL = {
     """,
     "doc_langid": _LANGID_SQL,
     "doc_quality": _quality_sql(),
+    "training_corpus_report": _corpus_funnel_sql(threshold=0.8, w=3),
+    # ST6's SQL-expressible half: exact integer counts per fixed
+    # value bin / category between the ts-midpoint halves, one IEEE
+    # psi expression per row (the t-digest/KS verdict stays rows-only
+    # in events_drift_check)
+    "events_drift_psi": """
+        WITH e AS (
+          SELECT epoch_us(ts) AS tsm, value, event_type FROM events),
+        m AS (SELECT (MIN(tsm) + MAX(tsm)) // 2 AS mid FROM e),
+        vx AS (SELECT MIN(value) AS vmin,
+                      CASE WHEN MAX(value) > MIN(value)
+                           THEN MAX(value) - MIN(value)
+                           ELSE 1.0 END AS span
+               FROM e WHERE value IS NOT NULL),
+        vrows AS (
+          SELECT LEAST(GREATEST(CAST(floor((e.value - vx.vmin)
+                                           / vx.span * 10.0)
+                                     AS BIGINT), 0), 9) AS seg,
+                 CASE WHEN e.tsm >= m.mid THEN 1 ELSE 0 END AS half
+          FROM e, m, vx WHERE e.value IS NOT NULL),
+        vcnt AS (
+          SELECT seg,
+                 CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS n_first,
+                 CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS n_second
+          FROM vrows GROUP BY seg),
+        vall AS (
+          SELECT 'value_bin' AS component,
+                 CAST(r.range AS VARCHAR) AS segment,
+                 COALESCE(v.n_first, 0) AS n_first,
+                 COALESCE(v.n_second, 0) AS n_second
+          FROM range(10) r LEFT JOIN vcnt v ON v.seg = r.range),
+        crows AS (
+          SELECT e.event_type AS segment,
+                 CASE WHEN e.tsm >= m.mid THEN 1 ELSE 0 END AS half
+          FROM e, m WHERE e.event_type IS NOT NULL),
+        call AS (
+          SELECT 'event_type' AS component, segment,
+                 CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS n_first,
+                 CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS n_second
+          FROM crows GROUP BY segment),
+        u AS (SELECT * FROM vall UNION ALL SELECT * FROM call),
+        w AS (
+          SELECT component, segment, n_first, n_second,
+                 CAST(n_first AS DOUBLE)
+                   / CAST(GREATEST(SUM(n_first)
+                            OVER (PARTITION BY component), 1)
+                          AS DOUBLE) AS p,
+                 CAST(n_second AS DOUBLE)
+                   / CAST(GREATEST(SUM(n_second)
+                            OVER (PARTITION BY component), 1)
+                          AS DOUBLE) AS q
+          FROM u)
+        SELECT component, segment, n_first, n_second,
+               ROUND((GREATEST(p, 1e-6) - GREATEST(q, 1e-6))
+                     * ln(GREATEST(p, 1e-6) / GREATEST(q, 1e-6)), 6)
+                   AS psi_term
+        FROM w ORDER BY component, segment
+    """,
     "doc_pii_scan": rf"""
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(COUNT(*) FILTER

@@ -24,6 +24,34 @@ def test_exact_violation_set(result):
         f"extra={sorted(set(got) - set(expected))}")
 
 
+def test_golden_table_matches_pack(result):
+    """Full-table golden parity: the validator's output equals the
+    hand-derived expected table from fixture bookkeeping ROW FOR ROW
+    (doc_id, rule, path, detail) — the dual-path gate behind the
+    crm_violations DuckDB oracle."""
+    from cerberus_ray.crm.fixtures import expected_crm_violations
+
+    out, _ = result
+    got = out.sort_by([("doc_id", "ascending"), ("rule", "ascending"),
+                       ("path", "ascending"), ("detail", "ascending")])
+    golden = expected_crm_violations()
+    assert got.num_rows == golden.num_rows
+    for col in ("doc_id", "rule", "path", "detail"):
+        assert got[col].to_pylist() == golden[col].to_pylist(), col
+
+
+def test_golden_table_consistent_with_key_rule_list(result):
+    """The golden table and make_crm_tables' (key, rule) bookkeeping
+    must describe the same injection set."""
+    from cerberus_ray.crm.fixtures import expected_crm_violations
+
+    _, expected = result
+    golden = expected_crm_violations()
+    got = sorted(set(zip(golden["doc_id"].to_pylist(),
+                         golden["rule"].to_pylist())))
+    assert got == expected
+
+
 def test_details_are_informative(result):
     out, _ = result
     details = out["detail"].to_pylist()

@@ -47,16 +47,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def queries_and_oracles():
     import __ray_entry__ as e
 
-    q = e.queries()
-    o = e.oracle_sql()
-    assert set(o) <= set(q), "oracle keys must be a subset of query keys"
+    # the full oracle map includes _GATED_OVERFLOW entries whose query
+    # lives in extra_queries() (50-slot registry budget); the DRIVER
+    # surface (oracle_sql) must stay a subset of the registered queries
+    q = e.queries() | e.extra_queries()
+    o = e.all_oracle_sql()
+    assert set(e.oracle_sql()) <= set(e.queries())
+    assert set(o) <= set(q), "oracle keys must have a runnable query"
     return q, o
 
 
 def pairs():
     import __ray_entry__ as e
 
-    return sorted(e.oracle_sql())
+    return sorted(e.all_oracle_sql())
 
 
 @pytest.mark.parametrize("name", pairs())
