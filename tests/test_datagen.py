@@ -93,3 +93,26 @@ def test_expected_fragment_verdicts_match_pipeline(ray_session):
     got = fragment_verdicts(docs, validate(docs, rs))
     want = expected_fragment_verdicts(cfg, frag)
     assert got.equals(want), (got.to_pandas(), want.to_pandas())
+
+
+def test_flagship_cfg_unknown_sf_raises(tmp_path):
+    """An sf level unknown to BOTH gate maps must fail loudly — a silent
+    default would run the engine at one size while the SQL golden gate
+    selects another (or errors)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from cerberus_ray.pipelines.training_queries import _flagship_cfg
+
+    pq.write_table(pa.table({"l_orderkey": list(range(7))}),
+                   str(tmp_path / "lineitem.parquet"))
+    with pytest.raises(ValueError, match="unknown sf level"):
+        _flagship_cfg(str(tmp_path))
+
+
+def test_flagship_cfg_known_levels():
+    from cerberus_ray.pipelines.training_queries import _flagship_cfg
+
+    assert _flagship_cfg("/root/testdata/sf0.001").n_docs == 2000
+    assert _flagship_cfg("/root/testdata/sf0.01").n_docs == 5000

@@ -45,3 +45,30 @@ def test_deterministic_across_layouts(ray_session):
     b = emb_threshold_calibration(
         rd.from_pandas(df, override_num_blocks=7), n_pairs=3000)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_zero_norm_vectors_are_dropped(ray_session):
+    """A zero vector has no defined cosine — it must produce no pairs
+    (and not crash or emit sim=0 rows), matching the oracle where
+    list_cosine_similarity would divide by a zero magnitude."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.similarity import (
+        exact_cosine_threshold_pairs,
+    )
+
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [0.0, 0.0], [1.0, 0.0]],
+    })
+    out = exact_cosine_threshold_pairs(
+        rd.from_pandas(df), threshold=0.9, n_rows_hint=3).to_pandas()
+    assert list(zip(out["id_a"], out["id_b"])) == [(0, 2)]
+
+    all_zero = pd.DataFrame({"vec_id": [0, 1],
+                             "embedding": [[0.0, 0.0], [0.0, 0.0]]})
+    out2 = exact_cosine_threshold_pairs(
+        rd.from_pandas(all_zero), threshold=0.5, n_rows_hint=2).to_pandas()
+    assert len(out2) == 0

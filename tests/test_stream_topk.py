@@ -127,3 +127,21 @@ def test_heap_eviction_matches_space_saving_semantics(ray_session):
             assert est - err <= true.get(k, 0)    # err bounds overcount
     finally:
         t.shutdown()
+
+
+def test_heap_stays_bounded_under_hot_key_increments(ray_session):
+    """A stream dominated by resident-key increments (no evictions)
+    must not grow the lazy heap with total updates — the rebuild keeps
+    it O(capacity). Exercises the shard class directly (driver-local)
+    so the heap length is observable."""
+    from cerberus_ray.stages.stream_topk import TopKShard
+
+    shard = TopKShard.__ray_metadata__.modified_class(capacity=16)
+    keys = [f"k{i}" for i in range(16)]
+    shard.update(keys, [1] * 16)
+    for _ in range(500):
+        shard.update(keys, [1] * 16)   # 8000 hot-key increments
+    assert len(shard._heap) <= 4 * 16 + 16
+    # counts stay exact in no-eviction mode
+    assert all(shard.counts[k] == 501 for k in keys)
+    assert shard.summary()[0][2] == 0  # err 0, never evicted
