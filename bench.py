@@ -48,6 +48,8 @@ QUERY_NAMES = [
     "events_props_stats", "top_customers_by_revenue", "flagship_violations",
     "events_quantiles", "doc_langid", "dedup_exact_keep",
     "top_orders_per_nation",
+    # round-5 oracle promotions (timed once gated)
+    "crm_violations", "training_corpus_report", "events_drift_psi",
     # extras-surface training-data ops (timed for the record; they are
     # pytest-gated rather than driver-oracle-gated)
     "token_top_k", "decontamination_report", "lm_quality_report",
