@@ -904,33 +904,49 @@ def contact_email_census(contacts_ds, customers_ds) -> pa.Table:
 # full pack
 # ---------------------------------------------------------------------------
 
-def run_crm_pack(tables: Dict[str, pa.Table], *, today) -> pa.Table:
-    """Run every CRM rule over the given tables → one violations table."""
+def run_crm_pack(tables: Dict[str, pa.Table], *, today,
+                 max_workers: int = 6) -> pa.Table:
+    """Run every CRM rule over the given tables → one violations table.
+
+    The 20 rules are INDEPENDENT pipelines, each paying Ray's fixed
+    per-execution cost (~80-90 ms measured) — run them on a small
+    thread pool (the flagship-bench concurrency pattern) so the fixed
+    costs overlap instead of serializing; inputs are ``from_arrow``
+    datasets, so there is no lazy read-plan import race. Results are
+    collected in declaration order → deterministic output."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import ray.data as rd
 
     ds = {k: rd.from_arrow(v) for k, v in tables.items()}
-    parts: Iterable[pa.Table] = [
-        run_rowpack(ds["bookings"], booking_row_ruleset()),
-        run_rowpack(ds["charges"], charge_row_ruleset()),
-        run_rowpack(ds["payments"], payment_row_ruleset()),
-        run_rowpack(ds["customers"], customer_issue_ruleset()),
-        run_rowpack(ds["slots"], slot_row_ruleset()),
-        booking_unique_customer_slot(ds["bookings"]),
-        booking_pets_belong(ds["bookings"], ds["pets"]),
-        slot_capacity(ds["bookings"], ds["services"]),
-        slot_overlap(ds["slots"]),
-        refund_exceeds(ds["charges"]),
-        invoice_total_consistency(ds["invoices"], ds["charges"]),
-        invoice_paid_consistency(ds["invoices"], ds["payments"]),
-        invoice_paid_charges(ds["invoices"], ds["charges"]),
-        booking_completed_charges(ds["bookings"], ds["charges"]),
-        booking_completed_guard(ds["bookings"], today=today),
-        invoice_send_guard(ds["invoices"], ds["customers"]),
-        overdue_parity(ds["invoices"], today=today),
-        frozen_fields(ds["invoices"], ds["invoices_snapshot"]),
-        fsm_log_validity(ds["state_log"]),
-        contact_email_census(ds["contacts"], ds["customers"]),
+    thunks = [
+        lambda: run_rowpack(ds["bookings"], booking_row_ruleset()),
+        lambda: run_rowpack(ds["charges"], charge_row_ruleset()),
+        lambda: run_rowpack(ds["payments"], payment_row_ruleset()),
+        lambda: run_rowpack(ds["customers"], customer_issue_ruleset()),
+        lambda: run_rowpack(ds["slots"], slot_row_ruleset()),
+        lambda: booking_unique_customer_slot(ds["bookings"]),
+        lambda: booking_pets_belong(ds["bookings"], ds["pets"]),
+        lambda: slot_capacity(ds["bookings"], ds["services"]),
+        lambda: slot_overlap(ds["slots"]),
+        lambda: refund_exceeds(ds["charges"]),
+        lambda: invoice_total_consistency(ds["invoices"], ds["charges"]),
+        lambda: invoice_paid_consistency(ds["invoices"], ds["payments"]),
+        lambda: invoice_paid_charges(ds["invoices"], ds["charges"]),
+        lambda: booking_completed_charges(ds["bookings"], ds["charges"]),
+        lambda: booking_completed_guard(ds["bookings"], today=today),
+        lambda: invoice_send_guard(ds["invoices"], ds["customers"]),
+        lambda: overdue_parity(ds["invoices"], today=today),
+        lambda: frozen_fields(ds["invoices"], ds["invoices_snapshot"]),
+        lambda: fsm_log_validity(ds["state_log"]),
+        lambda: contact_email_census(ds["contacts"], ds["customers"]),
     ]
+    if max_workers > 1:
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            parts: Iterable[pa.Table] = list(
+                ex.map(lambda f: f(), thunks))
+    else:
+        parts = [f() for f in thunks]
     out = pa.concat_tables([p for p in parts if p.num_rows]) \
         if any(p.num_rows for p in parts) else VIOLATIONS.empty_table()
     return out.sort_by([("doc_id", "ascending"), ("rule", "ascending")])
