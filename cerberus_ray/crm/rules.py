@@ -941,12 +941,28 @@ def run_crm_pack(tables: Dict[str, pa.Table], *, today,
         lambda: fsm_log_validity(ds["state_log"]),
         lambda: contact_email_census(ds["contacts"], ds["customers"]),
     ]
+    def call(f):
+        # Ray's streaming executor sanitizes operator metadata at
+        # execution start by iterating dicts another thread's plan
+        # build may mutate ("dictionary changed size during iteration",
+        # ray metadata_exporter.sanitize_for_struct) — an internal Ray
+        # race, not a data race: every rule is a pure computation over
+        # immutable in-memory tables, so a retry is safe and the result
+        # identical. Anything else propagates.
+        for attempt in range(3):
+            try:
+                return f()
+            except RuntimeError as e:
+                if ("dictionary changed size" not in str(e)
+                        or attempt == 2):
+                    raise
+        raise AssertionError("unreachable")
+
     if max_workers > 1:
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            parts: Iterable[pa.Table] = list(
-                ex.map(lambda f: f(), thunks))
+            parts: Iterable[pa.Table] = list(ex.map(call, thunks))
     else:
-        parts = [f() for f in thunks]
+        parts = [call(f) for f in thunks]
     out = pa.concat_tables([p for p in parts if p.num_rows]) \
         if any(p.num_rows for p in parts) else VIOLATIONS.empty_table()
     return out.sort_by([("doc_id", "ascending"), ("rule", "ascending")])

@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..determinism import hash_strings, splitmix64
+from ..scale import dataset_rows_hint as _dataset_rows_hint
 from ..scale import join_partitions as _join_partitions
 
 _MERSENNE = (1 << 61) - 1
@@ -161,17 +162,6 @@ def exact_dup_stats(ds, *, text_col: str = "text",
         batch_format="pyarrow", zero_copy_batch=True)
     n_unique = hashed.groupby("text_md5").count().count()
     return pa.Table.from_pydict({"n_docs": [n_docs], "n_unique": [n_unique]})
-
-
-def _dataset_rows_hint(ds) -> int:
-    """Free row-count hint: dataset metadata only (parquet footers /
-    already-materialized blocks), NEVER executes lineage — returns 0
-    for unknown so callers fall back to their other sizing input."""
-    try:
-        n = ds._meta_count()
-        return int(n) if n else 0
-    except Exception:
-        return 0
 
 
 def exact_dedup_against(ds, reference_ds, *, text_col: str = "text",
@@ -1456,10 +1446,19 @@ def dedup_near_keep_first(ds, *, text_col: str = "text",
     import ray
 
     if pair_method == "exact":
-        pairs = ssjoin_pairs(
-            ds, text_col=text_col, key_col=key_col,
-            w=minhash_kwargs.get("w", 3), threshold=threshold,
-            n_rows_hint=minhash_kwargs.get("n_rows_hint", 0))
+        # forward every ssjoin-relevant knob; minhash-only knobs
+        # (k/bands/seed/sig_fn) are meaningless here and tolerated so a
+        # caller can flip pair_method without rewriting the call, but
+        # anything else (e.g. a typo'd kwarg) fails loudly
+        kw = dict(minhash_kwargs)
+        ss = {k: kw.pop(k) for k in
+              ("w", "mode", "n_rows_hint", "shuffle_buckets") if k in kw}
+        unknown = set(kw) - {"k", "bands", "seed", "sig_fn"}
+        if unknown:
+            raise TypeError(
+                f"unknown dedup_near_keep_first kwargs: {sorted(unknown)}")
+        pairs = ssjoin_pairs(ds, text_col=text_col, key_col=key_col,
+                             threshold=threshold, **ss)
     elif pair_method == "minhash":
         pairs = minhash_near_dup_pairs(ds, text_col=text_col,
                                        key_col=key_col,

@@ -2185,7 +2185,8 @@ def ensure_flagship_goldens() -> str:
 
 
 #: lineitem row count → flagship table size (the sf-level fingerprint
-#: visible from inside SQL; default mirrors _flagship_cfg's fallback)
+#: visible from inside SQL; an unknown level errors LOUDLY on both
+#: sides — _flagship_cfg raises ValueError, the CASE calls error())
 _FLAGSHIP_GATE_SQL = """CASE (SELECT COUNT(*) FROM lineitem)
               WHEN 6000 THEN 2000 WHEN 60000 THEN 5000
               WHEN 600000 THEN 20000
@@ -2298,8 +2299,13 @@ def q_events_drift_psi(sf_dir: str) -> pa.Table:
                     columns=["ts", "value", "event_type"])
 
     def extremes(b: pa.Table) -> pa.Table:
+        # null ts/value rows are legal input — a null cast to int64 hits
+        # to_numpy as NaN; filter so min/max mirror SQL's NULL-skipping
+        # aggregates instead of crashing int(NaN)
         ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
                      pa.int64()).to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "f":
+            ts = ts[~np.isnan(ts)]
         v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
         v = v[~np.isnan(v)]
         return pa.Table.from_pydict({
@@ -2310,7 +2316,16 @@ def q_events_drift_psi(sf_dir: str) -> pa.Table:
 
     ext = ds.map_batches(extremes, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
-    mid = int((int(ext["ts_min"].min()) + int(ext["ts_max"].max())) // 2)
+    if "ts_min" not in ext.columns:  # empty input loses the schema
+        ext = pd.DataFrame({c: [None] for c in
+                            ("ts_min", "ts_max", "v_min", "v_max")})
+    ts_lo, ts_hi = ext["ts_min"].min(), ext["ts_max"].max()
+    # no valid ts at all (empty/all-null table): SQL's mid is NULL, so
+    # every row falls into half 0 (NULL >= mid is not true); mid=+inf-ish
+    # is unreachable, but NaN ts already compare False against ANY mid —
+    # 0 reproduces the same all-half-0 outcome
+    mid = (int((int(ts_lo) + int(ts_hi)) // 2)
+           if pd.notna(ts_lo) and pd.notna(ts_hi) else 0)
     vmin, vmax = float(ext["v_min"].min()), float(ext["v_max"].max())
     # degenerate all-equal column: every value lands in bin 0 (the
     # oracle's CASE WHEN vmax = vmin mirrors this)
@@ -2348,10 +2363,17 @@ def q_events_drift_psi(sf_dir: str) -> pa.Table:
         return pa.Table.from_pydict(
             {"component": comp, "segment": seg, "half": hlf, "n": cnt})
 
-    pdf = (ds.map_batches(partials, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas()
-           .groupby(["component", "segment", "half"], as_index=False)["n"]
-           .sum())
+    raw = ds.map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if raw.empty or "component" not in raw.columns:
+        # fully-empty input loses the schema (empty-union gotcha): the
+        # spine below still emits the 10 zero value bins the SQL does
+        raw = pd.DataFrame({"component": pd.Series(dtype=str),
+                            "segment": pd.Series(dtype=str),
+                            "half": pd.Series(dtype="int64"),
+                            "n": pd.Series(dtype="int64")})
+    pdf = (raw.groupby(["component", "segment", "half"],
+                       as_index=False)["n"].sum())
     wide = (pdf.pivot_table(index=["component", "segment"], columns="half",
                             values="n", fill_value=0, aggfunc="sum")
             .reindex(columns=[0, 1], fill_value=0).reset_index())

@@ -24,6 +24,19 @@ def fact_join_partitions(sf_dir: str, table: str) -> int:
     return join_partitions(table_nrows(f"{sf_dir}/{table}.parquet"))
 
 
+def dataset_rows_hint(ds) -> int:
+    """Free row-count hint for a Ray Dataset: metadata only (parquet
+    footers / already-materialized blocks), NEVER executes lineage —
+    returns 0 for unknown so callers fall back to their other sizing
+    input. The one shared home for this probe (it touches a private
+    Ray API that may drift)."""
+    try:
+        n = ds._meta_count()
+        return int(n) if n else 0
+    except Exception:
+        return 0
+
+
 def table_nrows(path: str) -> int:
     """Row count from a parquet file/directory footer — free (metadata
     only, no scan). Returns 0 when unreadable; callers treat 0 as

@@ -66,15 +66,12 @@ def keyed_apply(ds, key_col: str, fn: Callable[[pd.DataFrame], pd.DataFrame],
     bucket — inherent to whole-key window semantics (the same skew
     bound any engine's window partitioning has)."""
     if n_buckets is None:
-        n = n_rows_hint
-        if n <= 0:
-            # free metadata path first (parquet footers / materialized
-            # blocks); count() as last resort — it executes a computed
-            # lineage once just for sizing
-            try:
-                n = int(ds._meta_count() or 0)
-            except Exception:
-                n = 0
+        # free metadata path first (parquet footers / materialized
+        # blocks); count() as last resort — it executes a computed
+        # lineage once just for sizing
+        from ..scale import dataset_rows_hint
+
+        n = n_rows_hint if n_rows_hint > 0 else dataset_rows_hint(ds)
         n_buckets = auto_buckets(n if n > 0 else ds.count())
 
     def add_bucket(b: pa.Table) -> pa.Table:

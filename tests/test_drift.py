@@ -345,3 +345,43 @@ def test_wasserstein_shift_identity_and_exact_parity(ray_session):
     self_w = wasserstein_distance(base.columns["value"],
                                   base.columns["value"])
     assert self_w < 1e-9
+
+
+def test_drift_psi_null_and_empty_inputs_match_oracle(ray_session, tmp_path):
+    """events_drift_psi on legal-but-degenerate input (null ts/value/
+    event_type rows; fully empty table) must agree with its DuckDB
+    oracle instead of crashing — NULL ts rows fall into half 0 on both
+    sides, and the empty table still yields the 10 zero value bins."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cerberus_ray.pipelines.training_queries import (
+        ORACLE_SQL,
+        q_events_drift_psi,
+    )
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["click", None, "view", "click"]),
+        "ts": pa.array([pd.Timestamp("2024-01-01"), None,
+                        pd.Timestamp("2024-01-03"),
+                        pd.Timestamp("2024-01-04")], pa.timestamp("us")),
+        "value": pa.array([1.0, None, 3.0, None], pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    })
+    for name, tab, want_rows in [("nulls", t, 12), ("empty", t.slice(0, 0), 10)]:
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tab, str(d / "events.parquet"))
+        mine = q_events_drift_psi(str(d)).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"create view events as select * from "
+                    f"read_parquet('{d}/events.parquet')")
+        oracle = con.execute(ORACLE_SQL["events_drift_psi"]).fetchdf()
+        assert len(mine) == len(oracle) == want_rows, name
+        for c in mine.columns:
+            assert (mine[c].astype(str).tolist()
+                    == oracle[c].astype(str).tolist()), (name, c)
