@@ -711,3 +711,30 @@ def test_ssjoin_hot_shingle_shuffle_mode(ray_session):
     pd.testing.assert_frame_equal(drv, shf)
     assert (("s007", "s008") in list(zip(drv["doc_id_a"],
                                          drv["doc_id_b"])))
+
+
+def test_keep_first_exact_pair_method_agrees_with_minhash(ray_session):
+    """Planner-seam agreement for dedup_near_keep_first's new
+    pair_method: on a corpus whose near-dups are unambiguous (identical
+    or ≥0.9-Jaccard copies — the regime where MinHash recall ≈ 1) the
+    exact ssjoin pair stage and the probabilistic MinHash stage must
+    keep exactly the same rows; unknown kwargs in the exact path fail
+    loudly instead of silently dropping a typo."""
+    import pytest
+
+    pdf = corpus()
+    d = rd.from_pandas(pdf, override_num_blocks=3).materialize()
+    kept_mh, cl_mh = DD.dedup_near_keep_first(d, threshold=0.5)
+    kept_ex, cl_ex = DD.dedup_near_keep_first(d, threshold=0.5,
+                                              pair_method="exact",
+                                              n_rows_hint=len(pdf))
+    a = sorted(kept_mh.to_pandas()["doc_id"])
+    b = sorted(kept_ex.to_pandas()["doc_id"])
+    assert a == b
+    assert (cl_mh.to_pandas()["cluster_id"].nunique()
+            == cl_ex.to_pandas()["cluster_id"].nunique())
+    with pytest.raises(TypeError, match="unknown"):
+        DD.dedup_near_keep_first(d, threshold=0.5, pair_method="exact",
+                                 n_rows_hnt=3)
+    with pytest.raises(ValueError, match="pair_method"):
+        DD.dedup_near_keep_first(d, threshold=0.5, pair_method="bogus")
