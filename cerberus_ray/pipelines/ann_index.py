@@ -18,9 +18,12 @@ query batches against it (the Faiss on-disk IVF usage, Jégou et al.
   lists, never the corpus; a parameter mismatch raises (stale-index
   guard, same as IndexParamsMismatch in the MinHash index).
 
-Results are identical to ``ivf_topk`` run with the same parameters on
-the same data (agreement-tested) — persistence changes WHEN work
-happens, not what is computed.
+Results agree with ``ivf_topk`` run with the same parameters on the
+same data (agreement-tested) — persistence changes WHEN work happens,
+not what is computed — up to the documented storage precision: vectors
+and centroids persist as float32 (the standard on-disk ANN trade), so
+a sim within ~1e-7 of a rounding boundary or a centroid-argsort tie
+can differ from the all-float64 in-memory path.
 """
 
 from __future__ import annotations
@@ -34,7 +37,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .similarity import _mat, _unit, train_ivf_centroids
+from .similarity import (_mat, _topk_rows, _unit,
+                         train_ivf_centroids)
 
 _MANIFEST = "ivf_manifest.json"
 
@@ -53,11 +57,22 @@ def build_ivf_index(ds, out_dir: str, *, n_lists: int = 16,
     of the float vector — the 100-TB storage path — plus a codebooks
     parquet; probes then score by asymmetric distance. Returns
     ``out_dir``."""
+    import shutil
+
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    if pq_m and pq_codes > 256:
+        raise ValueError(
+            f"pq_codes={pq_codes} exceeds the uint8 code range (256); "
+            f"larger codebooks would silently wrap to wrong codewords")
     cents = train_ivf_centroids(ds, n_lists=n_lists, vec_col=vec_col,
                                 seed=seed)
+    # a corpus smaller than n_lists trains fewer centroids — persist the
+    # EFFECTIVE count (the manifest is the probe-side contract)
+    if cents.size == 0:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    n_lists = int(len(cents))
     books = (train_pq_codebooks(ds, m=pq_m, n_codes=pq_codes,
                                 vec_col=vec_col, seed=seed)
              if pq_m else None)
@@ -90,7 +105,16 @@ def build_ivf_index(ds, out_dir: str, *, n_lists: int = 16,
     rows = ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
     os.makedirs(out_dir, exist_ok=True)
-    rows.sort("list_id").write_parquet(os.path.join(out_dir, "lists"))
+    lists_dir = os.path.join(out_dir, "lists")
+    # a rebuild into an existing dir must REPLACE the rows: write_parquet
+    # adds new uuid-named files, so stale files from a previous build
+    # would silently mix two generations under the fresh manifest
+    if os.path.isdir(lists_dir):
+        shutil.rmtree(lists_dir)
+    stale_books = os.path.join(out_dir, "pq_codebooks.npy")
+    if books is None and os.path.exists(stale_books):
+        os.remove(stale_books)
+    rows.sort("list_id").write_parquet(lists_dir)
     dim = cents.shape[1]
     pq.write_table(
         pa.table({"list_id": pa.array(range(n_lists), pa.int32()),
@@ -168,11 +192,7 @@ def probe_ivf_index(index_dir: str, query_vecs: np.ndarray, *,
                 cm = codes[mask]
                 sims = tables[qi, np.arange(cm.shape[1])[None, :],
                               cm].sum(axis=1)
-            sel = ids[mask]
-            kk = min(k, len(sel))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            rows.append(pd.DataFrame({"query_id": qi, "vec_id": sel[top],
-                                      "sim": np.round(sims[top], 4)}))
+            rows.append(_topk_rows(ids[mask], sims, k, qi))
         if not rows:
             return empty
         return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
@@ -206,6 +226,9 @@ def train_pq_codebooks(ds, *, m: int = 4, n_codes: int = 256,
     contract as ``train_ivf_centroids``."""
     from .similarity import _mat, _unit
 
+    if n_codes > 256:
+        raise ValueError(
+            f"n_codes={n_codes} exceeds the uint8 code range (256)")
     n = ds.count()
     if n > sample_rows:
         frac = min(1.0, (sample_rows * 1.25) / n)
@@ -250,6 +273,10 @@ def pq_encode(ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
 
     from .similarity import _mat, _unit
 
+    if codebooks.shape[1] > 256:
+        raise ValueError(
+            f"codebooks carry {codebooks.shape[1]} codes per subspace — "
+            f"uint8 codes cap at 256")
     bref = ray.put(codebooks.astype(np.float64))
 
     def enc(b: pa.Table) -> pa.Table:
@@ -306,10 +333,7 @@ def pq_topk(codes_ds, codebooks: np.ndarray, query_vecs: np.ndarray, *,
             # gather per subspace: sum_j lut[qi, j, codes[:, j]]
             sims = tables[qi, np.arange(codes.shape[1])[None, :],
                           codes].sum(axis=1)
-            kk = min(k, len(ids))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            rows.append(pd.DataFrame({"query_id": qi, "vec_id": ids[top],
-                                      "sim": np.round(sims[top], 4)}))
+            rows.append(_topk_rows(ids, sims, k, qi))
         return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
 
     parts = codes_ds.map_batches(partial, batch_format="pyarrow",
@@ -403,13 +427,8 @@ def sq8_topk(codes_ds, bounds: np.ndarray, query_vecs: np.ndarray, *,
             .reshape(len(ids), -1).astype(np.float64)
         recon = lo_[None, :] + codes * step[None, :]
         sims = recon @ qm.T                      # (n, nq)
-        rows = []
-        for qi in range(qm.shape[0]):
-            s = sims[:, qi]
-            kk = min(k, len(ids))
-            top = np.argpartition(-s, kk - 1)[:kk]
-            rows.append(pd.DataFrame({"query_id": qi, "vec_id": ids[top],
-                                      "sim": np.round(s[top], 4)}))
+        rows = [_topk_rows(ids, sims[:, qi], k, qi)
+                for qi in range(qm.shape[0])]
         return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
 
     parts = codes_ds.map_batches(partial, batch_format="pyarrow",

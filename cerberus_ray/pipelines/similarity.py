@@ -27,12 +27,16 @@ from ..determinism import splitmix64
 
 
 def _mat(batch_col) -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix (zero-copy flatten)."""
+    """list<float> column → (n, d) float64 matrix (zero-copy flatten).
+    Empty column → (0, 0): reshape(0, -1) is illegal on size-0 arrays,
+    and Ray Data legitimately delivers empty blocks."""
     arr = batch_col
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False)
     n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(n, -1).astype(np.float64)
 
 
@@ -40,6 +44,30 @@ def _unit(m: np.ndarray) -> np.ndarray:
     norm = np.linalg.norm(m, axis=1, keepdims=True)
     norm[norm == 0] = 1.0
     return m / norm
+
+
+def _empty_topk() -> pa.Table:
+    return pa.Table.from_pydict({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+
+
+def _topk_rows(ids: np.ndarray, sims: np.ndarray, k: int, qi: int,
+               round_digits: int = 4) -> pd.DataFrame:
+    """One query's per-block partial top-k, CLOSED under the driver's
+    (sim desc, vec_id asc) merge: select by the ROUNDED similarity with
+    the id tie-break. Selecting by unrounded sims (the old argpartition)
+    made membership at rounded-tie boundaries depend on which block a
+    row landed in — a block-layout-dependent result. The lexsort is
+    O(n log n) per query per block, minor next to the O(n·d) scoring
+    that produced ``sims``. ``round_away`` (half away from zero) is the
+    DuckDB ROUND the oracles compare against."""
+    from ..determinism import round_away
+
+    r = round_away(sims, round_digits)
+    order = np.lexsort((ids, -r))[:min(k, len(ids))]
+    return pd.DataFrame({"query_id": qi, "vec_id": ids[order],
+                         "sim": r[order]})
 
 
 def brute_force_topk(ds, query_vecs: np.ndarray, *, k: int = 10,
@@ -58,26 +86,22 @@ def brute_force_topk(ds, query_vecs: np.ndarray, *, k: int = 10,
     def partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)  # (nq, d)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return _empty_topk()
         keep = ~np.isin(ids, list(excl)) if excl else np.ones(len(ids), bool)
         e = _unit(_mat(batch[vec_col]))[keep]
         ids = ids[keep]
         if len(ids) == 0:
-            return pa.Table.from_pydict({"query_id": pa.array([], pa.int64()),
-                                         "vec_id": pa.array([], pa.int64()),
-                                         "sim": pa.array([], pa.float64())})
+            return _empty_topk()
         sims = e @ qm.T  # (n, nq)
-        kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
-        rows = []
-        for qi in range(qm.shape[0]):
-            sel = top[:, qi]
-            rows.append(pd.DataFrame({
-                "query_id": qi, "vec_id": ids[sel],
-                "sim": np.round(sims[sel, qi], round_digits)}))
+        rows = [_topk_rows(ids, sims[:, qi], k, qi, round_digits)
+                for qi in range(qm.shape[0])]
         return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    if len(parts) == 0:
+        return _empty_topk()
     out = (parts.sort_values(["query_id", "sim", "vec_id"],
                              ascending=[True, False, True])
                 .groupby("query_id", as_index=False).head(k)
@@ -134,31 +158,24 @@ def lsh_topk(ds, query_vecs: np.ndarray, *, k: int = 10, n_bits: int = 12,
     def partial(batch: pa.Table) -> pa.Table:
         qm, tbls, bkts = ray.get(qref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return _empty_topk()
         e = _unit(_mat(batch[vec_col]))
         m = np.zeros(len(ids), dtype=bool)
         for pl, bk in zip(tbls, bkts):
             m |= np.isin(lsh_signatures(e, pl), bk)
         ids, e = ids[m], e[m]
         if len(ids) == 0:
-            return pa.Table.from_pydict({"query_id": pa.array([], pa.int64()),
-                                         "vec_id": pa.array([], pa.int64()),
-                                         "sim": pa.array([], pa.float64())})
+            return _empty_topk()
         sims = e @ qm.T
-        rows = []
-        kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-        for qi in range(qm.shape[0]):
-            sel = top[:, qi]
-            rows.append(pd.DataFrame({"query_id": qi, "vec_id": ids[sel],
-                                      "sim": np.round(sims[sel, qi], 4)}))
+        rows = [_topk_rows(ids, sims[:, qi], k, qi)
+                for qi in range(qm.shape[0])]
         return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
     if len(parts) == 0:
-        return pa.Table.from_pydict({"query_id": pa.array([], pa.int64()),
-                                     "vec_id": pa.array([], pa.int64()),
-                                     "sim": pa.array([], pa.float64())})
+        return _empty_topk()
     out = (parts.sort_values(["query_id", "sim", "vec_id"],
                              ascending=[True, False, True])
                 .groupby("query_id", as_index=False).head(k)
@@ -186,6 +203,10 @@ def train_ivf_centroids(ds, *, n_lists: int = 16, vec_col: str = "embedding",
             sample = ds.limit(sample_rows).to_pandas()
     else:
         sample = ds.limit(sample_rows).to_pandas()
+    if len(sample) == 0 or vec_col not in sample.columns:
+        # empty corpus (a fully-empty to_pandas also loses the schema):
+        # no centroids to train — callers treat (0, 0) as "no lists"
+        return np.empty((0, 0), dtype=np.float64)
     x = _unit(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     # lexsort the sample rows: limit()/to_pandas deliver blocks in
     # ARRIVAL order, so without this the strided init (and every
@@ -216,6 +237,8 @@ def ivf_topk(ds, query_vecs: np.ndarray, *, k: int = 10, n_lists: int = 16,
     q = _unit(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     cents = train_ivf_centroids(ds, n_lists=n_lists, vec_col=vec_col,
                                 seed=seed)
+    if cents.size == 0:  # empty corpus → no lists, no neighbours
+        return _empty_topk()
     probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]  # (nq, p)
     wanted = np.unique(probe_lists)
     qref = ray.put((q, cents, probe_lists, wanted))
@@ -223,37 +246,28 @@ def ivf_topk(ds, query_vecs: np.ndarray, *, k: int = 10, n_lists: int = 16,
     def partial(batch: pa.Table) -> pa.Table:
         qm, cs, probes, keep_lists = ray.get(qref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return _empty_topk()
         e = _unit(_mat(batch[vec_col]))
         assign = np.argmax(e @ cs.T, axis=1)
         m = np.isin(assign, keep_lists)
         ids, e, assign = ids[m], e[m], assign[m]
         if len(ids) == 0:
-            return pa.Table.from_pydict({"query_id": pa.array([], pa.int64()),
-                                         "vec_id": pa.array([], pa.int64()),
-                                         "sim": pa.array([], pa.float64())})
+            return _empty_topk()
         rows = []
         for qi in range(qm.shape[0]):
             mask = np.isin(assign, probes[qi])
             if not mask.any():
                 continue
-            sims = e[mask] @ qm[qi]
-            sel_ids = ids[mask]
-            kk = min(k, len(sel_ids))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            rows.append(pd.DataFrame({"query_id": qi, "vec_id": sel_ids[top],
-                                      "sim": np.round(sims[top], 4)}))
+            rows.append(_topk_rows(ids[mask], e[mask] @ qm[qi], k, qi))
         if not rows:
-            return pa.Table.from_pydict({"query_id": pa.array([], pa.int64()),
-                                         "vec_id": pa.array([], pa.int64()),
-                                         "sim": pa.array([], pa.float64())})
+            return _empty_topk()
         return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
     if len(parts) == 0:
-        return pa.Table.from_pydict({"query_id": pa.array([], pa.int64()),
-                                     "vec_id": pa.array([], pa.int64()),
-                                     "sim": pa.array([], pa.float64())})
+        return _empty_topk()
     out = (parts.sort_values(["query_id", "sim", "vec_id"],
                              ascending=[True, False, True])
                 .groupby("query_id", as_index=False).head(k)
@@ -293,8 +307,12 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9, n_bits: int = 10,
     def rows(batch: pa.Table) -> pa.Table:
         tbls = ray.get(pref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.Table.from_pydict({
+                "bucket": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float32()))})
         e = _unit(_mat(batch[vec_col]))
-        n = len(ids)
         sigs = np.concatenate([
             lsh_signatures(e, pl).astype(np.int64) + (t << 40)
             for t, pl in enumerate(tbls)])
@@ -414,8 +432,6 @@ def exact_cosine_threshold_pairs(ds, *, threshold: float,
     Beyond: this join is inherently Ω(n²) compare — use the IVF/LSH
     approximate family and document the recall, or pre-cluster.
     Output-identical across modes (agreement-tested)."""
-    import ray
-
     from ..determinism import round_away
 
     if mode == "auto":
@@ -535,6 +551,13 @@ def emb_threshold_calibration(ds, *, target_fpr: float = 1e-3,
         batch_format="pyarrow",
         zero_copy_batch=True).to_pandas()["i"].unique())
     n = len(ids)
+    if n < 2:
+        # one distinct id → every sampled pair is (i, i) and the null
+        # distribution is undefined; fail with the reason instead of a
+        # bare np.stack/IndexError downstream
+        raise ValueError(
+            f"threshold calibration needs ≥2 distinct {id_col} values, "
+            f"got {n}")
     idx = np.arange(n_pairs, dtype=np.int64)
     ia = randint(idx, seed, 11, 0, n)
     ib = randint(idx, seed, 12, 0, n)
