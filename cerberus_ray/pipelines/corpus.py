@@ -45,9 +45,15 @@ def _content_fingerprint(ds, text_col: str, key_col: str) -> int:
     from ..determinism import hash_strings
 
     def fold(b: pa.Table) -> pa.Table:
-        s = pc.binary_join_element_wise(
-            pc.cast(b[key_col], pa.string()),
-            pc.fill_null(pc.cast(b[text_col], pa.string()), ""), "|")
+        txt = pc.fill_null(pc.cast(b[text_col], pa.string()), "")
+        if key_col in b.column_names:
+            s = pc.binary_join_element_wise(
+                pc.cast(b[key_col], pa.string()), txt, "|")
+        else:
+            # keyless side inputs are legal (a text-only benchmark /
+            # reference set: decontamination and cross-corpus dedup
+            # never need their key) — fingerprint the text alone
+            s = txt
         hv = hash_strings(s.to_numpy(zero_copy_only=False))
         x = int(np.bitwise_xor.reduce(hv)) if len(hv) else 0
         return pa.Table.from_pydict({"x": pa.array([x], pa.uint64())})
@@ -163,6 +169,10 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
                       and m.get("mixing_weights") == mk
                       and m.get("cut_ngram") == cut_ngram
                       and m.get("near_exact", False) == near_exact
+                      and m.get("decontaminate_ngram",
+                                8) == decontaminate_ngram
+                      and m.get("source_col", "source") == source_col
+                      and m.get("lang_col", "lang") == lang_col
                       and m.get("near_threshold") == near_threshold
                       and m.get("bands") == bands
                       and m.get("shuffle_seed") == shuffle_seed):
@@ -189,7 +199,15 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
     from ..pipelines.text import _score_batch
 
     def gate(b: pd.DataFrame) -> pd.DataFrame:
-        stats = _score_batch(b.copy())
+        # the scorer kernel reads the fixed "text" column — rename a
+        # non-default text_col into place for SCORING only (dropping a
+        # stray unrelated "text" column from the scoring copy so the
+        # gate never filters on the wrong column)
+        sb = b.copy()
+        if text_col != "text":
+            sb = sb.drop(columns=["text"], errors="ignore") \
+                   .rename(columns={text_col: "text"})
+        stats = _score_batch(sb)
         return b[stats["quality_pass"].to_numpy()]
 
     # Each stage is materialized once so the funnel counts and the next
@@ -231,9 +249,12 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
         import numpy as np
         import ray
 
-        keys = (labeled.map_batches(winners, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-                .to_pandas()["_ppl_key"].to_numpy(dtype=object))
+        kdf = labeled.map_batches(winners, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+        # zero surviving rows can lose the schema (empty-union gotcha)
+        keys = (kdf["_ppl_key"].to_numpy(dtype=object)
+                if "_ppl_key" in kdf.columns
+                else np.empty(0, dtype=object))
         kref = ray.put(np.sort(keys))
 
         def keep_ids(b: pa.Table) -> pa.Table:
@@ -332,6 +353,9 @@ def build_training_corpus(docs_ds, *, out_dir: Optional[str] = None,
             "ppl_keep": sorted(ppl_keep) if ppl_keep else None,
             "cut_ngram": cut_ngram,
             "near_exact": near_exact,
+            "decontaminate_ngram": decontaminate_ngram,
+            "source_col": source_col,
+            "lang_col": lang_col,
             "mixing_weights": ([list(t) for t in mix_key]
                                if mix_key else None),
         }

@@ -32,6 +32,27 @@ import pyarrow.compute as pc
 from .vocab import _token_counts_block
 
 
+def _doc_tokens(b: pa.Table, text_col: str):
+    """Per-doc token stream with the SAME kernel the fit pass uses
+    (Arrow utf8_lower + RE2 ``\\s+`` split): scoring with Python
+    ``.lower().split()`` disagreed with the fit on non-ASCII whitespace
+    (e.g. U+00A0 in scraped HTML), so tokens the vocab held could never
+    match at scoring time. → (doc index per token, token object array,
+    per-doc non-empty token counts)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(b[text_col], "")), r"\s+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    mask = flat_np != ""
+    doc = np.repeat(np.arange(len(lens), dtype=np.int64),
+                    lens)[mask]
+    counts = np.bincount(doc, minlength=len(lens)).astype(np.int64)
+    return doc, flat_np[mask], counts
+
+
 def fit_unigram(ds, *, text_col: str = "text",
                 vocab_size: int = 50_000) -> Tuple[np.ndarray, np.ndarray, float]:
     """→ (sorted token array, log2 p per token, log2 p for OOV).
@@ -71,26 +92,16 @@ def score_perplexity(docs_ds, *, text_col: str = "text",
 
     def score(b: pa.Table) -> pa.Table:
         vt, vl, oov = ray.get(ref)
-        texts = b[text_col].to_numpy(zero_copy_only=False)
-        flat: list = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            ts = (t or "").lower().split()
-            counts[i] = len(ts)
-            flat.extend(ts)
-        if flat and len(vt):
-            arr = np.array(flat, dtype=object)
+        doc, arr, counts = _doc_tokens(b, text_col)
+        if len(arr) and len(vt):
             pos = np.clip(np.searchsorted(vt, arr), 0, len(vt) - 1)
             hit = vt[pos] == arr
             lp = np.where(hit, vl[pos], oov)
         else:
-            lp = np.full(len(flat), oov, dtype=np.float64)
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        sums = np.zeros(len(counts), dtype=np.float64)
-        nz = counts > 0
-        if lp.size and nz.any():
-            sums[nz] = np.add.reduceat(lp, starts[nz])
+            lp = np.full(len(arr), oov, dtype=np.float64)
+        # bincount accumulates in traversal order — deterministic
+        sums = (np.bincount(doc, weights=lp, minlength=len(counts))
+                if len(lp) else np.zeros(len(counts)))
         xent = np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
         arrays = [pc.cast(b[key_col], pa.string()),
                   pa.array(counts), pa.array(np.round(xent, 4)),
@@ -231,26 +242,20 @@ def fit_bigram(ds, *, text_col: str = "text", vocab_size: int = 50_000,
 
     def pair_partial(b: pa.Table) -> pa.Table:
         vt = ray.get(vref)
-        texts = b[text_col].to_numpy(zero_copy_only=False)
-        hs: list = []
-        ws: list = []
-        for t in texts:
-            ts = (t or "").lower().split()
-            if len(ts) < 2:
-                continue
-            arr = np.array(ts, dtype=object)
-            if len(vt):
-                pos = np.clip(np.searchsorted(vt, arr), 0, len(vt) - 1)
-                arr = np.where(vt[pos] == arr, arr, "\x1dOOV")
-            hs.append(arr[:-1])
-            ws.append(arr[1:])
-        if not hs:
+        doc, arr, _ = _doc_tokens(b, text_col)
+        if len(arr) and len(vt):
+            pos = np.clip(np.searchsorted(vt, arr), 0, len(vt) - 1)
+            arr = np.where(vt[pos] == arr, arr, "\x1dOOV")
+        # adjacent token pairs WITHIN a doc: positions whose successor
+        # shares the doc index (vectorized — no per-doc Python)
+        adj = (np.flatnonzero(doc[1:] == doc[:-1])
+               if len(arr) > 1 else np.empty(0, dtype=np.int64))
+        if not len(adj):
             return pa.Table.from_pydict({
                 "h": pa.array([], pa.string()),
                 "w": pa.array([], pa.string()),
                 "n": pa.array([], pa.int64())})
-        g = (pd.DataFrame({"h": np.concatenate(hs),
-                           "w": np.concatenate(ws)})
+        g = (pd.DataFrame({"h": arr[adj], "w": arr[adj + 1]})
              .groupby(["h", "w"], sort=False).size().reset_index(name="n"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -298,27 +303,18 @@ def score_perplexity_bigram(docs_ds, *, text_col: str = "text",
 
     def score(b: pa.Table) -> pa.Table:
         (vt, vl, oov), bkey, bcnt, harr, htot = ray.get(ref)
-        texts = b[text_col].to_numpy(zero_copy_only=False)
-        flat: list = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        firsts = []
-        at = 0
-        for i, t in enumerate(texts):
-            ts = (t or "").lower().split()
-            counts[i] = len(ts)
-            if ts:
-                firsts.append(at)
-            at += len(ts)
-            flat.extend(ts)
-        n_flat = len(flat)
+        doc, arr, counts = _doc_tokens(b, text_col)
+        n_flat = len(arr)
         if n_flat and len(vt):
-            arr = np.array(flat, dtype=object)
             pos = np.clip(np.searchsorted(vt, arr), 0, len(vt) - 1)
             hit = vt[pos] == arr
             p_uni = np.exp2(np.where(hit, vl[pos], oov))
             mapped = np.where(hit, arr, "\x1dOOV")
             # bigram term for every position with a same-doc predecessor
             p_bi = np.zeros(n_flat)
+            has_prev = np.zeros(n_flat, dtype=bool)
+            if n_flat > 1:
+                has_prev[1:] = doc[1:] == doc[:-1]
             if n_flat > 1 and len(bkey):
                 pk = mapped[:-1] + "\x1f" + mapped[1:]
                 bp = np.clip(np.searchsorted(bkey, pk), 0, len(bkey) - 1)
@@ -331,18 +327,13 @@ def score_perplexity_bigram(docs_ds, *, text_col: str = "text",
                     else np.full(n_flat - 1, np.inf)
                 p_bi[1:] = np.where(bhit, bcnt[bp], 0.0) / denom
             p = lam * p_bi + (1.0 - lam) * p_uni
-            # doc-initial tokens: unigram only (no history)
-            fidx = np.array(firsts, dtype=np.int64)
-            p[fidx] = p_uni[fidx]
+            # doc-initial tokens: unigram only (no same-doc history)
+            p[~has_prev] = p_uni[~has_prev]
             lp = np.log2(p)
         else:
             lp = np.full(n_flat, oov, dtype=np.float64)
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        sums = np.zeros(len(counts), dtype=np.float64)
-        nz = counts > 0
-        if lp.size and nz.any():
-            sums[nz] = np.add.reduceat(lp, starts[nz])
+        sums = (np.bincount(doc, weights=lp, minlength=len(counts))
+                if len(lp) else np.zeros(len(counts)))
         xent = np.where(counts > 0, -sums / np.maximum(counts, 1), 0.0)
         return pa.Table.from_arrays(
             [pc.cast(b[key_col], pa.string()), pa.array(counts),

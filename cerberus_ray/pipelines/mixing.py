@@ -224,10 +224,12 @@ def domain_kl_weights(ds, *, domain_col: str = "source",
             out_d.append(np.full(len(ids), d, dtype=object))
             out_i.append(ids)
         if not out_i:
+            # same schema as the aggregate branch (count_all, not "n")
+            # or block concatenation fails on schema unification
             return pa.Table.from_pydict({
                 "d": pa.array([], pa.string()),
                 "tid": pa.array([], pa.int64()),
-                "n": pa.array([], pa.int64())})
+                "count_all": pa.array([], pa.int64())})
         dd = np.concatenate(out_d)
         ii = np.concatenate(out_i).astype(np.int64)
         t = pa.table({"d": pa.array(dd, pa.string()),
@@ -299,6 +301,10 @@ def chunk_documents(ds, *, text_col: str = "text", key_col: str = "doc_id",
     chunks. ``overlap`` tokens repeat at the start of each later chunk."""
     if overlap >= max_tokens:
         raise ValueError("overlap must be smaller than max_tokens")
+    if overlap < 0:
+        raise ValueError(
+            "overlap must be non-negative (a negative overlap would "
+            "silently skip the tokens between chunks)")
     step = max_tokens - overlap
 
     def chunk(b: pa.Table) -> pa.Table:
@@ -475,7 +481,12 @@ def length_bucket_stats(ds, *, text_col: str = "text",
     No shuffle, no per-row Python.
 
     → (bucket_cap, n_docs, n_tokens, pad_tokens, pad_frac) sorted by
-    bucket_cap; pad_frac = pad / (bucket_cap × n_docs).
+    bucket_cap; pad_frac = pad / (bucket_cap × n_docs). CONVENTIONS
+    (pinned by tests/test_mixing.py's pandas + DuckDB references):
+    empty/whitespace-only docs count as min_cap-bucket members with 0
+    tokens (the census covers every input row — filter upstream if the
+    loader drops empties), and tokens are the RE2 ``\\s+`` split the
+    SQL oracles evaluate (ASCII whitespace), not Python ``str.split``.
     """
     import pandas as pd
 

@@ -366,3 +366,78 @@ def test_unicode_normalize_knob_collapses_encodings(ray_session, tmp_path):
     r3 = build_training_corpus(ds, out_dir=out, normalize_unicode=None)
     assert not r3.stats.get("resumed")
     assert r1.n_after_exact_dedup == 2 and r3.n_after_exact_dedup == 3
+
+
+def test_funnel_respects_text_col(ray_session):
+    """The quality gate must score the configured text column, not a
+    hardcoded 'text' (which used to KeyError — or worse, silently score
+    a stray unrelated column)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.corpus import build_training_corpus
+
+    rng = np.random.default_rng(3)
+    good = [" ".join(f"w{rng.integers(0, 50)}" for _ in range(30))
+            for _ in range(20)]
+    df = pd.DataFrame({
+        "doc_id": range(22),
+        "content": good + ["", "!!!!"],      # 2 quality failures
+        "text": ["decoy"] * 22,              # stray unrelated column
+    })
+    r = build_training_corpus(rd.from_pandas(df), text_col="content",
+                              key_col="doc_id")
+    assert r.n_input == 22
+    assert r.n_quality_pass == 20
+
+
+def test_resume_invalidates_on_decontaminate_ngram(ray_session, tmp_path):
+    """A rerun with a different decontamination n-gram must rebuild,
+    not serve the stale manifest."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.corpus import build_training_corpus
+
+    rng = np.random.default_rng(4)
+    docs = pd.DataFrame({
+        "doc_id": range(12),
+        "text": [" ".join(f"w{rng.integers(0, 40)}" for _ in range(25))
+                 for _ in range(12)]})
+    bench = pd.DataFrame({"doc_id": [99], "text": [docs["text"][0]]})
+    out = str(tmp_path / "corpus")
+    a = build_training_corpus(rd.from_pandas(docs), out_dir=out,
+                              benchmark_ds=rd.from_pandas(bench),
+                              decontaminate_ngram=8)
+    b = build_training_corpus(rd.from_pandas(docs), out_dir=out,
+                              benchmark_ds=rd.from_pandas(bench),
+                              decontaminate_ngram=8)
+    assert b.stats.get("resumed") is True
+    c = build_training_corpus(rd.from_pandas(docs), out_dir=out,
+                              benchmark_ds=rd.from_pandas(bench),
+                              decontaminate_ngram=5)
+    assert not c.stats.get("resumed")
+    assert a.n_input == c.n_input
+
+
+def test_keyless_benchmark_fingerprint(ray_session, tmp_path):
+    """A text-only benchmark set (no doc_id) is legal: decontamination
+    never needs its key, so the sink fingerprint must not require it."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.corpus import build_training_corpus
+
+    rng = np.random.default_rng(5)
+    docs = pd.DataFrame({
+        "doc_id": range(10),
+        "text": [" ".join(f"w{rng.integers(0, 40)}" for _ in range(25))
+                 for _ in range(10)]})
+    bench = pd.DataFrame({"text": [docs["text"][1]]})  # keyless
+    r = build_training_corpus(rd.from_pandas(docs),
+                              out_dir=str(tmp_path / "c"),
+                              benchmark_ds=rd.from_pandas(bench))
+    assert r.n_input == 10

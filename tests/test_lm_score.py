@@ -83,3 +83,33 @@ def test_vocab_truncation(ray_session):
     toks, logp, oov = fit_unigram(rd.from_pandas(df), vocab_size=10)
     assert len(toks) == 10 and len(logp) == 10
     assert (np.sort(toks) == toks).all()
+
+
+def test_fit_and_score_agree_on_unicode_whitespace(ray_session):
+    """fit tokenizes with the Arrow RE2 kernel; scoring must use the
+    SAME kernel — with Python .split() a non-breaking space (U+00A0)
+    produced fit-time tokens that could never match at scoring time and
+    scored as OOV."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.lm_score import (
+        fit_unigram,
+        score_perplexity,
+    )
+
+    # "caf bar" is ONE RE2 token (NBSP is not \s to RE2)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["caf bar"] * 3,
+    })
+    ds = rd.from_pandas(df)
+    toks, logp, oov = fit_unigram(ds)
+    assert "caf bar" in set(toks.tolist())
+    out = score_perplexity(rd.from_pandas(df)).to_pandas()
+    assert list(out["n_tokens"]) == [1, 1, 1]
+    # scored via the vocab entry, NOT the OOV bucket
+    want = -float(logp[list(toks).index("caf bar")])
+    assert np.allclose(out["xent"], round(want, 4))
+    assert not np.allclose(out["xent"], round(-oov, 4))

@@ -220,3 +220,13 @@ def test_sample_by_temperature_upsample_mode(ray_session):
     assert abs(rates["web"] - 1.0) < 1e-12
     assert kept["web"] == n_by["web"]
     assert rates["code"] > 1.0 and kept["code"] > n_by["code"]
+
+
+def test_chunk_documents_rejects_negative_overlap(ray_session):
+    import pytest
+
+    from cerberus_ray.pipelines.mixing import chunk_documents
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["a b c d e f"]})
+    with pytest.raises(ValueError, match="non-negative"):
+        chunk_documents(rd.from_pandas(df), max_tokens=4, overlap=-2)
