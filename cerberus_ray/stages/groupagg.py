@@ -139,7 +139,9 @@ def mode_by(ds, group_col: str, value_col: str) -> pd.DataFrame:
                          zero_copy_batch=True).to_pandas()
     if not len(pdf):
         return pd.DataFrame({group_col: [], value_col: [], "n": []})
-    g = (pdf.groupby([group_col, value_col], as_index=False)
+    # dropna=False: the Arrow partials keep NULL groups/values, and SQL
+    # GROUP BY groups NULLs — the driver merge must not drop them
+    g = (pdf.groupby([group_col, value_col], dropna=False, as_index=False)
          ["count_all"].sum())
     g = g.sort_values([group_col, "count_all", value_col],
                       ascending=[True, False, True], kind="mergesort")
@@ -177,31 +179,41 @@ def approx_quantiles_by_group(ds, group_col: str, value_col: str, *,
         starts = np.flatnonzero(
             np.r_[True, gs[1:] != gs[:-1]]) if len(gs) else []
         bounds = list(starts) + [len(gs)]
-        groups, payloads = [], []
+        groups, origs, payloads = [], [], []
         for i in range(len(bounds) - 1):
             d = TDigest(compression=compression)
             d.update(vs[bounds[i]:bounds[i + 1]])
             groups.append(str(gs[bounds[i]]))
+            origs.append(gs[bounds[i]])
             payloads.append(d.to_bytes())
+        # the string form keys the sketch dict; the ORIGINAL value rides
+        # along so the output keeps the group column's dtype (a
+        # stringified int group used to sort '10' < '2' and never join
+        # back against grouped_agg output)
         return pa.Table.from_pydict({
             "g": pa.array(groups, pa.string()),
+            "orig": pa.array(origs),
             "sketch": pa.array(payloads, pa.binary())})
 
     parts = ds.map_batches(sketch, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
     acc: Dict[str, TDigest] = {}
+    orig: Dict[str, object] = {}
     for _, r in parts.iterrows():
         d = TDigest.from_bytes(r["sketch"])
         if r["g"] in acc:
             acc[r["g"]].merge(d)
         else:
             acc[r["g"]] = d
-    rows = {group_col: sorted(acc)}
+            orig[r["g"]] = r["orig"]
+    keys = sorted(acc)
+    out = pd.DataFrame({group_col: [orig[g] for g in keys]})
     for q in qs:
-        rows[f"q{int(round(q * 100))}"] = [
+        out[f"q{int(round(q * 100))}"] = [
             round(float(acc[g].quantile(q)), round_digits)
-            for g in sorted(acc)]
-    return pd.DataFrame(rows)
+            for g in keys]
+    return (out.sort_values(group_col, kind="mergesort")
+            .reset_index(drop=True))
 
 
 def _rollup_levels(cols: Sequence[str]) -> List[Tuple[str, ...]]:
@@ -401,14 +413,19 @@ def grouped_approx_distinct(ds, group_col: str, value_col: str, *,
 
     def partial(b: pa.Table) -> pa.Table:
         v = b[value_col].to_numpy(zero_copy_only=False)
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(g, return_inverse=True)
+        # SQL COUNT(DISTINCT v) skips NULLs (the exact twins and the
+        # KMV sketch agree) — mask null values but keep their GROUPS,
+        # so an all-null group still reports distinct ≈ 0
+        ok = ~pd.isna(v)
+        v, codes = v[ok], codes[ok]
         if v.dtype.kind in "iu":
             h = splitmix64(v.astype(np.uint64))
         else:
             # any non-integer dtype hashes by its string form (floats,
             # dates, objects) — deterministic and dtype-safe
             h = hash_strings(np.asarray(v.astype(str), dtype=object))
-        g = b[group_col].to_numpy(zero_copy_only=False)
-        uniq, codes = np.unique(g, return_inverse=True)
         idx = (h & np.uint64(m - 1)).astype(np.int64)
         w = h >> np.uint64(p)
         bl = np.frexp(w.astype(np.float64))[1]

@@ -50,10 +50,17 @@ __all__ = ["inclusion_profile", "candidate_key_profile", "fd_profile",
            "MASK_STEPS", "MASK_COMPRESS_STEPS"]
 
 
-def _as_key(ds, col: str):
-    """One-column view named 'k' (setops needs matching column names)."""
+def _as_key(ds, col: str, *, drop_null: bool = False):
+    """One-column view named 'k' (setops needs matching column names).
+    ``drop_null=True`` excludes NULLs — the parent side of an inclusion
+    check, where SQL says a NULL key never matches anything."""
     def proj(b: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays([b[col]], names=["k"])
+        arr = b[col]
+        if drop_null:
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = arr.drop_null()
+        return pa.Table.from_arrays([arr], names=["k"])
     return ds.map_batches(proj, batch_format="pyarrow",
                           zero_copy_batch=True)
 
@@ -81,8 +88,12 @@ def inclusion_profile(pairs: Sequence[Tuple[str, object, str, object, str]],
     rows = []
     for name, ds_a, col_a, ds_b, col_b in pairs:
         a = _as_key(ds_a, col_a)
-        missing = except_distinct(a, _as_key(ds_b, col_b), ["k"],
-                                  mode=mode)
+        # B drops NULLs: setops' key encoding treats NULL = NULL, but
+        # SQL inclusion says a NULL parent key matches nothing — without
+        # this, a NULL in A was hidden whenever B also held a NULL,
+        # defeating the documented nullable-FK signal
+        missing = except_distinct(a, _as_key(ds_b, col_b, drop_null=True),
+                                  ["k"], mode=mode)
         n_a = _distinct_count(ds_a, col_a)
         n_miss = int(len(missing))
         rows.append({
@@ -225,8 +236,11 @@ def fd_violations(ds, det_cols: Sequence[str], dep_col: str, *,
                           ascending=[True] * len(det) + [False, True],
                           kind="mergesort")
         gb = g.groupby(det, dropna=False, sort=False)
-        agg = gb.agg(n_dep_values=(dep_col, "nunique"),
-                     n_rows=("count_all", "sum")).reset_index()
+        agg = gb.agg(n_rows=("count_all", "sum")).reset_index()
+        # nunique(dropna=False): a det mapping to {NULL, x} IS a
+        # violation — fd_profile counts it, so this stage must too
+        agg.insert(len(det), "n_dep_values",
+                   gb[dep_col].nunique(dropna=False).to_numpy())
         first = gb.nth(0).reset_index(drop=True)
         second = gb.nth(1).reset_index(drop=True)
         agg["dep_top1"] = first[dep_col].to_numpy()
@@ -282,7 +296,10 @@ def _kmv_sketch(ds, col: str, k: int):
         if np.asarray(v).dtype.kind in "iu":
             h = splitmix64(np.asarray(v).astype(np.uint64))
         else:
-            h = hash_strings(np.asarray(v, dtype=object))
+            # hash by string form: floats/dates/objects are not
+            # byte-convertible (hash_strings would TypeError)
+            h = hash_strings(np.asarray(
+                np.asarray(v).astype(str), dtype=object))
         h = np.unique(h)[:k]  # unique() sorts → bottom-k
         return pa.Table.from_arrays([pa.array(h, pa.uint64())],
                                     names=["h"])
@@ -493,7 +510,8 @@ def fd_repair(ds, det_cols: Sequence[str], dep_col: str, *,
                           ascending=[True] * len(det) + [False, True],
                           kind="mergesort")
         gb = g.groupby(det, dropna=False, sort=False)
-        agg = gb.agg(n_dep=(dep_col, "nunique")).reset_index()
+        agg = gb.agg(n_rows=("count_all", "sum")).reset_index()
+        agg["n_dep"] = gb[dep_col].nunique(dropna=False).to_numpy()
         first = gb.nth(0).reset_index(drop=True)
         agg["keep"] = first[dep_col].to_numpy()
         return agg[agg["n_dep"] > 1][det + ["keep"]]
@@ -518,25 +536,34 @@ def fd_repair(ds, det_cols: Sequence[str], dep_col: str, *,
     # broadcast the violating-determinant → majority map; the lookup
     # is a searchsorted over the composite STRING key, so sort by that
     # key (sorting by the raw det columns breaks for numeric dets:
-    # int order "99" < "100" ≠ string order)
-    comp = fix[det].astype(str).agg("\x1e".join, axis=1).to_numpy(
-        dtype=object) if len(fix) else np.array([], dtype=object)
-    keep = fix["keep"].to_numpy(dtype=object) if len(fix) else \
-        np.array([], dtype=object)
+    # int order "99" < "100" ≠ string order). BOTH sides build the key
+    # through setops._encode_key on Arrow data: pandas astype(str)
+    # formats floats/bools/NaN differently ("1.0"/"True"/"nan") than
+    # the Arrow cast the batches use ("1"/"true"/null-sentinel), which
+    # silently missed every repair on such det columns
+    from .setops import _KEY as _SK
+    from .setops import _encode_key as _enc
+
+    if len(fix):
+        cols_arr = [pa.array([None if pd.isna(x) else x
+                              for x in fix[c].to_numpy(dtype=object)])
+                    for c in det]
+        ft = pa.Table.from_arrays(cols_arr, names=det)
+        comp = (_enc(ft, det)[_SK].to_numpy(zero_copy_only=False)
+                .astype(object))
+        keep = fix["keep"].to_numpy(dtype=object)
+    else:
+        comp = np.array([], dtype=object)
+        keep = np.array([], dtype=object)
     if len(comp):
         order = np.argsort(comp.astype(str), kind="mergesort")
         comp, keep = comp[order], keep[order]
     ref = ray.put((comp, keep))
 
     def rewrite(b: pa.Table) -> dict:
-        import pyarrow.compute as pc
         ck, kv = ray.get(ref)
-        parts_ = [pc.cast(b[c], pa.string()).to_numpy(
-            zero_copy_only=False).astype(str) for c in det]
-        key = parts_[0]
-        for pcol in parts_[1:]:
-            key = np.char.add(np.char.add(key, "\x1e"), pcol)
-        key = key.astype(object)
+        key = (_enc(b, det)[_SK].to_numpy(zero_copy_only=False)
+               .astype(object))
         pos = np.clip(np.searchsorted(ck, key), 0,
                       max(len(ck) - 1, 0))
         hit = (ck[pos] == key) if len(ck) else np.zeros(len(key),
@@ -564,13 +591,10 @@ def fd_repair(ds, det_cols: Sequence[str], dep_col: str, *,
             cols_out[c] = b[c].to_numpy(zero_copy_only=False)[idx]
         ck, kv = ray.get(ref)
         cols_out["old"] = old[idx].astype(str)
-        # recompute the assigned value for the log
-        parts_ = [pc.cast(b[c], pa.string()).to_numpy(
-            zero_copy_only=False).astype(str) for c in det]
-        key = parts_[0]
-        for pcol in parts_[1:]:
-            key = np.char.add(np.char.add(key, "\x1e"), pcol)
-        pos = np.clip(np.searchsorted(ck, key.astype(object)), 0,
+        # recompute the assigned value for the log (same shared key)
+        key = (_enc(b, det)[_SK].to_numpy(zero_copy_only=False)
+               .astype(object))
+        pos = np.clip(np.searchsorted(ck, key), 0,
                       max(len(ck) - 1, 0))
         cols_out["new"] = kv[pos[idx]].astype(str)
         return pa.Table.from_pydict(cols_out)
@@ -611,8 +635,21 @@ def relationship_profile(child_ds, fk_col: str, parent_ds, pk_col: str,
     if mode not in ("auto", "driver", "shuffle"):
         raise ValueError(f"unknown mode {mode!r}")
 
+    from ..scale import dataset_rows_hint
+
     def counts_max(ds, col) -> Tuple[int, int, int]:
-        """→ (max rows per key, n distinct keys, n null rows)."""
+        """→ (max rows per key, n distinct keys, n null rows). The mode
+        decision happens BEFORE any partial is collected: beyond the
+        band the grouped counts stay distributed (Ray hash groupby) and
+        the driver sees only per-block (max, n_keys) reductions plus
+        1-row null-count partials — the earlier version materialized
+        every (key, count) partial first, making 'shuffle' a dead
+        parameter exactly where it was needed."""
+        m = mode
+        if m == "auto":
+            n_hint = dataset_rows_hint(ds) or ds.count()
+            m = "driver" if n_hint <= driver_band else "shuffle"
+
         def part(b: pa.Table) -> pa.Table:
             t = b.select([col])
             nn = t.column(0).null_count
@@ -628,18 +665,50 @@ def relationship_profile(child_ds, fk_col: str, parent_ds, pk_col: str,
             return g.append_column("_nulls", pa.array(nulls,
                                                       pa.int64()))
 
-        pdf = ds.map_batches(part, batch_format="pyarrow",
-                             zero_copy_batch=True).to_pandas()
-        nulls = int(pdf["_nulls"].sum())
-        pdf = pdf.dropna(subset=[col])
-        if not len(pdf):
+        if m == "driver":
+            pdf = ds.map_batches(part, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+            nulls = int(pdf["_nulls"].sum())
+            pdf = pdf.dropna(subset=[col])
+            if not len(pdf):
+                return 0, 0, nulls
+            g = pdf.groupby(col)["count_all"].sum()
+            return int(g.max()), int(len(g)), nulls
+        if m != "shuffle":
+            raise ValueError(f"unknown mode {m!r}")
+
+        # null counts: 1-row-per-block partials (O(#blocks) driver ints)
+        def nullpart(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"_nulls": pa.array([b[col].null_count], pa.int64())})
+
+        nulls = int(ds.map_batches(nullpart, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                    .to_pandas()["_nulls"].sum())
+
+        def proj(b: pa.Table) -> pa.Table:
+            t = b.select([col])
+            return t.drop_null()
+
+        grouped = (ds.map_batches(proj, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby(col).count())
+
+        def reduce_part(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "count()" not in b.column_names:
+                return pa.Table.from_pydict(
+                    {"mx": pa.array([0], pa.int64()),
+                     "nk": pa.array([0], pa.int64())})
+            c = b["count()"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {"mx": pa.array([int(c.max())], pa.int64()),
+                 "nk": pa.array([int(len(c))], pa.int64())})
+
+        r = grouped.map_batches(reduce_part,
+                                batch_format="pyarrow").to_pandas()
+        if not len(r):
             return 0, 0, nulls
-        m = mode
-        if m == "auto":
-            m = ("driver" if pdf[col].nunique() <= driver_band
-                 else "shuffle")
-        g = pdf.groupby(col)["count_all"].sum()
-        return int(g.max()), int(len(g)), nulls
+        return int(r["mx"].max()), int(r["nk"].sum()), nulls
 
     max_cpp, n_fk_distinct, n_null_fk = counts_max(child_ds, fk_col)
     max_rpk, n_pk_distinct, _ = counts_max(parent_ds, pk_col)

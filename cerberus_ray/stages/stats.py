@@ -291,10 +291,12 @@ def completeness_report(ds, cols: Sequence[str] | None = None, *,
                 h.update_strings(vals.to_numpy(zero_copy_only=False))
                 out["distinct"].append("h" + h.to_bytes().hex())
             else:
-                # escape so a value containing the separator (or an
-                # empty string) can't corrupt the distinct merge;
-                # escaping is injective, so distinctness is preserved
-                u = [v.replace("\x1e", "\x1e\x1e").replace(
+                # escape so a value containing the separator can't
+                # corrupt the distinct merge (injective), and prefix
+                # every value with 'x' so even a lone EMPTY STRING
+                # yields a payload longer than the bare "v" marker —
+                # the driver's len>1 guard used to drop it
+                u = ["x" + v.replace("\x1e", "\x1e\x1e").replace(
                     "\x1f", "\x1eF") for v in vals.unique().to_pylist()]
                 out["distinct"].append("v" + "\x1f".join(sorted(u)))
         return pa.Table.from_pydict({
@@ -335,7 +337,7 @@ def completeness_report(ds, cols: Sequence[str] | None = None, *,
             seen: set = set()
             for d in ds_col:
                 if len(d) > 1:
-                    seen.update(d[1:].split("\x1f"))
+                    seen.update(p[1:] for p in d[1:].split("\x1f"))
             nd = len(seen)
         rows.append({
             "col": c, "n": n, "n_null": n_null,
@@ -431,7 +433,7 @@ def spearman_by_group(ds, group_col: str, x_col: str, y_col: str, *,
         g = g.dropna(subset=[x_col, y_col])
         if not len(g):
             return pd.DataFrame({group_col: [], "n": [], "rho": []})
-        gb = g.groupby(group_col, sort=False)
+        gb = g.groupby(group_col, sort=False, dropna=False)
         rx = gb[x_col].rank(method="average")
         ry = gb[y_col].rank(method="average")
         t = pd.DataFrame({group_col: g[group_col].to_numpy(),
@@ -439,7 +441,9 @@ def spearman_by_group(ds, group_col: str, x_col: str, y_col: str, *,
         t["rxy"] = t["rx"] * t["ry"]
         t["rx2"] = t["rx"] ** 2
         t["ry2"] = t["ry"] ** 2
-        s = t.groupby(group_col, sort=False).agg(
+        # dropna=False: a NULL group is still a group (kendall/theil-sen
+        # report it; SQL GROUP BY groups NULLs)
+        s = t.groupby(group_col, sort=False, dropna=False).agg(
             n=("rx", "size"), sx=("rx", "sum"), sy=("ry", "sum"),
             sxy=("rxy", "sum"), sx2=("rx2", "sum"), sy2=("ry2", "sum"))
         n = s["n"].to_numpy(np.float64)
