@@ -46,7 +46,11 @@ def match_pairs(ds, text_col: str, *, k: int = 1,
     """→ (a, b, dist) over distinct NORMALIZED values with Levenshtein
     distance in [1, k] (self-pairs and symmetric duplicates removed;
     a < b lexicographically). Exact recall — deletion blocking misses
-    nothing within k."""
+    nothing within k — AMONG values of ≤256 chars: longer values (junk
+    rows, pathological names) are skipped rather than crashing the DP
+    kernel, so they resolve as singleton identities. Runs the fuzzyjoin
+    TRUE self-join (one variant expansion, each unordered pair verified
+    once — half the two-sided cost)."""
     from .fuzzyjoin import fuzzy_join
 
     def norm(b: pa.Table) -> pa.Table:
@@ -58,14 +62,12 @@ def match_pairs(ds, text_col: str, *, k: int = 1,
 
     nds = ds.map_batches(norm, batch_format="pyarrow",
                          zero_copy_batch=True).materialize()
-    pairs = fuzzy_join(nds, nds, text_col, k=k, n_buckets=n_buckets)
+    pairs = fuzzy_join(nds, None, text_col, k=k, n_buckets=n_buckets,
+                       self_join=True, overlong="skip")
     if not len(pairs):
         return pd.DataFrame({"a": [], "b": [], "dist": []})
-    lo = np.minimum(pairs["left"].to_numpy(dtype=object),
-                    pairs["right"].to_numpy(dtype=object))
-    hi = np.maximum(pairs["left"].to_numpy(dtype=object),
-                    pairs["right"].to_numpy(dtype=object))
-    out = pd.DataFrame({"a": lo, "b": hi, "dist": pairs["dist"]})
+    out = pd.DataFrame({"a": pairs["left"], "b": pairs["right"],
+                        "dist": pairs["dist"]})
     out = out[out["a"] != out["b"]].drop_duplicates(["a", "b"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -380,7 +382,10 @@ def _jaro(s1: str, s2: str) -> float:
         # incl. BOTH empty → 0.0: DuckDB's convention (kept for exact
         # oracle parity; the textbook value for two empties is 1.0)
         return 0.0
-    window = max(l1, l2) // 2 - 1
+    # clamp: for 1-char strings max//2-1 is -1, an empty scan window —
+    # 'a' vs 'a' scored 0.0 while DuckDB/rapidfuzz (window >= 0) give
+    # 1.0; the clamp restores exact parity
+    window = max(max(l1, l2) // 2 - 1, 0)
     used2 = [False] * l2
     m1, m2 = [], []
     for i, c in enumerate(s1):
@@ -452,27 +457,36 @@ def soundex_blocking_pairs(ds, id_col: str, text_col: str, *,
                        zero_copy_batch=True).to_pandas()["v"]
         .to_numpy(dtype=object))
     if not len(vals):
-        return pd.DataFrame({"a": [], "b": [], "sim": []})
+        return pd.DataFrame({"a": [], "b": [], "sim": [], "capped": []})
     first = pd.Series(vals, dtype=object).str.split(" ").str[0]
     codes = soundex(first.to_numpy(dtype=object))
     order = np.lexsort((vals.astype(str), codes.astype(str)))
     cv, vv = codes[order].astype(str), vals[order]
     starts = np.flatnonzero(np.r_[True, cv[1:] != cv[:-1]])
     ends = np.r_[starts[1:], len(cv)]
-    ai, bi = [], []
+    ai, bi, capped_flags = [], [], []
     for s, e in zip(starts, ends):
         size = e - s
-        if size < 2 or size > max_bucket or not cv[s]:
+        if size < 2 or not cv[s]:
             continue
-        iu, ju = np.triu_indices(size, k=1)
+        # hot code: CAP to the first max_bucket members (values are
+        # value-sorted within the code → deterministic) instead of
+        # silently dropping the whole bucket; pairs from a truncated
+        # bucket carry capped=True so the recall loss is visible
+        was_capped = size > max_bucket
+        use = min(size, max_bucket)
+        iu, ju = np.triu_indices(use, k=1)
         ai.append(iu + s)
         bi.append(ju + s)
+        capped_flags.append(np.full(len(iu), was_capped))
     if not ai:
-        return pd.DataFrame({"a": [], "b": [], "sim": []})
+        return pd.DataFrame({"a": [], "b": [], "sim": [], "capped": []})
     ai = np.concatenate(ai)
     bi = np.concatenate(bi)
+    capped_flags = np.concatenate(capped_flags)
     sim = jaro_winkler(vv[ai], vv[bi])
     keep = sim >= jw_threshold
     out = pd.DataFrame({"a": vv[ai][keep], "b": vv[bi][keep],
-                        "sim": sim[keep]})
+                        "sim": sim[keep],
+                        "capped": capped_flags[keep]})
     return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -100,26 +100,45 @@ def _variants(values: np.ndarray, k: int) -> pd.DataFrame:
 
 
 def fuzzy_join(left_ds, right_ds, col: str, *, k: int = 1,
-               n_buckets: int = 32) -> pd.DataFrame:
+               n_buckets: int = 32, self_join: bool = False,
+               max_len: int = 256,
+               overlong: str = "error") -> pd.DataFrame:
     """→ (left, right, dist): every distinct cross-side string pair with
     Levenshtein distance ≤ ``k`` (k ∈ {1, 2}). Exact — FastSS deletion
     blocking has full recall; each candidate is verified with the exact
-    DP kernel."""
+    DP kernel.
+
+    ``self_join=True`` matches ``left_ds`` against itself with HALF the
+    work of the two-sided call (one variant expansion, each unordered
+    pair verified once; left < right in the output); ``right_ds`` is
+    ignored. ``overlong`` controls values longer than ``max_len`` (the
+    DP kernel's O(max_len²) cost guard): ``'error'`` (default) raises
+    inside the verify kernel, ``'skip'`` drops them from matching —
+    they can then never pair, which entity resolution treats as
+    singleton identities."""
     if k not in (1, 2):
         raise ValueError("k must be 1 or 2 (deletion-neighborhood "
                          "expansion is O(len^k) variants per string)")
+    if overlong not in ("error", "skip"):
+        raise ValueError(f"unknown overlong policy {overlong!r}")
     from ..stages.keyed_window import keyed_apply
 
     def expand(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             vals = df[col].dropna().unique()
+            if overlong == "skip":
+                vals = np.asarray(
+                    [x for x in vals if len(x) <= max_len], dtype=object)
             v = _variants(np.asarray(vals, dtype=object), k)
             v["side"] = np.int8(side)
             return v
         return fn
 
-    u = (left_ds.map_batches(expand(0), batch_format="pandas")
-         .union(right_ds.map_batches(expand(1), batch_format="pandas")))
+    if self_join:
+        u = left_ds.map_batches(expand(0), batch_format="pandas")
+    else:
+        u = (left_ds.map_batches(expand(0), batch_format="pandas")
+             .union(right_ds.map_batches(expand(1), batch_format="pandas")))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["variant", "orig", "side"])
@@ -137,11 +156,38 @@ def fuzzy_join(left_ds, right_ds, col: str, *, k: int = 1,
             "left": np.concatenate(la),
             "right": np.concatenate(ra)}).drop_duplicates()
         d = levenshtein_batch(cand["left"].to_numpy(dtype=object),
-                              cand["right"].to_numpy(dtype=object))
+                              cand["right"].to_numpy(dtype=object),
+                              max_len=max_len)
         cand = cand.assign(dist=d)
         return cand[cand["dist"] <= k]
 
-    pairs = keyed_apply(u, "variant", bucket_pairs,
+    def bucket_pairs_self(g: pd.DataFrame) -> pd.DataFrame:
+        """Unordered distinct pairs within each variant bucket — each
+        pair expanded and DP-verified ONCE (the two-sided path verified
+        both orientations of every self-join pair)."""
+        g = g.drop_duplicates(["variant", "orig"])
+        byv = g.groupby("variant")["orig"].unique()
+        la, ra = [], []
+        for vals in byv:
+            if len(vals) < 2:
+                continue
+            vs = np.sort(vals.astype(object))
+            iu, ju = np.triu_indices(len(vs), 1)
+            la.append(vs[iu])
+            ra.append(vs[ju])
+        if not la:
+            return pd.DataFrame({"left": [], "right": []})
+        cand = pd.DataFrame({
+            "left": np.concatenate(la),
+            "right": np.concatenate(ra)}).drop_duplicates()
+        d = levenshtein_batch(cand["left"].to_numpy(dtype=object),
+                              cand["right"].to_numpy(dtype=object),
+                              max_len=max_len)
+        cand = cand.assign(dist=d)
+        return cand[cand["dist"] <= k]
+
+    kern = bucket_pairs_self if self_join else bucket_pairs
+    pairs = keyed_apply(u, "variant", kern,
                         n_buckets=n_buckets).to_pandas()
     if not len(pairs):
         return pd.DataFrame({"left": [], "right": [], "dist": []})

@@ -17,9 +17,12 @@ Semantics (deterministic and partition-invariant by construction):
   documents (within-doc repeats do not count — same contract as
   ``substring_dedup``).
 - ``keep='none'`` (default) cuts every occurrence — boilerplate removal.
-  ``keep='first'`` keeps the single occurrence in the lexicographically
-  smallest ``key_col`` (deterministic winner, independent of block
-  order — the `exact_dedup_keep_first` contract at line granularity).
+  ``keep='first'`` leaves the lexicographically smallest ``key_col``
+  document untouched for that line — every occurrence THERE survives
+  (within-doc repeats are ``cut_within_doc_repeats``' job) — and cuts
+  all other documents' occurrences (deterministic winner, independent
+  of block order — the `exact_dedup_keep_first` contract at line
+  granularity; pinned by the pandas/DuckDB dual reference in tests).
 
 Ray shape (two passes, the fused two-pass design shared with the MinHash
 and substring stages):
@@ -108,8 +111,11 @@ def duplicated_line_set(ds, *, text_col: str = "text",
         import pyarrow.compute as pc
         keys = pc.cast(b[key_col], pa.string()).to_numpy(zero_copy_only=False)
         d, h = _block_lines(b[text_col], unit)
+        # int64 VIEW of the uint64 hash: Ray's hash groupby handles
+        # int64 natively, while uint64 values >= 2^63 degrade the
+        # shuffle-mode exchange to per-row pickled objects
         t = pa.Table.from_pydict({
-            "h": pa.array(h, pa.uint64()),
+            "h": pa.array(h.view(np.int64), pa.int64()),
             "k": pa.array(keys[d] if len(d) else [], pa.string())})
         g = t.group_by("h").aggregate([([], "count_all"), ("k", "min")])
         return pa.Table.from_arrays(
@@ -123,9 +129,13 @@ def duplicated_line_set(ds, *, text_col: str = "text",
         if "h" not in pdf.columns or not len(pdf):
             return empty
         agg = pdf.groupby("h").agg(c=("c", "sum"), k=("k", "min"))
-        agg = agg[agg["c"] >= min_docs].sort_index()
-        return (agg.index.to_numpy().astype(np.uint64),
-                agg["k"].to_numpy(dtype=object))
+        agg = agg[agg["c"] >= min_docs]
+        # h travelled as an int64 bit-view; consumers searchsorted in
+        # UINT64 order, so sort by the uint64 view (int64 order differs
+        # for hashes >= 2^63) and keep the keepers array parallel
+        hu = agg.index.to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(hu, kind="mergesort")
+        return hu[order], agg["k"].to_numpy(dtype=object)[order]
 
     from ray.data.aggregate import Min, Sum
     merged = (partials.groupby("h")
@@ -140,9 +150,9 @@ def duplicated_line_set(ds, *, text_col: str = "text",
            .to_pandas())
     if "h" not in pdf.columns or not len(pdf):
         return empty
-    pdf = pdf.sort_values("h")
-    return (pdf["h"].to_numpy().astype(np.uint64),
-            pdf["k"].to_numpy(dtype=object))
+    hu = pdf["h"].to_numpy().astype(np.int64).view(np.uint64)
+    order = np.argsort(hu, kind="mergesort")
+    return hu[order], pdf["k"].to_numpy(dtype=object)[order]
 
 
 def cut_duplicated_lines(ds, dup: Tuple[np.ndarray, np.ndarray], *,
@@ -188,9 +198,16 @@ def cut_duplicated_lines(ds, dup: Tuple[np.ndarray, np.ndarray], *,
         touched[doc_idx[hit]] = True
         new_texts = texts.astype(object)
         kept = ~hit
-        for di in np.flatnonzero(touched):
-            sel = doc_idx == di
-            new_texts[di] = usep.join(raw[sel & kept])
+        # explode() is doc-contiguous: slice each touched doc's segment
+        # via two searchsorteds instead of rescanning the whole exploded
+        # array per doc (that rescan was quadratic when boilerplate
+        # touches every doc — the operator's target workload)
+        tdocs = np.flatnonzero(touched)
+        seg_lo = np.searchsorted(doc_idx, tdocs, side="left")
+        seg_hi = np.searchsorted(doc_idx, tdocs, side="right")
+        for di, lo, hi in zip(tdocs, seg_lo, seg_hi):
+            seg_kept = kept[lo:hi]
+            new_texts[di] = usep.join(raw[lo:hi][seg_kept])
         i = b.schema.get_field_index(text_col)
         return b.set_column(i, text_col, pa.array(new_texts, pa.string()))
 
@@ -263,9 +280,13 @@ def cut_within_doc_repeats(ds, *, text_col: str = "text",
         touched[doc_idx[hit]] = True
         kept = ~hit
         new_texts = texts.astype(object)
-        for di in np.flatnonzero(touched):
-            sel = doc_idx == di
-            new_texts[di] = usep.join(raw[sel & kept])
+        # segment slicing, not per-doc rescans (see cut_duplicated_lines)
+        tdocs = np.flatnonzero(touched)
+        seg_lo = np.searchsorted(doc_idx, tdocs, side="left")
+        seg_hi = np.searchsorted(doc_idx, tdocs, side="right")
+        for di, lo, hi in zip(tdocs, seg_lo, seg_hi):
+            seg_kept = kept[lo:hi]
+            new_texts[di] = usep.join(raw[lo:hi][seg_kept])
         i = b.schema.get_field_index(text_col)
         return b.set_column(i, text_col, pa.array(new_texts, pa.string()))
 

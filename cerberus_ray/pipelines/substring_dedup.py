@@ -106,10 +106,14 @@ def duplicated_shingle_hashes(ds, *, text_col: str = "text", n: int = 20,
         if mode == "driver":
             # per-block combine: (h, n_docs_in_block)
             u, c = np.unique(h, return_counts=True)
+            # int64 VIEW (bit pattern) — native Ray groupby; uint64
+            # values >= 2^63 degrade the shuffle exchange to pickled
+            # objects (same fix as line_dedup / dedup band hashes)
             return pa.Table.from_pydict({
-                "h": pa.array(u, pa.uint64()),
+                "h": pa.array(u.view(np.int64), pa.int64()),
                 "c": pa.array(c, pa.int64())})
-        return pa.Table.from_pydict({"h": pa.array(h, pa.uint64())})
+        return pa.Table.from_pydict(
+            {"h": pa.array(h.view(np.int64), pa.int64())})
 
     out = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
@@ -118,8 +122,9 @@ def duplicated_shingle_hashes(ds, *, text_col: str = "text", n: int = 20,
         if not len(pdf):
             return np.array([], dtype=np.uint64)
         tot = pdf.groupby("h", as_index=False)["c"].sum()
+        # sort AFTER the uint64 view (int64 order differs >= 2^63)
         return np.sort(tot[tot["c"] >= min_docs]["h"]
-                       .to_numpy().astype(np.uint64))
+                       .to_numpy().astype(np.int64).view(np.uint64))
     counts = out.groupby("h").count()
 
     def only_dups(b: pa.Table) -> pa.Table:
@@ -129,7 +134,7 @@ def duplicated_shingle_hashes(ds, *, text_col: str = "text", n: int = 20,
     pdf = counts.map_batches(only_dups, batch_format="pyarrow").to_pandas()
     if "h" not in pdf.columns or not len(pdf):
         return np.array([], dtype=np.uint64)
-    return np.sort(pdf["h"].to_numpy().astype(np.uint64))
+    return np.sort(pdf["h"].to_numpy().astype(np.int64).view(np.uint64))
 
 
 def _hit_spans(texts, dup: np.ndarray, n: int):

@@ -301,3 +301,79 @@ def test_soundex_blocking_pairs_finds_phonetic_matches(ray_session):
     assert not any("catherine" in a and "katherine" in b
                    for a, b in got)
     assert (out["sim"] >= 0.8).all()
+
+
+def test_jaro_single_char_parity(ray_session):
+    """Equal 1-char strings are identical — sim 1.0, matching DuckDB's
+    jaro_similarity (the unclamped match window used to score 0.0)."""
+    import duckdb
+
+    from cerberus_ray.pipelines.entity_resolution import jaro_winkler
+
+    a = np.array(["a", "a", "x", "ab"], dtype=object)
+    b = np.array(["a", "b", "x", "ab"], dtype=object)
+    sim = jaro_winkler(a, b)
+    assert sim[0] == 1.0 and sim[2] == 1.0 and sim[3] == 1.0
+    assert sim[1] == 0.0
+    con = duckdb.connect()
+    for x, y, s in zip(a, b, sim):
+        ref = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [x, y]).fetchone()[0]
+        assert s == ref, (x, y, s, ref)
+
+
+def test_fuzzy_self_join_agrees_with_two_sided(ray_session):
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.fuzzyjoin import fuzzy_join
+
+    df = pd.DataFrame({"v": ["smith", "smyth", "smithe", "jones",
+                             "jonas", "unique"]})
+    ds = rd.from_pandas(df, override_num_blocks=2).materialize()
+    two = fuzzy_join(ds, ds, "v", k=1)
+    lo = np.minimum(two["left"], two["right"])
+    hi = np.maximum(two["left"], two["right"])
+    two_set = {(a, b) for a, b in zip(lo, hi) if a != b}
+    one = fuzzy_join(ds, None, "v", k=1, self_join=True)
+    one_set = set(zip(one["left"], one["right"]))
+    assert one_set == two_set and len(one_set) >= 2
+
+
+def test_fuzzy_join_overlong_policy(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.fuzzyjoin import fuzzy_join
+
+    long = "x" * 300
+    df = pd.DataFrame({"v": ["abc", "abd", long, long + "y"]})
+    ds = rd.from_pandas(df).materialize()
+    out = fuzzy_join(ds, None, "v", k=1, self_join=True,
+                     overlong="skip")
+    assert set(zip(out["left"], out["right"])) == {("abc", "abd")}
+    with pytest.raises(ValueError, match="max_len"):
+        fuzzy_join(ds, None, "v", k=1, self_join=True)
+
+
+def test_soundex_hot_bucket_capped_not_dropped(ray_session):
+    """A phonetic code with more members than max_bucket keeps its
+    (truncated) pairs and flags them capped — it used to drop the whole
+    bucket silently."""
+    import ray.data as rd
+
+    from cerberus_ray.pipelines.entity_resolution import (
+        soundex_blocking_pairs)
+
+    names = [f"smith clone{i}" for i in range(10)]
+    df = pd.DataFrame({"rid": range(10), "name": names})
+    out = soundex_blocking_pairs(
+        rd.from_pandas(df).materialize(), "rid", "name",
+        jw_threshold=0.5, max_bucket=4)
+    assert len(out) > 0
+    assert out["capped"].all()
+    # uncapped corpus: flag False
+    out2 = soundex_blocking_pairs(
+        rd.from_pandas(df).materialize(), "rid", "name",
+        jw_threshold=0.5, max_bucket=2000)
+    assert not out2["capped"].any()
+    assert len(out2) >= len(out)

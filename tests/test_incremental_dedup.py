@@ -92,3 +92,24 @@ def test_param_mismatch_raises(index_dir, ray_session):
     with pytest.raises(IndexParamsMismatch):
         probe_minhash_index(rd.from_pandas(new_batch()), index_dir,
                             bands=8)
+
+
+def test_probe_hot_bucket_linear_path(ray_session, tmp_path):
+    """A bucket with more members than hot_bucket must not expand
+    C(n,2) pairs — the linear new×all path still finds every pair with
+    a new member (exact for the probe contract)."""
+    flood = pd.DataFrame({
+        "doc_id": [f"o{i:04d}" for i in range(40)],
+        "text": ["identical boilerplate text repeated verbatim"] * 40})
+    idx = str(tmp_path / "hotidx")
+    build_minhash_index(rd.from_pandas(flood, override_num_blocks=3), idx)
+    new = pd.DataFrame({
+        "doc_id": ["n1"],
+        "text": ["identical boilerplate text repeated verbatim"]})
+    out = probe_minhash_index(rd.from_pandas(new), idx,
+                              hot_bucket=8).to_pandas()
+    # every pair involves the new doc; all 40 old members found
+    assert len(out) == 40
+    assert set(out["pair_kind"]) == {"new-old"}
+    assert (out["jaccard_est"] == 1.0).all()
+    assert set(out["doc_id_b"]) <= {"n1"} or set(out["doc_id_a"]) <= {"n1"}
