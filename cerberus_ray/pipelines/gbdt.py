@@ -286,6 +286,12 @@ def fit_gbdt(ds, feature_cols: Sequence[str], label_col: str, *,
                               + gr ** 2 / (hr + reg_lambda)
                               - gtot ** 2 / (htot + reg_lambda)) - gamma
                 gain = np.where(ok, np.round(gain, 9), -np.inf)
+                if gain.size == 0:
+                    # every feature constant or all-NaN → zero interior
+                    # bin edges; no split exists and argmax on the
+                    # empty array would raise — the node stays a
+                    # pass-through leaf (degenerate base-score model)
+                    continue
                 j = int(np.argmax(gain))       # lexicographic tie-break
                 if gain.flat[j] <= 0:
                     continue

@@ -55,7 +55,13 @@ class GMMModel:
 
 
 def _mat(b: pa.Table, vec_col: str) -> np.ndarray:
-    return np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
+    # handles BOTH list<float> and Ray's tensor-extension layout, and
+    # empty blocks (which Ray Data legitimately delivers — a bare
+    # np.stack([]) would raise "need at least one array to stack")
+    v = b[vec_col].to_pandas().to_numpy()
+    if len(v) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack(v).astype(np.float64)
 
 
 def _log_resp(X: np.ndarray, w, mu, var):
@@ -100,9 +106,14 @@ def fit_gmm(ds, *, vec_col: str = "embedding", k: int = 4,
         var = np.tile(np.maximum(X.var(axis=0), _VAR_FLOOR), (k, 1))
         w = np.full(k, 1.0 / k)
     else:
+        if init_variances is None or init_weights is None:
+            raise ValueError(
+                "init_means requires init_variances and init_weights")
         mu = np.asarray(init_means, dtype=np.float64)
         var = np.asarray(init_variances, dtype=np.float64)
         w = np.asarray(init_weights, dtype=np.float64)
+        if not (len(mu) == len(var) == len(w)):
+            raise ValueError("init arrays must share the component count")
     model = GMMModel(weights=w, means=mu, variances=var,
                      vec_col=vec_col)
 
@@ -112,6 +123,13 @@ def fit_gmm(ds, *, vec_col: str = "embedding", k: int = 4,
         def partial(b: pa.Table, _pref=pref) -> pa.Table:
             wv, muv, varv = ray.get(_pref)
             X = _mat(b, vec_col)
+            if not len(X):
+                kk, dd = muv.shape
+                z = np.zeros((kk, dd))
+                return pa.Table.from_pydict({
+                    "rsum": [np.zeros(kk).tobytes()],
+                    "rx": [z.tobytes()], "rx2": [z.tobytes()],
+                    "ll": [0.0], "n": [0]})
             lr, lse = _log_resp(X, wv, muv, varv)
             r = np.exp(lr)                      # (n, k)
             return pa.Table.from_pydict({
@@ -124,9 +142,11 @@ def fit_gmm(ds, *, vec_col: str = "embedding", k: int = 4,
         parts = ds.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True).to_pandas()
         d = model.means.shape[1]
+        # the EFFECTIVE component count — init_means may differ from k
+        kk = model.k
         rsum = sum(np.frombuffer(x) for x in parts["rsum"])
-        rx = sum(np.frombuffer(x).reshape(k, d) for x in parts["rx"])
-        rx2 = sum(np.frombuffer(x).reshape(k, d) for x in parts["rx2"])
+        rx = sum(np.frombuffer(x).reshape(kk, d) for x in parts["rx"])
+        rx2 = sum(np.frombuffer(x).reshape(kk, d) for x in parts["rx2"])
         n = int(parts["n"].sum())
         model.loglik.append(round(float(parts["ll"].sum()) / n, 10))
         rsum = np.maximum(rsum, 1e-12)
@@ -145,6 +165,11 @@ def assign_gmm(ds, model: GMMModel, *, out_col: str = "component"):
     def assign(b: pa.Table, _pref=pref) -> pa.Table:
         wv, muv, varv = ray.get(_pref)
         X = _mat(b, vec_col)
+        if not len(X):
+            return (b.append_column(out_col,
+                                    pa.array([], pa.int64()))
+                    .append_column("posterior",
+                                   pa.array([], pa.float64())))
         lr, _ = _log_resp(X, wv, muv, varv)
         comp = np.argmax(np.round(lr, 12), axis=1)   # stable ties
         return (b.append_column(out_col, pa.array(comp.astype(np.int64)))

@@ -54,19 +54,25 @@ def forward_backward(obs: np.ndarray, pi: np.ndarray, A: np.ndarray,
     T, S = len(obs), len(pi)
     alpha = np.empty((T, S))
     c = np.empty(T)
+    # zero-mass guard: degenerate parameters (pi/B zeros from an
+    # M-step on degenerate data) can zero a whole step's mass; dividing
+    # by 0 would poison every sufficient statistic with NaN
     alpha[0] = pi * B[:, obs[0]]
-    c[0] = alpha[0].sum()
+    c[0] = alpha[0].sum() or 1.0
     alpha[0] /= c[0]
     for t in range(1, T):
         alpha[t] = (alpha[t - 1] @ A) * B[:, obs[t]]
-        c[t] = alpha[t].sum()
+        c[t] = alpha[t].sum() or 1.0
         alpha[t] /= c[t]
     beta = np.empty((T, S))
     beta[-1] = 1.0
     for t in range(T - 2, -1, -1):
         beta[t] = (A @ (B[:, obs[t + 1]] * beta[t + 1])) / c[t + 1]
     gamma = alpha * beta
-    gamma /= gamma.sum(axis=1, keepdims=True)
+    gs = gamma.sum(axis=1, keepdims=True)
+    # zero-mass steps stay zero (the batched twin's where-guard)
+    gamma = np.divide(gamma, gs, out=np.zeros_like(gamma),
+                      where=gs > 0)
     xi = np.zeros((S, S))
     for t in range(T - 1):
         m = (alpha[t][:, None] * A * (B[:, obs[t + 1]]
@@ -89,7 +95,8 @@ def _fb_batch(obs_pad: np.ndarray, lens: np.ndarray, pi, A, B):
     c = np.ones((U, Tm))
     Bo = B.T[obs_pad]                                    # (U, Tm, S)
     alpha[:, 0] = pi[None, :] * Bo[:, 0]
-    c[:, 0] = alpha[:, 0].sum(axis=1)
+    c0 = alpha[:, 0].sum(axis=1)
+    c[:, 0] = np.where(c0 > 0, c0, 1.0)   # same guard as t >= 1
     alpha[:, 0] /= c[:, 0, None]
     for t in range(1, Tm):
         act = active[:, t]
@@ -146,6 +153,8 @@ def fit_hmm(ds, key_col: str, ts_col: str, obs_col: str, *,
 
     if n_states < 1:
         raise ValueError("n_states must be >= 1")
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
     if n_restarts < 1:
         raise ValueError("n_restarts must be >= 1")
     symbols = sorted(
@@ -181,12 +190,39 @@ def _fit_once(seqs, key_col, ts_col, obs_col, symbols, sym_idx, V, S,
             obs = df[obs_col].map(sym_idx).to_numpy(np.int64)
             seg = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
             lens = np.diff(np.append(seg, len(keys)))
-            Tm = int(lens.max())
-            pad = np.zeros((len(seg), Tm), dtype=np.int64)
-            rows = np.repeat(np.arange(len(seg)), lens)
-            colpos = np.arange(len(keys)) - np.repeat(seg, lens)
-            pad[rows, colpos] = obs
-            g1, xi, em, ll = _fb_batch(pad, lens, piv, Av, Bv)
+            # chunk sequences by PADDED-CELL budget, lengths ascending:
+            # padding to (U, max_len) costs U x Tm regardless of real
+            # rows, so one long sequence among many short ones used to
+            # inflate the dense arrays ~(U x longest) — worker OOM
+            order = np.argsort(lens, kind="stable")
+            budget = 1_000_000
+            g1 = np.zeros(S)
+            xi = np.zeros((S, S))
+            em = np.zeros((S, V))
+            ll = 0.0
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order):
+                    tm = int(lens[order[j]])
+                    if (j - i + 1) * tm > budget and j > i:
+                        break
+                    j += 1
+                idx = order[i:j]
+                ls = lens[idx]
+                st = seg[idx]
+                rows = np.repeat(np.arange(len(idx)), ls)
+                colpos = (np.arange(int(ls.sum()))
+                          - np.repeat(np.cumsum(ls) - ls, ls))
+                pad = np.zeros((len(idx), int(ls.max())),
+                               dtype=np.int64)
+                pad[rows, colpos] = obs[np.repeat(st, ls) + colpos]
+                cg1, cxi, cem, cll = _fb_batch(pad, ls, piv, Av, Bv)
+                g1 += cg1
+                xi += cxi
+                em += cem
+                ll += cll
+                i = j
             return pd.DataFrame({
                 "g1": [g1.tobytes()], "xi": [xi.tobytes()],
                 "em": [em.tobytes()], "ll": [ll],

@@ -129,10 +129,13 @@ def grouped_simple_ols(ds, group_col: str, x_col: str, y_col: str, *,
     ok = (n >= min_n) & (vx > 0)
     slope = np.where(ok, cov / np.where(vx > 0, vx, 1.0), np.nan)
     intercept = np.where(ok, (sy - slope * sx) / n, np.nan)
-    r2 = np.where(ok & (vy > 0),
-                  np.where(vy > 0, cov * cov
+    # DuckDB/Postgres regr_r2: NULL only when var(x)=0; a constant-y
+    # group with varying x is a PERFECT horizontal fit → 1.0
+    r2 = np.where(ok,
+                  np.where(vy > 0,
+                           cov * cov
                            / np.where((vx * vy) > 0, vx * vy, 1.0),
-                           np.nan),
+                           1.0),
                   np.nan)
     out = pd.DataFrame({group_col: cen[group_col],
                         "n": n.astype(np.int64),

@@ -107,7 +107,11 @@ def fit_logreg(ds, *, text_col: str = "text", label_col: str = "label",
         g /= n
         g[:-1] += reg * w[:-1]                        # L2 on weights only
         if method == "gd":
-            w = w - (lr / (0.25 + reg)) * g           # step ≈ lr/L
+            # Lipschitz bound includes the appended BIAS column: an
+            # augmented unit row [x;1] has ‖·‖² ≤ 2, so L ≤ 2/4 + reg —
+            # the old 0.25 denominator put lr=1 at the 2/L divergence
+            # boundary on correlated data
+            w = w - (lr / (0.5 + reg)) * g            # step ≈ lr/L
         else:
             H /= n
             H[np.arange(n_features), np.arange(n_features)] += reg
@@ -133,6 +137,11 @@ def calibration_curve(scored_ds, *, label_col: str = "label",
         p = b[p_col].to_numpy(zero_copy_only=False)
         y = b[label_col].to_numpy(zero_copy_only=False).astype(
             np.float64)
+        # a NaN probability has no bin (the int cast is undefined and
+        # used to land on bin 0, poisoning its mean_p) — drop the row
+        ok = ~np.isnan(p)
+        if not ok.all():
+            p, y = p[ok], y[ok]
         bins = np.clip((p * n_bins).astype(np.int64), 0, n_bins - 1)
         t = pa.table({"bin": pa.array(bins, pa.int64()),
                       "p": pa.array(p, pa.float64()),

@@ -34,7 +34,7 @@ def _reference(df, n_features, iters, reg, lr):
         p = 1.0 / (1.0 + np.exp(-z))
         g = np.append(X.T @ (p - y), (p - y).sum()) / len(y)
         g[:-1] += reg * w[:-1]
-        w = w - (lr / (0.25 + reg)) * g
+        w = w - (lr / (0.5 + reg)) * g   # bias-inclusive Lipschitz bound
     return w
 
 
