@@ -86,7 +86,7 @@ def _user_solve(df: pd.DataFrame, Y: np.ndarray, YtY_reg: np.ndarray,
 
 def fit_implicit_als(ds, user_col: str, item_col: str, *, k: int = 8,
                      alpha: float = 40.0, reg: float = 0.1,
-                     n_iters: int = 8, n_buckets: int = 32,
+                     n_iters: int = 8, n_buckets: int | None = None,
                      count_col: Optional[str] = None,
                      max_items: int = 10_000, seed: int = 42,
                      materialize_users: bool = True,
@@ -101,7 +101,6 @@ def fit_implicit_als(ds, user_col: str, item_col: str, *, k: int = 8,
     once and run the SAME bucket kernel locally — right when the
     census is small, where n_iters keyed exchanges are pure fixed
     cost; 'auto' picks by census row count (agreement-tested)."""
-    from ..determinism import hash_strings
     from ..stages.keyed_window import keyed_apply
 
     if mode not in ("auto", "driver", "bucket"):
@@ -130,9 +129,17 @@ def fit_implicit_als(ds, user_col: str, item_col: str, *, k: int = 8,
 
     interactions = census.map_batches(
         prep, batch_format="pyarrow").materialize()
+    n_census = interactions.count()
     if mode == "auto":
-        mode = ("driver" if interactions.count() <= 2_000_000
-                else "bucket")
+        mode = "driver" if n_census <= 2_000_000 else "bucket"
+    # bucket count ∝ census rows: the user-solve kernel allocates a
+    # dense (bucket_rows, k, k) intermediate, so a fixed 32-bucket
+    # exchange scales per-bucket memory linearly with census size —
+    # auto_buckets caps a bucket at ~200k rows
+    if n_buckets is None:
+        from ..stages.keyed_window import auto_buckets
+
+        n_buckets = auto_buckets(n_census)
     local = interactions.to_pandas() if mode == "driver" else None
 
     rng = np.random.default_rng(seed)

@@ -26,12 +26,10 @@ original column names.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Dict, List, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..state.tdigest import TDigest
@@ -90,9 +88,24 @@ def fit_copula(ds, cols: Sequence[str], *,
     return CopulaModel(feature_cols=cols, digests=digs, corr=corr, n=n)
 
 
+def _erf(x: np.ndarray) -> np.ndarray:
+    """Vectorized erf (Abramowitz & Stegun 7.1.26, |err| ≤ 1.5e-7 —
+    far inside the copula's rank resolution). numpy ships no erf
+    ufunc, and the previous per-element Python erf loop turned the
+    generation pass into minutes of single-element dispatch at
+    10M rows × d dims."""
+    sign = np.sign(x)
+    ax = np.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * np.exp(-ax * ax))
+
+
 def _phi(z: np.ndarray) -> np.ndarray:
     """Standard normal CDF via erf (vectorized, no scipy)."""
-    return 0.5 * (1.0 + np.vectorize(math.erf)(z / np.sqrt(2.0)))
+    return 0.5 * (1.0 + _erf(np.asarray(z, dtype=np.float64)
+                             / np.sqrt(2.0)))
 
 
 def sample_copula(model: CopulaModel, n: int, *, seed: int = 42,

@@ -71,6 +71,18 @@ def fit_coxph(ds, time_col: str, event_col: str,
 
         def partial(b: pa.Table, _w=wcur) -> pa.Table:
             df = b.to_pandas().dropna()
+            if not len(df):
+                # empty / all-NaN block: typed empty partial (reduceat
+                # on a zero-row segment index would IndexError)
+                return pa.Table.from_pydict({
+                    "t": pa.array([], pa.float64()),
+                    "d": pa.array([], pa.float64()),
+                    "exw": pa.array([], pa.float64()),
+                    "s0": pa.array([], pa.binary()),
+                    "s1": pa.array([], pa.binary()),
+                    "s2": pa.array([], pa.binary()),
+                    "ex": pa.array([], pa.binary()),
+                    "n": pa.array([], pa.int64())})
             X = df[cols].to_numpy(np.float64)
             t = df[time_col].to_numpy(np.float64)
             ev = df[event_col].to_numpy(np.float64)
@@ -103,6 +115,9 @@ def fit_coxph(ds, time_col: str, event_col: str,
         if len(parts) > max_times:
             raise ValueError("distinct-time census exceeds max_times; "
                              "coarsen the time column")
+        if not len(parts):
+            raise ValueError(
+                "no complete (time, event, features) rows to fit on")
         # merge block-local per-time rows → global per-time census
         def unpack(col, width):
             return np.stack([np.frombuffer(x) for x in parts[col]]

@@ -27,7 +27,6 @@ from dataclasses import dataclass
 from typing import List, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -71,8 +70,14 @@ def _build_tree(X: np.ndarray, rng: np.random.Generator,
             return idx
         f = int(rng.choice(splittable))
         t = float(rng.uniform(lo[f], hi[f]))
-        feat[idx], thr[idx] = f, t
         mask = sub[:, f] < t
+        if not mask.any() or mask.all():
+            # an ulp-wide feature range can make uniform() return
+            # exactly lo → an empty child whose min()/max() would
+            # raise; treat the node as a leaf instead
+            adj[idx] = float(_c(np.array([len(rows)]))[0])
+            return idx
+        feat[idx], thr[idx] = f, t
         left[idx] = grow(rows[mask], depth + 1)
         right[idx] = grow(rows[~mask], depth + 1)
         return idx
@@ -95,9 +100,13 @@ def fit_iforest(ds, feature_cols: Sequence[str], *, n_trees: int = 100,
     if n == 0:
         raise ValueError("empty dataset")
     if n > sample_rows:
-        frac = min(1.0, (sample_rows * 1.25) / n)
-        sample = (ds.random_sample(frac, seed=seed)
-                  .limit(sample_rows).to_pandas())
+        # exact-fraction draw, NO limit() truncation: over-drawing and
+        # truncating in arrival order systematically dropped the tail
+        # of the table from the fit sample (new-regime rows would
+        # never inform the forest); the binomial size variance around
+        # sample_rows is harmless
+        frac = min(1.0, sample_rows / n)
+        sample = ds.random_sample(frac, seed=seed).to_pandas()
         if len(sample) < sample_rows // 4:
             sample = ds.limit(sample_rows).to_pandas()
     else:
@@ -157,7 +166,10 @@ def score_iforest(ds, model: IForestModel, *,
                 acc += _path_lengths(Xo, t)
             h[ok] = acc / len(trees)
         s = np.where(ok, np.power(2.0, -h / cn), np.nan)
-        return b.append_column(out_col, pa.array(s, pa.float64()))
+        # a REAL Arrow null (mask), not a NaN float — the documented
+        # contract, so drop_null / is-null filters actually work
+        return b.append_column(
+            out_col, pa.array(s, pa.float64(), mask=~ok))
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)

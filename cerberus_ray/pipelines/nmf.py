@@ -92,7 +92,9 @@ def fit_nmf(ds, *, text_col: str = "text", k: int = 8,
         wtv = sum(np.frombuffer(x).reshape(k, n_features)
                   for x in p["wtv"])
         wtw = sum(np.frombuffer(x).reshape(k, k) for x in p["wtw"])
-        n = int(p["n"].sum())
+        n = int(p["n"].sum()) if len(p) else 0
+        if n == 0:
+            raise ValueError("empty dataset: no rows to fit NMF on")
         model.losses.append(round(float(p["loss"].sum()) / n, 10))
         model.H = model.H * wtv / np.maximum(wtw @ model.H, _EPS)
     return model

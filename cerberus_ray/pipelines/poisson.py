@@ -20,7 +20,6 @@ from dataclasses import dataclass, field
 from typing import List, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 __all__ = ["PoissonModel", "fit_poisson", "predict_poisson"]
@@ -42,10 +41,20 @@ def fit_poisson(ds, feature_cols: Sequence[str], target_col: str, *,
     (one cheap moment pass), so the first step is already scaled."""
     cols = list(feature_cols)
     d = len(cols) + 1
+    # narrow + pin: the IRLS loop rescans ~n_iters× — without this a
+    # wide computed lineage re-executes per pass (the coxph pattern)
+    ds = ds.select_columns(cols + [target_col]).materialize()
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count, Min, Sum
 
-    tot = ds.aggregate(Sum(target_col), Count())
+    tot = ds.aggregate(Sum(target_col), Min(target_col), Count())
+    ymin = tot.get(f"min({target_col})")
+    if ymin is not None and float(ymin) < 0:
+        # only the MEAN was checked before: individually negative
+        # outcomes slipped through and produced garbage coefficients
+        raise ValueError(
+            f"Poisson outcome must be non-negative: min({target_col}) "
+            f"= {float(ymin)}")
     ybar = float(tot[f"sum({target_col})"] or 0) / max(
         int(tot["count()"]), 1)
     if ybar < 0:

@@ -22,7 +22,6 @@ from dataclasses import dataclass, field
 from typing import List, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 __all__ = ["QuantRegModel", "fit_quantreg", "fit_quantreg_multi",
@@ -107,6 +106,10 @@ def fit_quantreg_multi(ds, feature_cols: Sequence[str],
             models.append(m)
         return models
 
+    # narrow + pin: the IRLS loop rescans ~n_iters× — without this a
+    # wide computed lineage re-executes (and re-reads every column)
+    # once per pass (the coxph pattern)
+    ds = ds.select_columns(cols + [target_col]).materialize()
     W = np.zeros((K, d))
     if init == "ols":
         from .linreg import fit_ols

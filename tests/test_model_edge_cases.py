@@ -116,3 +116,69 @@ def test_calibration_curve_drops_nan_probs(ray_session):
     out = calibration_curve(rd.from_pandas(df), n_bins=10)
     assert int(out["n"].sum()) == 3          # the NaN row is excluded
     assert np.isfinite(out["mean_p"]).all()
+
+
+def test_coxph_survives_empty_and_allnan_blocks(ray_session):
+    from cerberus_ray.pipelines.coxph import fit_coxph
+
+    rng = np.random.default_rng(2)
+    good = pd.DataFrame({
+        "x": rng.normal(size=40),
+        "time": rng.exponential(size=40) + 0.1,
+        "event": rng.integers(0, 2, size=40).astype(float)})
+    bad = pd.DataFrame({"x": [np.nan] * 5,
+                        "time": [np.nan] * 5,
+                        "event": [np.nan] * 5})
+    ds = rd.from_pandas(pd.concat([bad, good], ignore_index=True),
+                        override_num_blocks=4)
+    m = fit_coxph(ds, "time", "event", ["x"], n_iters=3)
+    assert np.isfinite(m.coef).all()
+    allnan = rd.from_pandas(bad)
+    with pytest.raises(ValueError, match="no complete"):
+        fit_coxph(allnan, "time", "event", ["x"], n_iters=1)
+
+
+def test_poisson_rejects_negative_outcomes(ray_session):
+    from cerberus_ray.pipelines.poisson import fit_poisson
+
+    df = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0],
+                       "y": [-5.0, 10.0, 12.0, 9.0]})
+    with pytest.raises(ValueError, match="non-negative"):
+        fit_poisson(rd.from_pandas(df), ["x"], "y", n_iters=2)
+
+
+def test_iforest_ulp_range_and_null_scores(ray_session):
+    from cerberus_ray.pipelines.iforest import fit_iforest, score_iforest
+
+    # near-degenerate feature: values an ulp apart → uniform() can
+    # return exactly lo; must fit, not crash
+    df = pd.DataFrame({
+        "a": [1.0, 1.0 + 1e-16] * 20,
+        "b": np.arange(40, dtype=float)})
+    m = fit_iforest(rd.from_pandas(df), ["a", "b"], n_trees=20,
+                    subsample=16)
+    nan_df = pd.DataFrame({"a": [1.0, np.nan], "b": [2.0, 3.0]})
+    scored = score_iforest(rd.from_pandas(nan_df), m)
+    t = scored.to_arrow_refs()
+    import ray as _ray
+    tab = _ray.get(t[0])
+    col = tab["anomaly_score"]
+    assert col.null_count == 1  # a REAL null, not a NaN float
+
+
+def test_nmf_empty_raises(ray_session):
+    from cerberus_ray.pipelines.nmf import fit_nmf
+
+    empty = rd.from_pandas(pd.DataFrame({"text": pd.Series(dtype=str)}))
+    with pytest.raises((ValueError, Exception)):
+        fit_nmf(empty, k=2)
+
+
+def test_copula_erf_accuracy():
+    import math
+
+    from cerberus_ray.pipelines.copula import _erf
+
+    xs = np.linspace(-4, 4, 2001)
+    ref = np.array([math.erf(x) for x in xs])
+    assert np.abs(_erf(xs) - ref).max() < 2e-7
