@@ -39,8 +39,12 @@ _DRIVER_MAX_EDGES = 20_000_000
 def _distinct_edges(ds, src: str, dst: str, *,
                     directed: bool) -> "pd.DataFrame":
     def partial(b: pa.Table) -> pa.Table:
-        s = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        # null endpoints = no edge (nullable-FK rows); NaN→astype
+        # would otherwise mint the phantom node INT64_MIN bridging
+        # every null-FK row
+        t = b.select([src, dst]).drop_null()
+        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d
         s, d = s[keep], d[keep]
         if not directed:
@@ -93,6 +97,13 @@ def hop_distance(ds, source: int, *, src: str = "src",
             nbrs = np.unique(np.concatenate(spans))
             frontier = nbrs[dist[nbrs] < 0]
             dist[frontier] = depth
+        if len(frontier) and depth >= max_rounds:
+            # the shuffle path raises here too — the documented
+            # contract is raise-on-non-convergence, never a silently
+            # partial distance table
+            raise RuntimeError(
+                f"BFS frontier still active after max_rounds="
+                f"{max_rounds}; raise max_rounds")
         reached = dist >= 0
         out = pd.DataFrame({"node": nodes[reached],
                             "dist": dist[reached]})
@@ -101,8 +112,9 @@ def hop_distance(ds, source: int, *, src: str = "src",
         from ray.data.aggregate import Min
 
         def both(b: pa.Table) -> pa.Table:
-            s = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
-            d = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = b.select([src, dst]).drop_null()   # null = no edge
+            s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
             keep = s != d
             s, d = s[keep], d[keep]
             if not directed:

@@ -97,16 +97,24 @@ def cluster_documents(ds, *, text_col: str = "text",
     cref = ray.put(np.asarray(cents, dtype=np.float64))
 
     def assign(b: pa.Table) -> pa.Table:
+        # maps over the MATERIALIZED (doc_id, vec) table: re-deriving
+        # vectors from raw text here repeated the tokenize+hash pass —
+        # the pipeline's most expensive CPU step — over the whole corpus
         c = ray.get(cref)
-        texts = b[text_col].to_numpy(zero_copy_only=False)
-        X = _doc_vectors(texts, n_features)
+        from .similarity import _mat
+
+        X = _mat(b["vec"])
+        if not len(X):
+            return pa.Table.from_pydict({
+                "doc_id": pa.array([], pa.string()),
+                "cluster": pa.array([], pa.int64())})
         lab = np.argmax(X @ c.T, axis=1).astype(np.int64)
         return pa.Table.from_pydict({
-            "doc_id": pc.cast(b[key_col], pa.string()),
+            "doc_id": b["doc_id"],
             "cluster": pa.array(lab)})
 
-    assignments = ds.map_batches(assign, batch_format="pyarrow",
-                                 zero_copy_batch=True).materialize()
+    assignments = vecs.map_batches(assign, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
 
     def summarize(b: pa.Table) -> pa.Table:
         """Partial rows: token=None rows carry per-cluster doc counts,

@@ -43,7 +43,12 @@ def _cells(b: pa.Table, cols: List[str], eps: float) -> np.ndarray:
     X = np.column_stack([
         b[c].to_numpy(zero_copy_only=False).astype(np.float64)
         for c in cols])
-    return np.floor(X / eps).astype(np.int64), np.isnan(X).any(axis=1)
+    # non-FINITE rows (NaN or ±Inf) are noise: an Inf coordinate would
+    # floor/astype into the INT64_MIN cell and, with enough such rows,
+    # promote that garbage cell to a fake core cluster
+    return (np.floor(np.nan_to_num(X, nan=0.0, posinf=0.0,
+                                   neginf=0.0) / eps).astype(np.int64),
+            ~np.isfinite(X).all(axis=1))
 
 
 def _find(parent, i):
@@ -139,15 +144,17 @@ def grid_density_clusters(ds, cols: Sequence[str], *, eps: float,
 
     labeled = ds.map_batches(label, batch_format="pyarrow",
                              zero_copy_batch=True)
-    rows = []
-    n_cells_per = {}
+    # one pass over each dict (the per-cluster rescans were
+    # O(#clusters × #occupied_cells) driver Python)
+    n_cells_per: dict = {}
+    n_rows_per: dict = {}
     for c, cl in cell_cluster.items():
         n_cells_per[cl] = n_cells_per.get(cl, 0) + 1
-    for cl in sorted(renum.values()):
-        n_rows = sum(counts[c] for c, v in cell_cluster.items()
-                     if v == cl)
-        n_rows += sum(counts[c] for c, v in border.items() if v == cl)
-        rows.append((cl, n_rows, n_cells_per.get(cl, 0)))
+        n_rows_per[cl] = n_rows_per.get(cl, 0) + counts[c]
+    for c, cl in border.items():
+        n_rows_per[cl] = n_rows_per.get(cl, 0) + counts[c]
+    rows = [(cl, n_rows_per.get(cl, 0), n_cells_per.get(cl, 0))
+            for cl in sorted(renum.values())]
     summary = pd.DataFrame(rows, columns=["cluster", "n_rows",
                                           "n_cells"])
     return labeled, summary

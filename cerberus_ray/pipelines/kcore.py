@@ -89,10 +89,21 @@ def core_decomposition(ds, src: str = "src", dst: str = "dst", *,
     raises RuntimeError if estimates haven't stabilized after
     ``max_rounds`` exchanges (they converge within the peeling depth in
     practice)."""
+    # materialize ONCE: count() for the auto planner would execute the
+    # dedup lineage and the consuming path would re-execute it — a
+    # doubled scan of the largest input exactly where auto matters
     dd = ds.map_batches(lambda b: _canon_dedup_block(b, src, dst),
-                        batch_format="pyarrow", zero_copy_batch=True)
+                        batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    n_edges = dd.count()
     if mode == "auto":
-        mode = "driver" if dd.count() <= DRIVER_EDGE_LIMIT else "shuffle"
+        mode = "driver" if n_edges <= DRIVER_EDGE_LIMIT else "shuffle"
+    if n_edges == 0:
+        # self-loop-only / empty input: both modes agree on the typed
+        # empty frame (the shuffle loop's None == None sum comparison
+        # used to crash astype on a schema-less frame)
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "core": pd.Series(dtype=np.int64)})
     if mode == "driver":
         parts = dd.to_pandas()
         e = np.unique(parts.to_numpy(dtype=np.int64), axis=0)

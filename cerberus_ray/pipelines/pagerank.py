@@ -50,7 +50,11 @@ def _factorize(edges_ds, src: str, dst: str):
 
 def pagerank(edges_ds, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, tol: float = 1e-10,
-             max_rounds: int = 100, mode: str = "driver") -> pd.DataFrame:
+             max_rounds: int = 200, mode: str = "driver") -> pd.DataFrame:
+    # default max_rounds must cover the damping-rate-limited floor:
+    # power iteration contracts by ~damping per round, so reaching
+    # tol=1e-10 needs ≥ log(tol)/log(0.85) ≈ 142 rounds on slow-mixing
+    # (hub/near-periodic) graphs — the old 100 raised spuriously
     """→ (node, rank) for every node appearing as an endpoint, ranks
     summing to 1. Parallel edges count once per occurrence (weighted by
     multiplicity), matching the adjacency-matrix formulation. Edges

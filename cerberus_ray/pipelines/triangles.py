@@ -37,8 +37,12 @@ DRIVER_EDGE_LIMIT = 5_000_000
 
 
 def _canon_dedup_block(b: pa.Table, src: str, dst: str) -> pa.Table:
-    a = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
-    c = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+    # drop null endpoints FIRST: a null int64 reaches numpy as NaN and
+    # astype would mint the phantom node INT64_MIN connected to every
+    # null-FK row (pagerank's dropna convention)
+    t = b.select([src, dst]).drop_null()
+    a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
     keep = a != c                      # self-loops close no triangle
     u = np.minimum(a[keep], c[keep])
     v = np.maximum(a[keep], c[keep])
@@ -93,11 +97,18 @@ def _count_driver(edges_ds, src, dst) -> dict:
     a, b = _orient(u, v, du, dv)
     order = np.lexsort((b, a))
     p, q = _wedges_of_runs(a[order], b[order])
-    # closing-edge membership: canonical edge list is lexsorted already
-    key_e = u.astype(np.uint64) << np.uint64(32) | v.astype(np.uint64)
-    key_w = p.astype(np.uint64) << np.uint64(32) | q.astype(np.uint64)
+    # closing-edge membership over COMPACT RANKS: packing raw int64
+    # ids into 32-bit halves collided for ids >= 2^32 (and wrapped
+    # negatives), producing wrong counts; node ranks always fit 32
+    # bits in driver mode and keep the packed keys sorted
+    ru = np.searchsorted(nodes, u).astype(np.uint64)
+    rv = np.searchsorted(nodes, v).astype(np.uint64)
+    rp = np.searchsorted(nodes, p).astype(np.uint64)
+    rq = np.searchsorted(nodes, q).astype(np.uint64)
+    key_e = ru << np.uint64(32) | rv
+    key_w = rp << np.uint64(32) | rq
     pos = np.searchsorted(key_e, key_w)
-    pos = np.clip(pos, 0, len(key_e) - 1)
+    pos = np.clip(pos, 0, max(len(key_e) - 1, 0))
     n_tri = int((key_e[pos] == key_w).sum()) if len(key_w) else 0
     return {"n_nodes": int(len(nodes)), "n_edges": int(len(uv)),
             "n_triangles": n_tri}
